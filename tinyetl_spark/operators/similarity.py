@@ -1,0 +1,208 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Scale design:
+
+* **Dot products / norms** stay JVM-side via higher-order functions
+  (``zip_with`` + ``aggregate``) — vectorized in codegen, no Python.
+* **Brute-force top-k** against one query vector is a map + ``orderBy
+  LIMIT k``: Spark executes it as a per-partition top-k (TakeOrdered) —
+  no full sort, no full shuffle; this is the exact baseline.
+* **Bucketed ANN (sign-LSH / IVF-style)**: vectors are assigned a
+  coarse bucket from the sign bits of the first ``SIGN_BITS``
+  components (a random-hyperplane LSH with axis-aligned planes).
+  Search probes only the query's bucket → touches |corpus| / 2^bits on
+  average. At 100 TB the bucket column is a partition key so probing a
+  bucket is partition pruning, not a scan.
+* All emitted scores are ``round(x, 6)`` so float fold-order cannot
+  flip the oracle comparison.
+
+Reference parity: none (the reference has no vector ops) — north-star
+extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SIGN_BITS = 6  # coarse buckets = 2^6 = 64
+
+
+def _vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Dot product via zip_with + aggregate (left-to-right fold)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, len({a}) + 1), i -> ({a})[i] * ({b})[i]))"
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+
+
+def embedding_norms(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """L2 norm per vector (rounded)."""
+    v = _vec(vec_col)
+    return df.select(F.col(id_col), F.round(norm_col(v), 6).alias("l2_norm"))
+
+
+def embedding_norms_sql(table: str = "embeddings", vec_col: str = "embedding", id_col: str = "vec_id") -> str:
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"SELECT {id_col}, round({norm_sql(v)}, 6) AS l2_norm FROM {table}"
+
+
+def brute_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k vs the corpus vector with id ``query_id``.
+
+    The 1-row query side is broadcast (crossJoin with a 1-row DF is a
+    BroadcastNestedLoopJoin — a map, effectively); top-k runs as
+    TakeOrdered, not a global sort.
+    """
+    q = df.filter(F.col(id_col) == query_id).select(_vec(vec_col).alias("qv"))
+    scored = (
+        df.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), F.round(cosine_col(_vec(vec_col), F.col("qv")), 6).alias("cosine"))
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def brute_topk_sql(
+    table: str = "embeddings", query_id: int = 0, k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
+    v = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    SELECT t.{id_col}, round({cosine_sql(v, qv)}, 6) AS cosine
+    FROM {table} t, (SELECT {vec_col} FROM {table} WHERE {id_col} = {query_id}) q
+    WHERE t.{id_col} != {query_id}
+    ORDER BY cosine DESC, t.{id_col} ASC
+    LIMIT {k}
+    """
+
+
+def sign_bucket_col(vec_col: Column, bits: int = SIGN_BITS) -> Column:
+    """Coarse LSH bucket: integer from the sign bits of the first
+    ``bits`` components (deterministic — sign of stored floats)."""
+    acc = F.lit(0)
+    for i in range(bits):
+        acc = acc + F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+def sign_bucket_sql(vec_expr: str, bits: int = SIGN_BITS) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN ({vec_expr})[{i + 1}] >= 0 THEN (1 << {i}) ELSE 0 END)" for i in range(bits)
+    )
+    return f"({terms})"
+
+
+def ann_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = SIGN_BITS,
+) -> DataFrame:
+    """Bucketed ANN: probe only the query's sign-LSH bucket.
+
+    At scale, write the corpus partitioned by ``bucket`` and this scan
+    is pruned to 1/2^bits of the data before any compute.
+    """
+    with_bucket = df.select(F.col(id_col), F.col(vec_col), sign_bucket_col(F.col(vec_col), bits).alias("bucket"))
+    q = with_bucket.filter(F.col(id_col) == query_id).select(
+        _vec(vec_col).alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    probed = (
+        with_bucket.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(F.col(id_col), F.round(cosine_col(_vec(vec_col), F.col("qv")), 6).alias("cosine"))
+    )
+    return probed.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def ann_topk_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = SIGN_BITS,
+) -> str:
+    v = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    tb = sign_bucket_sql(f"t.{vec_col}", bits)
+    qb = sign_bucket_sql(f"q.{vec_col}", bits)
+    return f"""
+    SELECT t.{id_col}, round({cosine_sql(v, qv)}, 6) AS cosine
+    FROM {table} t, (SELECT {vec_col} FROM {table} WHERE {id_col} = {query_id}) q
+    WHERE t.{id_col} != {query_id} AND {tb} = {qb}
+    ORDER BY cosine DESC, t.{id_col} ASC
+    LIMIT {k}
+    """
+
+
+def cosine_near_dups(
+    df: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold) within blocks.
+
+    Blocking keeps the pair space |block|^2 instead of |corpus|^2 — the
+    block key shuffles once, pairs form per-block. For unblocked corpora
+    use the sign-LSH bucket as the block.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine_col(_vec("va"), _vec("vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_near_dups_sql(
+    table: str = "embeddings",
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> str:
+    va = f"list_transform(a.{vec_col}, x -> CAST(x AS DOUBLE))"
+    vb = f"list_transform(b.{vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           round({cosine_sql(va, vb)}, 6) AS cosine
+    FROM {table} a JOIN {table} b
+      ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+    WHERE round({cosine_sql(va, vb)}, 6) >= {threshold}
+    """

@@ -1,0 +1,176 @@
+"""Text-analysis operators over a document table.
+
+Everything here is built from built-in ``pyspark.sql.functions`` so the
+whole pipeline stays inside whole-stage codegen — no Python in the hot
+path. Each operator has a DuckDB-SQL twin (for the correctness oracle)
+generated from the same constants, so the two cannot drift.
+
+Reference parity: the reference has no text analytics (SURVEY.md §2 —
+its only row transforms are Lua expressions); these are the
+training-data-pipeline extensions required by the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tinyetl_spark.functions.hashing import hash64_col, hash64_sql
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-expressible in both engines.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "los", "que", "es", "y"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"] + ("a", "in", "it", "that", "for")
+
+# BPE-ish word/number/symbol tokenizer (shared regex, works in both
+# engines' regex dialects).
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def words_col(text: Column | str) -> Column:
+    """Whitespace tokenization (matches DuckDB regexp_split_to_array)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def words_sql(expr: str = "text") -> str:
+    return f"regexp_split_to_array(trim({expr}), '\\s+')"
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + chars."""
+    return df.select(
+        F.col(id_col),
+        F.size(words_col(text_col)).cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).cast("bigint").alias("n_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars_m"),
+    )
+
+
+def token_stats_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+    SELECT {id_col},
+           len({words_sql(text_col)}) AS n_words,
+           len(regexp_extract_all({text_col}, '{TOKEN_RE}')) AS n_tokens,
+           length({text_col}) AS n_chars_m
+    FROM {table}
+    """
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: word count, mean word length, stopword
+    ratio, alpha ratio, and a combined score. All ratios rounded to 6
+    decimals so float fold-order differences can't flip the oracle."""
+    w = words_col(text_col)
+    n_words = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    n_chars = F.length(F.col(text_col))
+    mean_wl = (n_alpha / n_words).cast("double")
+    stop_ratio = (n_stop / n_words).cast("double")
+    alpha_ratio = (n_alpha / n_chars).cast("double")
+    score = (
+        F.when(n_words < 5, F.lit(0.0))
+        .otherwise(
+            F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.4
+            + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.3
+            + alpha_ratio * 0.3
+        )
+        .cast("double")
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def quality_score_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    w = words_sql(text_col)
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             len({w}) AS n_words,
+             len(list_filter({w}, x -> x IN ({stop_list}))) AS n_stop,
+             length(regexp_replace({text_col}, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length({text_col}) AS n_chars
+      FROM {table})
+    SELECT {id_col},
+           n_words,
+           round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS mean_word_len,
+           round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+           round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+           round(CASE WHEN n_words < 5 THEN 0.0 ELSE
+             least(1.0, n_words / 100.0) * 0.4
+             + least(1.0, (CAST(n_stop AS DOUBLE) / n_words) * 5.0) * 0.3
+             + (CAST(n_alpha AS DOUBLE) / n_chars) * 0.3 END, 6) AS quality
+    FROM base
+    """
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: count marker hits per language, take the
+    argmax (ties broken by fixed language order), 'und' when no hits."""
+    w = words_col(text_col)
+
+    def marker_filter(markers: tuple[str, ...]):
+        # closure factory (default-arg lambdas break HOF arity detection)
+        return lambda x: x.isin(*markers)
+
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(w, marker_filter(markers)))
+        hit_cols.append((lang, hits))
+    # argmax: scan languages in fixed order, strictly-greater replaces —
+    # deterministic tie-break = earliest language wins
+    expr_lang, expr_hits = F.lit("und"), F.lit(0)
+    for lang, hits in hit_cols:
+        take = hits > expr_hits
+        expr_lang = F.when(take, F.lit(lang)).otherwise(expr_lang)
+        expr_hits = F.when(take, hits).otherwise(expr_hits)
+    out = df.select(F.col(id_col), F.col("lang").alias("lang_true"), expr_lang.alias("lang_pred"))
+    return out
+
+
+def language_id_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    w = words_sql(text_col)
+    hits = ",\n             ".join(
+        f"len(list_filter({w}, x -> x IN ({', '.join(chr(39) + m + chr(39) for m in markers)}))) AS h_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+    # same scan-in-order argmax with strictly-greater replacement
+    lang_expr, hits_expr = "'und'", "0"
+    for lang in LANG_MARKERS:
+        lang_expr = f"CASE WHEN h_{lang} > ({hits_expr}) THEN '{lang}' ELSE {lang_expr} END"
+        hits_expr = f"CASE WHEN h_{lang} > ({hits_expr}) THEN h_{lang} ELSE {hits_expr} END"
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, lang AS lang_true,
+             {hits}
+      FROM {table})
+    SELECT {id_col}, lang_true, {lang_expr} AS lang_pred
+    FROM base
+    """
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: 60-bit hash of the normalized text (lowered,
+    whitespace-collapsed) — the exact-dedup key at scale."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(F.col(id_col), hash64_col(norm).alias("fingerprint"))
+
+
+def fingerprint_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    return f"SELECT {id_col}, {hash64_sql(norm)} AS fingerprint FROM {table}"
