@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness: time every registered query at the bench scale
+factor and emit ONE machine-readable JSON line.
+
+Protocol (driver contract):
+  * data dir   : $SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  * parallelism: local[$SPARK_GRAFT_CPUS]
+  * output     : one JSON line on stdout:
+      {"metric": ..., "value": N, "unit": "sec",
+       "queries": {name: sec, ...}, "sf": 0.1, ...extras}
+
+Method: each query's DataFrame is fully executed with a `noop` format
+write — every row is computed on the executors, nothing is collected to
+the driver (a `count()` would let Catalyst prune work; noop does not).
+One warm-up action runs first so JVM/codegen startup is not billed to
+the first query.
+
+Baseline framing (BASELINE.md): the reference publishes rows/sec for
+transfer-shaped workloads (headline 180k rows/s). `transfer_rows_per_sec`
+reports our equivalent: rows of `transform_inline` (a full
+scan→transform→materialize pass over lineitem) divided by its wall time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    # keep Spark's own logging off stdout — the driver parses stdout
+    from tinyetl_spark.queries import QUERIES
+    from tinyetl_spark.session import get_spark
+
+    spark = get_spark(app_name="tinyetl_spark_bench")
+
+    # Warm up JVM + codegen + parquet footer cache off the clock.
+    spark.read.parquet(f"{SF_DIR}/region.parquet").write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    failures: dict[str, str] = {}
+    for name, fn in sorted(QUERIES.items()):
+        try:
+            df = fn(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — a broken query must not kill the bench
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+
+    # rows/sec framing vs the reference's 180k rows/s transfer baseline:
+    # transform_inline = scan 600k lineitem rows -> derive 4 columns ->
+    # materialize every row. Same shape as the reference's sample run.
+    transfer_rps = None
+    if "transform_inline" in timings and timings["transform_inline"] > 0:
+        import duckdb
+
+        n = duckdb.sql(f"SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'").fetchone()[0]
+        rows["transform_inline"] = n
+        transfer_rps = round(n / timings["transform_inline"])
+
+    out = {
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+        "transfer_rows_per_sec": transfer_rps,
+        "baseline_rows_per_sec": 180_000,
+        "failures": failures,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Regression tests for operator edge cases the sf testdata masks
+(synthetic frames constructed to hit the exact failure shapes)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tinyetl_spark.operators import dedup, relational
+
+UTC = dt.timezone.utc
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0, 0, tzinfo=UTC) + dt.timedelta(seconds=s)
+
+
+def test_range_self_join_cross_bucket_reverse_ids(spark):
+    # Pair spans adjacent 60s buckets AND the later-timestamp row has
+    # the SMALLER id — the orientation the pre-fix operator dropped.
+    df = spark.createDataFrame(
+        [("u1", 5, _ts(100)), ("u1", 2, _ts(130))],
+        "user_id string, event_id long, ts timestamp",
+    )
+    got = relational.range_self_join(
+        df, key="user_id", ts="ts", window_seconds=60, id_col="event_id"
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(2, 5)]
+
+
+def test_range_self_join_same_bucket_and_outside_window(spark):
+    df = spark.createDataFrame(
+        [("u1", 1, _ts(0)), ("u1", 2, _ts(30)), ("u1", 3, _ts(300))],
+        "user_id string, event_id long, ts timestamp",
+    )
+    got = relational.range_self_join(
+        df, key="user_id", ts="ts", window_seconds=60, id_col="event_id"
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in got) == [(1, 2)]
+
+
+def test_asof_join_null_value_on_matched_row(spark):
+    # The as-of right row carries a NULL payload: it must be attached as
+    # NULL, not skipped in favor of a staler non-null row.
+    left = spark.createDataFrame(
+        [("u1", _ts(100))], "user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(10), "old"), ("u1", _ts(90), None)],
+        "user_id string, ts timestamp, payload string",
+    )
+    got = relational.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts", right_cols=["payload"]
+    ).collect()
+    assert len(got) == 1
+    assert got[0].payload_matched is None
+    assert got[0].matched_ts == _ts(90).replace(tzinfo=None)
+
+
+def test_asof_join_no_prior_right_row(spark):
+    left = spark.createDataFrame([("u1", _ts(5))], "user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u1", _ts(50), "later")], "user_id string, ts timestamp, payload string"
+    )
+    got = relational.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts", right_cols=["payload"]
+    ).collect()
+    assert len(got) == 1
+    assert got[0].payload_matched is None
+    assert got[0].matched_ts is None
+
+
+def test_simhash_near_dups_full_recall_beyond_default_chunks(spark):
+    # max_hamming=8 must use >= 9 chunks (pigeonhole) — the old fixed
+    # 4-chunk scheme only guaranteed recall to distance 3.
+    bounds = dedup._sim_chunk_bounds(8)
+    assert len(bounds) == 9
+    assert sum(w for _, w in bounds) == dedup.SIM_BITS
+    flat = [b for s, w in bounds for b in range(s, s + w)]
+    assert sorted(flat) == list(range(dedup.SIM_BITS))  # disjoint, complete
+
+
+def test_simhash_bucket_cap_drops_hot_bucket(spark):
+    # 100 identical docs → one hot bucket per chunk; cap of 64 drops
+    # them all, so no quadratic pair blowup (and no pairs emitted).
+    rows = [(i, "the same boilerplate text") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.simhash_near_dups(df, max_hamming=3, max_bucket_size=64).collect()
+    assert got == []
+    # under the cap, pairs are found
+    small = spark.createDataFrame(rows[:10], "doc_id long, text string")
+    got_small = dedup.simhash_near_dups(small, max_hamming=3, max_bucket_size=64)
+    assert got_small.count() == 45  # all 10-choose-2 identical pairs

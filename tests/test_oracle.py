@@ -41,7 +41,10 @@ def test_query_matches_oracle(spark, duck, name):
     sdf = QUERIES[name](spark, SF_DIR)
     got = sdf.toPandas()
     if name not in ORACLES:
-        assert len(got) >= 0  # rows-only check (non-SQL-expressible op)
+        # rows-only check (non-SQL-expressible op): every registered
+        # query must still produce rows and named columns on testdata
+        assert len(got) > 0, f"{name}: no-oracle query produced 0 rows"
+        assert list(got.columns), f"{name}: no columns"
         return
     want = duck.execute(ORACLES[name]).df()
     got_cols, got_rows = _normalize(got)

@@ -41,3 +41,20 @@ def hash64_sql(expr: str, seed: int | None = None) -> str:
     if seed is not None:
         expr = f"({expr} || chr(31) || '{seed}')"
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def hash128_col(col: Column | str) -> Column:
+    """Full 128-bit md5 as a 32-char hex string — the EXACT-dedup key.
+
+    60 bits is fine for LSH seeds/buckets but not as an identity key:
+    birthday collisions reach ~40% probability at ~1.5e9 documents,
+    i.e. silent false merges at the 100 TB corpus sizes this engine
+    targets. 128 bits pushes that beyond 1e18 docs. The hex string
+    groups/shuffles fine (uniform by construction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def hash128_sql(expr: str) -> str:
+    """DuckDB SQL fragment equivalent to :func:`hash128_col`."""
+    return f"md5({expr})"

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from tinyetl_spark.functions.hashing import MAX60, hash64_col, hash64_sql
+from tinyetl_spark.functions.hashing import MAX60, hash64_col, hash64_sql, hash128_col, hash128_sql
 from tinyetl_spark.operators.text import words_col, words_sql
 
 NUM_PERM = 16          # minhash permutations
@@ -49,10 +49,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Group by normalized-text fingerprint; keep the min id per group.
 
     Returns (keep_id, n_dups). One shuffle, keyed on a uniform hash.
+    The key is the full 128-bit md5 (see hash128_col) — a 60-bit key
+    false-merges distinct docs with ~40% probability at ~1.5e9 rows.
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return (
-        df.select(F.col(id_col), hash64_col(norm).alias("fp"))
+        df.select(F.col(id_col), hash128_col(norm).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
         .select("keep_id", "n_dups")
@@ -64,7 +66,7 @@ def exact_dedup_sql(table: str = "documents", text_col: str = "text", id_col: st
     return f"""
     SELECT min({id_col}) AS keep_id, count(*) AS n_dups
     FROM {table}
-    GROUP BY {hash64_sql(norm)}
+    GROUP BY {hash128_sql(norm)}
     """
 
 
@@ -352,17 +354,40 @@ def simhash_sql(table: str = "documents", text_col: str = "text", id_col: str = 
     """
 
 
+def _sim_chunk_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """(start_bit, width) per LSH chunk. Pigeonhole: a pair within
+    hamming distance h must agree on >= 1 of h+1 disjoint chunks, so the
+    chunk count adapts to the requested radius — full recall at any
+    ``max_hamming`` (the old fixed-4-chunk scheme silently dropped pairs
+    at distance 4..8). Wider radii mean narrower chunks → more bucket
+    collisions; the bucket-size cap below is what keeps that safe."""
+    n = max(SIM_CHUNKS, max_hamming + 1)
+    base, rem = divmod(SIM_BITS, n)
+    bounds, start = [], 0
+    for i in range(n):
+        width = base + (1 if i < rem else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: LSH on 15-bit chunks (a pair within
-    hamming distance <= SIM_CHUNKS-1 must agree on at least one chunk),
-    then exact hamming verify via bit_count(xor)."""
+    """Near-dup pairs by SimHash: LSH on max_hamming+1 disjoint bit
+    chunks (pigeonhole ⇒ full recall), then exact hamming verify via
+    bit_count(xor).
+
+    Buckets larger than ``max_bucket_size`` are dropped before the
+    self-join — one hot chunk value (empty/boilerplate docs all hash
+    alike) would otherwise blow up quadratically. Same guard shape as
+    ``minhash_candidates``."""
     s = simhash(df, text_col, id_col)
-    chunk_size = SIM_BITS // SIM_CHUNKS
+    bounds = _sim_chunk_bounds(max_hamming)
     chunks = s.select(
         F.col(id_col),
         F.col("simhash"),
@@ -371,21 +396,23 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.shiftright(F.col("simhash"), c * chunk_size)
-                        .bitwiseAND(F.lit((1 << chunk_size) - 1))
+                        F.shiftright(F.col("simhash"), start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk_val"),
                     )
-                    for c in range(SIM_CHUNKS)
+                    for c, (start, width) in enumerate(bounds)
                 ]
             )
         ).alias("c"),
     ).select(id_col, "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk_val").alias("chunk_val"))
-    a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val"
+    from pyspark.sql import Window
+
+    bw = Window.partitionBy("chunk_idx", "chunk_val")
+    ok = chunks.withColumn("_bsz", F.count("*").over(bw)).filter(
+        F.col("_bsz") <= max_bucket_size
     )
-    b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val"
-    )
+    a = ok.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val")
+    b = ok.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val")
     pairs = (
         a.join(b, ["chunk_idx", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -396,20 +423,26 @@ def simhash_near_dups(
 
 
 def simhash_near_dups_sql(
-    table: str = "documents", text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 64,
 ) -> str:
     base = simhash_sql(table, text_col, id_col)
-    chunk_size = SIM_BITS // SIM_CHUNKS
+    bounds = _sim_chunk_bounds(max_hamming)
     chunk_rows = "\nUNION ALL\n".join(
-        f"SELECT {id_col}, simhash, {c} AS chunk_idx, (simhash >> {c * chunk_size}) & {(1 << chunk_size) - 1} AS chunk_val FROM sim_t"
-        for c in range(SIM_CHUNKS)
+        f"SELECT {id_col}, simhash, {c} AS chunk_idx, (simhash >> {start}) & {(1 << width) - 1} AS chunk_val FROM sim_t"
+        for c, (start, width) in enumerate(bounds)
     )
     return f"""
     WITH sim_t AS ({base}),
-    chunks AS ({chunk_rows})
+    chunks AS ({chunk_rows}),
+    sized AS (SELECT *, count(*) OVER (PARTITION BY chunk_idx, chunk_val) AS bsz FROM chunks),
+    ok AS (SELECT * FROM sized WHERE bsz <= {max_bucket_size})
     SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM chunks a JOIN chunks b
+    FROM ok a JOIN ok b
       ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
     WHERE a.{id_col} < b.{id_col}
       AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}

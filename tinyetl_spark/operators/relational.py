@@ -34,44 +34,46 @@ def asof_join(
     left_ts) with the same ``on`` key.
 
     Union-tag + last(ignorenulls) over a (key, ts) window: one shuffle
-    on the key, no inequality join. Right-side ties on identical ts are
-    broken by the largest right row (stable given unique right ts).
+    on the key, no inequality join.
+
+    The whole as-of row rides along in ONE struct, so a right row whose
+    matched column is genuinely NULL still wins over a staler non-null
+    row (filling columns independently would skip it). Ties among right
+    rows at identical (key, ts) are broken deterministically by the
+    largest struct value — a total order, unlike DuckDB ASOF's
+    arbitrary pick, so results are stable across runs/partitionings.
     """
     lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
-    rt = (
-        right.select(
-            F.col(on),
-            F.col(right_ts).alias("_ts"),
-            *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        )
-        .withColumn("_side", F.lit(0))
+    rstruct = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c).alias(c) for c in right_cols]
     )
+    rt = right.select(
+        F.col(on), F.col(right_ts).alias("_ts"), rstruct.alias("_rrow")
+    ).withColumn("_side", F.lit(0))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # _side asc puts right rows before left rows at equal ts (inclusive
+    # right_ts <= left_ts); _rrow as the final key is the deterministic
+    # tiebreaker among right rows sharing (key, ts).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_rrow").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in right_cols],
-        F.max(F.when(F.col("_side") == 0, F.col("_ts"))).over(w).alias("_m_ts"),
-    )
+    filled = unioned.select("*", F.last("_rrow", ignorenulls=True).over(w).alias("_m"))
     out = filled.filter(F.col("_side") == 1)
+    matched_ts = F.col("_m._ts")
     if tolerance_seconds is not None:
-        within = F.col("_m_ts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
-        out = out.select(
+        within = matched_ts >= F.col("_ts") - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        return out.select(
             *[c for c in left.columns],
-            *[F.when(within, F.col(f"_m_{c}")).alias(f"{c}_matched") for c in right_cols],
-            F.when(within, F.col("_m_ts")).alias("matched_ts"),
+            *[F.when(within, F.col(f"_m.{c}")).alias(f"{c}_matched") for c in right_cols],
+            F.when(within, matched_ts).alias("matched_ts"),
         )
-    else:
-        out = out.select(
-            *[c for c in left.columns],
-            *[F.col(f"_m_{c}").alias(f"{c}_matched") for c in right_cols],
-            F.col("_m_ts").alias("matched_ts"),
-        )
-    return out
+    return out.select(
+        *[c for c in left.columns],
+        *[F.col(f"_m.{c}").alias(f"{c}_matched") for c in right_cols],
+        matched_ts.alias("matched_ts"),
+    )
 
 
 def range_self_join(
@@ -84,9 +86,15 @@ def range_self_join(
     """Pairs of rows with the same key whose timestamps are within
     ``window_seconds`` of each other (id_a < id_b).
 
-    Banded equi-join: bucket = floor(epoch / window); each left row
-    joins its own and the next bucket, then the exact predicate filters.
-    Turns O(n^2) into a shuffle keyed on (key, bucket).
+    Banded equi-join: bucket = floor(epoch / window); each probe row
+    joins its own and the previous bucket, then the exact predicate
+    filters. Turns O(n^2) into a shuffle keyed on (key, bucket).
+
+    A cross-bucket pair meets the join in only ONE orientation (the
+    earlier row on the build side), so the pair is canonicalized AFTER
+    the join with least/greatest + distinct — filtering ``id_a < id_b``
+    inside the join would silently drop pairs where the later-timestamp
+    row has the smaller id.
     """
     bucket = (F.unix_timestamp(F.col(ts)) / window_seconds).cast("long")
     a = df.select(
@@ -104,10 +112,14 @@ def range_self_join(
     return (
         a.join(b_exp, ["k", "b"])
         .filter(
-            (F.col("id_a") < F.col("id_b"))
+            (F.col("id_a") != F.col("id_b"))
             & (F.abs(F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")) <= window_seconds)
         )
-        .select(F.col("k").alias(key), "id_a", "id_b")
+        .select(
+            F.col("k").alias(key),
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
         .distinct()
     )
 

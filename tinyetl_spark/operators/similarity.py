@@ -172,16 +172,29 @@ def cosine_near_dups(
     threshold: float = 0.99,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str = "label",
+    block_col: str | None = None,
+    bits: int = SIGN_BITS,
+    max_block_size: int = 4096,
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) within blocks.
 
-    Blocking keeps the pair space |block|^2 instead of |corpus|^2 — the
-    block key shuffles once, pairs form per-block. For unblocked corpora
-    use the sign-LSH bucket as the block.
+    The default block is the sign-LSH bucket — a uniform, data-
+    independent key, so the per-block pair space is ~(n/2^bits)^2 and no
+    single hot value can go quadratic (a user-supplied ``block_col``
+    like a label has data-dependent sizes; one big label = O(block^2)).
+    Blocks above ``max_block_size`` are dropped outright — the same
+    boilerplate/skew guard as the minhash and simhash paths. Recall
+    note: candidates-within-bucket only (standard sign-LSH tradeoff);
+    raise ``bits``/multi-probe for tighter corpora.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk"))
+    blk = F.col(block_col) if block_col else sign_bucket_col(F.col(vec_col), bits)
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col), F.col(vec_col), blk.alias("blk"))
+    bw = Window.partitionBy("blk")
+    base = base.withColumn("_bsz", F.count("*").over(bw)).filter(F.col("_bsz") <= max_block_size)
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "blk")
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "blk")
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -195,14 +208,22 @@ def cosine_near_dups_sql(
     threshold: float = 0.99,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str = "label",
+    block_col: str | None = None,
+    bits: int = SIGN_BITS,
+    max_block_size: int = 4096,
 ) -> str:
     va = f"list_transform(a.{vec_col}, x -> CAST(x AS DOUBLE))"
     vb = f"list_transform(b.{vec_col}, x -> CAST(x AS DOUBLE))"
+    blk = block_col if block_col else sign_bucket_sql(vec_col, bits)
     return f"""
+    WITH blocked AS (
+      SELECT *, {blk} AS blk FROM {table}),
+    sized AS (
+      SELECT *, count(*) OVER (PARTITION BY blk) AS bsz FROM blocked),
+    ok AS (SELECT * FROM sized WHERE bsz <= {max_block_size})
     SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
            round({cosine_sql(va, vb)}, 6) AS cosine
-    FROM {table} a JOIN {table} b
-      ON a.{block_col} = b.{block_col} AND a.{id_col} < b.{id_col}
+    FROM ok a JOIN ok b
+      ON a.blk = b.blk AND a.{id_col} < b.{id_col}
     WHERE round({cosine_sql(va, vb)}, 6) >= {threshold}
     """

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tinyetl_spark.functions.hashing import hash64_col, hash64_sql
+from tinyetl_spark.functions.hashing import hash128_col, hash128_sql
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
 # heuristic. Deterministic and SQL-expressible in both engines.
@@ -165,12 +165,13 @@ def language_id_sql(table: str = "documents", text_col: str = "text", id_col: st
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Document fingerprint: 60-bit hash of the normalized text (lowered,
-    whitespace-collapsed) — the exact-dedup key at scale."""
+    """Document fingerprint: full 128-bit md5 of the normalized text
+    (lowered, whitespace-collapsed) — the exact-dedup identity key at
+    scale (60 bits false-merges at ~1.5e9 docs; 128 does not)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.select(F.col(id_col), hash64_col(norm).alias("fingerprint"))
+    return df.select(F.col(id_col), hash128_col(norm).alias("fingerprint"))
 
 
 def fingerprint_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
     norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
-    return f"SELECT {id_col}, {hash64_sql(norm)} AS fingerprint FROM {table}"
+    return f"SELECT {id_col}, {hash128_sql(norm)} AS fingerprint FROM {table}"

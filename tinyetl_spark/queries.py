@@ -40,10 +40,10 @@ def _q(name: str, oracle: str | None = None):
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a testdata table, normalizing nanosecond parquet timestamps
-    (Spark rejects TIMESTAMP(NANOS) — read as long, convert to µs)."""
+    (Spark rejects TIMESTAMP(NANOS) — read as long via the session-level
+    nanosAsLong conf set in session.py, convert to µs)."""
     path = f"{sf_dir}/{table}.parquet"
     if table == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -680,9 +680,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
-@_q("embedding_near_dups", similarity.cosine_near_dups_sql(threshold=0.8))
+@_q("embedding_near_dups", similarity.cosine_near_dups_sql(threshold=0.3))
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_near_dups(load(spark, sf_dir, "embeddings"), threshold=0.8)
+    """Sign-LSH-bucket blocked cosine pairs (threshold chosen so the
+    testdata actually produces pairs — a 0-row pass is vacuous)."""
+    return similarity.cosine_near_dups(load(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
 @_q(

@@ -31,6 +31,10 @@ _DEFAULTS = {
     # Parquet scans: keep row-group pruning + vectorized reader on.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # TIMESTAMP(NANOS) parquet columns (the events table) read as long;
+    # loaders convert to µs timestamps. Set once here — per-query
+    # spark.conf.set would mutate a shared session mid-flight.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
@@ -57,6 +61,9 @@ def get_spark(
         except ValueError:
             npart = os.cpu_count() or 8
         conf.setdefault("spark.sql.shuffle.partitions", str(shuffle_partitions or npart))
+        # NOTE: only takes effect when this call actually launches the
+        # JVM; getOrCreate against a live session silently ignores it.
+        # On a real cluster pass --driver-memory at submit time instead.
         conf.setdefault("spark.driver.memory", "48g")
         conf.setdefault("spark.ui.enabled", "false")
     if shuffle_partitions:
