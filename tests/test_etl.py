@@ -1,0 +1,298 @@
+"""End-to-end engine tests: round-trips through every file sink, the
+sqlite connector, transforms, schema validation, CLI and YAML jobs —
+mirroring the reference's round-trip + example-script test strategy
+(SURVEY.md §5.2-5.3; reference src/connectors/csv.rs:630-685,
+json.rs:474-511, parquet.rs:529-582,
+examples/06_csv_to_sqlite_with_transforms, examples/13_yaml_config)."""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from tinyetl_spark.engine import transfer
+from tinyetl_spark.transforms import apply_inline, apply_script, compile_lua_file
+from tinyetl_spark.validate import SchemaFile
+
+CSV_FIXTURE = """id,name,price,in_stock,added,notes
+1,Widget,12.50,true,2023-12-25,first
+2,Gadget,99.00,false,12/26/2023,
+3,Doohickey,0.25,true,2023-12-27T08:30:00,third
+"""
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "products.csv"
+    p.write_text(CSV_FIXTURE)
+    return str(p)
+
+
+# ------------------------------------------------------ CSV inference
+
+def test_csv_inference_parity(spark, csv_file):
+    from tinyetl_spark.io.files import read_csv
+
+    df = read_csv(spark, csv_file)
+    types = dict(df.dtypes)
+    assert types["id"] == "bigint"
+    assert types["name"] == "string"
+    assert types["price"] == "double"
+    assert types["in_stock"] == "boolean"
+    assert types["added"] == "timestamp"
+    assert types["notes"] == "string"
+    rows = {r.id: r for r in df.collect()}
+    assert rows[2].notes is None           # empty → NULL
+    assert rows[1].price == 12.50
+    assert rows[1].added.year == 2023 and rows[1].added.month == 12
+
+
+def test_csv_mixed_type_column_degrades_to_string(spark, tmp_path):
+    p = tmp_path / "mixed.csv"
+    # 'two' breaks the int column; int+decimal ALSO counts as mixed —
+    # the reference's discriminant check (src/schema.rs:526-554) does
+    # not widen numerics
+    p.write_text("a,b\n1,1\ntwo,2.5\n")
+    from tinyetl_spark.io.files import read_csv
+
+    df = read_csv(spark, str(p))
+    assert dict(df.dtypes)["a"] == "string"
+    assert dict(df.dtypes)["b"] == "string"
+
+
+# -------------------------------------------------------- round-trips
+
+def test_parquet_csv_roundtrip(spark, tmp_path):
+    src = "/root/testdata/sf0.001/region.parquet"
+    csv_out = str(tmp_path / "region.csv")
+    st = transfer(spark, src, csv_out)
+    assert st.rows_transferred == 5
+    back = transfer(spark, csv_out, str(tmp_path / "region2.parquet"))
+    assert back.rows_transferred == 5
+    orig = spark.read.parquet(src).orderBy("r_regionkey").collect()
+    got = spark.read.parquet(str(tmp_path / "region2.parquet")).orderBy("r_regionkey").collect()
+    assert [r.r_name for r in got] == [r.r_name for r in orig]
+
+
+def test_json_array_roundtrip_and_append(spark, tmp_path):
+    src = "/root/testdata/sf0.001/region.parquet"
+    out = str(tmp_path / "region.json")
+    transfer(spark, src, out)
+    data = json.load(open(out))
+    assert len(data) == 5 and {"r_regionkey", "r_name"} <= set(data[0])
+    # second transfer appends (merge with existing array)
+    transfer(spark, src, out)
+    assert len(json.load(open(out))) == 10
+    # truncate forces overwrite
+    transfer(spark, src, out, truncate=True)
+    assert len(json.load(open(out))) == 5
+
+
+def test_csv_target_never_appends(spark, tmp_path):
+    src = "/root/testdata/sf0.001/region.parquet"
+    out = str(tmp_path / "r.csv")
+    transfer(spark, src, out)
+    transfer(spark, src, out)  # exists + no append support → truncated
+    n_lines = len(open(out).read().strip().splitlines())
+    assert n_lines == 6  # header + 5 rows, not 11
+
+
+def test_sqlite_roundtrip_with_transform(spark, tmp_path):
+    """Twin of reference examples/06_csv_to_sqlite_with_transforms:
+    price_cents = floor(price * 100) lands as an integer column."""
+    csvf = tmp_path / "p.csv"
+    csvf.write_text("sku,price\nA,1299.99\nB,0.01\n")
+    db = str(tmp_path / "shop.db")
+    st = transfer(
+        spark, str(csvf), f"{db}#products",
+        transform="price_cents=math.floor(row.price * 100); sku_uc=string.upper(row.sku)",
+    )
+    assert st.rows_transferred == 2
+    con = sqlite3.connect(db)
+    got = dict(con.execute("SELECT sku_uc, price_cents FROM products").fetchall())
+    assert got == {"A": 129999, "B": 1}
+    # append run doubles the rows (sqlite supports append)
+    transfer(spark, str(csvf), f"{db}#products",
+             transform="price_cents=math.floor(row.price * 100); sku_uc=string.upper(row.sku)")
+    assert con.execute("SELECT count(*) FROM products").fetchone()[0] == 4
+    # and truncate resets
+    transfer(spark, str(csvf), f"{db}#products", truncate=True,
+             transform="price_cents=math.floor(row.price * 100); sku_uc=string.upper(row.sku)")
+    assert con.execute("SELECT count(*) FROM products").fetchone()[0] == 2
+
+
+# --------------------------------------------------------- transforms
+
+def test_inline_preserves_columns_and_chains(spark):
+    df = spark.createDataFrame([(2, 3.0)], "a long, b double")
+    out = apply_inline(df, "c=row.a + row.b; d=c * 2")
+    row = out.collect()[0]
+    assert row.a == 2 and row.b == 3.0 and row.c == 5.0 and row.d == 10.0
+
+
+def test_script_mode_comments_and_chaining(spark):
+    df = spark.createDataFrame([(100.0,)], "price double")
+    out = apply_script(df, "-- tax calc\nnet = row.price / 1.19\ntax = row.price - net\n")
+    row = out.collect()[0]
+    assert abs(row.net - 84.0336) < 1e-3 and abs(row.tax + row.net - 100.0) < 1e-9
+
+
+def test_ternary_and_gsub_and_sub(spark):
+    df = spark.createDataFrame([("555-123a4", 25)], "phone string, age long")
+    out = apply_inline(
+        df,
+        "clean=row.phone:gsub('[^%d]', ''); "
+        "grp=row.age < 30 and 'young' or 'mature'; "
+        "area=string.sub(row.phone, 1, 3)",
+    )
+    row = out.collect()[0]
+    assert row.clean == "5551234" and row.grp == "young" and row.area == "555"
+
+
+def test_match_extracts_capture(spark):
+    df = spark.createDataFrame([("bob@example.com",)], "email string")
+    out = apply_inline(df, "domain=row.email:match('@(.+)')")
+    assert out.collect()[0].domain == "example.com"
+
+
+def test_transform_file_projection_and_filter(spark, tmp_path):
+    tf = tmp_path / "t.py"
+    tf.write_text(
+        "def transform(row):\n"
+        "    if row['r_regionkey'] >= 3:\n"
+        "        return None\n"
+        "    return {'key': row['r_regionkey'], 'label': row['r_name'].lower()}\n"
+    )
+    df = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    out = compile_lua_file(df, str(tf))
+    rows = out.orderBy("key").collect()
+    assert out.columns == ["key", "label"]  # projection: only returned keys
+    assert len(rows) == 3                    # rows 3,4 filtered
+    assert rows[0].label == "africa"  # lowered by the transform
+
+
+# --------------------------------------------------------- validation
+
+SCHEMA_YAML = """
+columns:
+  - name: event_id
+    type: integer
+    nullable: false
+  - name: event_type
+    type: string
+    pattern: '^[a-z_]+$'
+  - name: value
+    type: decimal
+    nullable: false
+    default: 0.0
+"""
+
+
+def test_schema_file_validation_pass_and_defaults(spark, tmp_path):
+    sf = tmp_path / "schema.yaml"
+    sf.write_text(SCHEMA_YAML)
+    df = spark.createDataFrame(
+        [(1, "click", 2.5), (2, "view", None)],
+        "event_id long, event_type string, value double",
+    )
+    out = SchemaFile.from_file(str(sf)).apply(df)
+    rows = {r.event_id: r for r in out.collect()}
+    assert rows[2].value == 0.0  # default filled
+    assert out.columns == ["event_id", "event_type", "value"]
+
+
+def test_schema_file_pattern_violation_errors(spark, tmp_path):
+    sf = tmp_path / "schema.yaml"
+    sf.write_text(SCHEMA_YAML)
+    df = spark.createDataFrame([(1, "BAD TYPE!", 1.0)],
+                               "event_id long, event_type string, value double")
+    with pytest.raises(Exception, match="schema violation"):
+        SchemaFile.from_file(str(sf)).apply(df).collect()
+
+
+def test_schema_file_nonnull_violation_filter_mode(spark, tmp_path):
+    sf = tmp_path / "schema.yaml"
+    sf.write_text(SCHEMA_YAML)
+    df = spark.createDataFrame([(None, "ok", 1.0), (2, "ok", 1.0)],
+                               "event_id long, event_type string, value double")
+    out = SchemaFile.from_file(str(sf)).apply(df, on_violation="filter")
+    assert [r.event_id for r in out.collect()] == [2]
+
+
+def test_schema_file_quarantine_split(spark, tmp_path):
+    sf = tmp_path / "schema.yaml"
+    sf.write_text(SCHEMA_YAML)
+    df = spark.createDataFrame(
+        [(1, "good_one", 1.0), (None, "x", 1.0), (3, "NOPE", 1.0)],
+        "event_id long, event_type string, value double",
+    )
+    good, bad = SchemaFile.from_file(str(sf)).split(df)
+    assert sorted(r.event_id for r in good.collect()) == [1]
+    assert bad.count() == 2
+
+
+def test_boolean_string_coercion(spark):
+    rules = SchemaFile.from_dict(
+        {"columns": [{"name": "flag", "type": "boolean"}]}
+    )
+    df = spark.createDataFrame([("yes",), ("0",), ("FALSE",)], "flag string")
+    got = [r.flag for r in rules.apply(df).collect()]
+    assert got == [True, False, False]
+
+
+# ----------------------------------------------------------- CLI/YAML
+
+def test_cli_yaml_job_end_to_end(spark, tmp_path, monkeypatch):
+    """Twin of reference examples/13_yaml_config."""
+    from tinyetl_spark.cli import main
+
+    monkeypatch.setenv("ETL_OUT", str(tmp_path))
+    csvf = tmp_path / "emp.csv"
+    csvf.write_text("name,salary\nann,50000\nbob,60000\n")
+    job = tmp_path / "job.yaml"
+    job.write_text(
+        f"""
+version: 1
+source:
+  uri: {csvf}
+target:
+  uri: ${{ETL_OUT}}/emp.json
+options:
+  transform:
+    type: script
+    value: |
+      -- annual -> monthly
+      monthly = row.salary / 12
+      band = row.salary >= 55000 and 'senior' or 'junior'
+"""
+    )
+    rc = main(["run", str(job)])
+    assert rc == 0
+    data = json.load(open(tmp_path / "emp.json"))
+    by_name = {d["name"]: d for d in data}
+    assert by_name["bob"]["band"] == "senior"
+    assert abs(by_name["ann"]["monthly"] - 50000 / 12) < 1e-6
+
+
+def test_cli_preview_and_errors(tmp_path, capsys):
+    from tinyetl_spark.cli import main
+
+    assert main([]) == 2
+    assert main(["run", str(tmp_path / "missing.yaml")]) == 2
+    rc = main(["/root/testdata/sf0.001/region.parquet", "--preview", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "r_regionkey" in out
+
+
+def test_cli_generate_config(capsys):
+    from tinyetl_spark.cli import main
+
+    rc = main(["generate-config", "in.csv", "out.parquet", "--transform", "b=row.a"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "uri: in.csv" in out and "type: inline" in out
+    rc2 = main(["generate-default-config"])
+    assert rc2 == 0

@@ -40,6 +40,48 @@ FORMATS: list[tuple[str, str]] = [
     ("MMMM d, yyyy", "%B %-d, %Y"),
 ]
 
+# Python strptime twins (same precedence) for the DRIVER-side sample
+# sniffer in schema_infer — the cluster-side parse is parse_date_multi.
+# %d accepts zero-padded and (on parse) non-padded day numbers, so one
+# pattern covers both "Dec 5, 2023" and "Dec 05, 2023".
+PY_FORMATS: list[str] = [
+    "%Y-%m-%dT%H:%M:%S%z",
+    "%Y-%m-%dT%H:%M:%S.%f%z",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d %H:%M",
+    "%m/%d/%Y %H:%M:%S",
+    "%m/%d/%Y %I:%M %p",
+    "%d.%m.%Y %H:%M:%S",
+    "%Y-%m-%d",
+    "%m/%d/%Y",
+    "%d.%m.%Y",
+    "%Y/%m/%d",
+    "%b %d, %Y",
+    "%B %d, %Y",
+]
+
+
+def py_parse_date(value: str):
+    """Driver-side twin of the multi-format chain: first match wins,
+    None when nothing matches. Includes the reference's cheap
+    might-be-a-date prefilter shape (reference src/date_parser.rs:120-173)
+    — a value with no digit or no separator is never a date."""
+    import datetime as _dt
+
+    v = value.strip()
+    if len(v) < 6 or not any(ch.isdigit() for ch in v):
+        return None
+    if not any(sep in v for sep in ("-", "/", ".", ",", ":")):
+        return None
+    for fmt in PY_FORMATS:
+        try:
+            return _dt.datetime.strptime(v, fmt)
+        except ValueError:
+            continue
+    return None
+
 
 def parse_date_multi(col: Column | str, formats: list[tuple[str, str]] | None = None) -> Column:
     """First-match-wins multi-format timestamp parse (NULL if none)."""

@@ -1,0 +1,291 @@
+"""File-format sources and sinks (csv / json / parquet / avro).
+
+Each format supports two target layouts:
+
+* **directory dataset** (the Spark-native scale path): ``df.write``
+  straight to a directory of part files — parallel, no driver
+  bottleneck. This is what a 1000-executor job uses.
+* **single file** (reference parity): the reference writes exactly one
+  file per target (reference src/connectors/csv.rs:233-357,
+  json.rs:138-297, parquet.rs:313-513). We keep the write distributed,
+  then merge PART FILES (not rows) on the driver — file-level streaming
+  concatenation, bounded memory, no ``collect()``.
+
+A target path is treated as single-file iff it ends with the format's
+extension (``out.csv``), as a directory otherwise (``out_csv/``).
+
+Format behaviors matched to the reference:
+* CSV sink: header row, NULL → empty string, timestamps RFC3339-style,
+  append NOT supported → existing targets are truncated
+  (src/connectors/csv.rs:352-356).
+* JSON sink: a single JSON ARRAY of objects; append = merge with the
+  existing array's rows (src/connectors/json.rs:220-240).
+* JSON source: whole-file array-of-objects; nested arrays/objects are
+  stringified; string fields are date-sniffed (src/connectors/json.rs:28-57).
+* CSV source: all-string read + TinyETL sniffing (schema_infer).
+* Avro: requires the spark-avro module jar; absent in this container →
+  a clear gated error, never a silent fallback.
+"""
+
+from __future__ import annotations
+
+import glob
+import json as _json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tinyetl_spark.functions.dates import parse_date_multi
+from tinyetl_spark.schema_infer import (
+    DATETIME,
+    apply_inference,
+    infer_from_string_df,
+    sniff_value,
+)
+
+# RFC3339 with UTC offset — chrono's to_rfc3339 shape (csv.rs:258)
+RFC3339_FMT = "yyyy-MM-dd'T'HH:mm:ssXXX"
+
+
+def is_single_file(path: str, fmt: str) -> bool:
+    return path.lower().rstrip("/").endswith(f".{fmt}") or (
+        fmt == "json" and path.lower().endswith((".jsonl", ".ndjson"))
+    )
+
+
+# ----------------------------------------------------------------- read
+
+def read_csv(spark: SparkSession, path: str, infer: bool = True) -> DataFrame:
+    """Header-aware CSV read with TinyETL type sniffing."""
+    raw = (
+        spark.read.option("header", "true")
+        .option("nullValue", "")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    # csv() with no schema reads every column as string already; make it
+    # explicit so inference sees the raw text
+    raw = raw.select(*[F.col(c).cast("string").alias(c) for c in raw.columns])
+    if not infer:
+        return raw
+    return apply_inference(raw, infer_from_string_df(raw))
+
+
+def read_json(spark: SparkSession, path: str, infer: bool = True) -> DataFrame:
+    """Whole-file JSON array (or json-lines) with reference parity:
+    nested values stringified, date-looking strings parsed."""
+    head = ""
+    first = sorted(glob.glob(path)) if any(ch in path for ch in "*?") else [path]
+    try:
+        with open(first[0], encoding="utf-8") as fh:
+            head = fh.read(64).lstrip()
+    except (OSError, IndexError):
+        pass
+    reader = spark.read
+    if head.startswith("["):
+        reader = reader.option("multiLine", "true")
+    df = reader.json(path)
+    cols = []
+    for f_ in df.schema.fields:
+        c = F.col(f_.name)
+        if isinstance(f_.dataType, (T.StructType, T.ArrayType, T.MapType)):
+            # reference collapses nested JSON to strings (json.rs:53-56)
+            cols.append(F.to_json(c).alias(f_.name))
+        else:
+            cols.append(c.alias(f_.name))
+    df = df.select(*cols)
+    if not infer:
+        return df
+    # date-sniff string columns on a driver-side sample, like the
+    # reference's per-value date_parser attempt on JSON strings
+    sample = df.limit(200).collect()
+    out_cols = []
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, T.StringType):
+            vals = [row[f_.name] for row in sample if row[f_.name] is not None]
+            if vals and all(sniff_value(v) == DATETIME for v in vals):
+                out_cols.append(parse_date_multi(F.col(f_.name)).alias(f_.name))
+                continue
+        out_cols.append(F.col(f_.name))
+    return df.select(*out_cols)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - jar-dependent
+        raise RuntimeError(
+            "Avro support needs the spark-avro module on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+            "it is not bundled in this environment"
+        ) from exc
+
+
+# ---------------------------------------------------------------- write
+
+def _merge_part_files(tmp_dir: str, dest: str, header: str | None = None) -> None:
+    """Concatenate Spark part files into one file — streams bytes,
+    never materializes rows on the driver."""
+    parts = sorted(glob.glob(os.path.join(tmp_dir, "part-*")))
+    with open(dest, "w", encoding="utf-8") as out:
+        if header is not None:
+            out.write(header + "\n")
+        for p in parts:
+            with open(p, encoding="utf-8") as src:
+                shutil.copyfileobj(src, out)
+
+
+def _stringify_for_csv(df: DataFrame) -> DataFrame:
+    """Reference value_to_string parity (csv.rs:250-261): timestamps →
+    RFC3339, booleans → true/false, NULL → '' (writer option)."""
+    cols = []
+    for f_ in df.schema.fields:
+        c = F.col(f_.name)
+        if isinstance(f_.dataType, (T.TimestampType, T.TimestampNTZType)):
+            cols.append(F.date_format(c, RFC3339_FMT).alias(f_.name))
+        elif isinstance(f_.dataType, T.DateType):
+            cols.append(F.date_format(c, "yyyy-MM-dd'T'00:00:00XXX").alias(f_.name))
+        elif isinstance(f_.dataType, (T.StructType, T.ArrayType, T.MapType)):
+            cols.append(F.to_json(c).alias(f_.name))
+        else:
+            cols.append(c)
+    return df.select(*cols)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink. Single-file parity: headerless distributed write, then
+    part-file merge under one header line. No append (reference
+    supports_append=false) — callers always overwrite."""
+    if not is_single_file(path, "csv"):
+        (
+            _stringify_for_csv(df)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .option("emptyValue", "")
+            .option("nullValue", "")
+            .csv(path)
+        )
+        return
+    out = _stringify_for_csv(df)
+    tmp = tempfile.mkdtemp(prefix="tinyetl_csv_")
+    try:
+        (
+            out.write.mode("overwrite")
+            .option("header", "false")
+            .option("emptyValue", "")
+            .option("nullValue", "")
+            .csv(tmp)
+        )
+        header = ",".join(out.columns)
+        _merge_part_files(tmp, path, header=header)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    if not is_single_file(path, "parquet"):
+        df.write.mode(mode).parquet(path)
+        return
+    tmp = tempfile.mkdtemp(prefix="tinyetl_parquet_")
+    try:
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        if mode == "append" and os.path.exists(path):
+            # single-file parquet append = read existing + union (the
+            # reference buffers the whole file anyway: parquet.rs:456-464)
+            spark = df.sparkSession
+            merged = spark.read.parquet(path).unionByName(
+                spark.read.parquet(part), allowMissingColumns=True
+            )
+            tmp2 = tempfile.mkdtemp(prefix="tinyetl_parquet2_")
+            try:
+                merged.coalesce(1).write.mode("overwrite").parquet(tmp2)
+                part2 = glob.glob(os.path.join(tmp2, "part-*.parquet"))[0]
+                shutil.copyfile(part2, path)
+            finally:
+                shutil.rmtree(tmp2, ignore_errors=True)
+        else:
+            shutil.copyfile(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _json_ready(df: DataFrame) -> DataFrame:
+    """Timestamps → RFC3339 strings so JSON output matches the
+    reference's date representation (json.rs:153-175)."""
+    cols = []
+    for f_ in df.schema.fields:
+        c = F.col(f_.name)
+        if isinstance(f_.dataType, (T.TimestampType, T.TimestampNTZType)):
+            cols.append(F.date_format(c, RFC3339_FMT).alias(f_.name))
+        else:
+            cols.append(c)
+    return df.select(*cols)
+
+
+def write_json(df: DataFrame, path: str, append: bool = False) -> None:
+    """JSON sink.
+
+    Directory target → json-lines dataset (scale path, appendable).
+    Single file → one JSON array of objects in schema column order;
+    append merges with the existing array (reference json.rs:220-240).
+    """
+    out = _json_ready(df)
+    if not is_single_file(path, "json"):
+        out.write.mode("append" if append else "overwrite").json(path)
+        return
+    spark = df.sparkSession
+    if append and os.path.exists(path):
+        # append-merge: existing array rows come first, new rows after
+        # (reference json.rs:220-240). Existing columns are cast to the
+        # incoming schema's types where names overlap.
+        existing = read_json(spark, path, infer=False)
+        target_types = {f_.name: f_.dataType for f_ in out.schema.fields}
+        aligned = existing.select(
+            *[
+                (F.col(c).cast(target_types[c]) if c in target_types else F.col(c)).alias(c)
+                for c in existing.columns
+            ]
+        )
+        out = aligned.unionByName(out, allowMissingColumns=True)
+    tmp = tempfile.mkdtemp(prefix="tinyetl_json_")
+    try:
+        out.write.mode("overwrite").json(tmp)
+        parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write("[\n")
+            first = True
+            for p in parts:
+                with open(p, encoding="utf-8") as src:
+                    for line in src:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        if not first:
+                            fh.write(",\n")
+                        # pretty-print each object (reference writes a
+                        # pretty array: json.rs:276-278)
+                        fh.write(_json.dumps(_json.loads(line), indent=2))
+                        first = False
+            fh.write("\n]\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as exc:  # pragma: no cover - jar-dependent
+        raise RuntimeError(
+            "Avro support needs the spark-avro module on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+            "it is not bundled in this environment"
+        ) from exc
