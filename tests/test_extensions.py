@@ -1,0 +1,68 @@
+"""Unit tests for the multimodal and streaming extension modules."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from tinyetl_spark import streaming
+from tinyetl_spark.operators import multimodal, relational
+
+
+def test_attach_metadata_and_digest_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"abc")), (3, bytearray(b"xyz"))],
+        "doc_id long, payload binary",
+    )
+    with_meta = multimodal.attach_metadata(df, mime="text/plain")
+    row = with_meta.filter(F.col("doc_id") == 1).head()
+    assert row.meta.n_bytes == 3
+    assert row.meta.mime == "text/plain"
+    assert len(row.meta.digest) == 32  # 128-bit hex
+    dd = {r.keep_id: r.n_dups for r in multimodal.dedup_by_digest(with_meta).collect()}
+    assert dd == {1: 2, 3: 1}
+
+
+def test_byte_histogram_exact(spark):
+    # payload bytes 0,0,16,255 → bins (width 16): bin0=2, bin1=1, bin15=1
+    df = spark.createDataFrame(
+        [(7, bytearray(bytes([0, 0, 16, 255])))], "doc_id long, payload binary"
+    )
+    got = multimodal.byte_histogram(df, bins=16).head()
+    assert got.doc_id == 7
+    hist = got.hist
+    assert hist[0] == 2 and hist[1] == 1 and hist[15] == 1 and sum(hist) == 4
+
+
+def test_decode_stub_raises_not_implemented(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        multimodal.decode_stub(df).collect()
+
+
+def test_streaming_session_window_counts_match_batch(spark, tmp_path):
+    """session_window must find the same number of sessions as the
+    batch gap-and-islands operator on the same data (window *bounds*
+    differ by design: streaming end = last_ts + gap)."""
+    import os
+
+    raw_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    stage = tmp_path / "events_dir"
+    os.makedirs(stage, exist_ok=True)
+    os.symlink(f"{SF_DIR}/events.parquet", stage / "events.parquet")
+    stream = streaming.read_events_stream(spark, str(stage), raw_schema)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = streaming.session_aggregates(stream, gap="30 minutes", watermark="24 hours")
+    got = streaming.run_bounded(agg, spark)
+
+    from tinyetl_spark.queries import load
+
+    batch = relational.sessionize(load(spark, SF_DIR, "events"), "user_id", "ts", 1800)
+    assert got.count() == batch.count()
+    # per-user session counts line up too
+    g = {r.user_id: r.c for r in got.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    b = {r.user_id: r.c for r in batch.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
+    assert g == b

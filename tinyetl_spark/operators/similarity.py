@@ -167,6 +167,54 @@ def ann_topk_sql(
     """
 
 
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = SIGN_BITS,
+) -> None:
+    """Materialize the corpus as a parquet dataset PARTITIONED BY the
+    sign-LSH bucket. This is what makes bucket probing a partition-
+    pruned read instead of a full scan + runtime filter: a probe of one
+    bucket touches 1/2^bits of the files, decided at planning time from
+    directory names — no data read outside the probed partitions."""
+    with_bucket = df.select(
+        F.col(id_col), F.col(vec_col), sign_bucket_col(F.col(vec_col), bits).alias("bucket")
+    )
+    with_bucket.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ann_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = SIGN_BITS,
+    probes: int = 1,
+) -> DataFrame:
+    """Top-k over a materialized index. The bucket predicate prunes
+    partitions (check ``.explain``: PartitionFilters=[bucket IN ...]).
+
+    ``probes > 1`` is multi-probe LSH: also scan the buckets whose sign
+    differs from the query's in exactly one of the lowest ``probes-1``
+    components — the standard recall/latency dial (a single-bucket
+    probe has a recall cliff for vectors near a hyperplane boundary).
+    """
+    qbucket = sum((1 << i) for i in range(bits) if query_vec[i] >= 0)
+    buckets = {qbucket}
+    for i in range(max(0, probes - 1)):
+        buckets.add(qbucket ^ (1 << i))
+    corpus = spark.read.parquet(index_path).filter(F.col("bucket").isin(*buckets))
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = corpus.select(
+        F.col(id_col), F.round(cosine_col(_vec(vec_col), qv), 6).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def cosine_near_dups(
     df: DataFrame,
     threshold: float = 0.99,

@@ -454,31 +454,31 @@ def range_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def transform_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inline-transform parity (reference src/transformer.rs:171-221):
-    ``--transform "disc_price=...; charge=...; qty_class=...;
-    flag_status=..."`` compiled to withColumn chains — input columns
-    preserved, new columns appended. Pure codegen, no UDF."""
+    the ACTUAL ``--transform`` string below goes through the Lua
+    expression compiler (tinyetl_spark.transforms) — input columns
+    preserved, assignments chain, ternaries via and/or. The compiled
+    plan is pure codegen, no UDF."""
+    from tinyetl_spark.transforms import apply_inline
+
     li = load(spark, sf_dir, "lineitem")
-    return (
-        li.withColumn("disc_price", F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .withColumn("charge", F.col("disc_price") * (1 + F.col("l_tax")))
-        .withColumn(
-            "qty_class",
-            F.when(F.col("l_quantity") >= 40, "heavy")
-            .when(F.col("l_quantity") >= 20, "mid")
-            .otherwise("light"),
-        )
-        .withColumn("flag_status", F.concat_ws("-", "l_returnflag", "l_linestatus"))
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            "l_quantity",
-            "l_extendedprice",
-            "l_discount",
-            "disc_price",
-            "charge",
-            "qty_class",
-            "flag_status",
-        )
+    out = apply_inline(
+        li,
+        "disc_price=row.l_extendedprice * (1 - row.l_discount); "
+        "charge=disc_price * (1 + row.l_tax); "
+        "qty_class=row.l_quantity >= 40 and 'heavy' or "
+        "(row.l_quantity >= 20 and 'mid' or 'light'); "
+        "flag_status=row.l_returnflag .. '-' .. row.l_linestatus",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "disc_price",
+        "charge",
+        "qty_class",
+        "flag_status",
     )
 
 
@@ -494,14 +494,21 @@ def transform_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def transform_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Script-transform parity (reference src/transformer.rs:224-279):
-    later lines reference earlier ones — sequential withColumns."""
+    the script text below runs through the compiler — later lines
+    reference earlier ones, comments skipped."""
+    from tinyetl_spark.transforms import apply_script
+
     o = load(spark, sf_dir, "orders")
-    return (
-        o.withColumn("net", F.col("o_totalprice") * 0.9)
-        .withColumn("gross", F.col("net") * 1.19)
-        .withColumn("size_label", F.when(F.col("gross") > 150000, "big").otherwise("small"))
-        .select("o_orderkey", "net", "gross", "size_label")
+    out = apply_script(
+        o,
+        """
+        -- net of a 10% discount, then gross it up
+        net = row.o_totalprice * 0.9
+        gross = net * 1.19
+        size_label = gross > 150000 and 'big' or 'small'
+        """,
     )
+    return out.select("o_orderkey", "net", "gross", "size_label")
 
 
 @_q(
@@ -513,15 +520,76 @@ def transform_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lua-file-transform parity (reference src/transformer.rs:341-353):
-    returning nil drops the row; returning a table with selected keys
-    projects. = filter + select."""
+    """File-transform semantics expressed DECLARATIVELY (reference
+    src/transformer.rs:341-353: nil return drops the row, returned keys
+    project): when the row logic is expressible as Column expressions,
+    this filter+select plan is what the engine should run — full
+    codegen, no Python. The genuine arbitrary-code escape hatch is
+    exercised by ``transform_pyfile``."""
     li = load(spark, sf_dir, "lineitem")
     return li.filter(F.col("l_quantity") > 30).select(
         F.col("l_orderkey").alias("order_ref"),
         F.col("l_partkey").alias("part_ref"),
         (F.col("l_quantity") * F.col("l_extendedprice")).alias("line_value"),
     )
+
+
+@_q(
+    "transform_pyfile",
+    """
+    SELECT doc_id, length(text) AS n_chars, upper(substring(text, 1, 8)) AS head
+    FROM documents WHERE length(text) > 100
+    """,
+)
+def transform_pyfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL transform-file escape hatch (reference
+    src/transformer.rs:320-357: arbitrary per-row logic, nil filters,
+    returned keys project): a Python ``transform(row)`` run through
+    ``mapInPandas`` in Arrow batches with first-row-inferred schema."""
+    import os
+    import tempfile
+
+    from tinyetl_spark.transforms import compile_lua_file
+
+    src = (
+        "def transform(row):\n"
+        "    text = row['text'] or ''\n"
+        "    if len(text) <= 100:\n"
+        "        return None\n"
+        "    return {'doc_id': row['doc_id'], 'n_chars': len(text),\n"
+        "            'head': text[:8].upper()}\n"
+    )
+    fd, path = tempfile.mkstemp(suffix=".py", prefix="tinyetl_tf_")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(src)
+    d = load(spark, sf_dir, "documents")
+    return compile_lua_file(d, path)
+
+
+@_q(
+    "transform_luapattern",
+    """
+    SELECT o_orderkey,
+           regexp_replace(o_orderpriority, '[^0-9]', '', 'g') AS prio_num,
+           CASE WHEN o_orderpriority < '3' THEN 'fast' ELSE 'slow' END AS prio_class,
+           lower(o_orderstatus) || ':' || o_orderpriority AS status_prio
+    FROM orders
+    """,
+)
+def transform_luapattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lua-pattern parity: ``gsub('[^%d]', '')`` translates to the Java
+    regex [^0-9] inside regexp_replace (reference README.md:604 clean-
+    phone idiom), plus method-call sugar and ternary — all compiled."""
+    from tinyetl_spark.transforms import apply_inline
+
+    o = load(spark, sf_dir, "orders")
+    out = apply_inline(
+        o,
+        "prio_num=row.o_orderpriority:gsub('[^%d]', ''); "
+        "prio_class=row.o_orderpriority < '3' and 'fast' or 'slow'; "
+        "status_prio=string.lower(row.o_orderstatus) .. ':' .. row.o_orderpriority",
+    )
+    return out.select("o_orderkey", "prio_num", "prio_class", "status_prio")
 
 
 @_q(
@@ -535,20 +603,27 @@ def transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-file validation parity (reference src/schema.rs:148-244):
-    pattern check (regex), non-null enforcement, defaults — as
-    cast/rlike/coalesce expressions."""
-    e = load(spark, sf_dir, "events")
-    return (
-        e.filter(F.col("event_type").rlike("^[a-z_]+$") & F.col("user_id").isNotNull())
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.coalesce("value", F.lit(0.0)).alias("value"),
-            F.coalesce("props", F.lit("{}")).alias("props"),
-        )
+    """Schema-file validation parity (reference src/schema.rs:63-306):
+    a DECLARED schema (the dict below is exactly what the YAML file
+    holds) drives type coercion, regex pattern checks, non-null
+    enforcement and default fills through tinyetl_spark.validate —
+    violating rows filtered (quarantine semantics)."""
+    from tinyetl_spark.validate import SchemaFile
+
+    schema = SchemaFile.from_dict(
+        {
+            "columns": [
+                {"name": "event_id", "type": "integer", "nullable": False},
+                {"name": "user_id", "type": "integer", "nullable": False},
+                {"name": "event_type", "type": "string", "nullable": False,
+                 "pattern": "^[a-z_]+$"},
+                {"name": "value", "type": "decimal", "nullable": False, "default": 0.0},
+                {"name": "props", "type": "json", "default": "{}"},
+            ]
+        }
     )
+    e = load(spark, sf_dir, "events")
+    return schema.apply(e, on_violation="filter")
 
 
 _DATE_FMT_CASES_SPARK = ["yyyy-MM-dd", "MM/dd/yyyy", "dd.MM.yyyy", "MMM d, yyyy"]
@@ -697,15 +772,194 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: treat a payload as an opaque binary column
-    with typed metadata (byte length, content digest). The decode stage
-    for real image/audio lives in operators.multimodal (stubbed UDFs —
-    codec libs are not in this container); the schema/partitioning
-    plumbing is what this query checks."""
-    d = load(spark, sf_dir, "documents")
-    payload = F.col("text").cast("binary")
-    return d.select(
-        "doc_id",
-        F.length(payload).cast("bigint").alias("n_bytes"),
-        F.md5(payload).alias("payload_md5"),
+    """Multimodal metadata stage (operators.multimodal.attach_metadata):
+    payload as opaque binary + typed meta struct, all built-ins."""
+    from tinyetl_spark.operators import multimodal
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
     )
+    with_meta = multimodal.attach_metadata(d)
+    return with_meta.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.digest").alias("payload_md5"),
+    )
+
+
+@_q(
+    "multimodal_dedup",
+    """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact dedup on the 128-bit digest
+    (operators.multimodal.dedup_by_digest) — one uniform-hash shuffle."""
+    from tinyetl_spark.operators import multimodal
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return multimodal.dedup_by_digest(multimodal.attach_metadata(d))
+
+
+@_q("multimodal_byte_histogram")  # no SQL oracle: Arrow-batched feature
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free byte-level feature through the REAL multimodal decode
+    plumbing (mapInPandas over binary payloads). Rows-only correctness
+    check; unit tests pin exact histogram values."""
+    from tinyetl_spark.operators import multimodal
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return multimodal.byte_histogram(d)
+
+
+# =====================================================================
+# Engine round-trips (write path -> read path -> oracle on the source):
+# the reference's round-trip tests as correctness-gate queries
+# (reference src/connectors/csv.rs:630-685, json.rs:474-511,
+# parquet.rs:529-582)
+# =====================================================================
+
+def _roundtrip_dir(sf_dir: str, name: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{tempfile.gettempdir()}/tinyetl_rt_{tag}/{name}"
+
+
+@_q(
+    "csv_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date
+    FROM orders
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → single-file CSV (RFC3339 dates, null→'') → inference
+    read-back (sniffed i64/decimal/datetime). Hash-matching the ORIGINAL
+    table proves write+read+inference are lossless together."""
+    import os
+
+    from tinyetl_spark.engine import transfer
+
+    out = _roundtrip_dir(sf_dir, "orders.csv")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    transfer(spark, f"{sf_dir}/orders.parquet", out, truncate=True)
+    from tinyetl_spark.io.files import read_csv
+
+    back = read_csv(spark, out)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_date"),
+    )
+
+
+@_q(
+    "json_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → single-file JSON array → array read-back."""
+    import os
+
+    from tinyetl_spark.engine import transfer
+
+    out = _roundtrip_dir(sf_dir, "nation.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    transfer(spark, f"{sf_dir}/nation.parquet", out, truncate=True)
+    from tinyetl_spark.io.files import read_json
+
+    return read_json(spark, out).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@_q(
+    "sqlite_roundtrip",
+    "SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer",
+)
+def sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → SQLite (auto-DDL, chunked multi-row INSERT) → PRAGMA-
+    typed read-back (reference src/connectors/sqlite.rs round-trip)."""
+    import os
+
+    from tinyetl_spark.engine import transfer
+    from tinyetl_spark.io import sqlite as sio
+
+    out = _roundtrip_dir(sf_dir, "rt.db")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    transfer(spark, f"{sf_dir}/customer.parquet", f"{out}#customer", truncate=True)
+    back = sio.read_table(spark, out, "customer")
+    return back.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+# =====================================================================
+# Structured Streaming twins (tinyetl_spark.streaming): the batch
+# events table replayed through the real streaming engine
+# =====================================================================
+
+@_q(
+    "streaming_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed through Structured Streaming (availableNow →
+    memory sink): watermarked tumbling windows must reproduce the batch
+    oracle exactly. Shares the events_tumbling oracle by construction."""
+    import os
+
+    from tinyetl_spark import streaming
+
+    # RAW physical schema (nanos ts reads as bigint under nanosAsLong);
+    # the µs conversion happens on the stream below, like load() does
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source needs a DIRECTORY; stage the table file
+    # into one via symlink (no data copied)
+    stage = _roundtrip_dir(sf_dir, "events_stream")
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = streaming.read_events_stream(spark, stage, raw_schema)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = streaming.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    return streaming.run_bounded(agg, spark)
+
+
+# =====================================================================
+# Materialized ANN index: bucket-partitioned corpus, partition-pruned
+# probe (the write path that makes ann_topk's pruning claim real)
+# =====================================================================
+
+@_q("ann_indexed_topk", similarity.ann_topk_sql(query_id=0, k=10))
+def ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (once per sf_dir) a corpus parquet dataset PARTITIONED BY
+    sign-LSH bucket, then probe the query's bucket — the scan plan shows
+    PartitionFilters, i.e. pruning happens at planning time. Single-
+    probe matches the ann_lsh_topk oracle exactly."""
+    import os
+
+    idx = _roundtrip_dir(sf_dir, "ann_index")
+    emb = load(spark, sf_dir, "embeddings")
+    if not os.path.exists(idx):
+        similarity.build_ann_index(emb.filter(F.col("vec_id") != 0), idx)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    return similarity.ann_topk_indexed(spark, idx, qvec, k=10, probes=1)

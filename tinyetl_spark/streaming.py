@@ -1,0 +1,98 @@
+"""Structured Streaming twins of the batch event operators.
+
+The reference has NO event-time streaming (SURVEY.md §2.10 — its
+"streaming" is bounded-memory batch iteration), so this module is
+north-star extension work: the same tumbling/session aggregations that
+run in batch (queries.events_tumbling / sessionize_events) expressed as
+Structured Streaming queries with watermarks for late data.
+
+Scale notes:
+* State lives in the state store keyed by (window, event_type) /
+  session key — the watermark bounds state size; without it a 100 TB
+  stream accumulates state forever.
+* ``session_window`` is Spark's native gap-based session operator —
+  the streaming twin of the batch gap-and-islands formulation.
+* ``run_bounded`` uses ``Trigger.availableNow`` + a memory sink: it
+  drains a bounded directory once and returns the result — this is how
+  the correctness gate replays a batch table through the REAL streaming
+  engine and compares against the batch oracle.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, path_glob: str, schema, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a parquet directory (schema required —
+    streaming sources cannot infer)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path_glob)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of queries.events_tumbling: per-window,
+    per-event-type counts + value sums with late-data tolerance."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregates(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators.relational.sessionize via the native
+    ``session_window`` (gap-based, state bounded by the watermark)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key,
+            F.date_format("s.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("s.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_bounded(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain a bounded stream completely (availableNow) into a memory
+    sink; returns the materialized result as a batch DataFrame."""
+    name = f"bounded_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
