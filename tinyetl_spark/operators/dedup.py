@@ -88,24 +88,85 @@ def shingles_sql(text_col: str = "text", k: int = SHINGLE_K) -> str:
     )
 
 
+# Universal-hash mixing constants for the minhash permutation family:
+# h_i(x) = (A_i * (base & MIX_MASK) + B_i) mod MIX_PRIME. ONE md5 per
+# shingle (the base), then num_perm arithmetic mixes — 16x fewer md5
+# calls than hashing per-seed, and pure bigint arithmetic that
+# evaluates identically in Spark and DuckDB (operands stay < 2^61, so
+# no engine-specific overflow behavior is exercised).
+MIX_PRIME = (1 << 61) - 1
+MIX_MASK = (1 << 30) - 1
+
+
+def _mix_constants(i: int) -> tuple[int, int]:
+    """Deterministic (A_i odd < 2^30, B_i < 2^30) from a fixed LCG."""
+    a = (1103515245 * (2 * i + 1) + 12345) & MIX_MASK
+    b = (69069 * (i + 1) + 362437) & MIX_MASK
+    return a | 1, b
+
+
+def _word_hashes_col(text_col: str = "text"):
+    """One md5 per word — materialize this as its own column BEFORE
+    building shingle hashes; referencing the transform expression from
+    inside another lambda re-evaluates the whole array per access."""
+    return F.transform(words_col(text_col), lambda x: hash64_col(x))
+
+
+def _shingle_hashes_from(hw_col: str, k: int = SHINGLE_K):
+    """Shingle base hashes from a MATERIALIZED word-hash array column:
+    combine k consecutive word hashes with position-weighted arithmetic
+    — no per-shingle string allocation, md5 count = |words|."""
+    hw = F.col(hw_col)
+    n = F.size(hw)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    weights = [_mix_constants(100 + j)[0] for j in range(k)]
+
+    def combine(i):
+        acc = F.lit(0).cast("bigint")
+        for j, a in enumerate(weights):
+            term = F.element_at(hw, i + j + 1).bitwiseAND(F.lit(MIX_MASK)) * F.lit(a)
+            acc = acc + term
+        return acc % F.lit(MIX_PRIME)
+
+    return F.transform(idx, combine)
+
+
+def _shingle_hashes_sql(text_col: str = "text", k: int = SHINGLE_K) -> str:
+    weights = [_mix_constants(100 + j)[0] for j in range(k)]
+    terms = " + ".join(
+        f"(hw[i + {j + 1}] & {MIX_MASK}) * {a}" for j, a in enumerate(weights)
+    )
+    return (
+        f"list_transform(range(0, greatest(len(hw) - {k}, 0) + 1), "
+        f"i -> ({terms}) % {MIX_PRIME})"
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_perm: int = NUM_PERM
 ) -> DataFrame:
-    """(id, sig_0..sig_{num_perm-1}) — min of seeded hash64 over shingles.
+    """(id, sig_0..sig_{num_perm-1}) — min over shingle hashes of a
+    universal hash family.
 
-    Computed with ``F.aggregate`` over the shingle array: per-row fold in
-    the JVM, zero shuffle, scales linearly with corpus size.
+    Computed with ``F.aggregate`` over the shingle-hash array: per-row
+    fold in the JVM, zero shuffle, ONE md5 per WORD regardless of
+    num_perm or shingle width — scales linearly with corpus size and
+    stays cheap at num_perm=128. The word-hash array is a separate
+    projection step so it is computed once, not once per element_at.
     """
-    sh = shingles_col(text_col).alias("sh")
-    base = df.select(F.col(id_col), sh)
+    hw = df.select(F.col(id_col), _word_hashes_col(text_col).alias("hw"))
+    base = hw.select(F.col(id_col), _shingle_hashes_from("hw").alias("hb"))
 
-    def min_seeded(i: int):
-        # closure factory: a default arg (lambda acc, s, i=i) would make
+    def min_mixed(i: int):
+        a, b = _mix_constants(i)
+        # closure factory: a default arg (lambda acc, h, i=i) would make
         # PySpark treat the merge lambda as 3-ary and break ArrayAggregate
-        return lambda acc, s: F.least(acc, hash64_col(s, seed=i))
+        return lambda acc, h: F.least(
+            acc, (F.lit(a) * h.bitwiseAND(F.lit(MIX_MASK)) + F.lit(b)) % F.lit(MIX_PRIME)
+        )
 
     sigs = [
-        F.aggregate(F.col("sh"), F.lit(MAX60).cast("bigint"), min_seeded(i)).alias(f"sig_{i}")
+        F.aggregate(F.col("hb"), F.lit(MAX60).cast("bigint"), min_mixed(i)).alias(f"sig_{i}")
         for i in range(num_perm)
     ]
     return base.select(F.col(id_col), *sigs)
@@ -114,16 +175,20 @@ def minhash_signatures(
 def minhash_signatures_sql(
     table: str = "documents", text_col: str = "text", id_col: str = "doc_id", num_perm: int = NUM_PERM
 ) -> str:
-    sh = shingles_sql(text_col)
-    sigs = ",\n           ".join(
-        f"list_aggregate(list_transform(sh, s -> {hash64_sql('s', seed=i)}), 'min') AS sig_{i}"
-        for i in range(num_perm)
-    )
+    w = words_sql(text_col)
+    sig_parts = []
+    for i in range(num_perm):
+        a, b = _mix_constants(i)
+        sig_parts.append(
+            f"list_aggregate(list_transform(hb, h -> ({a} * (h & {MIX_MASK}) + {b}) % {MIX_PRIME}), 'min') AS sig_{i}"
+        )
+    sigs = ",\n           ".join(sig_parts)
     return f"""
-    WITH sh_t AS (SELECT {id_col}, {sh} AS sh FROM {table})
+    WITH hw_t AS (SELECT {id_col}, list_transform({w}, x -> {hash64_sql('x')}) AS hw FROM {table}),
+    hb_t AS (SELECT {id_col}, {_shingle_hashes_sql(text_col)} AS hb FROM hw_t)
     SELECT {id_col},
            {sigs}
-    FROM sh_t
+    FROM hb_t
     """
 
 
@@ -303,41 +368,55 @@ def jaccard_verify_sql(
 
 # -------------------------------------------------------------- simhash
 
+_SIM_LANE_BITS = 16                     # counter width inside an accumulator
+_SIM_LANES = 4                          # counters per 64-bit accumulator
+_SIM_NACC = SIM_BITS // _SIM_LANES      # 15 packed accumulators
+_SIM_LANE_MASK = (1 << _SIM_LANE_BITS) - 1
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash over word frequencies.
 
-    Per-row fold (``aggregate`` over the hashed-word array, accumulator =
-    60 bit-counters) — zero shuffle, like minhash. Hash each word once,
-    then fan its bits into the counters with ``zip_with``.
+    Per-row fold (``aggregate`` over the word-hash array) with SWAR-
+    packed counters: 4 x 16-bit bit-counters per bigint accumulator, 15
+    accumulators for 60 bits. Compared to the naive 60-long counter
+    array + zip_with, this allocates NOTHING per word and keeps the
+    generated code ~4x smaller (the old shape was flagged for codegen
+    compile pressure). Zero shuffle; one md5 per word. Lane counters
+    saturate at 65,535 words per document — chunk longer docs upstream.
+    Bit b of the result is set iff words with bit b set form a strict
+    majority (ties -> 0, same as the +1/-1 sum formulation).
     """
-    hashed = F.transform(words_col(text_col), lambda w: hash64_col(w))
-    zeros = F.array_repeat(F.lit(0).cast("long"), SIM_BITS)
+    hw = df.select(F.col(id_col), _word_hashes_col(text_col).alias("hw"))
+    zero = F.struct(
+        *[F.lit(0).cast("long").alias(f"a{i}") for i in range(_SIM_NACC)]
+    )
 
-    def word_bits(h: F.Column) -> F.Column:
-        # static unroll: shift amounts must be Python ints
-        return F.array(
-            *[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
-                .cast("long")
-                for b in range(SIM_BITS)
-            ]
-        )
+    def step(acc, h):
+        fields = []
+        for i in range(_SIM_NACC):
+            s = F.lit(0).cast("long")
+            for j in range(_SIM_LANES):
+                bit = F.shiftright(h, i * _SIM_LANES + j).bitwiseAND(F.lit(1))
+                s = s + F.shiftleft(bit, _SIM_LANE_BITS * j)
+            fields.append((acc[f"a{i}"] + s).alias(f"a{i}"))
+        return F.struct(*fields)
 
-    counters = F.aggregate(
-        hashed,
-        zeros,
-        lambda acc, h: F.zip_with(acc, word_bits(h), lambda x, y: x + y),
+    base = hw.select(
+        F.col(id_col),
+        F.aggregate(F.col("hw"), zero, step).alias("c"),
+        F.size("hw").alias("n"),
     )
     sim = F.lit(0).cast("long")
     for b in range(SIM_BITS):
-        sim = sim + F.when(F.element_at(F.col("_ctr"), b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(
+        i, j = divmod(b, _SIM_LANES)
+        cb = F.shiftright(F.col("c")[f"a{i}"], _SIM_LANE_BITS * j).bitwiseAND(
+            F.lit(_SIM_LANE_MASK)
+        )
+        sim = sim + F.when(cb * 2 > F.col("n"), F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return (
-        df.select(F.col(id_col), counters.alias("_ctr"))
-        .select(F.col(id_col), sim.alias("simhash"))
-    )
+    return base.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:

@@ -77,15 +77,18 @@ def byte_histogram(
         import numpy as np
         import pandas as pd
 
+        empty = np.array([], dtype=np.uint8)
         for pdf in batches:
-            out_ids, out_hists = [], []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
-                arr = np.frombuffer(payload, dtype=np.uint8) if payload else np.array([], dtype=np.uint8)
-                hist = np.bincount(arr // width, minlength=bins)[:bins]
-                out_ids.append(row[id_col])
-                out_hists.append(hist.astype("int64").tolist())
-            yield pd.DataFrame({id_col: out_ids, "hist": out_hists})
+            # zip over columns, not iterrows — iterrows materializes a
+            # Series per row and dominates the batch cost
+            out_hists = [
+                np.bincount(
+                    (np.frombuffer(p, dtype=np.uint8) if p else empty) // width,
+                    minlength=bins,
+                )[:bins].astype("int64").tolist()
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "hist": out_hists})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
