@@ -1,0 +1,122 @@
+"""Connector tests beyond the file formats: DuckDB round-trip, the
+Snowflake mock (parity with the reference's own mock), a LIVE http
+source against a local server, and the Avro gated error."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from tinyetl_spark.engine import transfer
+
+
+def test_duckdb_roundtrip_append_truncate(spark, tmp_path):
+    src = "/root/testdata/sf0.001/nation.parquet"
+    db = str(tmp_path / "wh.duckdb")
+    st = transfer(spark, src, f"{db}#nations")
+    assert st.rows_transferred == 25
+    import duckdb
+
+    con = duckdb.connect(db, read_only=True)
+    assert con.execute("SELECT count(*) FROM nations").fetchone()[0] == 25
+    con.close()
+    # append-first
+    transfer(spark, src, f"{db}#nations")
+    # read back through the engine
+    back = transfer(spark, f"duckdb:{db}#nations", str(tmp_path / "back.parquet"))
+    assert back.rows_transferred == 50
+    # truncate
+    transfer(spark, src, f"{db}#nations", truncate=True)
+    con = duckdb.connect(db, read_only=True)
+    assert con.execute("SELECT count(*) FROM nations").fetchone()[0] == 25
+    con.close()
+
+
+def test_duckdb_read_values_match(spark, tmp_path):
+    db = str(tmp_path / "v.duckdb")
+    transfer(spark, "/root/testdata/sf0.001/region.parquet", f"{db}#region")
+    from tinyetl_spark.io import duckdb_io
+
+    back = duckdb_io.read_table(spark, db, "region")
+    names = sorted(r.r_name for r in back.collect())
+    orig = sorted(
+        r.r_name for r in spark.read.parquet("/root/testdata/sf0.001/region.parquet").collect()
+    )
+    assert names == orig
+
+
+def test_snowflake_mock_roundtrip(spark, tmp_path):
+    # target: stages parquet + logs simulated PUT/COPY (no error)
+    st = transfer(
+        spark, "/root/testdata/sf0.001/region.parquet",
+        "snowflake://account/db#regions",
+    )
+    assert st.rows_transferred == 5
+    # source: simulated COPY INTO export produces the 2-row sample
+    out = str(tmp_path / "sf.parquet")
+    st2 = transfer(spark, "snowflake://account/db#t", out)
+    assert st2.rows_transferred == 2
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"id", "name", "created_at"}
+
+
+def test_http_source_live_local_server(spark, tmp_path):
+    """Real GET through the staging protocol against an in-process
+    http.server — covers fetch, extension dispatch and inference."""
+    import functools
+    import http.server
+    import socketserver
+
+    (tmp_path / "data.csv").write_text("a,b\n1,x\n2,y\n")
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(tmp_path)
+    )
+    with socketserver.TCPServer(("127.0.0.1", 0), handler) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            out = str(tmp_path / "out.parquet")
+            st = transfer(spark, f"http://127.0.0.1:{port}/data.csv", out)
+            assert st.rows_transferred == 2
+            got = spark.read.parquet(out).orderBy("a").collect()
+            assert [r.a for r in got] == [1, 2]  # inference: a sniffed as int
+            assert [r.b for r in got] == ["x", "y"]
+        finally:
+            httpd.shutdown()
+
+
+def test_avro_gated_error(spark, tmp_path):
+    from tinyetl_spark.io.files import read_avro
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "x.avro"))
+
+
+def test_ssh_fetch_builds_scp_command(monkeypatch, tmp_path):
+    """ssh staging shells out to scp with the reference's flags
+    (ssh.rs:70-83) — intercept subprocess to verify without a server."""
+    import subprocess
+
+    captured = {}
+
+    def fake_run(cmd, **kw):
+        captured["cmd"] = cmd
+
+        class R:
+            returncode = 0
+            stderr = ""
+
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    from tinyetl_spark.io.staging import ssh_fetch
+
+    staged = ssh_fetch("ssh://alice@host.example:2222/data/in.csv")
+    assert os.path.exists(staged)
+    cmd = captured["cmd"]
+    assert cmd[0] == "scp" and "-P" in cmd and "2222" in cmd
+    assert "alice@host.example:/data/in.csv" in cmd
+    assert "StrictHostKeyChecking=no" in " ".join(cmd)

@@ -57,6 +57,14 @@ def read_source(spark: SparkSession, loc: Location, infer: bool = True) -> DataF
         return fio.read_avro(spark, loc.path)
     if loc.kind == "sqlite":
         return sio.read_table(spark, loc.path, loc.table_name)
+    if loc.kind == "duckdb":
+        from tinyetl_spark.io import duckdb_io
+
+        return duckdb_io.read_table(spark, loc.path, loc.table_name)
+    if loc.kind == "snowflake":
+        from tinyetl_spark.io import snowflake_mock
+
+        return snowflake_mock.read_table(spark, loc.path, loc.table_name)
     if loc.kind == "http":
         staged = staging.http_fetch(loc.path, loc.options)
         inner = loc.options.get("format") or ""
@@ -73,7 +81,7 @@ def read_source(spark: SparkSession, loc: Location, infer: bool = True) -> DataF
                 f"ssh source needs a file extension or --source-type: {loc.raw}"
             )
         return read_source(spark, Location(inner, staged, loc.table), infer=infer)
-    if loc.kind in ("postgres", "mysql", "mssql", "odbc", "snowflake", "duckdb"):
+    if loc.kind in ("postgres", "mysql", "mssql", "odbc"):
         tgt = jio.build_jdbc(loc.kind, loc.path, loc.table)
         return jio.read(
             spark,
@@ -93,6 +101,10 @@ def target_exists(loc: Location) -> bool:
         return os.path.exists(loc.path)
     if loc.kind == "sqlite":
         return sio.table_exists(loc.path, loc.table_name)
+    if loc.kind == "duckdb":
+        from tinyetl_spark.io import duckdb_io
+
+        return duckdb_io.table_exists(loc.path, loc.table_name)
     # server DBs: let the JDBC writer's SaveMode handle existence
     return False
 
@@ -118,7 +130,15 @@ def write_target(df: DataFrame, loc: Location, append: bool) -> int | None:
         fio.write_avro(df, loc.path, mode="append" if append else "overwrite")
     elif loc.kind == "sqlite":
         return sio.write_table(df, loc.path, loc.table_name, truncate=not append)
-    elif loc.kind in ("postgres", "mysql", "mssql", "odbc", "snowflake", "duckdb"):
+    elif loc.kind == "duckdb":
+        from tinyetl_spark.io import duckdb_io
+
+        return duckdb_io.write_table(df, loc.path, loc.table_name, truncate=not append)
+    elif loc.kind == "snowflake":
+        from tinyetl_spark.io import snowflake_mock
+
+        snowflake_mock.write_table(df, loc.path, loc.table_name)
+    elif loc.kind in ("postgres", "mysql", "mssql", "odbc"):
         tgt = jio.build_jdbc(loc.kind, loc.path, loc.table)
         jio.write(df, tgt, loc.kind, mode="append" if append else "overwrite")
     elif loc.kind == "http":
@@ -192,8 +212,8 @@ def transfer(
     else:
         append = False  # missing, or exists-but-no-append (CSV) → recreate
 
-    if tgt.kind == "sqlite":
-        # driver-side sink streams toLocalIterator and counts itself;
+    if tgt.kind in ("sqlite", "duckdb"):
+        # driver-side sinks stream toLocalIterator and count themselves;
         # an Observation would never resolve for that execution shape
         rows = write_target(df, tgt, append=append) or 0
     else:

@@ -901,6 +901,25 @@ def sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
 
 
+@_q(
+    "duckdb_roundtrip",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def duckdb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → DuckDB (auto-DDL, Arrow bulk insert) → Arrow-batched
+    read-back (reference src/connectors/duckdb.rs round-trip)."""
+    import os
+
+    from tinyetl_spark.engine import transfer
+    from tinyetl_spark.io import duckdb_io
+
+    out = _roundtrip_dir(sf_dir, "rt.duckdb")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    transfer(spark, f"{sf_dir}/supplier.parquet", f"{out}#supplier", truncate=True)
+    back = duckdb_io.read_table(spark, out, "supplier")
+    return back.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
 # =====================================================================
 # Structured Streaming twins (tinyetl_spark.streaming): the batch
 # events table replayed through the real streaming engine
