@@ -42,6 +42,34 @@ def test_decode_stub_raises_not_implemented(spark):
         multimodal.decode_stub(df).collect()
 
 
+def test_ivf_trained_centroids_recall(spark, tmp_path):
+    """k-means-trained IVF with nprobe=4/8 must recover most of the
+    brute-force top-10 (deterministic: fixed seed + ordered sample)."""
+    from tinyetl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = similarity.train_ivf_centroids(emb, seed=42)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    brute = {r.vec_id for r in similarity.brute_topk(emb, query_id=0, k=10).collect()}
+    ivf = {
+        r.vec_id
+        for r in similarity.ivf_topk(emb, query_id=0, k=10, nprobe=4, centroids=cents).collect()
+    }
+    assert len(brute & ivf) >= 6  # recall@10 >= 0.6 with half the cells
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    from tinyetl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    similarity.build_ivf_index(emb, idx)
+    import os
+
+    cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cells) >= 2  # corpus actually spread over cells
+
+
 def test_streaming_session_window_counts_match_batch(spark, tmp_path):
     """session_window must find the same number of sessions as the
     batch gap-and-islands operator on the same data (window *bounds*

@@ -148,6 +148,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dest-secret-id", help="inject TINYETL_SECRET_<id> as target URL password")
     p.add_argument("--batch-size", type=int, default=10_000,
                    help="JDBC fetch/batch size (Spark handles file batching)")
+    # declared-but-unenforced in the reference too (src/cli.rs:46-47 —
+    # parsed, stored, never acted on); kept for CLI-surface parity
+    p.add_argument("--skip-existing", action="store_true",
+                   help="accepted for compatibility; no-op (same as the reference)")
     return p
 
 

@@ -47,8 +47,9 @@ from tinyetl_spark.schema_infer import (
     sniff_value,
 )
 
-# RFC3339 with UTC offset — chrono's to_rfc3339 shape (csv.rs:258)
-RFC3339_FMT = "yyyy-MM-dd'T'HH:mm:ssXXX"
+# RFC3339 with UTC offset and µs — chrono's to_rfc3339 keeps sub-second
+# precision (csv.rs:258); the read-back chain parses it losslessly
+RFC3339_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
 def is_single_file(path: str, fmt: str) -> bool:

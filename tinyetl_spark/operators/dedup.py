@@ -313,6 +313,85 @@ def minhash_jaccard_sql(
     return ctes + jaccard_verify_sql("cand", table, text_col, id_col, threshold)
 
 
+# --------------------------------------------------- char n-gram jaccard
+
+NGRAM_K = 5  # character n-gram width
+
+
+def char_ngrams_col(text_col: str = "text", k: int = NGRAM_K):
+    """Distinct character k-grams of the normalized text as an array —
+    JVM-side substring fan-out, no explode/shuffle."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+
+
+def char_ngrams_sql(text_col: str = "text", k: int = NGRAM_K) -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length({norm}) - {k} + 1, 1) + 1), "
+        f"i -> substring({norm}, i, {k})))"
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = NGRAM_K,
+) -> DataFrame:
+    """Character n-gram Jaccard on candidate pairs (finer-grained than
+    word-set Jaccard — robust to tokenization differences). Same
+    verify-only-candidates shape: linear in |candidates|."""
+    gsets = df.select(F.col(id_col).alias("jid"), char_ngrams_col(text_col, k).alias("gs"))
+    j = (
+        candidates.join(
+            gsets.withColumnRenamed("jid", "id_a").withColumnRenamed("gs", "gs_a"), "id_a"
+        )
+        .join(gsets.withColumnRenamed("jid", "id_b").withColumnRenamed("gs", "gs_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("gs_a", "gs_b"))
+                / F.size(F.array_union("gs_a", "gs_b")).cast("double"),
+                6,
+            ).alias("ngram_jaccard"),
+        )
+    )
+    return j.filter(F.col("ngram_jaccard") >= threshold).select("id_a", "id_b", "ngram_jaccard")
+
+
+def ngram_jaccard_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = NGRAM_K,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    max_bucket_size: int = 64,
+) -> str:
+    """Full-pipeline oracle: minhash-LSH candidates → char-ngram verify."""
+    ctes = _minhash_candidates_ctes(table, text_col, id_col, num_perm, bands, max_bucket_size)
+    g = char_ngrams_sql(text_col, k)
+    return f"""{ctes}
+    , gsets AS (SELECT {id_col} AS jid, {g} AS gs FROM {table})
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ga.gs, gb.gs))), 6) AS ngram_jaccard
+    FROM cand c
+    JOIN gsets ga ON ga.jid = c.id_a
+    JOIN gsets gb ON gb.jid = c.id_b
+    WHERE round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+                / len(list_distinct(list_concat(ga.gs, gb.gs))), 6) >= {threshold}
+    """
+
+
 # ----------------------------------------------------- jaccard (verify)
 
 def jaccard_verify(

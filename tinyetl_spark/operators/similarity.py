@@ -167,6 +167,185 @@ def ann_topk_sql(
     """
 
 
+# ------------------------------------------------------------- IVF ANN
+
+IVF_CENTROIDS = 8
+IVF_DIM = 64
+
+
+def _ivf_seeded_centroids(n: int = IVF_CENTROIDS, dim: int = IVF_DIM) -> list[list[float]]:
+    """Deterministic data-independent centroids: LCG directions
+    normalized onto the UNIT SPHERE — embedding corpora are typically
+    unit-norm, and un-normalized random centroids (norm ~sqrt(dim/3))
+    collapse every vector into one cell. Data-trained centroids
+    (``train_ivf_centroids``) give better balance still, but the
+    quantizer must be IDENTICAL in the Spark plan and the DuckDB
+    oracle, so the oracle-checked path uses these shared literals
+    (rounded AFTER normalization so both engines read the same text)."""
+    import math
+
+    out, state = [], 0x5DEECE66D
+    for _ in range(n):
+        c = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 63) - 1)
+            c.append((state >> 33) / float(1 << 30) - 1.0)
+        norm = math.sqrt(sum(x * x for x in c)) or 1.0
+        out.append([round(x / norm, 6) for x in c])
+    return out
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = IVF_CENTROIDS,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Lloyd k-means on a bounded, deterministic driver-side sample
+    (ordered by id — reproducible across runs/partitionings). This is
+    the production quantizer; at 100 TB you train on a ~100k-vector
+    sample (still driver-sized) and broadcast the centroids."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return [[float(v) for v in c] for c in cent]
+
+
+def _ivf_dist_col(vec: Column, centroid: list[float]) -> Column:
+    carr = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, carr, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (first minimum wins — scan in order with
+    strictly-less replacement, matching SQL list_position semantics)."""
+    best_d = _ivf_dist_col(vec, centroids[0])
+    best_i = F.lit(0)
+    for i, c in enumerate(centroids[1:], start=1):
+        d = _ivf_dist_col(vec, c)
+        take = d < best_d
+        best_i = F.when(take, F.lit(i)).otherwise(best_i)
+        best_d = F.when(take, d).otherwise(best_d)
+    return best_i
+
+
+def _ivf_dist_sql(vec_expr: str, centroid: list[float]) -> str:
+    lit = "[" + ", ".join(str(v) for v in centroid) + "]"
+    return (
+        f"list_sum(list_transform(range(1, {len(centroid)} + 1), "
+        f"j -> (({vec_expr})[j] - ({lit})[j]) * (({vec_expr})[j] - ({lit})[j])))"
+    )
+
+
+def ivf_assign_sql(vec_expr: str, centroids: list[list[float]]) -> str:
+    dists = ", ".join(_ivf_dist_sql(vec_expr, c) for c in centroids)
+    return (
+        f"(list_position([{dists}], list_min([{dists}])) - 1)"
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF probe: assign the corpus to coarse cells, search only the
+    ``nprobe`` cells nearest the query. With a materialized index
+    (``build_ivf_index``) the cell filter becomes partition pruning."""
+    import numpy as np
+
+    cents = centroids or _ivf_seeded_centroids()
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    q = np.array(qrow[0], dtype=np.float64)
+    dists = [float(((q - np.array(c)) ** 2).sum()) for c in cents]
+    probe_cells = [i for i, _ in sorted(enumerate(dists), key=lambda t: t[1])[:nprobe]]
+    vec = _vec(vec_col)
+    assigned = df.filter(F.col(id_col) != query_id).withColumn(
+        "_cell", ivf_assign_col(F.col(vec_col), cents)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        assigned.filter(F.col("_cell").isin(*probe_cells))
+        .select(F.col(id_col), F.round(cosine_col(vec, qv), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> str:
+    """DuckDB twin: same centroid literals, same first-min assignment,
+    probe cells picked by query-to-centroid distance rank."""
+    cents = centroids or _ivf_seeded_centroids()
+    v = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    # the query vector must be a CTE column — DuckDB rejects subqueries
+    # inside lambda bodies
+    qdists = ", ".join(_ivf_dist_sql("qvec", c) for c in cents)
+    return f"""
+    WITH qv_t AS (
+      SELECT list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qvec
+      FROM {table} WHERE {id_col} = {query_id}),
+    qd AS (
+      SELECT unnest(range(0, {len(cents)})) AS cell,
+             unnest([{qdists}]) AS d
+      FROM qv_t),
+    probe AS (SELECT cell FROM qd ORDER BY d ASC LIMIT {nprobe})
+    SELECT t.{id_col}, round({cosine_sql(v, qv)}, 6) AS cosine
+    FROM {table} t, (SELECT {vec_col} FROM {table} WHERE {id_col} = {query_id}) q
+    WHERE t.{id_col} != {query_id}
+      AND {ivf_assign_sql(f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))", cents)}
+          IN (SELECT cell FROM probe)
+    ORDER BY cosine DESC, t.{id_col} ASC
+    LIMIT {k}
+    """
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> None:
+    """Materialize the corpus partitioned by IVF cell — probing reads
+    only the probed cells' files (planning-time partition pruning),
+    exactly like the sign-LSH index."""
+    cents = centroids or _ivf_seeded_centroids()
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col), ivf_assign_col(F.col(vec_col), cents).alias("cell")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
 def build_ann_index(
     df: DataFrame,
     path: str,

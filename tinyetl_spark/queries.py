@@ -730,6 +730,14 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(docs, cands, threshold=0.3)
 
 
+@_q("near_dup_ngram", dedup.ngram_jaccard_sql(threshold=0.2))
+def near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard verify over minhash-LSH candidates."""
+    docs = load(spark, sf_dir, "documents")
+    cands = dedup.minhash_candidates(docs)
+    return dedup.ngram_jaccard(docs, cands, threshold=0.2)
+
+
 @_q("simhash_docs", dedup.simhash_sql())
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load(spark, sf_dir, "documents"))
@@ -753,6 +761,15 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("ann_lsh_topk", similarity.ann_topk_sql(query_id=0, k=10))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@_q("ann_ivf_topk", similarity.ivf_topk_sql(query_id=0, k=10, nprobe=2))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: corpus assigned to cells, only the
+    nprobe nearest cells searched. The oracle shares the deterministic
+    quantizer literals; production uses train_ivf_centroids + the
+    cell-partitioned index (build_ivf_index)."""
+    return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, nprobe=2)
 
 
 @_q("embedding_near_dups", similarity.cosine_near_dups_sql(threshold=0.3))
@@ -861,6 +878,41 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_date"),
+    )
+
+
+@_q(
+    "csv_roundtrip_events",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+    FROM events
+    """,
+)
+def csv_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events (µs-precision timestamps) → CSV (RFC3339 with fractional
+    seconds) → inference read-back — proves the write format + 16-format
+    parse chain preserve SUB-SECOND precision end-to-end."""
+    import os
+
+    from tinyetl_spark.engine import transfer
+
+    # stage the nanos->µs-normalized table (the raw file's TIMESTAMP
+    # (NANOS) column reads as bigint; load() owns that conversion)
+    staged = _roundtrip_dir(sf_dir, "events_us.parquet")
+    os.makedirs(os.path.dirname(staged), exist_ok=True)
+    if not os.path.exists(staged):
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    out = _roundtrip_dir(sf_dir, "events.csv")
+    transfer(spark, staged, out, truncate=True)
+    from tinyetl_spark.io.files import read_csv
+
+    back = read_csv(spark, out)
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
     )
 
 
