@@ -954,6 +954,34 @@ def sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "transform_date_string",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS DOUBLE) AS order_year,
+           substring(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), 1, 10) AS order_day,
+           CASE WHEN CAST(strftime(o_orderdate, '%Y') AS BIGINT) < 1995
+                THEN 'early' ELSE 'late' END AS era
+    FROM orders
+    """,
+)
+def transform_date_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dates-as-strings marshalling parity (reference
+    src/transformer.rs:360-430, README.md:504-509): inside a transform a
+    date column IS its RFC3339 string, so ``:match('^(%d%d%d%d)')`` and
+    ``string.sub(date, 1, 10)`` operate on that text form."""
+    from tinyetl_spark.transforms import apply_inline
+
+    o = load(spark, sf_dir, "orders")
+    out = apply_inline(
+        o,
+        "order_year=tonumber(row.o_orderdate:match('^(%d%d%d%d)')); "
+        "order_day=string.sub(row.o_orderdate, 1, 10); "
+        "era=order_year < 1995 and 'early' or 'late'",
+    )
+    return out.select("o_orderkey", "order_year", "order_day", "era")
+
+
+@_q(
     "duckdb_roundtrip",
     "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
 )

@@ -332,16 +332,45 @@ def _lit_str(node: Node) -> str:
     return str(node.val)
 
 
-class _Compiler:
-    """env maps bare names (earlier assignments) to Columns."""
+# RFC3339 string form dates take INSIDE transforms — the reference
+# marshals every Date value into Lua as a string
+# (src/transformer.rs:360-430, README.md:504-509 "dates come as RFC3339
+# strings"), so string ops on date columns must see this form. chrono's
+# to_rfc3339 prints "+00:00" (not "Z") and variable sub-second width;
+# we emit fixed microseconds — the string-op observable behavior
+# (prefix matches, substrings, ordering) is identical.
+LUA_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"
 
-    def __init__(self, input_cols: list[str], env: dict[str, Column]):
+
+class _Compiler:
+    """env maps bare names (earlier assignments) to Columns. dtypes maps
+    input columns to their Spark type strings (for the dates-as-strings
+    marshalling rule)."""
+
+    def __init__(
+        self,
+        input_cols: list[str],
+        env: dict[str, Column],
+        dtypes: dict[str, str] | None = None,
+    ):
         self.input_cols = input_cols
         self.env = env
+        self.dtypes = dtypes or {}
 
     def compile(self, node: Node) -> Column:
         col, _ = self._c(node)
         return col
+
+    def _cls_of(self, name: str) -> str:
+        dt = self.dtypes.get(name, "")
+        return "ts" if dt.startswith(("timestamp", "date")) else "col"
+
+    def _strctx(self, col: Column, cls: str) -> Column:
+        """A value entering a STRING context: timestamps become their
+        in-transform RFC3339 string form, everything else casts."""
+        if cls == "ts":
+            return F.date_format(col, LUA_TS_FMT)
+        return col.cast("string")
 
     def _c(self, node: Node) -> tuple[Column, str]:
         if node.kind == "lit":
@@ -351,13 +380,13 @@ class _Compiler:
         if node.kind == "rowref":
             if node.val not in self.input_cols:
                 raise TransformError(f"Unknown column row.{node.val}")
-            return F.col(node.val), "col"
+            return F.col(node.val), self._cls_of(str(node.val))
         if node.kind == "name":
             name = str(node.val)
             if name in self.env:
                 return self.env[name], "col"
             if name in self.input_cols:
-                return F.col(name), "col"
+                return F.col(name), self._cls_of(name)
             raise TransformError(
                 f"Unknown name {name!r} (not an earlier assignment or input column; "
                 f"use row.{name} for column references)"
@@ -380,7 +409,7 @@ class _Compiler:
         a, acls = self._c(node.a)
         b, bcls = self._c(node.b)
         if op == "..":
-            return F.concat(a.cast("string"), b.cast("string")), "str"
+            return F.concat(self._strctx(a, acls), self._strctx(b, bcls)), "str"
         if op == "==":
             return a == b, "bool"
         if op == "~=":
@@ -438,31 +467,37 @@ class _Compiler:
         def arg(i: int) -> Column:
             return self._c(args[i])[0]
 
+        def sarg(i: int) -> Column:
+            # string-context argument: applies dates-as-strings marshalling
+            col, cls = self._c(args[i])
+            return self._strctx(col, cls) if cls == "ts" else col
+
         if fname == "tonumber":
             return arg(0).cast("double"), "num"
         if fname == "tostring":
-            return arg(0).cast("string"), "str"
+            col, cls = self._c(args[0])
+            return self._strctx(col, cls), "str"
         if fname == "string.upper":
-            return F.upper(arg(0)), "str"
+            return F.upper(sarg(0)), "str"
         if fname == "string.lower":
-            return F.lower(arg(0)), "str"
+            return F.lower(sarg(0)), "str"
         if fname == "string.len":
-            return F.length(arg(0)), "num"
+            return F.length(sarg(0)), "num"
         if fname == "string.reverse":
-            return F.reverse(arg(0)), "str"
+            return F.reverse(sarg(0)), "str"
         if fname == "string.rep":
-            return F.repeat(arg(0), self._int_lit(args[1])), "str"
+            return F.repeat(sarg(0), self._int_lit(args[1])), "str"
         if fname == "string.sub":
             return self._string_sub(args), "str"
         if fname == "string.gsub":
             regex = lua_pattern_to_regex(_lit_str(args[1]))
             repl = _lit_str(args[2]).replace("%0", "$0")
             repl = re.sub(r"%(\d)", r"$\1", repl)
-            return F.regexp_replace(arg(0), regex, repl), "str"
+            return F.regexp_replace(sarg(0), regex, repl), "str"
         if fname == "string.match":
             regex = lua_pattern_to_regex(_lit_str(args[1]))
             group = 1 if _regex_group_count(regex) >= 1 else 0
-            s = arg(0)
+            s = sarg(0)
             return (
                 F.when(s.rlike(regex), F.regexp_extract(s, regex, group)),
                 "str",
@@ -471,7 +506,7 @@ class _Compiler:
             # supported in its boolean-ish idiom: nil when not found,
             # match position when found. Plain-text find via locate;
             # pattern find via rlike + instr-of-extract.
-            s = arg(0)
+            s = sarg(0)
             if len(args) >= 4 and args[3].kind == "lit" and args[3].val is True:
                 pos = F.locate(_lit_str(args[1]), s)
                 return F.when(pos > 0, pos), "num"
@@ -501,7 +536,8 @@ class _Compiler:
     def _string_sub(self, args: list[Node]) -> Column:
         """Lua string.sub: 1-based inclusive, negative indexes from the
         end."""
-        s = self._c(args[0])[0]
+        s0, s0cls = self._c(args[0])
+        s = self._strctx(s0, s0cls) if s0cls == "ts" else s0
         i_node = args[1]
         j_node = args[2] if len(args) > 2 else None
         if i_node.kind == "lit" and (j_node is None or j_node.kind == "lit"):
@@ -575,9 +611,10 @@ def apply_inline(df: DataFrame, expressions: str) -> DataFrame:
     if not assignments:
         raise TransformError("No valid expressions provided")
     env: dict[str, Column] = {}
+    dtypes = dict(df.dtypes)  # for the dates-as-strings marshalling rule
     out = df
     for name, expr_src in assignments:
-        col = _Compiler(df.columns, env).compile(parse_expression(expr_src))
+        col = _Compiler(df.columns, env, dtypes).compile(parse_expression(expr_src))
         out = out.withColumn(name, col)
         env[name] = F.col(name)
     return out
