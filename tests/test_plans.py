@@ -1,0 +1,87 @@
+"""Plan-shape regression tests: the scale claims each operator's
+docstring makes (pushdown, broadcast, partition pruning, no-shuffle)
+asserted against the ACTUAL physical plan — a future edit that silently
+turns a broadcast join into a sort-merge join or un-pushes a filter
+fails here, not at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tinyetl_spark.queries import QUERIES
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_project_pushdown_and_pruning(spark):
+    p = plan_of(spark, "scan_project")
+    assert "PushedFilters: [" in p and "l_discount" in p.split("PushedFilters")[1][:120]
+    # column pruning: ReadSchema holds only the 4 needed columns
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    p = plan_of(spark, "revenue_by_nation")
+    assert p.count("BroadcastHashJoin") >= 3  # orders/customer/nation/region build sides
+    assert "SortMergeJoin" not in p
+
+
+def test_top10_orders_uses_takeordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "top10_orders")
+
+
+def test_minhash_signatures_no_shuffle(spark):
+    # per-row fold: no Exchange anywhere in the plan
+    assert "Exchange" not in plan_of(spark, "minhash_signatures")
+
+
+def test_simhash_no_shuffle(spark):
+    assert "Exchange" not in plan_of(spark, "simhash_docs")
+
+
+def test_dedup_exact_single_shuffle(spark):
+    p = plan_of(spark, "dedup_exact")
+    # one hash aggregation = exactly one Exchange (AQE may wrap it)
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_ann_indexed_probe_prunes_partitions(spark):
+    p = plan_of(spark, "ann_indexed_topk")
+    seg = p.split("PartitionFilters:")[1][:120]
+    assert "bucket" in seg  # planning-time pruning on the bucket column
+
+
+def test_transform_inline_is_pure_codegen(spark):
+    p = plan_of(spark, "transform_inline")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "*(1)" in p  # whole-stage-codegen marker in plan strings
+    assert "Exchange" not in p  # row-local transform: no shuffle
+
+
+def test_validate_events_fused_single_pass(spark):
+    p = plan_of(spark, "validate_events")
+    assert "Exchange" not in p  # validation is filter+project on the scan
+    assert "BatchEvalPython" not in p
+
+
+def test_transform_pyfile_is_arrow_not_row_udf(spark):
+    p = plan_of(spark, "transform_pyfile")
+    assert "MapInPandas" in p or "mapInPandas" in p.lower()
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary", "mktsegment_stats", "events_tumbling",
+        "token_stats", "text_quality", "lang_id", "embedding_norms",
+    ],
+)
+def test_no_python_in_builtin_operators(spark, name):
+    p = plan_of(spark, name)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
