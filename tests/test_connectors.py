@@ -88,11 +88,50 @@ def test_http_source_live_local_server(spark, tmp_path):
             httpd.shutdown()
 
 
-def test_avro_gated_error(spark, tmp_path):
+def test_avro_single_file_roundtrip(spark, tmp_path):
+    """Pure-Python OCF codec: unions, strings, longs, doubles, bools,
+    timestamps survive a write+read (no spark-avro jar here)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (1, "ann", 1.5, True, dt.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+            (2, None, None, None, None),
+        ],
+        "id long, name string, score double, ok boolean, at timestamp",
+    )
+    out = str(tmp_path / "t.avro")
+    st = transfer(spark, _stage_parquet(spark, df, tmp_path), out)
+    assert st.rows_transferred == 2
     from tinyetl_spark.io.files import read_avro
 
+    back = {r.id: r for r in read_avro(spark, out).collect()}
+    assert back[1].name == "ann" and back[1].score == 1.5 and back[1].ok is True
+    assert back[1].at == dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    assert back[2].name is None and back[2].at is None
+
+
+def _stage_parquet(spark, df, tmp_path) -> str:
+    p = str(tmp_path / "stage.parquet")
+    df.write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_avro_directory_needs_jar(spark, tmp_path):
+    from tinyetl_spark.io.files import write_avro
+
+    df = spark.createDataFrame([(1,)], "a long")
     with pytest.raises(RuntimeError, match="spark-avro"):
-        read_avro(spark, str(tmp_path / "x.avro"))
+        write_avro(df, str(tmp_path / "avro_dir"))
+
+
+def test_avro_rejects_corrupt_file(spark, tmp_path):
+    p = tmp_path / "bad.avro"
+    p.write_bytes(b"not avro at all")
+    from tinyetl_spark.io import avro_py
+
+    with pytest.raises(ValueError, match="not an Avro"):
+        avro_py.read_file(str(p))
 
 
 def test_ssh_fetch_builds_scp_command(monkeypatch, tmp_path):

@@ -127,7 +127,7 @@ def write_target(df: DataFrame, loc: Location, append: bool) -> int | None:
     elif loc.kind == "parquet":
         fio.write_parquet(df, loc.path, mode="append" if append else "overwrite")
     elif loc.kind == "avro":
-        fio.write_avro(df, loc.path, mode="append" if append else "overwrite")
+        return fio.write_avro(df, loc.path, mode="append" if append else "overwrite")
     elif loc.kind == "sqlite":
         return sio.write_table(df, loc.path, loc.table_name, truncate=not append)
     elif loc.kind == "duckdb":
@@ -212,10 +212,13 @@ def transfer(
     else:
         append = False  # missing, or exists-but-no-append (CSV) → recreate
 
-    if tgt.kind in ("sqlite", "duckdb"):
+    if tgt.kind in ("sqlite", "duckdb", "avro"):
         # driver-side sinks stream toLocalIterator and count themselves;
-        # an Observation would never resolve for that execution shape
-        rows = write_target(df, tgt, append=append) or 0
+        # an Observation would never resolve for that execution shape.
+        # (avro may take the spark-native path and return None → count.)
+        rows = write_target(df, tgt, append=append)
+        if rows is None:
+            rows = df.count()
     else:
         obs = Observation("transfer_stats")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))

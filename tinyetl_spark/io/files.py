@@ -119,15 +119,43 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _avro_kind(dt: T.DataType) -> str:
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "long"
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return "double"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    return "string"
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """spark-avro when the jar is present; else the pure-Python OCF
+    codec (driver-side, single file — same shape as the reference's
+    whole-file Avro connector)."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as exc:  # pragma: no cover - jar-dependent
-        raise RuntimeError(
-            "Avro support needs the spark-avro module on the classpath "
-            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
-            "it is not bundled in this environment"
-        ) from exc
+    except Exception:
+        from tinyetl_spark.io import avro_py
+
+        kinds, rows = avro_py.read_file(path)
+        type_map = {
+            "long": T.LongType(), "int": T.LongType(), "double": T.DoubleType(),
+            "float": T.DoubleType(), "boolean": T.BooleanType(),
+            "bytes": T.BinaryType(), "string": T.StringType(),
+            "date": T.DateType(),
+        }
+        fields = []
+        for name, kind in kinds:
+            if kind.startswith("timestamp"):
+                fields.append(T.StructField(name, T.TimestampType(), True))
+            else:
+                fields.append(T.StructField(name, type_map.get(kind, T.StringType()), True))
+        return spark.createDataFrame(rows, T.StructType(fields))
 
 
 # ---------------------------------------------------------------- write
@@ -281,12 +309,36 @@ def write_json(df: DataFrame, path: str, append: bool = False) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> int | None:
+    """spark-avro for directory datasets (scale path); pure-Python OCF
+    codec for single files when the jar is absent — nullable-union
+    record schema with timestamp-micros, like the reference's writer
+    (avro.rs:408-481). Returns rows written on the fallback path."""
+    if not is_single_file(path, "avro"):
+        try:
+            df.write.mode(mode).format("avro").save(path)
+            return None
+        except Exception as exc:
+            raise RuntimeError(
+                "directory Avro datasets need the spark-avro module "
+                "(--packages org.apache.spark:spark-avro_2.13:<version>); "
+                "single-file .avro targets work without it"
+            ) from exc
     try:
-        df.write.mode(mode).format("avro").save(path)
-    except Exception as exc:  # pragma: no cover - jar-dependent
-        raise RuntimeError(
-            "Avro support needs the spark-avro module on the classpath "
-            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
-            "it is not bundled in this environment"
-        ) from exc
+        tmp = tempfile.mkdtemp(prefix="tinyetl_avro_")
+        try:
+            df.coalesce(1).write.mode("overwrite").format("avro").save(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.avro"))[0]
+            shutil.copyfile(part, path)
+            return None
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except RuntimeError:
+        raise
+    except Exception:
+        from tinyetl_spark.io import avro_py
+
+        fields = [(f.name, _avro_kind(f.dataType)) for f in df.schema.fields]
+        return avro_py.write_file(
+            path, fields, (tuple(r) for r in df.toLocalIterator(prefetchPartitions=True))
+        )

@@ -309,6 +309,68 @@ def set_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "set_intersect_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — Spark plans it as a left-semi aggregate join."""
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@_q(
+    "cube_status_priority",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations in one shuffle."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+@_q(
+    "percentile_prices",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). At 100 TB switch to approx_percentile
+    (t-digest sketch, single pass, mergeable) — exact percentile
+    shuffles the full column per group."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@_q(
     "part_brand_stats",
     """
     SELECT p_brand,
@@ -913,6 +975,35 @@ def csv_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+    )
+
+
+@_q(
+    "avro_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date
+    FROM orders
+    """,
+)
+def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → Avro OCF (nullable unions, timestamp-micros logical
+    type) → read-back. Uses the pure-Python codec when the spark-avro
+    jar is absent (as here) — pinning the FORMAT semantics either way."""
+    import os
+
+    from tinyetl_spark.engine import transfer
+    from tinyetl_spark.io.files import read_avro
+
+    out = _roundtrip_dir(sf_dir, "orders.avro")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    transfer(spark, f"{sf_dir}/orders.parquet", out, truncate=True)
+    back = read_avro(spark, out)
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_date"),
     )
 
 
