@@ -75,6 +75,22 @@ def test_transform_pyfile_is_arrow_not_row_udf(spark):
     assert "BatchEvalPython" not in p  # no row-at-a-time Python
 
 
+def test_bucketed_join_has_zero_shuffles(spark):
+    """Both sides bucketed+sorted on the key → SortMergeJoin with NO
+    Exchange anywhere (the groupBy reuses the bucketing too)."""
+    p = plan_of(spark, "bucketed_join_orders")
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2
+    assert "Exchange" not in p
+
+
+def test_salted_agg_two_phase(spark):
+    """Salted aggregation: phase-1 shuffle on (key, salt), phase-2 on
+    key — two exchanges by design, never a single hot reducer."""
+    p = plan_of(spark, "salted_user_stats")
+    assert p.count("Exchange hashpartitioning") == 2
+
+
 @pytest.mark.parametrize(
     "name",
     [

@@ -124,6 +124,54 @@ def range_self_join(
     )
 
 
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    agg_exprs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with key salting for skewed keys.
+
+    A hot key (one user producing 10% of a 100 TB event stream) makes
+    one reducer the straggler in a plain groupBy. Salting splits every
+    key into ``salt_buckets`` sub-keys: phase 1 shuffles on (key, salt)
+    — the hot key spreads over ``salt_buckets`` reducers — phase 2
+    merges the per-salt partials, which is tiny (|keys| * buckets
+    rows). Results are IDENTICAL to a plain groupBy for decomposable
+    aggregates (sum/count/min/max — the only ones accepted here).
+
+    AQE's skew-join splitting handles skewed JOINS automatically;
+    aggregation skew still needs this pattern, which is why it is a
+    first-class operator.
+
+    ``agg_exprs``: {out_col: "sum(col)" | "count(*)" | "min(col)" |
+    "max(col)"}.
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    partial_aggs, final_aggs = [], []
+    for out, spec in agg_exprs.items():
+        fn, _, arg = spec.partition("(")
+        arg = arg.rstrip(")")
+        fn = fn.strip().lower()
+        p = f"_p_{out}"
+        if fn == "count":
+            partial_aggs.append(F.count("*").alias(p))
+            final_aggs.append(F.sum(p).cast("long").alias(out))
+        elif fn == "sum":
+            partial_aggs.append(F.sum(F.col(arg).cast("decimal(38,6)")).alias(p))
+            final_aggs.append(F.sum(p).cast("double").alias(out))
+        elif fn == "min":
+            partial_aggs.append(F.min(arg).alias(p))
+            final_aggs.append(F.min(p).alias(out))
+        elif fn == "max":
+            partial_aggs.append(F.max(arg).alias(p))
+            final_aggs.append(F.max(p).alias(out))
+        else:
+            raise ValueError(f"non-decomposable aggregate for salting: {spec}")
+    phase1 = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(*partial_aggs)
+    return phase1.groupBy(key).agg(*final_aggs)
+
+
 def sessionize(
     df: DataFrame,
     key: str,

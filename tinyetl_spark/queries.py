@@ -309,6 +309,81 @@ def set_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "salted_user_stats",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           max(event_type) AS max_type
+    FROM events GROUP BY user_id
+    """,
+)
+def salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: two-phase salted groupBy whose result is
+    bit-identical to the plain GROUP BY oracle — proving the salting
+    rewrite is semantics-preserving while spreading any hot key over
+    16 reducers (see operators.relational.salted_agg)."""
+    e = load(spark, sf_dir, "events")
+    return relational.salted_agg(
+        e,
+        key="user_id",
+        agg_exprs={
+            "n_events": "count(*)",
+            "sum_value": "sum(value)",
+            "max_type": "max(event_type)",
+        },
+    )
+
+
+@_q(
+    "bucketed_join_orders",
+    """
+    SELECT c.c_custkey, c.c_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via BUCKETING: both sides written bucketed+sorted
+    on the join key, so the join runs with NO shuffle of either side
+    (plan: SortMergeJoin with zero Exchange below it). This is the
+    pre-partitioning story for repeated big-to-big joins at 100 TB —
+    pay one shuffle at ingest, never again per query."""
+    import hashlib
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o_tbl, c_tbl = f"b_orders_{tag}", f"b_customer_{tag}"
+
+    def ensure(tbl: str, table_name: str, key: str) -> None:
+        if spark.catalog.tableExists(tbl):
+            return
+        # a prior session may have left the managed location behind
+        # while this session's in-memory catalog forgot the table
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+        load(spark, sf_dir, table_name).write.bucketBy(8, key).sortBy(key).mode(
+            "overwrite"
+        ).saveAsTable(tbl)
+
+    ensure(o_tbl, "orders", "o_custkey")
+    ensure(c_tbl, "customer", "c_custkey")
+    o, c = spark.table(o_tbl), spark.table(c_tbl)
+    # hint("merge"): at test scale the dim would be broadcast, hiding
+    # the point — force the sort-merge path to show both bucketed scans
+    # joining with ZERO shuffle (at 100 TB big-to-big this is the plan
+    # Spark picks on its own)
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@_q(
     "set_intersect_custkeys",
     """
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
