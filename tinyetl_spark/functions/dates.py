@@ -84,12 +84,50 @@ def py_parse_date(value: str):
     return None
 
 
+# Shape-dispatch prefilter (the reference's might_be_date idea,
+# src/date_parser.rs:120-173): a cheap anchored regex routes each string
+# to the only format family that can parse it, cutting ~17 expensive
+# DateTimeFormatter attempts per row to ~2. The classes are disjoint and
+# every format's parseable strings fall in exactly one class, so
+# first-match-wins semantics are unchanged vs the flat chain.
+_SHAPE_CLASSES: list[tuple[str, list[str]]] = [
+    (r"^\d{4}-\d{2}-\d{2}T", [
+        "yyyy-MM-dd'T'HH:mm:ssXXX",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+        "yyyy-MM-dd'T'HH:mm:ss",
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+        "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    ]),
+    (r"^\d{4}-\d{2}-\d{2} ", ["yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm"]),
+    (r"^\d{4}-\d{2}-\d{2}$", ["yyyy-MM-dd"]),
+    (r"^\d{2}/\d{2}/\d{4}$", ["MM/dd/yyyy"]),
+    (r"^\d{2}/\d{2}/\d{4} ", ["MM/dd/yyyy HH:mm:ss", "MM/dd/yyyy hh:mm a"]),
+    (r"^\d{2}\.\d{2}\.\d{4}$", ["dd.MM.yyyy"]),
+    (r"^\d{2}\.\d{2}\.\d{4} ", ["dd.MM.yyyy HH:mm:ss"]),
+    (r"^\d{4}/\d{2}/\d{2}$", ["yyyy/MM/dd"]),
+]
+_SHAPE_FALLBACK = ["MMM d, yyyy", "MMMM d, yyyy"]
+
+
 def parse_date_multi(col: Column | str, formats: list[tuple[str, str]] | None = None) -> Column:
-    """First-match-wins multi-format timestamp parse (NULL if none)."""
+    """First-match-wins multi-format timestamp parse (NULL if none).
+
+    With the default format table, parsing is shape-dispatched (see
+    _SHAPE_CLASSES); a custom ``formats`` list falls back to the flat
+    coalesce chain."""
     c = F.col(col) if isinstance(col, str) else col
-    fmts = formats or FORMATS
-    attempts = [F.try_to_timestamp(c, F.lit(java)) for java, _ in fmts]
-    return F.coalesce(*attempts)
+    if formats is not None:
+        return F.coalesce(*[F.try_to_timestamp(c, F.lit(java)) for java, _ in formats])
+    expr = None
+    for shape_re, fmts in _SHAPE_CLASSES:
+        attempt = F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in fmts])
+        expr = F.when(c.rlike(shape_re), attempt) if expr is None else expr.when(
+            c.rlike(shape_re), attempt
+        )
+    return expr.otherwise(
+        F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in _SHAPE_FALLBACK])
+    )
 
 
 def parse_date_multi_sql(expr: str, formats: list[tuple[str, str]] | None = None) -> str:

@@ -72,22 +72,6 @@ def exact_dedup_sql(table: str = "documents", text_col: str = "text", id_col: st
 
 # -------------------------------------------------------------- minhash
 
-def shingles_col(text_col: str = "text", k: int = SHINGLE_K):
-    """Word k-shingles as an array column (JVM-side, no explode)."""
-    w = words_col(text_col)
-    n = F.size(w)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
-
-
-def shingles_sql(text_col: str = "text", k: int = SHINGLE_K) -> str:
-    w = words_sql(text_col)
-    return (
-        f"list_transform(range(0, greatest(len({w}) - {k}, 0) + 1), "
-        f"i -> array_to_string(({w})[i + 1 : i + {k}], ' '))"
-    )
-
-
 # Universal-hash mixing constants for the minhash permutation family:
 # h_i(x) = (A_i * (base & MIX_MASK) + B_i) mod MIX_PRIME. ONE md5 per
 # shingle (the base), then num_perm arithmetic mixes — 16x fewer md5
@@ -318,13 +302,19 @@ def minhash_jaccard_sql(
 NGRAM_K = 5  # character n-gram width
 
 
-def char_ngrams_col(text_col: str = "text", k: int = NGRAM_K):
-    """Distinct character k-grams of the normalized text as an array —
-    JVM-side substring fan-out, no explode/shuffle."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+def _char_ngrams_from(norm_col: str, k: int = NGRAM_K):
+    """Distinct character k-grams from a MATERIALIZED normalized-text
+    column — the normalization must NOT be inlined here: an expression
+    referenced inside the transform lambda is re-evaluated per element
+    (a ~600x regexp_replace blowup on 600-char docs)."""
+    norm = F.col(norm_col)
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+
+
+def norm_text_col(text_col: str = "text"):
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
 
 
 def char_ngrams_sql(text_col: str = "text", k: int = NGRAM_K) -> str:
@@ -347,7 +337,9 @@ def ngram_jaccard(
     """Character n-gram Jaccard on candidate pairs (finer-grained than
     word-set Jaccard — robust to tokenization differences). Same
     verify-only-candidates shape: linear in |candidates|."""
-    gsets = df.select(F.col(id_col).alias("jid"), char_ngrams_col(text_col, k).alias("gs"))
+    gsets = df.select(
+        F.col(id_col).alias("jid"), norm_text_col(text_col).alias("_nt")
+    ).select("jid", _char_ngrams_from("_nt", k).alias("gs"))
     j = (
         candidates.join(
             gsets.withColumnRenamed("jid", "id_a").withColumnRenamed("gs", "gs_a"), "id_a"

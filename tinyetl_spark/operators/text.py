@@ -164,6 +164,58 @@ def language_id_sql(table: str = "documents", text_col: str = "text", id_col: st
     """
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", top_k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by tf-idf (idf = ln(N / df_t)).
+
+    This is the one text operator that is INHERENTLY corpus-level: the
+    explode→groupBy over (doc, term) is the inverted-index shuffle, and
+    there is no per-row shortcut — at 100 TB this is exactly the
+    shuffle you pay to build a term index, with map-side combine
+    halving it. The tiny df_t table broadcasts back onto term counts.
+    Ties broken lexicographically for determinism.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # scalar, computed once (driver int, not a collect of rows)
+    words = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("term"))
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    scored = tf.join(F.broadcast(dft), "term").select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, "term", "tfidf", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def tfidf_top_terms_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id", top_k: int = 3
+) -> str:
+    w = words_sql(text_col)
+    return f"""
+    WITH words_t AS (SELECT {id_col}, unnest({w}) AS term FROM {table}),
+    tf AS (SELECT {id_col}, term, count(*) AS tf FROM words_t GROUP BY 1, 2),
+    dft AS (SELECT term, count(DISTINCT {id_col}) AS df_t FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM {table}),
+    scored AS (
+      SELECT tf.{id_col}, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dft.df_t), 6) AS tfidf
+      FROM tf JOIN dft USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY {id_col}
+                                   ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored)
+    SELECT {id_col}, term, tfidf, rk FROM ranked WHERE rk <= {top_k}
+    """
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: full 128-bit md5 of the normalized text
     (lowered, whitespace-collapsed) — the exact-dedup identity key at

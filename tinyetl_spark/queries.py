@@ -850,6 +850,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(load(spark, sf_dir, "documents"))
 
 
+@_q("tfidf_top_terms", text.tfidf_top_terms_sql(top_k=3))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(load(spark, sf_dir, "documents"), top_k=3)
+
+
 @_q("minhash_signatures", dedup.minhash_signatures_sql())
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load(spark, sf_dir, "documents"))

@@ -65,6 +65,13 @@ def get_spark(
         # JVM; getOrCreate against a live session silently ignores it.
         # On a real cluster pass --driver-memory at submit time instead.
         conf.setdefault("spark.driver.memory", "48g")
+        # Dozens of distinct queries in one JVM generate enough codegen
+        # classes to fill HotSpot's default 240 MB code cache — once
+        # full, JIT stops compiling and expression-heavy queries run
+        # interpreted (observed 10x slowdowns late in bench runs).
+        conf.setdefault(
+            "spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g"
+        )
         conf.setdefault("spark.ui.enabled", "false")
     if shuffle_partitions:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
