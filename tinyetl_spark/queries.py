@@ -466,6 +466,255 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "exists_high_qty_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_high_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (TPC-H Q4 shape) as a LEFT SEMI join —
+    Spark decorrelates EXISTS to exactly this; the semi join never
+    duplicates orders rows however many lineitems match, and the agg
+    rides the same shuffle key space."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@_q(
+    "above_avg_balance",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                              / COUNT(*) FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery filter: the global average is one aggregated row,
+    broadcast into every partition (crossJoin(broadcast(...))) — no
+    second scan-wide shuffle. The mean is computed as exact decimal
+    SUM / COUNT so both engines derive bit-identical thresholds."""
+    c = load(spark, sf_dir, "customer")
+    avg_df = c.agg((dsum("c_acctbal") / F.count("*")).alias("_avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("sum_bal"))
+    )
+
+
+@_q(
+    "cust_order_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_custs FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + two-level aggregation (TPC-H Q13 shape):
+    customers with zero orders survive the outer join and land in the
+    n_orders=0 bin. First agg shuffles on c_custkey (same key as the
+    join — AQE reuses the exchange); second agg is 40-odd groups."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_custs"))
+
+
+@_q(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list — one shuffle, map-side partial
+    aggregation per (priority, status). Never call pivot() without the
+    value list at scale: it inserts a driver-side distinct scan to
+    discover the columns."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+@_q(
+    "grouping_sets_lineitem",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube):
+    Spark expands to one Expand + single shuffle, not one pass per set.
+    (l_returnflag/l_linestatus are non-null in this schema, so the
+    'ALL' coalesce labels are unambiguous.)"""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gsets")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@_q(
+    "explode_doc_words",
+    r"""
+    SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents)
+    WHERE word <> ''
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def explode_doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral view / UDTF surface: explode(split(...)) — Spark's
+    Generate operator runs inside whole-stage codegen, no Python. The
+    explode→groupBy is the inverted-index shuffle (same shape tf-idf
+    pays); top-k via TakeOrdered, no global sort."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+@_q(
+    "listagg_nations",
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg parity: collect_list under a deterministic
+    sort (sort_array) then array_join. collect_list order is otherwise
+    partition-dependent — never emit it unsorted into a hash-compared
+    result."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+    )
+
+
+@_q(
+    "full_outer_nation_counts",
+    """
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+          FROM customer GROUP BY c_nationkey) c
+    FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+               FROM supplier GROUP BY s_nationkey) s
+      ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides. Aggregating BEFORE
+    the join shrinks both inputs to ~25 rows — the join is then free
+    (broadcast) instead of a row-level shuffle join."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    j = c.join(s, "nk", "full_outer")
+    return j.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).cast("bigint").alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_supp"),
+    )
+
+
+@_q(
+    "window_lag_lead",
+    """
+    SELECT o_orderkey, o_custkey,
+           lag(o_orderkey) OVER w AS prev_ok,
+           lead(o_orderkey) OVER w AS next_ok,
+           ntile(4) OVER w AS spend_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / ntile share ONE window spec → one shuffle + one
+    per-partition sort serves all three. The o_orderkey tiebreaker makes
+    the frame total-ordered (ties would otherwise make lag/lead
+    nondeterministic across engines)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_orderkey").over(w).alias("prev_ok"),
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+    )
+
+
 # =====================================================================
 # Event-table operators (as-of / range join, sessionization, tumbling
 # windows — batch twins of the streaming module)
