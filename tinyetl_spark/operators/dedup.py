@@ -313,8 +313,9 @@ def _char_ngrams_from(norm_col: str, k: int = NGRAM_K):
     return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
 
 
-def norm_text_col(text_col: str = "text"):
-    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+def norm_text_col(text_col="text"):
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
 def char_ngrams_sql(text_col: str = "text", k: int = NGRAM_K) -> str:
@@ -336,10 +337,20 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Character n-gram Jaccard on candidate pairs (finer-grained than
     word-set Jaccard — robust to tokenization differences). Same
-    verify-only-candidates shape: linear in |candidates|."""
-    gsets = df.select(
-        F.col(id_col).alias("jid"), norm_text_col(text_col).alias("_nt")
-    ).select("jid", _char_ngrams_from("_nt", k).alias("gs"))
+    verify shape as ``jaccard_verify``: the k-gram explosion (~|text|
+    substrings + distinct) is computed once per INVOLVED doc — docs are
+    semi-joined to the candidate id set first, and the normalized text
+    materializes in its own projection before the substring lambda
+    (inlined, the lambda re-evaluates it per element — ~600x)."""
+    ids = _candidate_ids(candidates)
+    # joined twice below — cut lineage so the k-gram explosion runs
+    # once per involved doc, not once per join side
+    gsets = (
+        df.join(ids, df[id_col] == ids._cid, "left_semi")
+        .select(F.col(id_col).alias("jid"), norm_text_col(text_col).alias("_nt"))
+        .select("jid", _char_ngrams_from("_nt", k).alias("gs"))
+        .localCheckpoint(eager=False)
+    )
     j = (
         candidates.join(
             gsets.withColumnRenamed("jid", "id_a").withColumnRenamed("gs", "gs_a"), "id_a"
@@ -386,6 +397,16 @@ def ngram_jaccard_sql(
 
 # ----------------------------------------------------- jaccard (verify)
 
+def _candidate_ids(candidates: DataFrame) -> DataFrame:
+    """Distinct doc ids appearing on either side of the pair table —
+    the semi-join prefilter for verify stages."""
+    return (
+        candidates.select(F.col("id_a").alias("_cid"))
+        .unionByName(candidates.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+
+
 def jaccard_verify(
     df: DataFrame,
     candidates: DataFrame,
@@ -395,11 +416,23 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact word-set Jaccard on candidate pairs; keep >= threshold.
 
-    Two broadcast-able joins against the (id → word-set) projection;
-    at scale the projection is large so these become shuffled hash
-    joins on the id — still linear in |candidates|.
+    The word-set projection is computed ONCE PER INVOLVED DOC: docs are
+    first semi-joined to the candidate id set, then split/deduped, then
+    the pair table joins the sets in. Per-doc beats per-pair-side (a
+    doc in p pairs would split p times), and the semi-join prefilter
+    means a corpus where candidates touch 0.1% of docs only pays sets
+    for that 0.1% — at 100 TB that is the difference between a verify
+    stage sized by |candidates| and one sized by |corpus|.
     """
-    wsets = df.select(F.col(id_col).alias("jid"), F.array_distinct(words_col(text_col)).alias("ws"))
+    ids = _candidate_ids(candidates)
+    # the set table is joined twice (a-side, b-side) and exchange reuse
+    # does not apply across those subtrees — cut lineage so the sets
+    # compute once (size bounded: involved docs only)
+    wsets = (
+        df.join(ids, df[id_col] == ids._cid, "left_semi")
+        .select(F.col(id_col).alias("jid"), F.array_distinct(words_col(text_col)).alias("ws"))
+        .localCheckpoint(eager=False)
+    )
     j = (
         candidates.join(wsets.withColumnRenamed("jid", "id_a").withColumnRenamed("ws", "ws_a"), "id_a")
         .join(wsets.withColumnRenamed("jid", "id_b").withColumnRenamed("ws", "ws_b"), "id_b")

@@ -68,11 +68,19 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Heuristic quality signals: word count, mean word length, stopword
     ratio, alpha ratio, and a combined score. All ratios rounded to 6
     decimals so float fold-order differences can't flip the oracle."""
+    # counts materialize in their own projection — every ratio below
+    # references them, and inlined they'd re-evaluate the split/regex
+    # per reference (HOF re-evaluation trap)
     w = words_col(text_col)
-    n_words = F.size(w)
-    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
-    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
-    n_chars = F.length(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(w).alias("_nw"),
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).alias("_ns"),
+        F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")).alias("_na"),
+        F.length(F.col(text_col)).alias("_nc"),
+    )
+    n_words, n_stop = F.col("_nw"), F.col("_ns")
+    n_alpha, n_chars = F.col("_na"), F.col("_nc")
     mean_wl = (n_alpha / n_words).cast("double")
     stop_ratio = (n_stop / n_words).cast("double")
     alpha_ratio = (n_alpha / n_chars).cast("double")
@@ -85,7 +93,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         )
         .cast("double")
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
@@ -121,26 +129,45 @@ def quality_score_sql(table: str = "documents", text_col: str = "text", id_col: 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-word language ID: count marker hits per language, take the
-    argmax (ties broken by fixed language order), 'und' when no hits."""
-    w = words_col(text_col)
+    argmax (ties broken by fixed language order), 'und' when no hits.
+
+    The words array and the per-language hit array are materialized as
+    their own projection steps: the hit counts reference the split 5
+    times and the argmax references the hit array 3 times — inlined,
+    each reference re-evaluates the whole upstream expression (the HOF
+    re-evaluation trap; was a 4x slowdown). array_position takes the
+    FIRST occurrence of the max = earliest language wins, the same
+    tie-break as the oracle's in-order strictly-greater scan."""
 
     def marker_filter(markers: tuple[str, ...]):
         # closure factory (default-arg lambdas break HOF arity detection)
         return lambda x: x.isin(*markers)
 
-    hit_cols = []
-    for lang, markers in LANG_MARKERS.items():
-        hits = F.size(F.filter(w, marker_filter(markers)))
-        hit_cols.append((lang, hits))
-    # argmax: scan languages in fixed order, strictly-greater replaces —
-    # deterministic tie-break = earliest language wins
-    expr_lang, expr_hits = F.lit("und"), F.lit(0)
-    for lang, hits in hit_cols:
-        take = hits > expr_hits
-        expr_lang = F.when(take, F.lit(lang)).otherwise(expr_lang)
-        expr_hits = F.when(take, hits).otherwise(expr_hits)
-    out = df.select(F.col(id_col), F.col("lang").alias("lang_true"), expr_lang.alias("lang_pred"))
-    return out
+    base = df.select(
+        F.col(id_col),
+        F.col("lang").alias("lang_true"),
+        words_col(text_col).alias("_w"),
+    )
+    hits = base.withColumn(
+        "_h",
+        F.array(
+            *[
+                F.size(F.filter(F.col("_w"), marker_filter(markers)))
+                for markers in LANG_MARKERS.values()
+            ]
+        ),
+    )
+    langs = F.array(*[F.lit(lang) for lang in LANG_MARKERS])
+    return hits.select(
+        F.col(id_col),
+        "lang_true",
+        F.when(
+            F.array_max("_h") > 0,
+            F.element_at(langs, F.array_position(F.col("_h"), F.array_max("_h")).cast("int")),
+        )
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+    )
 
 
 def language_id_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:

@@ -1117,7 +1117,11 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("near_dup_jaccard", dedup.minhash_jaccard_sql(threshold=0.3))
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    cands = dedup.minhash_candidates(docs)
+    # the verify stage references candidates twice (id prefilter + pair
+    # join) and exchange reuse does not cross AQE subqueries —
+    # materialize the LSH pipeline once (at cluster scale: persist or
+    # write the candidate table between stages)
+    cands = dedup.minhash_candidates(docs).localCheckpoint(eager=False)
     return dedup.jaccard_verify(docs, cands, threshold=0.3)
 
 
@@ -1125,7 +1129,7 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-5-gram Jaccard verify over minhash-LSH candidates."""
     docs = load(spark, sf_dir, "documents")
-    cands = dedup.minhash_candidates(docs)
+    cands = dedup.minhash_candidates(docs).localCheckpoint(eager=False)
     return dedup.ngram_jaccard(docs, cands, threshold=0.2)
 
 
@@ -1458,6 +1462,66 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = streaming.tumbling_counts(stream, window="1 hour", watermark="2 hours")
     return streaming.run_bounded(agg, spark)
+
+
+@_q(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a STREAM: documents replayed through Structured
+    Streaming, dropDuplicates on the 128-bit fingerprint — emits each
+    distinct fingerprint exactly once. Projecting down to the key makes
+    the result arrival-order-independent, so the batch DISTINCT oracle
+    matches exactly."""
+    import os
+
+    from tinyetl_spark import streaming
+    from tinyetl_spark.functions.hashing import hash128_col
+    from tinyetl_spark.operators.dedup import norm_text_col
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stage = _roundtrip_dir(sf_dir, "documents_stream")
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/documents.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    fp = stream.select(hash128_col(norm_text_col("text")).alias("fp"))
+    return streaming.run_bounded(streaming.streaming_dedup(fp, ["fp"]), spark, mode="append")
+
+
+@_q(
+    "streaming_user_counts",
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running counts accumulated across FOUR micro-batches
+    (4-file staged copy + maxFilesPerTrigger=1 forces real state
+    carry-over, not a single-batch degenerate run). The update-mode
+    sink holds one row per (user, batch); the final cumulative count —
+    max per user — must equal the batch GROUP BY oracle."""
+    import os
+
+    from tinyetl_spark import streaming
+
+    staged = _roundtrip_dir(sf_dir, "events_uid4")
+    if not os.path.exists(staged):
+        os.makedirs(os.path.dirname(staged), exist_ok=True)
+        load(spark, sf_dir, "events").select("user_id").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+    )
+    counts = streaming.stateful_running_counts(stream, key="user_id")
+    drained = streaming.run_bounded(counts, spark, mode="update")
+    return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
 # =====================================================================

@@ -83,14 +83,75 @@ def session_aggregates(
     )
 
 
-def run_bounded(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def streaming_dedup(stream: DataFrame, cols: list[str]) -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST row seen per key.
+
+    ``dropDuplicates`` keeps one state entry per distinct key — at
+    100 TB pair it with ``dropDuplicatesWithinWatermark`` so keys age
+    out once the watermark passes them; a bounded replay (as in the
+    correctness gate) can keep full state. Which physical row survives
+    is arrival-order-dependent, so project the emitted columns down to
+    the KEY itself for deterministic results."""
+    return stream.dropDuplicates(cols)
+
+
+def stateful_running_counts(
+    events: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for stream logic Spark's built-in aggregations can't
+    express (here: per-key running event counts, the minimal shape that
+    proves state carries across micro-batches).
+
+    State is one bigint per key in the state store; every micro-batch
+    updates it and emits the new cumulative count ("update" semantics —
+    downstream takes the LAST/max row per key). Arrow-batched pandas,
+    never row-at-a-time."""
+    import pandas as pd  # noqa: F401 — required by the worker closure
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def update_counts(key_tuple, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n]})
+
+    return events.groupBy(key).applyInPandasWithState(
+        update_counts,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_bounded(
+    stream_df: DataFrame, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
     """Drain a bounded stream completely (availableNow) into a memory
-    sink; returns the materialized result as a batch DataFrame."""
+    sink; returns the materialized result as a batch DataFrame.
+
+    ``mode``: "complete" for full-rewrite aggregations, "update" for
+    stateful operators that emit per-batch updates, "append" for
+    row-emitting operators (dedup); with availableNow the drained table
+    is the full result either way."""
     name = f"bounded_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
