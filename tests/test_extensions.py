@@ -94,3 +94,45 @@ def test_streaming_session_window_counts_match_batch(spark, tmp_path):
     g = {r.user_id: r.c for r in got.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
     b = {r.user_id: r.c for r in batch.groupBy("user_id").agg(F.count("*").alias("c")).collect()}
     assert g == b
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ approx_count_distinct must land within ~3x the configured
+    rsd (5% default) of the exact distinct count on real testdata."""
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.15 * n), (k, approx[k], n)
+
+
+def test_approx_percentile_error_bound(spark):
+    """approx_percentile at accuracy=10000 must sit within the exact
+    p25..p75 spread of the exact median per group."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    rows = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("exact50"),
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
+            F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+            F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.p25 <= r.ap50 <= r.p75, r
+        # and within 2% relative of the exact median on this data
+        assert abs(r.ap50 - r.exact50) <= 0.02 * abs(r.exact50), r

@@ -446,6 +446,111 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "hopping_window_events",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT unnest([
+                 date_trunc('hour', ts)
+                   + to_minutes(30 * CAST(floor(extract(minute FROM ts) / 30) AS BIGINT)),
+                 date_trunc('hour', ts)
+                   + to_minutes(30 * CAST(floor(extract(minute FROM ts) / 30) AS BIGINT))
+                   - to_minutes(30)
+               ]) AS ws,
+               event_type
+        FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def hopping_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour windows every 30 minutes, so
+    each event lands in exactly 2 windows. Spark's ``window(ts, len,
+    slide)`` expands rows window-count times BEFORE the shuffle (an
+    Expand, codegen-side) — the oracle replicates that expansion with
+    an explicit 2-element unnest. At 100 TB the fan-out factor
+    len/slide multiplies shuffle volume: keep it small or pre-aggregate
+    per slide-grain then roll up."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@_q(
+    "window_time_range",
+    """
+    SELECT event_id, user_id,
+           round(CAST(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 6) AS avg_value_1h,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS n_events_1h
+    FROM events
+    """,
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE window frame (trailing 1-hour moving average per
+    user): Spark's rangeBetween needs a numeric ordering key, so the
+    frame orders by epoch MICROSECONDS (unix_timestamp would truncate
+    to seconds and disagree with the oracle's µs-precision interval
+    arithmetic at the frame boundary) with rangeBetween(-3.6e9, 0) —
+    semantically identical to SQL RANGE BETWEEN INTERVAL. One shuffle
+    on user_id + one sort serves both aggregates. Events sharing an
+    identical timestamp are frame-PEERS (included together) in both
+    engines, so results are deterministic without a tiebreaker."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w).cast("double"), 6).alias("avg_value_1h"),
+        F.count("*").over(w).alias("n_events_1h"),
+    )
+
+
+@_q("approx_distinct_users")  # no SQL oracle: HLL sketches differ per engine
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): mergeable sketch, single
+    pass, fixed memory per group — the 100 TB replacement for exact
+    COUNT(DISTINCT) (which shuffles every distinct value). No DuckDB
+    oracle (sketches are engine-specific); tests pin the relative error
+    against the exact count instead (default rsd=5%)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_q("approx_percentile_prices")  # no SQL oracle: sketch-based quantiles
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: single-pass mergeable quantile sketch — the
+    scale path the exact ``percentile_prices`` docstring points to.
+    Accuracy parameter 10000 ⇒ rank error ≤ n/10000 per group; tests
+    pin the deviation against exact percentiles."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("ap90"),
+    )
+
+
+@_q(
     "part_brand_stats",
     """
     SELECT p_brand,
