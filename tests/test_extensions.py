@@ -136,3 +136,31 @@ def test_approx_percentile_error_bound(spark):
         assert r.p25 <= r.ap50 <= r.p75, r
         # and within 2% relative of the exact median on this data
         assert abs(r.ap50 - r.exact50) <= 0.02 * abs(r.exact50), r
+
+
+def test_frame_sample_fanout_and_edges(spark):
+    """1->N fan-out: 40 chars / 16-char frames = 3 frames, step 2 keeps
+    frames 0 and 2; empty text yields no rows."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "a" * 40), (2, "")], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.frame_idx): r.frame_md5
+        for r in multimodal.frame_sample(df, frame_chars=16, step=2).collect()
+    }
+    assert set(got) == {(1, 0), (1, 2)}
+    assert got[(1, 0)] == hashlib.md5(b"a" * 16).hexdigest()
+    assert got[(1, 2)] == hashlib.md5(b"a" * 8).hexdigest()  # tail frame
+
+
+def test_thumbnail_deterministic(spark):
+    """Nearest-neighbor sampling: index i reads pos i*n//out; empty
+    text hashes the empty string."""
+    import hashlib
+
+    df = spark.createDataFrame([(1, "abcd"), (2, "")], "doc_id long, text string")
+    got = {r.doc_id: r.thumb_md5 for r in multimodal.thumbnail(df, out_size=4).collect()}
+    assert got[1] == hashlib.md5(b"abcd").hexdigest()
+    assert got[2] == hashlib.md5(b"").hexdigest()

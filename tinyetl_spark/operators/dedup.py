@@ -304,13 +304,18 @@ NGRAM_K = 5  # character n-gram width
 
 def _char_ngrams_from(norm_col: str, k: int = NGRAM_K):
     """Distinct character k-grams from a MATERIALIZED normalized-text
-    column — the normalization must NOT be inlined here: an expression
-    referenced inside the transform lambda is re-evaluated per element
-    (a ~600x regexp_replace blowup on 600-char docs)."""
+    column, via ONE regex pass with a zero-width lookahead (every match
+    position captures the next k chars). The per-index substring
+    formulation is ~3x slower: UTF-8 substring is O(position), so n
+    substring calls cost O(n^2) per document. (?s) because the capture
+    must cross nothing — normalization already collapsed newlines.
+    Texts shorter than k yield the whole text as their single gram
+    (substring semantics, mirrored by the SQL twin)."""
     norm = F.col(norm_col)
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+    grams = F.regexp_extract_all(norm, F.lit(f"(?s)(?=(.{{{k}}}))"), 1)
+    return F.array_distinct(
+        F.when(F.length(norm) < k, F.array(norm)).otherwise(grams)
+    )
 
 
 def norm_text_col(text_col="text"):

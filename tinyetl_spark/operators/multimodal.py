@@ -93,6 +93,128 @@ def byte_histogram(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
+def frame_sample(
+    df: DataFrame,
+    stream_col: str = "text",
+    id_col: str = "doc_id",
+    frame_chars: int = 16,
+    step: int = 2,
+) -> DataFrame:
+    """Frame sampling through the real 1→N mapInPandas plumbing: each
+    input row yields one OUTPUT ROW PER SAMPLED FRAME (every ``step``-th
+    fixed-width chunk), the shape a video pipeline needs (a row per
+    kept frame, not an array column that concentrates a whole video's
+    frames in one row's memory).
+
+    Deterministic fake in place of a codec (none in this container):
+    the "decoded stream" is the document text and a "frame" is a
+    ``frame_chars``-wide chunk; swap the chunker for av/ffmpeg frame
+    extraction over the binary payload and the batching, fan-out shape
+    and output schema stay unchanged. Emits the frame's md5 (not the
+    bytes) so results are compact and exactly oracle-checkable."""
+    schema = f"{id_col} long, frame_idx long, frame_md5 string"
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[stream_col]):
+                t = text or ""
+                n_frames = (len(t) + frame_chars - 1) // frame_chars
+                for fi in range(0, n_frames, step):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    hashes.append(
+                        hashlib.md5(
+                            t[fi * frame_chars : (fi + 1) * frame_chars].encode("utf-8")
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return df.select(id_col, stream_col).mapInPandas(run, schema=schema)
+
+
+def frame_sample_sql(
+    table: str = "documents",
+    stream_col: str = "text",
+    id_col: str = "doc_id",
+    frame_chars: int = 16,
+    step: int = 2,
+) -> str:
+    """DuckDB twin of :func:`frame_sample` (unnest over the sampled
+    frame indices + character-substring chunks)."""
+    return f"""
+    SELECT {id_col},
+           fi AS frame_idx,
+           md5(substring({stream_col}, CAST(fi * {frame_chars} + 1 AS BIGINT), {frame_chars})) AS frame_md5
+    FROM (
+      SELECT {id_col}, {stream_col},
+             unnest(range(0,
+                          (length({stream_col}) + {frame_chars} - 1) // {frame_chars},
+                          {step})) AS fi
+      FROM {table})
+    """
+
+
+def thumbnail(
+    df: DataFrame,
+    stream_col: str = "text",
+    id_col: str = "doc_id",
+    out_size: int = 64,
+) -> DataFrame:
+    """Resize stage through the real mapInPandas plumbing: nearest-
+    neighbor downsample of the decoded stream to exactly ``out_size``
+    samples (index i reads source position ``i*n // out_size``) — the
+    same index arithmetic an image resize does per axis.
+
+    Deterministic fake (no codecs here): samples characters of the
+    text; swap the sampler for PIL.Image.resize over decoded pixels and
+    the batching/schema stay unchanged. Emits the thumb's md5 for exact
+    oracle comparison."""
+    schema = f"{id_col} long, thumb_md5 string"
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = [
+                hashlib.md5(
+                    (
+                        "".join(
+                            t[(i * len(t)) // out_size] for i in range(out_size)
+                        ) if t else ""
+                    ).encode("utf-8")
+                ).hexdigest()
+                for t in (x or "" for x in pdf[stream_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col].values, "thumb_md5": out})
+
+    return df.select(id_col, stream_col).mapInPandas(run, schema=schema)
+
+
+def thumbnail_sql(
+    table: str = "documents",
+    stream_col: str = "text",
+    id_col: str = "doc_id",
+    out_size: int = 64,
+) -> str:
+    """DuckDB twin of :func:`thumbnail` (list_transform over sampled
+    character positions, 1-based substring)."""
+    return f"""
+    SELECT {id_col},
+           md5(list_aggregate(
+                 list_transform(range(0, {out_size}),
+                   i -> substring({stream_col}, CAST(i * length({stream_col}) // {out_size} + 1 AS BIGINT), 1)),
+                 'string_agg', '')) AS thumb_md5
+    FROM {table}
+    """
+
+
 def decode_stub(
     df: DataFrame,
     payload_col: str = "payload",

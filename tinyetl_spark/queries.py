@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from tinyetl_spark.functions.dates import FORMATS, parse_date_multi, parse_date_multi_sql
 from tinyetl_spark.functions.hashing import hash64_col, hash64_sql
-from tinyetl_spark.operators import dedup, relational, similarity, text
+from tinyetl_spark.operators import dedup, multimodal, relational, similarity, text
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1320,6 +1320,23 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return multimodal.dedup_by_digest(multimodal.attach_metadata(d))
+
+
+@_q("multimodal_frame_sample", multimodal.frame_sample_sql(frame_chars=16, step=2))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling through mapInPandas (every 2nd 16-char frame,
+    emitted as md5) — the SQL twin replays the chunk arithmetic with
+    unnest + substring."""
+    return multimodal.frame_sample(
+        load(spark, sf_dir, "documents"), frame_chars=16, step=2
+    )
+
+
+@_q("multimodal_thumbnail", multimodal.thumbnail_sql(out_size=64))
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize to 64 samples through mapInPandas,
+    emitted as md5 — deterministic fake for PIL resize; plumbing real."""
+    return multimodal.thumbnail(load(spark, sf_dir, "documents"), out_size=64)
 
 
 @_q("multimodal_byte_histogram")  # no SQL oracle: Arrow-batched feature
