@@ -159,3 +159,28 @@ def test_ssh_fetch_builds_scp_command(monkeypatch, tmp_path):
     assert cmd[0] == "scp" and "-P" in cmd and "2222" in cmd
     assert "alice@host.example:/data/in.csv" in cmd
     assert "StrictHostKeyChecking=no" in " ".join(cmd)
+
+
+def test_binary_columns_write_as_base64(spark, tmp_path):
+    """Blob -> base64 coercion at CSV and JSON sinks (reference
+    duckdb.rs:293-296 blob handling)."""
+    import base64 as b64
+    import csv as csvmod
+    import json
+
+    from tinyetl_spark.io.files import write_csv, write_json
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\xffhi"))], "id long, payload binary"
+    )
+    out_csv = str(tmp_path / "blob.csv")
+    write_csv(df, out_csv)
+    with open(out_csv, newline="") as fh:
+        rows = list(csvmod.DictReader(fh))
+    assert rows[0]["payload"] == b64.b64encode(b"\x00\xffhi").decode()
+
+    out_json = str(tmp_path / "blob.json")
+    write_json(df, out_json)
+    with open(out_json) as fh:
+        data = json.load(fh)
+    assert data[0]["payload"] == b64.b64encode(b"\x00\xffhi").decode()

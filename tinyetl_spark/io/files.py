@@ -184,6 +184,9 @@ def _stringify_for_csv(df: DataFrame) -> DataFrame:
             cols.append(F.date_format(c, "yyyy-MM-dd'T'00:00:00XXX").alias(f_.name))
         elif isinstance(f_.dataType, (T.StructType, T.ArrayType, T.MapType)):
             cols.append(F.to_json(c).alias(f_.name))
+        elif isinstance(f_.dataType, T.BinaryType):
+            # blob -> base64 text, reference duckdb.rs:293-296
+            cols.append(F.base64(c).alias(f_.name))
         else:
             cols.append(c)
     return df.select(*cols)
@@ -255,6 +258,9 @@ def _json_ready(df: DataFrame) -> DataFrame:
         c = F.col(f_.name)
         if isinstance(f_.dataType, (T.TimestampType, T.TimestampNTZType)):
             cols.append(F.date_format(c, RFC3339_FMT).alias(f_.name))
+        elif isinstance(f_.dataType, T.BinaryType):
+            # blob -> base64 text, reference duckdb.rs:293-296
+            cols.append(F.base64(c).alias(f_.name))
         else:
             cols.append(c)
     return df.select(*cols)

@@ -501,13 +501,18 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         *[F.lit(0).cast("long").alias(f"a{i}") for i in range(_SIM_NACC)]
     )
 
+    # multiply-spread: placing a 4-bit nibble at offsets 0/15/30/45 puts
+    # its bit j at position 16j (j + 15j), i.e. each lane's LSB — one
+    # multiply + mask replaces 4x(shift,mask,shift). Copies don't
+    # overlap (4-bit nibble, 15-bit stride), so no carries.
+    spread_mul = F.lit(1 | (1 << 15) | (1 << 30) | (1 << 45))
+    lane_lsb = F.lit(0x0001000100010001)
+
     def step(acc, h):
         fields = []
         for i in range(_SIM_NACC):
-            s = F.lit(0).cast("long")
-            for j in range(_SIM_LANES):
-                bit = F.shiftright(h, i * _SIM_LANES + j).bitwiseAND(F.lit(1))
-                s = s + F.shiftleft(bit, _SIM_LANE_BITS * j)
+            nib = F.shiftright(h, i * _SIM_LANES).bitwiseAND(F.lit(15))
+            s = (nib * spread_mul).bitwiseAND(lane_lsb)
             fields.append((acc[f"a{i}"] + s).alias(f"a{i}"))
         return F.struct(*fields)
 
