@@ -101,3 +101,50 @@ def test_salted_agg_two_phase(spark):
 def test_no_python_in_builtin_operators(spark, name):
     p = plan_of(spark, name)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hopping_window_expands_before_shuffle(spark):
+    """window(ts, 1h, 30m): fan-out via Expand (codegen-side), then ONE
+    aggregation shuffle — not one pass per slide offset."""
+    p = plan_of(spark, "hopping_window_events")
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_window_time_range_single_shuffle_and_sort(spark):
+    """Both 1-hour trailing aggregates ride one window spec: one
+    Exchange on user_id, one Sort, one Window operator."""
+    p = plan_of(spark, "window_time_range")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 1
+
+
+def test_pivot_has_no_distinct_discovery_pass(spark):
+    """Explicit value-list pivot: single agg shuffle; a values-less
+    pivot() would add a driver-side distinct scan of the pivot column."""
+    p = plan_of(spark, "pivot_priority_status")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_full_outer_joins_preaggregated_sides(spark):
+    """Both sides aggregate to ~25 rows BEFORE the full-outer join —
+    the join itself must not be a row-level SortMergeJoin over raw
+    customer/supplier tables."""
+    p = plan_of(spark, "full_outer_nation_counts")
+    # aggregation happens below the join: two hash aggregates feed it
+    assert p.count("HashAggregate") >= 4  # partial+final per side
+    assert "FullOuter" in p
+
+
+def test_lang_id_no_shuffle_no_python(spark):
+    p = plan_of(spark, "lang_id")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_multimodal_frame_sample_is_arrow_batched(spark):
+    """The escape hatch must be Arrow mapInPandas (MapInPandas/
+    ArrowEvalPython-free row loop never appears)."""
+    p = plan_of(spark, "multimodal_frame_sample")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p

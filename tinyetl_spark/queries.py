@@ -657,22 +657,18 @@ def cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT with an explicit value list — one shuffle, map-side partial
-    aggregation per (priority, status). Never call pivot() without the
-    value list at scale: it inserts a driver-side distinct scan to
-    discover the columns."""
+    """PIVOT as conditional aggregation (count FILTER per value) — ONE
+    shuffle on the group key with map-side combine. ``pivot()`` with an
+    explicit value list compiles to TWO shuffles (pre-agg on
+    (key, pivot-col), then pivotfirst on key), and without the value
+    list adds a driver-side distinct scan on top — for a known value
+    set, conditional aggregation is the plan you want."""
     o = load(spark, sf_dir, "orders")
-    piv = (
-        o.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count(F.lit(1)))
-    )
-    return piv.select(
-        "o_orderpriority",
+    return o.groupBy("o_orderpriority").agg(
         *[
-            F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(f"n_{s.lower()}")
+            F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(f"n_{s.lower()}")
             for s in ("F", "O", "P")
-        ],
+        ]
     )
 
 
