@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 MAX60 = (1 << 60) - 1  # hash64 values lie in [0, 2^60)
 
 
-def hash64_col(col: Column | str, seed: int | None = None) -> Column:
+def hash64_col(col: Column | str, seed: int | str | None = None) -> Column:
     """60-bit non-negative deterministic hash of a string column."""
     c = F.col(col) if isinstance(col, str) else col
     if seed is not None:
@@ -36,7 +36,7 @@ def hash64_col(col: Column | str, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
-def hash64_sql(expr: str, seed: int | None = None) -> str:
+def hash64_sql(expr: str, seed: int | str | None = None) -> str:
     """DuckDB SQL fragment equivalent to :func:`hash64_col`."""
     if seed is not None:
         expr = f"({expr} || chr(31) || '{seed}')"

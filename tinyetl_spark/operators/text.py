@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tinyetl_spark.functions.hashing import hash128_col, hash128_sql
+from tinyetl_spark.functions.hashing import hash64_col, hash64_sql, hash128_col, hash128_sql
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
 # heuristic. Deterministic and SQL-expressible in both engines.
@@ -241,6 +241,99 @@ def tfidf_top_terms_sql(
       FROM scored)
     SELECT {id_col}, term, tfidf, rk FROM ranked WHERE rk <= {top_k}
     """
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into overlapping fixed-width chunks (the
+    context-window prep step of an LLM ingestion pipeline): chunk i
+    covers characters ``[i*stride, i*stride + chunk_chars)`` with
+    ``stride = chunk_chars - overlap``; the last chunk starts at or
+    before ``len - chunk_chars`` so nothing is dropped.
+
+    posexplode runs inside codegen (Generate operator, no Python) and
+    the per-doc chunk count is ~len/stride, so a doc's chunks land in
+    the same scan task — no shuffle at all. Emits (doc_id, chunk_idx,
+    chunk_text)."""
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    # number of chunks: 1 + ceil(max(0, n - chunk_chars) / stride)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - chunk_chars, F.lit(0)) / F.lit(stride)).cast("int")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.sequence(F.lit(0), n_chunks - 1).alias("_idx"),
+    )
+    return base.select(
+        id_col,
+        "_t",
+        F.posexplode("_idx").alias("chunk_idx", "_i"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.expr(f"substring(_t, chunk_idx * {stride} + 1, {chunk_chars})").alias(
+            "chunk_text"
+        ),
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> str:
+    stride = chunk_chars - overlap
+    return f"""
+    SELECT {id_col},
+           ci AS chunk_idx,
+           substring({text_col}, CAST(ci * {stride} + 1 AS BIGINT), {chunk_chars}) AS chunk_text
+    FROM (
+      SELECT {id_col}, {text_col},
+             unnest(range(0,
+                 1 + CAST(ceil(greatest(length({text_col}) - {chunk_chars}, 0)
+                               / {stride}.0) AS BIGINT))) AS ci
+      FROM {table})
+    """
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pct: int = 10,
+    buckets: int = 100,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic hash-based sampling: keep rows whose salted id
+    hash falls in the first ``pct`` of ``buckets`` — the reproducible
+    alternative to ``df.sample()`` (engine-RNG, changes with partition
+    layout) for train/test splits and sampled dev corpora. The same
+    (salt, pct) always selects the SAME documents on any engine or
+    cluster layout; disjoint splits come from complementary ranges of
+    the same salt. Pure codegen expression next to the scan — at 100 TB
+    sampling happens before any shuffle."""
+    keyed = hash64_col(F.col(id_col).cast("string"), seed=salt)
+    return df.filter(keyed % buckets < pct)
+
+
+def hash_sample_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    pct: int = 10,
+    buckets: int = 100,
+    salt: str = "sample",
+) -> str:
+    keyed = hash64_sql(f"CAST({id_col} AS VARCHAR)", seed=salt)
+    return f"SELECT * FROM {table} WHERE {keyed} % {buckets} < {pct}"
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1205,6 +1205,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(load(spark, sf_dir, "documents"), top_k=3)
 
 
+@_q("chunk_documents", text.chunk_documents_sql(chunk_chars=200, overlap=50))
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 200-char chunks, 50-char overlap, 1→N
+    via posexplode (Generate in codegen, zero shuffle)."""
+    return text.chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_chars=200, overlap=50
+    )
+
+
+@_q("hash_sample_docs", text.hash_sample_sql(pct=10))
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by salted id-hash — reproducible across
+    engines and cluster layouts, unlike RNG-based df.sample()."""
+    return text.hash_sample(load(spark, sf_dir, "documents"), pct=10)
+
+
 @_q("minhash_signatures", dedup.minhash_signatures_sql())
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load(spark, sf_dir, "documents"))
