@@ -309,6 +309,42 @@ def set_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "set_except_all_statuses",
+    """
+    SELECT o_orderstatus FROM orders
+    EXCEPT ALL
+    SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_except_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — each right occurrence cancels ONE
+    left occurrence, duplicates survive). Spark plans exceptAll as an
+    Expand(+1/-1 counts) + single-shuffle sum + generate — no join, one
+    pass over each input."""
+    o = load(spark, sf_dir, "orders")
+    left = o.select("o_orderstatus")
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderstatus")
+    return left.exceptAll(right)
+
+
+@_q(
+    "set_intersect_all_statuses",
+    """
+    SELECT o_orderstatus FROM orders WHERE o_totalprice > 150000
+    INTERSECT ALL
+    SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_intersect_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — min of the two multiplicities
+    survives per value). Same Expand + one-shuffle shape as EXCEPT ALL."""
+    o = load(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_totalprice") > 150000).select("o_orderstatus")
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderstatus")
+    return left.intersectAll(right)
+
+
+@_q(
     "salted_user_stats",
     """
     SELECT user_id,
