@@ -38,10 +38,38 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+_RUNTIME_CONFS = {
+    # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark rejects
+    # (PARQUET_TYPE_ILLEGAL); nanosAsLong makes it read as bigint.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Timestamp→string formatting (date_format) follows the session
+    # timezone; oracles (DuckDB) format wall-clock-free, so pin UTC.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def _ensure_runtime_confs(spark: SparkSession) -> None:
+    """Queries must not depend on the session having been built by our
+    ``session.py`` factory — the correctness driver builds its own vanilla
+    SparkSession. Both confs here are runtime SQL confs; re-setting the
+    same value is idempotent and safe mid-session."""
+    for key, want in _RUNTIME_CONFS.items():
+        try:
+            cur = str(spark.conf.get(key, ""))
+        except Exception:
+            cur = ""
+        if cur.lower() != want.lower():
+            spark.conf.set(key, want)
+
+
+# kept as an alias for call sites that read events.parquet directly
+_ensure_nanos_conf = _ensure_runtime_confs
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a testdata table, normalizing nanosecond parquet timestamps
-    (Spark rejects TIMESTAMP(NANOS) — read as long via the session-level
-    nanosAsLong conf set in session.py, convert to µs)."""
+    (read as long via the runtime nanosAsLong conf, convert to µs)."""
+    _ensure_runtime_confs(spark)
     path = f"{sf_dir}/{table}.parquet"
     if table == "events":
         df = spark.read.parquet(path)
@@ -1619,6 +1647,7 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # RAW physical schema (nanos ts reads as bigint under nanosAsLong);
     # the µs conversion happens on the stream below, like load() does
+    _ensure_nanos_conf(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source needs a DIRECTORY; stage the table file
     # into one via symlink (no data copied)
