@@ -40,7 +40,12 @@ def _sf_from_dir(path: str) -> float:
 
 
 def main() -> None:
-    # keep Spark's own logging off stdout — the driver parses stdout
+    # The driver parses stdout (last 2000 chars) — route EVERYTHING any
+    # query or library might print to stderr; only the final JSON line
+    # goes to the real stdout.
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+
     from tinyetl_spark.queries import QUERIES
     from tinyetl_spark.session import get_spark
 
@@ -95,7 +100,30 @@ def main() -> None:
         "baseline_rows_per_sec": 180_000,
         "failures": failures,
     }
-    print(json.dumps(out))
+    # Full per-query detail goes to a sidecar file; the driver's stdout
+    # capture keeps only the LAST 2000 chars, so the single stdout line
+    # must stay under that budget or it gets decapitated and the round
+    # record shows "parsed": null (this happened in round 2 — the full
+    # 79-query dict was ~2900 chars).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        detail_path = None
+    line = dict(out, detail_file="BENCH_DETAIL.json" if detail_path else None)
+    # Inline as many per-query times as fit (slowest first — the ones a
+    # perf audit needs); the sidecar always has all of them.
+    budget = 1900
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    for keep in range(len(slowest), -1, -1):
+        line["queries"] = {k: round(v, 2) for k, v in sorted(slowest[:keep])}
+        line["queries_inlined"] = keep
+        s = json.dumps(line, separators=(",", ":"))
+        if len(s) <= budget:
+            break
+    sys.stdout = real_stdout
+    print(s)
     spark.stop()
 
 
