@@ -296,3 +296,70 @@ def test_cli_generate_config(capsys):
     assert "uri: in.csv" in out and "type: inline" in out
     rc2 = main(["generate-default-config"])
     assert rc2 == 0
+
+
+# ---------------------------------------------- mode policy regressions
+
+def test_supports_append_matches_reference_policy():
+    """parquet/avro are truncate-on-exists in the reference
+    (parquet.rs:508, avro.rs:651); CSV cannot append; DBs append."""
+    from tinyetl_spark.engine import supports_append
+    from tinyetl_spark.uris import parse_uri
+
+    assert not supports_append(parse_uri("out.csv"))
+    assert not supports_append(parse_uri("out.parquet"))
+    assert not supports_append(parse_uri("out.avro"))
+    assert supports_append(parse_uri("out.json"))
+    assert supports_append(parse_uri("db.sqlite#t"))
+
+
+def test_jdbc_targets_are_append_first(spark, tmp_path, monkeypatch):
+    """Server-DB targets must never be dropped by a plain transfer
+    (reference postgres.rs:503-520 appends to existing tables); --truncate
+    maps to overwrite+truncate-option, not drop."""
+    import tinyetl_spark.engine as engine
+
+    seen = {}
+
+    def fake_write(df, tgt, kind, mode="append", batchsize=10_000):
+        seen["mode"] = mode
+        # the engine observes the write job for its row count — run a
+        # real (noop) action or transfer()'s Observation.get blocks
+        df.write.format("noop").mode("overwrite").save()
+
+    monkeypatch.setattr(engine.jio, "write", fake_write)
+    src = str(tmp_path / "in.csv")
+    with open(src, "w") as f:
+        f.write("a,b\n1,2\n")
+    engine.transfer(spark, src, "postgres://u:p@h:5432/db#t")
+    assert seen["mode"] == "append"
+    engine.transfer(spark, src, "postgres://u:p@h:5432/db#t", truncate=True)
+    assert seen["mode"] == "overwrite"
+
+
+def test_transform_boolean_truthiness(spark):
+    """Lua truthiness for BOOLEAN columns: false is falsy (not just nil)
+    — `row.flag and x or y` must pick y for false, and carry through
+    earlier assignments referenced by name."""
+    from tinyetl_spark.transforms import apply_inline
+
+    df = spark.createDataFrame(
+        [(True, 1), (False, 2), (None, 3)], "flag boolean, n int"
+    )
+    out = apply_inline(df, "pick=row.flag and 'yes' or 'no'; again=pick")
+    rows = {r.n: (r.pick, r.again) for r in out.collect()}
+    assert rows[1] == ("yes", "yes")
+    assert rows[2] == ("no", "no")
+    assert rows[3] == ("no", "no")
+
+
+def test_transform_bool_assignment_carries_class(spark):
+    """An earlier boolean ASSIGNMENT must stay falsy-when-false when
+    referenced later (env carries the truthiness class)."""
+    from tinyetl_spark.transforms import apply_inline
+
+    df = spark.createDataFrame([(1,), (5,)], "a int")
+    out = apply_inline(df, "big=row.a > 3; lab=big and 'hi' or 'lo'")
+    rows = {r.a: r.lab for r in out.collect()}
+    assert rows[1] == "lo"
+    assert rows[5] == "hi"

@@ -23,6 +23,10 @@ def _normalize_cell(v):
         return ("f", repr(v))
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat())
+    # list-valued cells: Spark hands back python lists, DuckDB numpy
+    # arrays — normalize both to tuples so equality is well-defined
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("l", tuple(_normalize_cell(x) for x in v))
     return v
 
 

@@ -214,3 +214,22 @@ def test_load_yaml_job_missing_env_is_hard_error(tmp_path, monkeypatch):
     )
     with pytest.raises(MissingEnvVar):
         load_yaml_job(str(job))
+
+
+def test_py_sniffer_matches_distributed_shapes():
+    """Sniffer and distributed parser must accept IDENTICAL string sets
+    (ADVICE r2): strptime alone is laxer (non-padded fields), so a
+    column like '1/5/2023' would sniff DATETIME but parse to all-NULL."""
+    from tinyetl_spark.functions.dates import py_parse_date
+
+    # accepted by both
+    assert py_parse_date("01/05/2023") is not None
+    assert py_parse_date("2023-01-05 04:05:06") is not None
+    assert py_parse_date("2023-01-05T04:05:06.123+01:00") is not None
+    assert py_parse_date("Dec 5, 2023") is not None
+    assert py_parse_date("12/05/2023 04:05 PM") is not None
+    # rejected by the Java side → must be rejected by the sniffer too
+    assert py_parse_date("1/5/2023") is None          # non-padded m/d
+    assert py_parse_date("2023-1-5") is None           # non-padded ISO
+    assert py_parse_date("12/05/2023 04:05 pm") is None  # lowercase am/pm
+    assert py_parse_date("2023-01-05T04:05:06.12") is None  # 2-digit frac

@@ -81,7 +81,7 @@ def read_source(spark: SparkSession, loc: Location, infer: bool = True) -> DataF
                 f"ssh source needs a file extension or --source-type: {loc.raw}"
             )
         return read_source(spark, Location(inner, staged, loc.table), infer=infer)
-    if loc.kind in ("postgres", "mysql", "mssql", "odbc"):
+    if loc.kind in ("postgres", "mysql", "mssql", "odbc", "derby"):
         tgt = jio.build_jdbc(loc.kind, loc.path, loc.table)
         return jio.read(
             spark,
@@ -105,15 +105,19 @@ def target_exists(loc: Location) -> bool:
         from tinyetl_spark.io import duckdb_io
 
         return duckdb_io.table_exists(loc.path, loc.table_name)
-    # server DBs: let the JDBC writer's SaveMode handle existence
+    # server DBs: existence can't be probed without a live connection;
+    # transfer() handles them append-first instead (see mode policy).
     return False
 
 
 def supports_append(loc: Location) -> bool:
     """CSV cannot append (headers would repeat mid-file —
-    src/connectors/csv.rs:352-356); single-file JSON merges; the rest
-    append natively."""
-    return loc.kind != "csv"
+    src/connectors/csv.rs:352-356); parquet and avro targets are
+    truncate-on-exists in the reference (parquet.rs:508, avro.rs:651) —
+    matching that also keeps policy and behavior agreed for single-file
+    avro, whose writer rewrites the file whole. Single-file JSON merges;
+    embedded/server DBs append natively."""
+    return loc.kind not in ("csv", "parquet", "avro")
 
 
 def write_target(df: DataFrame, loc: Location, append: bool) -> int | None:
@@ -138,7 +142,7 @@ def write_target(df: DataFrame, loc: Location, append: bool) -> int | None:
         from tinyetl_spark.io import snowflake_mock
 
         snowflake_mock.write_table(df, loc.path, loc.table_name)
-    elif loc.kind in ("postgres", "mysql", "mssql", "odbc"):
+    elif loc.kind in ("postgres", "mysql", "mssql", "odbc", "derby"):
         tgt = jio.build_jdbc(loc.kind, loc.path, loc.table)
         jio.write(df, tgt, loc.kind, mode="append" if append else "overwrite")
     elif loc.kind == "http":
@@ -204,13 +208,21 @@ def transfer(
         return TransferStats(0, time.perf_counter() - t0, df.columns)
 
     # mode policy (src/transfer.rs:92-118)
-    exists = target_exists(tgt)
-    if exists and truncate:
-        append = False
-    elif exists and supports_append(tgt):
-        append = True
+    if tgt.kind in ("postgres", "mysql", "mssql", "odbc", "derby"):
+        # Server DBs are append-first like the reference
+        # (postgres.rs:503-520): existing tables are appended to, never
+        # dropped; JDBC SaveMode 'append' also creates missing tables.
+        # --truncate maps to overwrite+truncate (TRUNCATE TABLE, DDL
+        # preserved — jio.write sets the option), not drop+recreate.
+        append = not truncate
     else:
-        append = False  # missing, or exists-but-no-append (CSV) → recreate
+        exists = target_exists(tgt)
+        if exists and truncate:
+            append = False
+        elif exists and supports_append(tgt):
+            append = True
+        else:
+            append = False  # missing, or exists-but-no-append → recreate
 
     if tgt.kind in ("sqlite", "duckdb", "avro"):
         # driver-side sinks stream toLocalIterator and count themselves;

@@ -41,26 +41,31 @@ FORMATS: list[tuple[str, str]] = [
     ("MMMM d, yyyy", "%B %-d, %Y"),
 ]
 
-# Python strptime twins (same precedence) for the DRIVER-side sample
-# sniffer in schema_infer — the cluster-side parse is parse_date_multi.
-# %d accepts zero-padded and (on parse) non-padded day numbers, so one
-# pattern covers both "Dec 5, 2023" and "Dec 05, 2023".
-PY_FORMATS: list[str] = [
-    "%Y-%m-%dT%H:%M:%S%z",
-    "%Y-%m-%dT%H:%M:%S.%f%z",
-    "%Y-%m-%dT%H:%M:%S",
-    "%Y-%m-%dT%H:%M:%S.%f",
-    "%Y-%m-%d %H:%M:%S",
-    "%Y-%m-%d %H:%M",
-    "%m/%d/%Y %H:%M:%S",
-    "%m/%d/%Y %I:%M %p",
-    "%d.%m.%Y %H:%M:%S",
-    "%Y-%m-%d",
-    "%m/%d/%Y",
-    "%d.%m.%Y",
-    "%Y/%m/%d",
-    "%b %d, %Y",
-    "%B %d, %Y",
+# Python strptime twins for the DRIVER-side sample sniffer in
+# schema_infer — the cluster-side parse is parse_date_multi. strptime is
+# MORE lenient than Java's DateTimeFormatter (accepts non-padded fields
+# like "1/5/2023", 1-6 digit fractions, lowercase am/pm), so each format
+# is gated behind a STRICT full-string regex matching exactly what the
+# corresponding Java pattern in _SHAPE_CLASSES accepts. Without this, a
+# column of "1/5/2023" values sniffs as DATETIME but the distributed
+# parse NULLs every row.
+PY_SHAPE_FORMATS: list[tuple[str, list[str]]] = [
+    (
+        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{3}|\.\d{6})?(Z|[+-]\d{2}:\d{2})?$",
+        ["%Y-%m-%dT%H:%M:%S%z", "%Y-%m-%dT%H:%M:%S.%f%z",
+         "%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M:%S.%f"],
+    ),
+    (r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}(:\d{2})?$",
+     ["%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M"]),
+    (r"^\d{4}-\d{2}-\d{2}$", ["%Y-%m-%d"]),
+    (r"^\d{2}/\d{2}/\d{4} \d{2}:\d{2}:\d{2}$", ["%m/%d/%Y %H:%M:%S"]),
+    (r"^\d{2}/\d{2}/\d{4} \d{2}:\d{2} (AM|PM)$", ["%m/%d/%Y %I:%M %p"]),
+    (r"^\d{2}/\d{2}/\d{4}$", ["%m/%d/%Y"]),
+    (r"^\d{2}\.\d{2}\.\d{4} \d{2}:\d{2}:\d{2}$", ["%d.%m.%Y %H:%M:%S"]),
+    (r"^\d{2}\.\d{2}\.\d{4}$", ["%d.%m.%Y"]),
+    (r"^\d{4}/\d{2}/\d{2}$", ["%Y/%m/%d"]),
+    # month-name fallback — Java 'd' accepts 1-2 digit days
+    (r"^[A-Za-z]{3,9} \d{1,2}, \d{4}$", ["%b %d, %Y", "%B %d, %Y"]),
 ]
 
 
@@ -68,19 +73,25 @@ def py_parse_date(value: str):
     """Driver-side twin of the multi-format chain: first match wins,
     None when nothing matches. Includes the reference's cheap
     might-be-a-date prefilter shape (reference src/date_parser.rs:120-173)
-    — a value with no digit or no separator is never a date."""
+    — a value with no digit or no separator is never a date. Accepts
+    EXACTLY the string set the distributed parse_date_multi accepts
+    (shape-gated; see PY_SHAPE_FORMATS)."""
     import datetime as _dt
+    import re as _re
 
     v = value.strip()
     if len(v) < 6 or not any(ch.isdigit() for ch in v):
         return None
     if not any(sep in v for sep in ("-", "/", ".", ",", ":")):
         return None
-    for fmt in PY_FORMATS:
-        try:
-            return _dt.datetime.strptime(v, fmt)
-        except ValueError:
+    for shape, fmts in PY_SHAPE_FORMATS:
+        if not _re.match(shape, v):
             continue
+        for fmt in fmts:
+            try:
+                return _dt.datetime.strptime(v, fmt)
+            except ValueError:
+                continue
     return None
 
 

@@ -32,6 +32,7 @@ _JDBC_SUBPROTOCOL = {
     "odbc": "odbc",
     "snowflake": "snowflake",
     "duckdb": "duckdb",
+    "derby": "derby",
 }
 
 _DRIVER_CLASS = {
@@ -40,6 +41,12 @@ _DRIVER_CLASS = {
     "mssql": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
     "duckdb": "org.duckdb.DuckDBDriver",
     "snowflake": "net.snowflake.client.jdbc.SnowflakeDriver",
+    # Derby ships in the Spark distribution (derby*.jar on the default
+    # classpath — it backs the Hive metastore), so this connector runs
+    # LIVE in any Spark install: it exercises the exact read/write code
+    # path the server connectors share (option mapping, bounds query,
+    # partitioned reads, createTableColumnTypes DDL).
+    "derby": "org.apache.derby.jdbc.EmbeddedDriver",
 }
 
 _DEFAULT_PORT = {"postgres": 5432, "mysql": 3306, "mssql": 1433}
@@ -63,6 +70,17 @@ DDL_TYPE_MAPS: dict[str, dict[str, str]] = {
         "string": "NVARCHAR(MAX)", "integer": "BIGINT", "decimal": "DECIMAL(18,6)",
         "boolean": "BIT", "date": "DATETIME2", "datetime": "DATETIME2",
         "json": "NVARCHAR(MAX)",
+    },
+    # Derby: strings are omitted (None) — Spark's DerbyDialect binds
+    # string NULLs with the CLOB JDBC type, which Derby refuses to
+    # coerce into a VARCHAR column (ERROR 22005), and 'CLOB' itself is
+    # not a type Spark's createTableColumnTypes parser accepts — so
+    # string columns must use the dialect default (CLOB). Derby is the
+    # live test harness, not a parity target.
+    "derby": {
+        "string": None, "integer": "BIGINT", "decimal": "DOUBLE",
+        "boolean": "BOOLEAN", "date": "TIMESTAMP", "datetime": "TIMESTAMP",
+        "json": None,
     },
 }
 
@@ -97,6 +115,10 @@ def build_jdbc(kind: str, uri: str, table: str | None) -> JdbcTarget:
         props[k] = v[-1]
     if kind == "mssql":
         url = f"jdbc:{sub}://{host}:{port};databaseName={db}"
+    elif kind == "derby":
+        # embedded: derby:///path/to/db#table → jdbc:derby:/path/to/db
+        path = uri.split("://", 1)[1].split("#")[0]
+        url = f"jdbc:derby:{path};create=true"
     elif kind == "odbc":
         # ODBC DSN-style: everything after the scheme is the DSN string
         url = f"jdbc:odbc:{uri.split('://', 1)[1].split('#')[0]}"
@@ -129,15 +151,20 @@ def read(
     if partition_column:
         bounds = spark.read.format("jdbc").option("url", tgt.url).option(
             "query",
-            f"SELECT MIN({partition_column}) lo, MAX({partition_column}) hi FROM {tgt.table}",
+            # explicit AS (Derby rejects implicit column aliases) and
+            # ANSI-quoted column (case-folding DBs would otherwise
+            # uppercase it away from the exact name Spark's writer made)
+            f'SELECT MIN("{partition_column}") AS lo, '
+            f'MAX("{partition_column}") AS hi FROM {tgt.table}',
         )
         for k, v in tgt.properties.items():
             bounds = bounds.option(k, v)
+        # positional access: case-folding DBs may return LO/HI
         row = bounds.load().collect()[0]
         reader = (
             reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(row["lo"]))
-            .option("upperBound", str(row["hi"]))
+            .option("lowerBound", str(row[0]))
+            .option("upperBound", str(row[1]))
             .option("numPartitions", str(num_partitions))
         )
     return reader.load()
@@ -158,6 +185,11 @@ def write(
         .option("batchsize", str(batchsize))
         .mode(mode)
     )
+    if mode == "overwrite":
+        # TRUNCATE TABLE instead of DROP+CREATE — preserves existing DDL,
+        # indexes and grants, matching the reference's truncate semantics
+        # (postgres.rs:503-520; drop-on-overwrite would destroy them).
+        writer = writer.option("truncate", "true")
     ddl = DDL_TYPE_MAPS.get(kind)
     if ddl:
         from pyspark.sql import types as T
@@ -165,16 +197,21 @@ def write(
         mapping = []
         for f in df.schema.fields:
             if isinstance(f.dataType, T.StringType):
-                mapping.append(f'{f.name} {ddl["string"]}')
+                t = ddl["string"]
             elif isinstance(f.dataType, (T.LongType, T.IntegerType)):
-                mapping.append(f'{f.name} {ddl["integer"]}')
+                t = ddl["integer"]
             elif isinstance(f.dataType, (T.DoubleType, T.FloatType, T.DecimalType)):
-                mapping.append(f'{f.name} {ddl["decimal"]}')
+                t = ddl["decimal"]
             elif isinstance(f.dataType, T.BooleanType):
-                mapping.append(f'{f.name} {ddl["boolean"]}')
+                t = ddl["boolean"]
             elif isinstance(f.dataType, (T.TimestampType, T.DateType)):
-                mapping.append(f'{f.name} {ddl["datetime"]}')
-        writer = writer.option("createTableColumnTypes", ", ".join(mapping))
+                t = ddl["datetime"]
+            else:
+                t = None
+            if t is not None:  # None ⇒ defer to the Spark dialect default
+                mapping.append(f"{f.name} {t}")
+        if mapping:
+            writer = writer.option("createTableColumnTypes", ", ".join(mapping))
     for k, v in tgt.properties.items():
         writer = writer.option(k, v)
     writer.save()

@@ -587,30 +587,62 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("approx_distinct_users")  # no SQL oracle: HLL sketches differ per engine
+@_q(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): mergeable sketch, single
     pass, fixed memory per group — the 100 TB replacement for exact
-    COUNT(DISTINCT) (which shuffles every distinct value). No DuckDB
-    oracle (sketches are engine-specific); tests pin the relative error
-    against the exact count instead (default rsd=5%)."""
+    COUNT(DISTINCT) (which shuffles every distinct value). HLL sketches
+    are engine-specific, so the HASH-CHECKED surface is a tolerance
+    boolean: |approx - exact| / exact ≤ 3×rsd (rsd 0.05 ⇒ bound 0.15;
+    approx_count_distinct is deterministic for fixed input, so the
+    boolean is stable). The oracle emits the exact count and TRUE."""
     e = load(spark, sf_dir, "events")
+    exact = F.count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.05)
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.count("*").alias("n_events"),
+        exact.alias("exact_users"),
+        ((F.abs(approx - exact) / exact) <= F.lit(0.15)).alias("within_bound"),
     )
 
 
-@_q("approx_percentile_prices")  # no SQL oracle: sketch-based quantiles
+@_q(
+    "approx_percentile_prices",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+           TRUE AS p50_ok,
+           TRUE AS p90_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: single-pass mergeable quantile sketch — the
     scale path the exact ``percentile_prices`` docstring points to.
-    Accuracy parameter 10000 ⇒ rank error ≤ n/10000 per group; tests
-    pin the deviation against exact percentiles."""
+    Accuracy 10000 ⇒ rank error ≤ n/10000 per group. The sketch value is
+    engine-specific, so the hash-checked surface is the exact percentile
+    (Spark ``percentile`` == DuckDB ``quantile_cont``) plus a tolerance
+    boolean |approx-exact|/exact ≤ 5% (deterministic for fixed input)."""
     o = load(spark, sf_dir, "orders")
+    ex50 = F.percentile("o_totalprice", F.lit(0.50))
+    ex90 = F.percentile("o_totalprice", F.lit(0.90))
+    ap50 = F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000))
+    ap90 = F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000))
     return o.groupBy("o_orderstatus").agg(
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
-        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("ap90"),
+        F.round(ex50, 4).alias("p50"),
+        F.round(ex90, 4).alias("p90"),
+        ((F.abs(ap50 - ex50) / ex50) <= F.lit(0.05)).alias("p50_ok"),
+        ((F.abs(ap90 - ex90) / ex90) <= F.lit(0.05)).alias("p90_ok"),
     )
 
 
@@ -1415,11 +1447,30 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.thumbnail(load(spark, sf_dir, "documents"), out_size=64)
 
 
-@_q("multimodal_byte_histogram")  # no SQL oracle: Arrow-batched feature
+@_q(
+    "multimodal_byte_histogram",
+    """
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents
+    )
+    SELECT doc_id,
+           [{bins}] AS hist
+    FROM chars GROUP BY doc_id
+    """.replace(
+        "{bins}",
+        ", ".join(
+            f"CAST(SUM(CASE WHEN ord(ch) // 16 = {b} THEN 1 ELSE 0 END) AS BIGINT)"
+            for b in range(16)
+        ),
+    ),
+)
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-free byte-level feature through the REAL multimodal decode
-    plumbing (mapInPandas over binary payloads). Rows-only correctness
-    check; unit tests pin exact histogram values."""
+    plumbing (mapInPandas over binary payloads). The payload here is the
+    UTF-8 encoding of `text`, and the corpus is pure ASCII (verified both
+    sfs), so a per-character code-point binning in DuckDB is the exact
+    byte histogram — a real value-hash oracle for the Arrow path."""
     from tinyetl_spark.operators import multimodal
 
     d = load(spark, sf_dir, "documents").select(
@@ -1619,6 +1670,30 @@ def duckdb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(os.path.dirname(out), exist_ok=True)
     transfer(spark, f"{sf_dir}/supplier.parquet", f"{out}#supplier", truncate=True)
     back = duckdb_io.read_table(spark, out, "supplier")
+    return back.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@_q(
+    "jdbc_roundtrip",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → LIVE JDBC write (embedded Derby — its jars ship in
+    every Spark distribution) → parallel JDBC read-back with a
+    partitionColumn range split. This executes the exact reader/writer
+    code path the postgres/mysql/mssql connectors share
+    (io/jdbc.py read/write: option mapping, bounds query, DDL type map,
+    truncate-on-overwrite), which the reference tests against live
+    servers (src/connectors/postgres.rs:304-543). Idempotent via
+    --truncate semantics."""
+    from tinyetl_spark.engine import transfer
+    from tinyetl_spark.io import jdbc as jio
+
+    out = _roundtrip_dir(sf_dir, "rt_derby")
+    transfer(spark, f"{sf_dir}/supplier.parquet", f"derby://{out}#supplier",
+             truncate=True)
+    tgt = jio.build_jdbc("derby", f"derby://{out}", "supplier")
+    back = jio.read(spark, tgt, partition_column="s_suppkey", num_partitions=4)
     return back.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
 
 

@@ -352,18 +352,29 @@ class _Compiler:
         input_cols: list[str],
         env: dict[str, Column],
         dtypes: dict[str, str] | None = None,
+        env_cls: dict[str, str] | None = None,
     ):
         self.input_cols = input_cols
         self.env = env
         self.dtypes = dtypes or {}
+        self.env_cls = env_cls or {}
 
     def compile(self, node: Node) -> Column:
         col, _ = self._c(node)
         return col
 
+    def compile_with_cls(self, node: Node) -> tuple[Column, str]:
+        return self._c(node)
+
     def _cls_of(self, name: str) -> str:
         dt = self.dtypes.get(name, "")
-        return "ts" if dt.startswith(("timestamp", "date")) else "col"
+        if dt.startswith(("timestamp", "date")):
+            return "ts"
+        # Lua truthiness: a BOOLEAN input column referenced as row.flag
+        # must be falsy when false, not merely when null.
+        if dt == "boolean":
+            return "bool"
+        return "col"
 
     def _strctx(self, col: Column, cls: str) -> Column:
         """A value entering a STRING context: timestamps become their
@@ -384,7 +395,7 @@ class _Compiler:
         if node.kind == "name":
             name = str(node.val)
             if name in self.env:
-                return self.env[name], "col"
+                return self.env[name], self.env_cls.get(name, "col")
             if name in self.input_cols:
                 return F.col(name), self._cls_of(name)
             raise TransformError(
@@ -611,12 +622,18 @@ def apply_inline(df: DataFrame, expressions: str) -> DataFrame:
     if not assignments:
         raise TransformError("No valid expressions provided")
     env: dict[str, Column] = {}
+    env_cls: dict[str, str] = {}
     dtypes = dict(df.dtypes)  # for the dates-as-strings marshalling rule
     out = df
     for name, expr_src in assignments:
-        col = _Compiler(df.columns, env, dtypes).compile(parse_expression(expr_src))
+        col, cls = _Compiler(df.columns, env, dtypes, env_cls).compile_with_cls(
+            parse_expression(expr_src)
+        )
         out = out.withColumn(name, col)
         env[name] = F.col(name)
+        # carry truthiness class forward so `y = flag and a or b` sees a
+        # boolean-classed `flag` from an earlier assignment, like Lua
+        env_cls[name] = cls if cls in ("bool", "ts") else "col"
     return out
 
 

@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 
 FILE_KINDS = {"csv", "json", "parquet", "avro"}
 EMBEDDED_DB_KINDS = {"sqlite", "duckdb"}
-SERVER_DB_KINDS = {"postgres", "mysql", "mssql", "odbc", "snowflake"}
+SERVER_DB_KINDS = {"postgres", "mysql", "mssql", "odbc", "snowflake", "derby"}
 TRANSPORT_KINDS = {"http", "ssh"}
 
 _EXT_TO_KIND = {
@@ -51,6 +51,11 @@ _SCHEME_TO_KIND = {
     "ssh": "ssh",
     "sqlite": "sqlite",
     "duckdb": "duckdb",
+    # Embedded Apache Derby, driven through the REAL Spark JDBC
+    # reader/writer — its jars ship inside every Spark distribution, so
+    # this is the one JDBC path we can exercise live without vendoring
+    # drivers. derby:///path/to/db#table
+    "derby": "derby",
 }
 
 
