@@ -64,8 +64,12 @@ def main() -> None:
         best = None
         for _rep in range(2):
             try:
-                df = fn(spark, SF_DIR)
+                # clock covers construction AND execution: several
+                # queries do real work eagerly (round-trip writes,
+                # candidate-table materialization) — starting the clock
+                # after fn() would hide it
                 t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
                 best = elapsed if best is None else min(best, elapsed)

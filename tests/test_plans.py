@@ -148,3 +148,29 @@ def test_multimodal_frame_sample_is_arrow_batched(spark):
     p = plan_of(spark, "multimodal_frame_sample")
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_embedding_quantize_no_shuffle_no_python(spark):
+    """Quantization is a per-row projection: zero Exchange, zero Python,
+    and the scale fold must NOT be inlined into the quantize lambda
+    (which would re-evaluate the array_max per element)."""
+    p = plan_of(spark, "embedding_quantize")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # one array_max in the whole plan — not d copies
+    assert p.count("array_max") == 1
+
+
+def test_asof_tolerance_single_shuffle_no_join(spark):
+    """As-of with tolerance keeps the union+window shape: ONE shuffle on
+    the key, no join operator of any kind in the plan."""
+    p = plan_of(spark, "asof_tolerance")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_derby_jdbc_roundtrip_is_partitioned_scan(spark):
+    """The JDBC read-back side must be a parallel partitioned scan (4
+    range partitions), not a single-connection pull."""
+    df = QUERIES["jdbc_roundtrip"](spark, SF_DIR)
+    assert df.rdd.getNumPartitions() == 4

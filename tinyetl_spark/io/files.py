@@ -328,7 +328,8 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> int | None:
             raise RuntimeError(
                 "directory Avro datasets need the spark-avro module "
                 "(--packages org.apache.spark:spark-avro_2.13:<version>); "
-                "single-file .avro targets work without it"
+                "single-file .avro targets work without it — see "
+                "README.md 'What needs extra jars'"
             ) from exc
     try:
         tmp = tempfile.mkdtemp(prefix="tinyetl_avro_")

@@ -465,3 +465,78 @@ def cosine_near_dups_sql(
       ON a.blk = b.blk AND a.{id_col} < b.{id_col}
     WHERE round({cosine_sql(va, vb)}, 6) >= {threshold}
     """
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = 127/max|x|,
+    q_i = floor(x_i * scale + 0.5) ∈ [-127, 127].
+
+    The production ANN memory move: float32 → int8 shrinks a 100 TB
+    embedding corpus 4× and quadruples effective cache/IO bandwidth;
+    recall loss is negligible for cosine ranking after re-scoring.
+    All JVM-side HOFs (transform/array_max) in one projection, zero
+    shuffle, zero Python.
+
+    ``floor(x*s + 0.5)`` deliberately — NOT round(): Spark's round is
+    HALF_UP on the decimal representation while DuckDB rounds on the
+    binary double, so exact .5 products can diverge between engines;
+    floor(+0.5) is pure IEEE double arithmetic, identical everywhere.
+    A zero vector gets scale 0 (all-zero codes), not a NaN.
+    """
+    # scale is materialized as its OWN projection before the quantize
+    # lambda references it: a HOF expression referenced inside another
+    # lambda is re-evaluated per element (the array_max fold would run
+    # d times per row, O(d²))
+    v = _vec(vec_col)
+    prep = (
+        df.select(F.col(id_col), v.alias("_vd"))
+        .select(
+            F.col(id_col),
+            F.col("_vd"),
+            F.array_max(F.transform(F.col("_vd"), lambda x: F.abs(x))).alias("_m"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_vd"),
+            F.when(F.col("_m") == 0.0, F.lit(0.0))
+            .otherwise(F.lit(127.0) / F.col("_m"))
+            .alias("_s"),
+        )
+    )
+    q = F.transform(
+        F.col("_vd"), lambda x: F.floor(x * F.col("_s") + F.lit(0.5)).cast("bigint")
+    )
+    return prep.select(
+        F.col(id_col),
+        q.alias("q"),
+        F.round(F.col("_s"), 6).alias("scale"),
+    )
+
+
+def quantize_int8_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin (scale hoisted to a CTE column — DuckDB lambdas may
+    reference row columns but not subqueries)."""
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH prep AS (
+      SELECT {id_col},
+             {v} AS vd,
+             list_max(list_transform({v}, x -> abs(x))) AS m
+      FROM {table}),
+    scaled AS (
+      SELECT {id_col}, vd,
+             CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END AS s
+      FROM prep)
+    SELECT {id_col},
+           list_transform(vd, x -> CAST(floor(x * s + 0.5) AS BIGINT)) AS q,
+           round(s, 6) AS scale
+    FROM scaled
+    """

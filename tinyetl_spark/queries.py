@@ -1002,6 +1002,43 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_tolerance",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN v.ts >= p.ts - INTERVAL 1 HOUR THEN v.event_id END
+               AS view_event_id,
+           CASE WHEN v.ts >= p.ts - INTERVAL 1 HOUR
+                THEN strftime(v.ts, '%Y-%m-%d %H:%M:%S') END AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance: the most recent prior view only
+    counts if it happened within 1 hour of the purchase. Tolerance ==
+    as-of + post-filter (the match, when older than the bound, becomes
+    NULL — it is NOT replaced by an older in-bound row), which is why
+    the DuckDB twin is ASOF LEFT JOIN + CASE, bit-exact."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view")
+    joined = relational.asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id"], tolerance_seconds=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("event_id_matched").alias("view_event_id"),
+        F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
+@_q(
     "range_pairs_events",
     """
     SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
@@ -1327,14 +1364,22 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidates(load(spark, sf_dir, "documents"))
 
 
+def _materialized_candidates(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
+    """The verify stage references the LSH candidate table twice (id
+    prefilter + pair join) and exchange reuse does not cross AQE
+    subqueries — so the two-stage dedup pipelines write candidates to
+    parquet between stages, exactly as a 100 TB job would (survives
+    executor loss, read twice at IO cost instead of recomputing the
+    whole minhash pipeline)."""
+    path = _roundtrip_dir(sf_dir, "minhash_cands.parquet")
+    dedup.minhash_candidates(docs).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @_q("near_dup_jaccard", dedup.minhash_jaccard_sql(threshold=0.3))
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    # the verify stage references candidates twice (id prefilter + pair
-    # join) and exchange reuse does not cross AQE subqueries —
-    # materialize the LSH pipeline once (at cluster scale: persist or
-    # write the candidate table between stages)
-    cands = dedup.minhash_candidates(docs).localCheckpoint(eager=False)
+    cands = _materialized_candidates(spark, sf_dir, docs)
     return dedup.jaccard_verify(docs, cands, threshold=0.3)
 
 
@@ -1342,7 +1387,7 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-5-gram Jaccard verify over minhash-LSH candidates."""
     docs = load(spark, sf_dir, "documents")
-    cands = dedup.minhash_candidates(docs).localCheckpoint(eager=False)
+    cands = _materialized_candidates(spark, sf_dir, docs)
     return dedup.ngram_jaccard(docs, cands, threshold=0.2)
 
 
@@ -1359,6 +1404,14 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("embedding_norms", similarity.embedding_norms_sql())
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_norms(load(spark, sf_dir, "embeddings"))
+
+
+@_q("embedding_quantize", similarity.quantize_int8_sql())
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus — the 4×
+    memory/IO shrink a 100 TB ANN index needs. floor(x*s+0.5), not
+    round() (HALF_UP decimal vs binary divergence between engines)."""
+    return similarity.quantize_int8(load(spark, sf_dir, "embeddings"))
 
 
 @_q("ann_brute_topk", similarity.brute_topk_sql(query_id=0, k=10))
