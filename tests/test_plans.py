@@ -174,3 +174,21 @@ def test_derby_jdbc_roundtrip_is_partitioned_scan(spark):
     range partitions), not a single-connection pull."""
     df = QUERIES["jdbc_roundtrip"](spark, SF_DIR)
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_repetition_stats_two_phase_agg(spark):
+    """Explode feeds a map-side-combined (doc,word) count, then a per-doc
+    rollup: exactly one hashpartitioning exchange per aggregation level,
+    no Python anywhere."""
+    p = plan_of(spark, "repetition_stats")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_decontam_overlap_broadcasts_heldout(spark):
+    """The held-out shingle set must be the broadcast side — the training
+    corpus is probed in place, never shuffled for the join."""
+    p = plan_of(spark, "decontam_overlap")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

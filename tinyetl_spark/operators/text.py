@@ -347,3 +347,108 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def fingerprint_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
     norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
     return f"SELECT {id_col}, {hash128_sql(norm)} AS fingerprint FROM {table}"
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document: word count,
+    distinct-word count/ratio, and the fraction of the document taken by
+    its single most frequent word. High top_word_frac / low
+    distinct_ratio flags boilerplate and degenerate repetition — a
+    standard pre-training quality filter.
+
+    Plan: explode → two-phase aggregation. The explode+groupBy IS the
+    honest per-(doc,word) shuffle (partial counts combine map-side);
+    the second aggregation is per-doc and rides the same partitioning
+    opportunity. No Python anywhere."""
+    w = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("word"))
+    wc = w.groupBy(id_col, "word").agg(F.count("*").alias("c"))
+    return wc.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"),
+    )
+
+
+def repetition_stats_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    w = words_sql(text_col)
+    return f"""
+    WITH exploded AS (
+        SELECT {id_col}, unnest({w}) AS word FROM {table}),
+    wc AS (
+        SELECT {id_col}, word, COUNT(*) AS c FROM exploded GROUP BY 1, 2)
+    SELECT {id_col},
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(COUNT(*) / SUM(c), 6) AS distinct_ratio,
+           round(MAX(c) / SUM(c), 6) AS top_word_frac
+    FROM wc GROUP BY {id_col}
+    """
+
+
+DECONTAM_K = 5       # words per shingle
+DECONTAM_MOD = 97    # doc_id % MOD == 0 ⇒ held-out "benchmark" doc
+
+
+def _shingle_col(ws: str, k: int) -> F.Column:
+    """k-word shingles of an array column (codegen HOF, no Python)."""
+    return F.expr(
+        f"transform(sequence(1, size({ws}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({ws}, i, {k})))"
+    )
+
+
+def decontam_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DECONTAM_K,
+    mod: int = DECONTAM_MOD,
+) -> DataFrame:
+    """Test-set decontamination: flag training documents sharing any
+    k-word shingle with the held-out set (doc_id % mod == 0 stands in
+    for the benchmark corpus). Output: (doc_id, n_overlap) for
+    contaminated training docs, n_overlap = # distinct shared shingles.
+
+    Scale shape: the held-out side (benchmarks are ~1e5 docs, not 1e9)
+    collapses to DISTINCT shingles and is BROADCAST — the training
+    corpus is never shuffled, each scan task probes the in-memory hash
+    set, then one groupBy on the (small) contaminated survivors."""
+    ws = df.select(
+        F.col(id_col), words_col(text_col).alias("_ws")
+    ).filter(F.size("_ws") >= k)
+    sh = ws.select(F.col(id_col), F.explode(_shingle_col("_ws", k)).alias("s"))
+    eval_sh = (
+        sh.filter(F.col(id_col) % mod == 0).select("s").distinct()
+    )
+    train = sh.filter(F.col(id_col) % mod != 0)
+    return (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count_distinct("s").alias("n_overlap"))
+    )
+
+
+def decontam_overlap_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DECONTAM_K,
+    mod: int = DECONTAM_MOD,
+) -> str:
+    w = words_sql(text_col)
+    return f"""
+    WITH ws AS (
+        SELECT {id_col}, {w} AS arr FROM {table}
+        WHERE len({w}) >= {k}),
+    sh AS (
+        SELECT {id_col},
+               unnest(list_transform(range(1, len(arr) - {k - 1} + 1),
+                                     i -> array_to_string(arr[i:i+{k - 1}], ' '))) AS s
+        FROM ws),
+    ev AS (SELECT DISTINCT s FROM sh WHERE {id_col} % {mod} = 0)
+    SELECT sh.{id_col}, COUNT(DISTINCT sh.s) AS n_overlap
+    FROM sh JOIN ev ON sh.s = ev.s
+    WHERE sh.{id_col} % {mod} <> 0
+    GROUP BY sh.{id_col}
+    """

@@ -1347,6 +1347,21 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("repetition_stats", text.repetition_stats_sql())
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (distinct-word ratio,
+    top-word fraction) — pre-training boilerplate filter."""
+    return text.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@_q("decontam_overlap", text.decontam_overlap_sql())
+def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: training docs sharing a 5-word shingle
+    with the held-out slice (doc_id % 97 == 0). Held-out shingles are
+    broadcast; the training corpus is never shuffled."""
+    return text.decontam_overlap(load(spark, sf_dir, "documents"))
+
+
 @_q("hash_sample_docs", text.hash_sample_sql(pct=10))
 def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% sample by salted id-hash — reproducible across
