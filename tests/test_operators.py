@@ -92,3 +92,16 @@ def test_simhash_bucket_cap_drops_hot_bucket(spark):
     small = spark.createDataFrame(rows[:10], "doc_id long, text string")
     got_small = dedup.simhash_near_dups(small, max_hamming=3, max_bucket_size=64)
     assert got_small.count() == 45  # all 10-choose-2 identical pairs
+
+
+def test_connected_components_chain_star_and_pair(spark):
+    # chain 1-2-3-4 (diameter > 1 forces >1 propagation round),
+    # star 10-{11,12,13}, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}

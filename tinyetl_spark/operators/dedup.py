@@ -640,3 +640,127 @@ def simhash_near_dups_sql(
     WHERE a.{id_col} < b.{id_col}
       AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# ------------------------------------------- connected components
+
+# target edges per union-find task: a parent dict over ~2×2M longs is
+# ~300 MB of CPython objects — comfortably inside an executor task
+_CC_EDGES_PER_TASK = 2_000_000
+
+
+def _local_star(batches):
+    """Per-partition union-find over (a, b) edge batches → STAR edges
+    ``(root, node)``, root = local-component MIN node id (union attaches
+    the larger root under the smaller; find path-compresses). The star
+    set has one edge per non-root node, so it is never larger than the
+    input and preserves connectivity exactly: a node split across
+    partitions belongs to several stars, which keeps those stars
+    linked for the next round."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for pdf in batches:
+        for a, b in zip(pdf["a"], pdf["b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    out_a, out_b = [], []
+    for n in parent:
+        r = find(n)
+        if r != n:
+            out_a.append(r)
+            out_b.append(n)
+    if out_a:
+        yield pd.DataFrame({"a": out_a, "b": out_b})
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 15
+) -> DataFrame:
+    """Collapse verified near-dup PAIRS into clusters: every doc gets
+    ``cluster_id`` = the minimum doc id reachable through the pair
+    graph — the step that turns pairwise dedup output into "keep one
+    doc per duplicate group".
+
+    Algorithm: iterated per-partition STAR CONTRACTION (the
+    filtering/union-find-contraction shape from the MapReduce-CC
+    literature — Lattanzi et al. "Filtering: a method for solving graph
+    problems in MapReduce"; Kiveris et al.'s star operations are the
+    per-edge analogue). Each round hash-partitions the edge list and
+    runs union-find INSIDE each partition (one Arrow-batched
+    ``mapInPandas`` pass, memory bounded by edges-per-task); each local
+    component collapses to a star rooted at its min node id. Stars
+    overlap wherever a node straddled partitions, so connectivity is
+    exactly preserved while the edge count drops to one-per-node. The
+    partition count halves each round, so the final round unions the
+    whole — by then star-contracted — graph in ONE task and is exact by
+    construction: no fixpoint detection, no O(diameter) rounds. The
+    label-propagation alternative needed ~13 shuffle rounds on the long
+    near-dup chains the sf0.1 corpus produces; this needs
+    ``log2(initial partitions)`` rounds, each data-bound rather than
+    scheduling-bound.
+
+    100 TB note: the final single task holds one dict entry per
+    duplicate-involved doc (not per corpus doc). At ~2M edges/task
+    (``_CC_EDGES_PER_TASK``) that is ~300 MB of CPython dict — if the
+    duplicate graph ever exceeds that, raise the floor partition count
+    and add a fixpoint check instead of the P=1 shortcut.
+
+    Min-id roots at every level make the result deterministic and equal
+    to the global min-reachable id regardless of partitioning."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pairs.sparkSession.createDataFrame([], "doc_id long, cluster_id long")
+    nparts = max(1, min(2048, n_edges // _CC_EDGES_PER_TASK))
+    schema = "a long, b long"
+    for _ in range(max_iter):
+        star = edges.repartition(nparts, "a").mapInPandas(_local_star, schema=schema)
+        if nparts == 1:
+            edges = star.localCheckpoint(eager=True)  # exact: one task saw it all
+            break
+        edges = star.distinct().localCheckpoint(eager=True)
+        nparts = max(1, nparts // 2)
+    members = edges.select(F.col("b").alias("doc_id"), F.col("a").alias("cluster_id"))
+    roots = edges.select(F.col("a").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return members.unionByName(roots)
+
+
+def connected_components_sql(pairs_query: str) -> str:
+    """DuckDB twin: transitive closure by recursive CTE (every node
+    collects all reachable labels, then takes the min). Exponential in
+    path multiplicity — oracle-scale only; the Spark side converges in
+    O(diameter) rounds."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({pairs_query}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs),
+    walk AS (
+        SELECT a, a AS lbl FROM (SELECT DISTINCT a FROM edges) t
+        UNION
+        SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.a = e.b
+    )
+    SELECT a AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY a
+    """

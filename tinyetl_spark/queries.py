@@ -1416,6 +1416,22 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=8)
 
 
+@_q(
+    "dedup_clusters",
+    dedup.connected_components_sql(
+        f"SELECT id_a, id_b FROM ({dedup.simhash_near_dups_sql(max_hamming=8)})"
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS: min-label propagation over
+    the simhash pair graph, so "keep one doc per group" becomes a
+    row_number-over-cluster_id filter downstream. The Spark side
+    converges in O(graph diameter) joins; the DuckDB twin walks the
+    closure with a recursive CTE."""
+    pairs = dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=8)
+    return dedup.connected_components(pairs)
+
+
 @_q("embedding_norms", similarity.embedding_norms_sql())
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_norms(load(spark, sf_dir, "embeddings"))
@@ -1834,6 +1850,58 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     fp = stream.select(hash128_col(norm_text_col("text")).alias("fp"))
     return streaming.run_bounded(streaming.streaming_dedup(fp, ["fp"]), spark, mode="append")
+
+
+@_q(
+    "streaming_interval_join",
+    """
+    SELECT p.user_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the views by
+    the same user in the preceding hour, both sides watermarked. Inner
+    interval-join results are arrival-order-independent, so the plain
+    batch join oracle matches exactly."""
+    import os
+
+    from tinyetl_spark import streaming
+
+    _ensure_nanos_conf(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = _roundtrip_dir(sf_dir, "events_stream")
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+
+    def side(name: str, ts_alias: str, uid_alias: str) -> DataFrame:
+        s = streaming.read_events_stream(spark, stage, raw_schema)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            s.filter(F.col("event_type") == name)
+            .select(F.col("user_id").alias(uid_alias), F.col("ts").alias(ts_alias))
+            .withWatermark(ts_alias, "2 hours")
+        )
+
+    p = side("purchase", "p_ts", "user_id")
+    v = side("view", "v_ts", "v_uid")
+    j = streaming.interval_join(
+        p, v, "user_id = v_uid", "v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"
+    )
+    out = j.select(
+        "user_id",
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+    return streaming.run_bounded(out, spark, mode="append")
 
 
 @_q(

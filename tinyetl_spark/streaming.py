@@ -137,6 +137,30 @@ def stateful_running_counts(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cond: str,
+    time_cond: str,
+) -> DataFrame:
+    """Stream-stream INNER interval join.
+
+    Both inputs must already carry watermarks; ``time_cond`` must bound
+    the two event-time columns against each other (e.g.
+    ``v_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts``) — that bound plus
+    the watermarks is what lets the state store evict rows, so join
+    state is O(rate × (watermark + interval)) per key, not O(stream).
+    Inner matches emit as soon as both rows arrive; no waiting on
+    watermark expiry (that's only needed for outer sides).
+
+    Scale shape: both streams shuffle once on the equi-key; the range
+    predicate is evaluated inside the joined state — the same
+    banded-equi-join philosophy as the batch range join
+    (operators/relational.py), expressed through Spark's native
+    stream-stream join state machine."""
+    return left.join(right, F.expr(f"({key_cond}) AND ({time_cond})"), "inner")
+
+
 def run_bounded(
     stream_df: DataFrame, spark: SparkSession, mode: str = "complete"
 ) -> DataFrame:
