@@ -7,7 +7,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from tinyetl_spark.operators import dedup, relational
+from tinyetl_spark.operators import dedup, relational, text
 
 UTC = dt.timezone.utc
 
@@ -105,3 +105,29 @@ def test_connected_components_chain_star_and_pair(spark):
         r.doc_id: r.cluster_id for r in dedup.connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_pii_redact_patterns(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.co now"),
+        (2, "call 555-123-4567 or 555.987.6543"),
+        (3, "host 192.168.001.1 up"),
+        (4, "clean text, no pii 1234"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in text.pii_redact(df).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "call <PHONE> or <PHONE>"
+    assert got[3] == "host <IP> up"
+    assert got[4] == "clean text, no pii 1234"
+
+
+def test_stratified_sample_rate_zero_and_full(spark):
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = text.stratified_sample(
+        df, rates={"en": 100, "zh": 0}, default_pct=50
+    ).collect()
+    # en kept fully, zh dropped fully — and deterministic across runs
+    assert {r.lang for r in got} == {"en"}
+    assert len(got) == 100

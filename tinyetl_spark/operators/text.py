@@ -452,3 +452,81 @@ def decontam_overlap_sql(
     WHERE sh.{id_col} % {mod} <> 0
     GROUP BY sh.{id_col}
     """
+
+
+# ------------------------------------------- PII redaction
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) evaluate
+# identically: classes, bounded repeats, \b — no backrefs, no lookarounds.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / phone numbers / IPv4 addresses with typed
+    placeholder tokens — the standard pre-training scrub pass. A chain
+    of native ``regexp_replace`` calls: whole-stage codegen next to the
+    scan, zero shuffle, zero Python — at 100 TB this runs at parquet
+    scan speed. Pattern order matters only in that emails are stripped
+    before the bare-number patterns can see their digit runs."""
+    out = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return df.withColumn(text_col, out)
+
+
+def pii_redact_sql_expr(expr: str) -> str:
+    """DuckDB expression twin of :func:`pii_redact` (RE2 needs the
+    explicit 'g' flag; Spark replaces globally by default; DuckDB
+    single-quoted literals pass backslashes through untouched)."""
+    for pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    return expr
+
+
+# ------------------------------------------- stratified sampling
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    rates: dict[str, int] | None = None,
+    default_pct: int = 10,
+    id_col: str = "doc_id",
+    buckets: int = 100,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its salted id
+    hash bucket falls under the stratum's percentage — how a training
+    mix is rebalanced (e.g. keep 60% of English, 10% of everything
+    else) WITHOUT the non-reproducibility of ``df.sampleBy`` (engine
+    RNG, changes with partition layout). Same scale shape as
+    :func:`hash_sample`: a pure codegen filter at the scan, applied
+    before any shuffle, trivially reproducible across engines and
+    cluster layouts."""
+    rates = rates or {}
+    keyed = hash64_col(F.col(id_col).cast("string"), seed=salt) % buckets
+    rate = F.lit(default_pct)
+    for value, pct in rates.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(keyed < rate)
+
+
+def stratified_sample_sql(
+    table: str = "documents",
+    strata_col: str = "lang",
+    rates: dict[str, int] | None = None,
+    default_pct: int = 10,
+    id_col: str = "doc_id",
+    buckets: int = 100,
+    salt: str = "strat",
+) -> str:
+    rates = rates or {}
+    keyed = hash64_sql(f"CAST({id_col} AS VARCHAR)", seed=salt)
+    whens = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN {p}" for v, p in rates.items()
+    )
+    rate = f"CASE {whens} ELSE {default_pct} END" if whens else str(default_pct)
+    return f"SELECT * FROM {table} WHERE {keyed} % {buckets} < ({rate})"

