@@ -1514,7 +1514,17 @@ def _stage_once(spark: SparkSession, sf_dir: str, name: str, version_key: str, b
     tag = hashlib.md5(version_key.encode()).hexdigest()[:10]
     path = _roundtrip_dir(sf_dir, f"{name}_{tag}.parquet")
     if not os.path.exists(path):
-        build().write.mode("overwrite").parquet(path)
+        # build into a private temp dir, then rename into place —
+        # atomic on POSIX, so a concurrent query process never reads a
+        # half-written parquet directory
+        tmp = f"{path}.tmp-{os.getpid()}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # another process won the race — use theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 
