@@ -192,3 +192,35 @@ def test_decontam_overlap_broadcasts_heldout(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q3_broadcasts_customer_and_takeordered(spark):
+    p = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p  # filtered customer dim builds
+    assert "TakeOrderedAndProject" in p  # limit-10 never global-sorts
+    # both date predicates reach the scans
+    assert p.count("PushedFilters: [") >= 2
+
+
+def test_q10_broadcasts_both_dims(spark):
+    p = plan_of(spark, "q10_returned_revenue")
+    assert p.count("BroadcastHashJoin") >= 2  # customer and nation
+    assert "TakeOrderedAndProject" in p
+
+
+def test_ann_batch_broadcasts_probes(spark):
+    p = plan_of(spark, "ann_batch_topk")
+    assert "BroadcastHashJoin" in p  # probe set is the build side
+    assert "SortMergeJoin" not in p
+
+
+def test_training_mix_single_shuffle(spark):
+    # quality gate + sample filter are codegen; the only exchanges are
+    # the fingerprint window hash and the doc_id self-join
+    p = plan_of(spark, "training_mix")
+    assert "BatchEvalPython" not in p and "SortMergeJoin" not in p
+
+
+def test_dedup_survivors_broadcast_anti(spark):
+    p = plan_of(spark, "dedup_survivors")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p

@@ -540,3 +540,71 @@ def quantize_int8_sql(
            round(s, 6) AS scale
     FROM scaled
     """
+
+
+def batch_topk(
+    df: DataFrame,
+    k: int = 5,
+    every: int = 101,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = SIGN_BITS,
+) -> DataFrame:
+    """Batched ANN: every corpus vector with ``id % every == 0`` acts as
+    a query; each probes its sign-LSH bucket and keeps cosine top-k.
+
+    Scale shape: the probe set broadcasts (production chunks query
+    batches to keep each broadcast small), the corpus is scanned ONCE
+    for all queries, and the only shuffle is the per-query top-k
+    window. That is the serving-offline shape — N queries amortized
+    over one corpus pass — vs ann_topk's single-query planning-time
+    partition pruning."""
+    with_bucket = df.select(
+        F.col(id_col), F.col(vec_col), sign_bucket_col(F.col(vec_col), bits).alias("bucket")
+    )
+    probes = with_bucket.filter(F.col(id_col) % every == 0).select(
+        F.col(id_col).alias("q_id"), _vec(vec_col).alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        with_bucket.filter(F.col(id_col) % every != 0)
+        .join(F.broadcast(probes), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.round(cosine_col(_vec(vec_col), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "cosine", "rank")
+    )
+
+
+def batch_topk_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    every: int = 101,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = SIGN_BITS,
+) -> str:
+    v = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    tb = sign_bucket_sql(f"t.{vec_col}", bits)
+    qb = sign_bucket_sql(f"q.{vec_col}", bits)
+    return f"""
+    SELECT q.{id_col} AS q_id, t.{id_col},
+           round({cosine_sql(v, qv)}, 6) AS cosine,
+           row_number() OVER (PARTITION BY q.{id_col}
+                              ORDER BY round({cosine_sql(v, qv)}, 6) DESC,
+                                       t.{id_col} ASC) AS rank
+    FROM {table} t
+    JOIN {table} q
+      ON q.{id_col} % {every} = 0 AND t.{id_col} % {every} != 0
+     AND {tb} = {qb}
+    QUALIFY rank <= {k}
+    """

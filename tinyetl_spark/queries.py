@@ -272,6 +272,103 @@ def window_top_order_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey AND o_orderdate < DATE '1997-01-01'
+      AND l_shipdate > DATE '1997-01-01'
+    GROUP BY l_orderkey, odate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (adapted to the testdata columns): 3-table star
+    join with date-range filters on both fact paths. Catalyst pushes
+    both date predicates into the scans and broadcasts the filtered
+    customer side; the single agg shuffle is keyed on l_orderkey;
+    TakeOrderedAndProject caps the sort at 10."""
+    c, o, l = (load(spark, sf_dir, t) for t in ("customer", "orders", "lineitem"))
+    j = (
+        l.filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("date"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue-per-customer over returned items.
+    lineitem filters at the scan, joins orders on the shuffle pair,
+    then broadcasts customer⨝nation (both dims)."""
+    c, o, l, n = (
+        load(spark, sf_dir, t) for t in ("customer", "orders", "lineitem", "nation")
+    )
+    j = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
     "window_rank_stats",
     """
     SELECT o_orderkey, o_orderstatus,
@@ -1665,6 +1762,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, nprobe=2)
 
 
+@_q("ann_batch_topk", similarity.batch_topk_sql(k=5, every=101))
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline batched ANN: every 101st vector queries its sign-LSH
+    bucket; one corpus scan serves all queries, one shuffle for the
+    per-query top-k window."""
+    return similarity.batch_topk(load(spark, sf_dir, "embeddings"), k=5, every=101)
+
+
 @_q("embedding_near_dups", similarity.cosine_near_dups_sql(threshold=0.3))
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH-bucket blocked cosine pairs (threshold chosen so the
@@ -2115,6 +2220,41 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
     )
     return streaming.run_bounded(out, spark, mode="append")
+
+
+@_q(
+    "streaming_enrich",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the static
+    customer dimension (broadcast — no stream state needed for the
+    static side) and aggregates per segment. The canonical
+    dimension-lookup shape: at scale the static side refreshes per
+    micro-batch and the only state is the aggregation's."""
+    import os
+
+    from tinyetl_spark import streaming
+
+    _ensure_nanos_conf(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = _roundtrip_dir(sf_dir, "events_stream")
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    s = streaming.read_events_stream(spark, stage, raw_schema).select("user_id")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        s.join(F.broadcast(c), s["user_id"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return streaming.run_bounded(agg, spark, mode="complete")
 
 
 @_q(
