@@ -224,3 +224,9 @@ def test_training_mix_single_shuffle(spark):
 def test_dedup_survivors_broadcast_anti(spark):
     p = plan_of(spark, "dedup_survivors")
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_partitioned_scan_prunes(spark):
+    p = plan_of(spark, "partitioned_scan_prune")
+    seg = p.split("PartitionFilters:")[1][:160]
+    assert "event_type" in seg  # predicate prunes directories at planning

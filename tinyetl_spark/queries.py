@@ -1597,7 +1597,14 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidates(load(spark, sf_dir, "documents"))
 
 
-def _stage_once(spark: SparkSession, sf_dir: str, name: str, version_key: str, build):
+def _stage_once(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    version_key: str,
+    build,
+    partition_by: list[str] | None = None,
+):
     """Materialize an intermediate table to parquet ONCE per (sf_dir,
     pipeline-version) — exactly what a 100 TB pipeline does between
     stages (survives executor loss; downstream stages pay IO, not
@@ -1615,7 +1622,10 @@ def _stage_once(spark: SparkSession, sf_dir: str, name: str, version_key: str, b
         # atomic on POSIX, so a concurrent query process never reads a
         # half-written parquet directory
         tmp = f"{path}.tmp-{os.getpid()}"
-        build().write.mode("overwrite").parquet(tmp)
+        writer = build().write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:  # another process won the race — use theirs
@@ -1673,6 +1683,67 @@ def near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     cands = _materialized_candidates(spark, sf_dir, docs)
     return dedup.ngram_jaccard(docs, cands, threshold=0.2)
+
+
+@_q(
+    "dedup_incremental",
+    f"""
+    WITH fp AS ({text.fingerprint_sql()})
+    SELECT doc_id, fingerprint FROM fp
+    WHERE doc_id % 2 = 1
+      AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 2 = 0)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the incoming batch (odd doc_ids here)
+    checked against the existing corpus fingerprint index (even ids) —
+    keep only fingerprints the corpus has never seen. The batch side is
+    small relative to the corpus, so at scale this is the corpus index
+    scanned once into a shuffle-keyed anti-join (or, with a bucketed
+    fingerprint index, zero-shuffle) — never a recompute of corpus
+    fingerprints (those persist from the ingest that wrote them)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = text.fingerprint(docs)
+    batch = fp.filter(F.col("doc_id") % 2 == 1)
+    corpus = fp.filter(F.col("doc_id") % 2 == 0).select("fingerprint")
+    return batch.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@_q(
+    "partitioned_scan_prune",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_type = 'purchase' GROUP BY event_type
+    """,
+)
+def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned dataset: events written ONCE partitioned
+    by event_type, then a predicate on the partition column prunes at
+    PLANNING time (PartitionFilters in the scan — plan-pinned) — the
+    directory-layout contract every 100 TB ingest should follow for
+    its hottest filter column."""
+    part_path = _stage_once(
+        spark,
+        sf_dir,
+        "events_by_type",
+        "events partitionBy event_type v1",
+        lambda: load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value", "event_type"
+        ),
+        partition_by=["event_type"],
+    )
+    e = spark.read.parquet(part_path)
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )
 
 
 @_q("simhash_docs", dedup.simhash_sql())
@@ -2220,6 +2291,53 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
     )
     return streaming.run_bounded(out, spark, mode="append")
+
+
+@_q(
+    "streaming_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+    sid AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM marked)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sid GROUP BY user_id, session_id
+    """,
+)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming ``session_window`` (30-min gap) — the streaming
+    twin of the batch gap-and-islands sessionize. Emits (user, start,
+    count); session_window.end is last-event+gap by definition, so the
+    batch twin pins starts and counts. Complete-mode availableNow
+    replay; with a real unbounded source the watermark bounds session
+    state."""
+    import os
+
+    from tinyetl_spark import streaming
+
+    _ensure_nanos_conf(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = _roundtrip_dir(sf_dir, "events_stream")
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    s = streaming.read_events_stream(spark, stage, raw_schema)
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sess = streaming.session_aggregates(s, key="user_id", gap="30 minutes")
+    out = sess.select("user_id", "session_start", "n_events")
+    return streaming.run_bounded(out, spark, mode="complete")
 
 
 @_q(
