@@ -2294,6 +2294,56 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_sink_parquet",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming file SINK: the event stream appends to a parquet
+    directory under a checkpoint — Spark's exactly-once contract (the
+    file-sink manifest commits atomically with the source offsets, so
+    a replayed/failed batch never double-writes; re-running this query
+    against the same checkpoint processes zero new files and the
+    result is unchanged). Aggregation happens on the batch read-back
+    of the sink directory."""
+    import os
+
+    from tinyetl_spark import streaming
+
+    _ensure_nanos_conf(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = _roundtrip_dir(sf_dir, "events_stream")
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    sink = _roundtrip_dir(sf_dir, "stream_sink_v1")
+    ckpt = f"{sink}.checkpoint"
+    s = streaming.read_events_stream(spark, stage, raw_schema).select(
+        "event_type", "value"
+    )
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@_q(
     "streaming_sessions",
     """
     WITH marked AS (
