@@ -164,3 +164,28 @@ def test_thumbnail_deterministic(spark):
     got = {r.doc_id: r.thumb_md5 for r in multimodal.thumbnail(df, out_size=4).collect()}
     assert got[1] == hashlib.md5(b"abcd").hexdigest()
     assert got[2] == hashlib.md5(b"").hexdigest()
+
+
+def test_stateful_running_counts_rowcount_mode(spark, tmp_path):
+    """The unweighted (weight_col=None) branch: raw rows streamed over
+    two micro-batches, state carries the per-key running row count."""
+    import os
+
+    rows = [(1,), (1,), (2,)] * 4  # 12 rows: key 1 -> 8, key 2 -> 4
+    df = spark.createDataFrame(rows, "user_id long").repartition(2)
+    stage = str(tmp_path / "keys_dir")
+    df.write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    counts = streaming.stateful_running_counts(stream, key="user_id")
+    drained = streaming.run_bounded(counts, spark, mode="update")
+    final = {
+        r.user_id: r.n
+        for r in drained.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+    }
+    assert final == {1: 8, 2: 4}
+    # update mode emitted one row per (key, batch it appeared in) — more
+    # than one row per key proves state actually carried across batches
+    assert drained.count() > 2

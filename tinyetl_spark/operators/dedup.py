@@ -731,8 +731,16 @@ def connected_components(
     if n_edges == 0:
         return pairs.sparkSession.createDataFrame([], "doc_id long, cluster_id long")
     nparts = max(1, min(2048, n_edges // _CC_EDGES_PER_TASK))
+    if max_iter < nparts.bit_length() + 1:
+        # exactness depends on reaching the nparts==1 round — halving
+        # from the initial count needs log2(nparts)+1 rounds; exiting
+        # early would silently emit conflicting cluster ids
+        raise ValueError(
+            f"max_iter={max_iter} cannot reach the final single-partition "
+            f"round from {nparts} partitions (needs {nparts.bit_length() + 1})"
+        )
     schema = "a long, b long"
-    for _ in range(max_iter):
+    while True:
         star = edges.repartition(nparts, "a").mapInPandas(_local_star, schema=schema)
         if nparts == 1:
             edges = star.localCheckpoint(eager=True)  # exact: one task saw it all

@@ -1628,10 +1628,14 @@ def _stage_once(
         writer.parquet(tmp)
         try:
             os.rename(tmp, path)
-        except OSError:  # another process won the race — use theirs
+        except OSError:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(path):
+                # not the lost-race case — surface the real failure
+                # instead of returning a path that doesn't exist
+                raise
     return path
 
 
@@ -1725,15 +1729,15 @@ def partitioned_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLANNING time (PartitionFilters in the scan — plan-pinned) — the
     directory-layout contract every 100 TB ingest should follow for
     its hottest filter column."""
+    cols = ["event_id", "ts", "user_id", "value", "event_type"]
+    part = ["event_type"]
     part_path = _stage_once(
         spark,
         sf_dir,
         "events_by_type",
-        "events partitionBy event_type v1",
-        lambda: load(spark, sf_dir, "events").select(
-            "event_id", "ts", "user_id", "value", "event_type"
-        ),
-        partition_by=["event_type"],
+        f"events[{','.join(cols)}] partitionBy {','.join(part)}",
+        lambda: load(spark, sf_dir, "events").select(*cols),
+        partition_by=part,
     )
     e = spark.read.parquet(part_path)
     return (
@@ -1756,29 +1760,42 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=8)
 
 
-@_q(
-    "dedup_clusters",
-    dedup.connected_components_sql(
-        f"SELECT id_a, id_b FROM ({dedup.simhash_near_dups_sql(max_hamming=8)})"
-    ),
+_CC_ORACLE = dedup.connected_components_sql(
+    f"SELECT id_a, id_b FROM ({dedup.simhash_near_dups_sql(max_hamming=8)})"
 )
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → duplicate CLUSTERS: min-label propagation over
-    the simhash pair graph, so "keep one doc per group" becomes a
-    row_number-over-cluster_id filter downstream. The Spark side
-    converges in O(graph diameter) joins; the DuckDB twin walks the
-    closure with a recursive CTE."""
+
+
+def _materialized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pairs → clusters staged once: connected_components is an eager
+    multi-round computation, so the cluster table persists to parquet
+    like every other inter-stage product of the dedup DAG (pairs →
+    clusters → survivors)."""
     docs = load(spark, sf_dir, "documents")
-    pairs = _materialized_simhash_pairs(spark, sf_dir, docs)
-    return dedup.connected_components(pairs)
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "dedup_clusters",
+        _CC_ORACLE,
+        lambda: dedup.connected_components(
+            _materialized_simhash_pairs(spark, sf_dir, docs)
+        ),
+    )
+
+
+@_q("dedup_clusters", _CC_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS (cluster_id = min reachable
+    doc id), so "keep one doc per group" becomes a filter downstream.
+    Spark side: iterated per-partition union-find star contraction
+    (see operators.dedup.connected_components); the DuckDB twin walks
+    the closure with a recursive CTE."""
+    return _materialized_clusters(spark, sf_dir)
 
 
 @_q(
     "dedup_survivors",
     f"""
-    WITH cc AS ({dedup.connected_components_sql(
-        f"SELECT id_a, id_b FROM ({dedup.simhash_near_dups_sql(max_hamming=8)})"
-    )})
+    WITH cc AS ({_CC_ORACLE})
     SELECT doc_id, lang, source, n_chars FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
     """,
@@ -1790,9 +1807,8 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster table is tiny relative to the corpus (dup-involved docs
     only), so at scale this is a broadcast anti-join at scan speed."""
     docs = load(spark, sf_dir, "documents")
-    pairs = _materialized_simhash_pairs(spark, sf_dir, docs)
     losers = (
-        dedup.connected_components(pairs)
+        _materialized_clusters(spark, sf_dir)
         .filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id")
     )
@@ -2047,7 +2063,7 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "orders_sub20",
-        "orders where o_orderkey % 20 = 0",
+        ORACLES["avro_roundtrip"],  # same filter constant as the twin
         lambda: load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0),
     )
     out = _roundtrip_dir(sf_dir, "orders.avro")
@@ -2175,6 +2191,40 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events table replayed through the real streaming engine
 # =====================================================================
 
+def _stage_table_symlink(sf_dir: str, table: str) -> str:
+    """The file stream source needs a DIRECTORY; stage the table file
+    into one via symlink (no data copied). lexists + EEXIST guard:
+    exists() follows links (False for a dangling one) and two processes
+    can race the check, so creation must tolerate losing."""
+    import os
+
+    stage = _roundtrip_dir(sf_dir, f"{table}_stream")
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/{table}.parquet"
+    if not os.path.lexists(link):
+        try:
+            os.symlink(f"{sf_dir}/{table}.parquet", link)
+        except FileExistsError:
+            pass
+    return stage
+
+
+def _staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events as a file-source stream with the same ts normalization as
+    ``load()``: the RAW physical schema reads the nanos ts as bigint
+    (under the runtime nanosAsLong conf), converted to a µs timestamp
+    on the stream."""
+    from tinyetl_spark import streaming
+
+    _ensure_nanos_conf(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = _stage_table_symlink(sf_dir, "events")
+    stream = streaming.read_events_stream(spark, stage, raw_schema)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
 @_q(
     "streaming_tumbling",
     """
@@ -2189,24 +2239,9 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events replayed through Structured Streaming (availableNow →
     memory sink): watermarked tumbling windows must reproduce the batch
     oracle exactly. Shares the events_tumbling oracle by construction."""
-    import os
-
     from tinyetl_spark import streaming
 
-    # RAW physical schema (nanos ts reads as bigint under nanosAsLong);
-    # the µs conversion happens on the stream below, like load() does
-    _ensure_nanos_conf(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file stream source needs a DIRECTORY; stage the table file
-    # into one via symlink (no data copied)
-    stage = _roundtrip_dir(sf_dir, "events_stream")
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    stream = streaming.read_events_stream(spark, stage, raw_schema)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _staged_events_stream(spark, sf_dir)
     agg = streaming.tumbling_counts(stream, window="1 hour", watermark="2 hours")
     return streaming.run_bounded(agg, spark)
 
@@ -2224,18 +2259,12 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct fingerprint exactly once. Projecting down to the key makes
     the result arrival-order-independent, so the batch DISTINCT oracle
     matches exactly."""
-    import os
-
     from tinyetl_spark import streaming
     from tinyetl_spark.functions.hashing import hash128_col
     from tinyetl_spark.operators.dedup import norm_text_col
 
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stage = _roundtrip_dir(sf_dir, "documents_stream")
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/documents.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/documents.parquet", link)
+    stage = _stage_table_symlink(sf_dir, "documents")
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     fp = stream.select(hash128_col(norm_text_col("text")).alias("fp"))
     return streaming.run_bounded(streaming.streaming_dedup(fp, ["fp"]), spark, mode="append")
@@ -2258,24 +2287,12 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same user in the preceding hour, both sides watermarked. Inner
     interval-join results are arrival-order-independent, so the plain
     batch join oracle matches exactly."""
-    import os
-
     from tinyetl_spark import streaming
 
-    _ensure_nanos_conf(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = _roundtrip_dir(sf_dir, "events_stream")
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-
     def side(name: str, ts_alias: str, uid_alias: str) -> DataFrame:
-        s = streaming.read_events_stream(spark, stage, raw_schema)
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return (
-            s.filter(F.col("event_type") == name)
+            _staged_events_stream(spark, sf_dir)
+            .filter(F.col("event_type") == name)
             .select(F.col("user_id").alias(uid_alias), F.col("ts").alias(ts_alias))
             .withWatermark(ts_alias, "2 hours")
         )
@@ -2309,22 +2326,9 @@ def streaming_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the same checkpoint processes zero new files and the
     result is unchanged). Aggregation happens on the batch read-back
     of the sink directory."""
-    import os
-
-    from tinyetl_spark import streaming
-
-    _ensure_nanos_conf(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = _roundtrip_dir(sf_dir, "events_stream")
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
     sink = _roundtrip_dir(sf_dir, "stream_sink_v1")
     ckpt = f"{sink}.checkpoint"
-    s = streaming.read_events_stream(spark, stage, raw_schema).select(
-        "event_type", "value"
-    )
+    s = _staged_events_stream(spark, sf_dir).select("event_type", "value")
     q = (
         s.writeStream.format("parquet")
         .option("path", sink)
@@ -2348,9 +2352,13 @@ def streaming_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH marked AS (
       SELECT user_id, ts,
+             -- µs precision: Spark's session_window splits at gap
+             -- measured in full timestamp precision (merges at exactly
+             -- 1800s, splits at 1800.000001s) — a floor(epoch) diff
+             -- would disagree on sub-second boundary gaps
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR CAST(floor(epoch(ts)) AS BIGINT)
-                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > 1800000000
                   THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
     sid AS (
@@ -2371,20 +2379,9 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin pins starts and counts. Complete-mode availableNow
     replay; with a real unbounded source the watermark bounds session
     state."""
-    import os
-
     from tinyetl_spark import streaming
 
-    _ensure_nanos_conf(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = _roundtrip_dir(sf_dir, "events_stream")
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    s = streaming.read_events_stream(spark, stage, raw_schema)
-    if dict(s.dtypes).get("ts") == "bigint":
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    s = _staged_events_stream(spark, sf_dir)
     sess = streaming.session_aggregates(s, key="user_id", gap="30 minutes")
     out = sess.select("user_id", "session_start", "n_events")
     return streaming.run_bounded(out, spark, mode="complete")
@@ -2404,18 +2401,9 @@ def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     static side) and aggregates per segment. The canonical
     dimension-lookup shape: at scale the static side refreshes per
     micro-batch and the only state is the aggregation's."""
-    import os
-
     from tinyetl_spark import streaming
 
-    _ensure_nanos_conf(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = _roundtrip_dir(sf_dir, "events_stream")
-    os.makedirs(stage, exist_ok=True)
-    link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    s = streaming.read_events_stream(spark, stage, raw_schema).select("user_id")
+    s = _staged_events_stream(spark, sf_dir).select("user_id")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     agg = (
         s.join(F.broadcast(c), s["user_id"] == c["c_custkey"])
@@ -2440,7 +2428,7 @@ def streaming_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry per-(user, time-slice) DELTA counts — the pre-aggregated
     input shape a high-volume production stream would feed a state
     op — so Arrow moves ~6k delta rows, not 600k events; the state
-    machine (4 batches, cumulative per-key updates) is identical. The
+    machine (cumulative per-key updates across batches) is identical. The
     update-mode sink holds one row per (user, batch); the final
     cumulative count — max per user — must equal the batch GROUP BY
     oracle."""
