@@ -131,3 +131,44 @@ def test_stratified_sample_rate_zero_and_full(spark):
     # en kept fully, zh dropped fully — and deterministic across runs
     assert {r.lang for r in got} == {"en"}
     assert len(got) == 100
+
+
+def test_connected_components_random_graphs_match_reference(spark):
+    """Property check: star-contraction CC equals a sequential
+    union-find on randomized graphs (chains, cliques, crosses) —
+    hypothesis drives the shapes, one Spark run per example batch."""
+    from hypothesis import given, settings, strategies as st
+
+    def reference_cc(edges):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = set()
+        for a, b in edges:
+            nodes.add(a), nodes.add(b)
+        return {n: find(n) for n in nodes}
+
+    edge = st.tuples(st.integers(0, 40), st.integers(0, 40))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=60))
+    def check(edges):
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        got = {r.doc_id: r.cluster_id for r in dedup.connected_components(df).collect()}
+        want = reference_cc([(a, b) for a, b in edges if a != b])
+        assert got == want
+
+    check()
