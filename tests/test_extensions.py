@@ -189,3 +189,19 @@ def test_stateful_running_counts_rowcount_mode(spark, tmp_path):
     # update mode emitted one row per (key, batch it appeared in) — more
     # than one row per key proves state actually carried across batches
     assert drained.count() > 2
+
+
+def test_kmeans_fit_improves_inertia(spark):
+    from tinyetl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def inertia(cents):
+        d = similarity.ivf_dists_col(similarity._vec("embedding"), cents)
+        return emb.select(F.array_min(d).alias("m")).agg(F.sum("m")).first()[0]
+
+    seed = similarity._ivf_seeded_centroids()
+    fit = similarity.kmeans_fit(emb, iters=2)
+    assert inertia(fit) < inertia(seed)
+    # empty cells (if any) must keep the seed centroid, so shape holds
+    assert len(fit) == len(seed) and all(len(c) == len(seed[0]) for c in fit)

@@ -608,3 +608,83 @@ def batch_topk_sql(
      AND {tb} = {qb}
     QUALIFY rank <= {k}
     """
+
+
+def kmeans_update(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE distributed Lloyd refinement round: assign every vector to
+    its nearest centroid (same materialized-distance-array argmin as
+    IVF assignment), then recompute centroids as per-cell means.
+
+    The update is the canonical explode→groupBy shape: (cell, pos, val)
+    rows aggregated per (cell, pos) — one shuffle of n_vectors × dim
+    rows with map-side partial sums; sums run in DECIMAL(38,12) so the
+    result is fold-order-independent (and therefore oracle-checkable —
+    rare for an iterative-algorithm step). Cells that captured no
+    vectors emit no rows; the driver loop keeps their previous
+    centroid."""
+    assigned = df.select(_vec(vec_col).alias("v")).withColumn(
+        "_d", ivf_dists_col(F.col("v"), centroids)
+    ).withColumn("cell", ivf_cell_from_dists(F.col("_d")))
+    exploded = assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+    return (
+        exploded.groupBy("cell", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cell",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("val"),
+        )
+    )
+
+
+def kmeans_update_sql(
+    centroids: list[list[float]],
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+) -> str:
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    cell = ivf_assign_sql(v, centroids)
+    return f"""
+    WITH assigned AS (
+      SELECT {cell} AS cell, {v} AS v FROM {table}),
+    exploded AS (
+      SELECT cell, i - 1 AS pos, v[i] AS val
+      FROM assigned, UNNEST(range(1, len(v) + 1)) AS t(i))
+    SELECT cell, pos,
+           round(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+               AS val
+    FROM exploded GROUP BY cell, pos
+    """
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = IVF_CENTROIDS,
+    iters: int = 4,
+    dim: int = IVF_DIM,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means: deterministic seeded start, then
+    ``iters`` cluster-side refinement rounds (kmeans_update). Per
+    round, only the k×dim centroid table returns to the driver — the
+    corpus never does — so this trains on the FULL dataset where
+    train_ivf_centroids trains on a driver sample. At 100 TB each
+    round costs one scan + one (n×dim)-row shuffle with partial
+    aggregation; sampling first is usually the better trade, but the
+    full-data path exists and is exact."""
+    cents = [list(c) for c in _ivf_seeded_centroids(n_centroids, dim)]
+    for _ in range(iters):
+        rows = kmeans_update(df, cents, vec_col).collect()
+        new = {r["cell"]: dict() for r in rows}
+        for r in rows:
+            new[r["cell"]][r["pos"]] = r["val"]
+        for c, posvals in new.items():
+            cents[c] = [posvals[p] for p in range(len(cents[c]))]
+    return cents

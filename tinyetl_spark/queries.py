@@ -1849,6 +1849,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, nprobe=2)
 
 
+@_q(
+    "kmeans_refine_step",
+    similarity.kmeans_update_sql(similarity._ivf_seeded_centroids()),
+)
+def kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd k-means round over the full embedding
+    corpus from the deterministic seed centroids — the oracle-checked
+    kernel that similarity.kmeans_fit iterates (decimal-summed means
+    make even this iterative step fold-order-independent)."""
+    return similarity.kmeans_update(
+        load(spark, sf_dir, "embeddings"), similarity._ivf_seeded_centroids()
+    )
+
+
 @_q("ann_batch_topk", similarity.batch_topk_sql(k=5, every=101))
 def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline batched ANN: every 101st vector queries its sign-LSH
