@@ -172,3 +172,23 @@ def test_connected_components_random_graphs_match_reference(spark):
         assert got == want
 
     check()
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= k + w - 1 (= 8 chars at defaults) share >= 1 fingerprint;
+    a doc shorter than k emits none."""
+    df = spark.createDataFrame(
+        [
+            (1, "xxxx COMMONRUN yyyy"),
+            (2, "aaaa COMMONRUN bbbb"),
+            (3, "zz"),  # < k chars
+        ],
+        "doc_id long, text string",
+    )
+    fps = text.winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert 3 not in by_doc
+    assert by_doc[1] & by_doc[2]  # shared fingerprint from COMMONRUN

@@ -530,3 +530,80 @@ def stratified_sample_sql(
     )
     rate = f"CASE {whens} ELSE {default_pct} END" if whens else str(default_pct)
     return f"SELECT * FROM {table} WHERE {keyed} % {buckets} < ({rate})"
+
+
+# ------------------------------------------- winnowing fingerprints
+
+WINNOW_K = 5   # char k-gram size
+WINNOW_W = 4   # winnowing window (guarantee: any match >= k+w-1 chars shares a fp)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al., "Winnowing: Local
+    Algorithms for Document Fingerprinting"): hash every char k-gram of
+    the normalized text (the rolling-hash sequence), slide a w-window
+    over the hash sequence, keep each window's MINIMUM — the selected
+    distinct hashes are the document's fingerprints. Guarantees any
+    substring match of length >= k+w-1 contributes a shared
+    fingerprint, at ~1/w the storage of full shingling.
+
+    All HOFs over in-row arrays: zero shuffle, zero Python — the gram
+    array is materialized in its own projection first, because lambda
+    HOFs RE-EVALUATE shared subexpressions per reference (the repo's
+    documented codegen trap). Output exploded as (doc_id, fp) rows —
+    join-ready, the shape a plagiarism/overlap index wants."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col), norm.alias("_t")).filter(
+        F.length("_t") >= k
+    )
+    grams = base.withColumn(
+        "_g",
+        F.transform(
+            F.sequence(F.lit(1), F.length("_t") - k + 1),
+            lambda i: F.conv(
+                F.substring(F.md5(F.col("_t").substr(i, F.lit(k))), 1, 15), 16, 10
+            ).cast("bigint"),
+        ),
+    )
+    wins = grams.withColumn(
+        "_w",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("_g") - w + 1, F.lit(1))),
+            lambda j: F.array_min(F.slice(F.col("_g"), j, w)),
+        ),
+    )
+    return wins.select(
+        F.col(id_col), F.explode(F.array_distinct("_w")).alias("fp")
+    )
+
+
+def winnow_fingerprints_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {norm} AS t FROM {table}
+      WHERE length({norm}) >= {k}),
+    grams AS (
+      SELECT {id_col},
+             list_transform(range(1, length(t) - {k} + 2),
+                 i -> CAST('0x' || substr(md5(t[i:i+{k - 1}]), 1, 15) AS BIGINT)) AS g
+      FROM base),
+    wins AS (
+      SELECT {id_col},
+             list_transform(range(1, greatest(len(g) - {w} + 1, 1) + 1),
+                 j -> list_aggregate(g[j:j+{w - 1}], 'min')) AS wmins
+      FROM grams)
+    SELECT {id_col}, unnest(list_distinct(wmins)) AS fp FROM wins
+    """

@@ -1495,6 +1495,14 @@ def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hash_sample(load(spark, sf_dir, "documents"), pct=10)
 
 
+@_q("winnow_fingerprints", text.winnow_fingerprints_sql())
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing: rolling k-gram hash sequence → sliding-window
+    minima → distinct fingerprints per doc. Pure in-row HOFs — zero
+    shuffle, runs at scan speed."""
+    return text.winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
 _STRAT_RATES = {"en": 60, "zh": 25}
 
 
