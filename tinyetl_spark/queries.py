@@ -2208,6 +2208,58 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
 
 
+@_q(
+    "streaming_foreachbatch_jdbc",
+    """
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events WHERE event_id % 10 = 0 GROUP BY event_type
+    """,
+)
+def streaming_foreachbatch_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → DATABASE via foreachBatch: each micro-batch appends to
+    a live Derby table through the shared JDBC writer (io/jdbc.py) —
+    the production pattern for sinks with no native streaming writer
+    (every server-DB connector). foreachBatch hands over (batch_df,
+    batch_id); checkpointed redelivery makes plain appends
+    at-least-once — production gets exactly-once by keying writes on
+    batch_id (idempotent upsert or a committed-batch table); this
+    bounded replay starts from a fresh DB so appends are exact.
+    Result = read the table back and aggregate."""
+    import os
+    import shutil
+
+    from tinyetl_spark.io import jdbc as jio
+
+    db = _roundtrip_dir(sf_dir, "stream_derby")
+    ckpt = f"{db}.checkpoint"
+    # a fresh DB per run keeps the append + replay semantics inspectable
+    for p in (db, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(os.path.dirname(db), exist_ok=True)
+    tgt = jio.build_jdbc("derby", f"derby://{db}", "events_sink")
+    # deterministic 1/10 subset: the unit under test is the
+    # foreachBatch wiring, not Derby's single-connection insert rate
+    # (jdbc_roundtrip already times the full-table JDBC path)
+    s = (
+        _staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_type")
+    )
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        jio.write(batch_df, tgt, "derby", mode="append")
+
+    q = (
+        s.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = jio.read(spark, tgt)
+    return back.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
 # =====================================================================
 # Structured Streaming twins (tinyetl_spark.streaming): the batch
 # events table replayed through the real streaming engine
