@@ -2209,6 +2209,51 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cli_job_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey,
+           n_nationkey * 2 AS key2
+    FROM nation
+    """,
+)
+def cli_job_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLI surface itself under the oracle gate: a YAML job (with
+    ``${VAR}`` substitution and an inline Lua transform) executed via
+    ``cli.main(['run', job.yaml])`` — parquet → transform → CSV — then
+    the CSV read back through inference. Pins the whole
+    config-parse → env-substitute → transfer pipeline, not just the
+    engine internals."""
+    import os
+
+    from tinyetl_spark import cli
+    from tinyetl_spark.io.files import read_csv
+
+    out_dir = _roundtrip_dir(sf_dir, "cli_job")
+    os.makedirs(out_dir, exist_ok=True)
+    out_csv = f"{out_dir}/nation_t.csv"
+    job = f"{out_dir}/job.yaml"
+    with open(job, "w", encoding="utf-8") as fh:
+        fh.write(
+            f"""version: 1
+source:
+  uri: "${{TINYETL_JOB_SRC}}/nation.parquet"
+target:
+  uri: "{out_csv}"
+options:
+  truncate: true
+  transform:
+    type: inline
+    value: "key2 = row.n_nationkey * 2"
+"""
+        )
+    os.environ["TINYETL_JOB_SRC"] = sf_dir
+    rc = cli.main(["run", job])
+    assert rc == 0, f"cli exited {rc}"
+    back = read_csv(spark, out_csv)
+    return back.select("n_nationkey", "n_name", "n_regionkey", "key2")
+
+
+@_q(
     "streaming_foreachbatch_jdbc",
     """
     SELECT event_type, COUNT(*) AS n_events
