@@ -2507,6 +2507,45 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_hopping",
+    """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT unnest([
+                 date_trunc('hour', ts)
+                   + to_minutes(30 * CAST(floor(extract(minute FROM ts) / 30) AS BIGINT)),
+                 date_trunc('hour', ts)
+                   + to_minutes(30 * CAST(floor(extract(minute FROM ts) / 30) AS BIGINT))
+                   - to_minutes(30)
+               ]) AS ws,
+               event_type
+        FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of hopping_window_events: watermarked 1-hour
+    windows sliding every 30 min — each event expands into 2 windows
+    BEFORE the state shuffle, the same Expand shape as batch."""
+    from tinyetl_spark import streaming
+
+    s = _staged_events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return streaming.run_bounded(agg, spark)
+
+
+@_q(
     "streaming_enrich",
     """
     SELECT c.c_mktsegment, COUNT(*) AS n_events
