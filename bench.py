@@ -76,6 +76,10 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — a broken query must not kill the bench
                 failures[name] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+                # a query that failed ANY rep is broken, not slow — keep
+                # it out of timings/total so the headline only counts
+                # queries that ran clean (it still shows in `failures`)
+                best = None
                 break
         if best is not None:
             timings[name] = round(best, 4)

@@ -90,6 +90,15 @@ class JdbcTarget:
     url: str
     table: str
     properties: dict[str, str]
+    kind: str = ""  # connector kind ("postgres", "mysql", ...) — drives dialect quoting
+
+
+# Identifier quoting for SQL we compose ourselves (the bounds query).
+# MySQL's default sql_mode has ANSI_QUOTES OFF, so "col" is a string
+# LITERAL there — MIN("col") would return the literal column name and
+# poison lowerBound/upperBound. Everything else here accepts ANSI
+# double quotes (MSSQL's QUOTED_IDENTIFIER defaults to ON).
+_IDENT_QUOTE = {"mysql": "`"}
 
 
 def build_jdbc(kind: str, uri: str, table: str | None) -> JdbcTarget:
@@ -127,7 +136,26 @@ def build_jdbc(kind: str, uri: str, table: str | None) -> JdbcTarget:
     tbl = table or (parsed.fragment or None)
     if not tbl:
         raise ValueError(f"JDBC location needs a #table fragment: {uri}")
-    return JdbcTarget(url=url, table=tbl, properties=props)
+    return JdbcTarget(url=url, table=tbl, properties=props, kind=kind)
+
+
+def derby_shutdown(spark: SparkSession, db_path: str) -> None:
+    """Shut down ONE embedded Derby database so its directory can be
+    deleted and recreated within the same JVM. Without this, a
+    ``rmtree`` leaves the engine's booted in-memory instance pointing at
+    deleted files, and the next ``;create=true`` connection resolves to
+    that stale instance instead of a fresh database (the
+    FOREACH_BATCH_USER_FUNCTION_ERROR seen on bench rep 2). Derby
+    signals a successful single-DB shutdown by THROWING SQLException
+    SQLSTATE 08006 — so every outcome here (clean shutdown, never
+    booted [XJ004], driver not yet registered in a cold JVM) lands in
+    the except arm and means "safe to delete"."""
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db_path};shutdown=true"
+        )
+    except Exception:  # noqa: BLE001 — the exception IS the success path
+        pass
 
 
 def read(
