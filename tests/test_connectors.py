@@ -117,12 +117,41 @@ def _stage_parquet(spark, df, tmp_path) -> str:
     return p
 
 
-def test_avro_directory_needs_jar(spark, tmp_path):
-    from tinyetl_spark.io.files import write_avro
+def test_avro_directory_distributed_roundtrip(spark, tmp_path):
+    """No spark-avro jar here, so a directory dataset exercises the
+    DISTRIBUTED pure-Python fallback: one OCF part file per task on
+    write, one Arrow-batched task per part file on read — null unions
+    and timestamps must survive, and parallelism must be real (multiple
+    part files for multiple input partitions)."""
+    import datetime as dt
+    import os
 
-    df = spark.createDataFrame([(1,)], "a long")
-    with pytest.raises(RuntimeError, match="spark-avro"):
-        write_avro(df, str(tmp_path / "avro_dir"))
+    from tinyetl_spark.io.files import read_avro, write_avro
+
+    df = spark.createDataFrame(
+        [
+            (1, "ann", 1.5, True, dt.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+            (2, None, None, None, None),
+            (3, "bob", -0.25, False, dt.datetime(2025, 6, 7, 8, 9, 10)),
+        ],
+        "id long, name string, score double, ok boolean, at timestamp",
+    ).repartition(3)
+    out = str(tmp_path / "avro_dir")
+    assert write_avro(df, out) == 3
+    parts = [f for f in os.listdir(out) if f.endswith(".avro")]
+    assert len(parts) > 1  # distributed: more than one part file
+    back = {r.id: r for r in read_avro(spark, out).collect()}
+    assert len(back) == 3
+    assert back[1].name == "ann" and back[1].score == 1.5 and back[1].ok is True
+    assert back[1].at == dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    assert back[2].name is None and back[2].at is None
+    assert back[3].score == -0.25 and back[3].ok is False
+
+    # overwrite replaces, append accumulates
+    assert write_avro(df.limit(1).repartition(1), out, mode="overwrite") == 1
+    assert read_avro(spark, out).count() == 1
+    assert write_avro(df.limit(1).repartition(1), out, mode="append") == 1
+    assert read_avro(spark, out).count() == 2
 
 
 def test_avro_rejects_corrupt_file(spark, tmp_path):
@@ -211,3 +240,15 @@ def test_derby_jdbc_live_roundtrip(spark, tmp_path):
     jio.write(df, tgt, "derby", mode="overwrite")       # truncates
     rows = {r.k: (r.s, r.v) for r in jio.read(spark, tgt).collect()}
     assert rows == {1: ("a", 1.5), 2: ("b", 2.5), 3: (None, None)}
+
+
+def test_streaming_foreachbatch_jdbc_rerunnable(spark):
+    """Regression: re-running the Derby foreachBatch query in ONE JVM
+    must work — rmtree without a Derby shutdown leaves the engine's
+    booted instance pointing at deleted files, and the second run's
+    ;create=true connection then fails inside foreachBatch."""
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.queries import QUERIES
+
+    for _ in range(2):
+        assert QUERIES["streaming_foreachbatch_jdbc"](spark, SF_DIR).count() > 0

@@ -80,9 +80,9 @@ def test_streaming_session_window_counts_match_batch(spark, tmp_path):
     stage = tmp_path / "events_dir"
     os.makedirs(stage, exist_ok=True)
     os.symlink(f"{SF_DIR}/events.parquet", stage / "events.parquet")
-    stream = streaming.read_events_stream(spark, str(stage), raw_schema)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from tinyetl_spark.queries import _normalize_events_ts
+
+    stream = _normalize_events_ts(streaming.read_events_stream(spark, str(stage), raw_schema))
     agg = streaming.session_aggregates(stream, gap="30 minutes", watermark="24 hours")
     got = streaming.run_bounded(agg, spark)
 

@@ -172,6 +172,27 @@ def write_file(path: str, fields: list[tuple[str, str]], rows) -> int:
 
 # ---------------------------------------------------------------- read
 
+def read_header(path: str) -> list[tuple[str, str]]:
+    """Parse just the OCF header and return the field kinds — lets a
+    directory reader learn the schema without decoding any data blocks
+    (the header is metadata-only and lives in the first few KB)."""
+    with open(path, "rb") as fh:
+        data = fh.read(1 << 20)  # schema JSON is tiny; 1 MiB is ample
+    buf = io.BytesIO(data)
+    if buf.read(4) != MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    meta: dict[bytes, bytes] = {}
+    while True:
+        count = _zigzag_decode(buf)
+        if count == 0:
+            break
+        for _ in range(abs(count)):
+            k = _read_bytes(buf)
+            v = _read_bytes(buf)
+            meta[k] = v
+    return _field_kinds(json.loads(meta[b"avro.schema"]))
+
+
 def read_file(path: str) -> tuple[list[tuple[str, str]], list[tuple]]:
     """Returns (field kinds, rows). Kinds use timestamp-micros/millis
     markers so the caller builds the right Spark types."""

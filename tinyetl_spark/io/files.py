@@ -23,8 +23,9 @@ Format behaviors matched to the reference:
 * JSON source: whole-file array-of-objects; nested arrays/objects are
   stringified; string fields are date-sniffed (src/connectors/json.rs:28-57).
 * CSV source: all-string read + TinyETL sniffing (schema_infer).
-* Avro: requires the spark-avro module jar; absent in this container →
-  a clear gated error, never a silent fallback.
+* Avro: spark-avro module jar when present; else a pure-Python OCF
+  codec — driver-side for single files, distributed (one task per part
+  file) for directory datasets.
 """
 
 from __future__ import annotations
@@ -133,29 +134,76 @@ def _avro_kind(dt: T.DataType) -> str:
     return "string"
 
 
+def _avro_spark_schema(kinds: list[tuple[str, str]]) -> T.StructType:
+    type_map = {
+        "long": T.LongType(), "int": T.LongType(), "double": T.DoubleType(),
+        "float": T.DoubleType(), "boolean": T.BooleanType(),
+        "bytes": T.BinaryType(), "string": T.StringType(),
+        "date": T.DateType(),
+    }
+    fields = []
+    for name, kind in kinds:
+        if kind.startswith("timestamp"):
+            fields.append(T.StructField(name, T.TimestampType(), True))
+        else:
+            fields.append(T.StructField(name, type_map.get(kind, T.StringType()), True))
+    return T.StructType(fields)
+
+
+def _read_avro_dir_py(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed jar-free directory reader: one Arrow-batched task per
+    OCF part file (a part file is already ~one-partition-sized when our
+    writer produced it, so per-file tasks scale without block-splitting).
+    Requires ``path`` on a filesystem the executors share — true of any
+    local-path source; use the spark-avro package for HDFS/S3 URIs."""
+    from tinyetl_spark.io import avro_py
+
+    files = sorted(glob.glob(os.path.join(path, "*.avro")))
+    if not files:
+        raise FileNotFoundError(f"no .avro part files under {path}")
+    kinds = avro_py.read_header(files[0])
+    schema = _avro_spark_schema(kinds)
+    names = [n for n, _ in kinds]
+    ts_cols = [n for n, k in kinds if k.startswith("timestamp")]
+
+    def _read_part(batches):
+        import pandas as pd
+
+        from tinyetl_spark.io import avro_py as ap
+
+        for b in batches:
+            for p in b["path"]:
+                _, rows = ap.read_file(p)
+                if not rows:
+                    continue
+                pdf = pd.DataFrame(rows, columns=names)
+                for c in ts_cols:
+                    # read_file yields tz-aware UTC datetimes; a UTC
+                    # series converts to Spark TIMESTAMP instant-exactly
+                    # whatever the session timezone is
+                    pdf[c] = pd.to_datetime(pdf[c], utc=True)
+                yield pdf
+
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        len(files), "path"
+    )
+    return paths_df.mapInPandas(_read_part, schema=schema)
+
+
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """spark-avro when the jar is present; else the pure-Python OCF
-    codec (driver-side, single file — same shape as the reference's
-    whole-file Avro connector)."""
+    codec — distributed per-file tasks for directory datasets,
+    driver-side for a single file (the reference's whole-file shape,
+    avro.rs:105-211)."""
     try:
         return spark.read.format("avro").load(path)
     except Exception:
         from tinyetl_spark.io import avro_py
 
+        if os.path.isdir(path):
+            return _read_avro_dir_py(spark, path)
         kinds, rows = avro_py.read_file(path)
-        type_map = {
-            "long": T.LongType(), "int": T.LongType(), "double": T.DoubleType(),
-            "float": T.DoubleType(), "boolean": T.BooleanType(),
-            "bytes": T.BinaryType(), "string": T.StringType(),
-            "date": T.DateType(),
-        }
-        fields = []
-        for name, kind in kinds:
-            if kind.startswith("timestamp"):
-                fields.append(T.StructField(name, T.TimestampType(), True))
-            else:
-                fields.append(T.StructField(name, type_map.get(kind, T.StringType()), True))
-        return spark.createDataFrame(rows, T.StructType(fields))
+        return spark.createDataFrame(rows, _avro_spark_schema(kinds))
 
 
 # ---------------------------------------------------------------- write
@@ -315,22 +363,65 @@ def write_json(df: DataFrame, path: str, append: bool = False) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _write_avro_dir_py(df: DataFrame, path: str, mode: str) -> int:
+    """Distributed jar-free directory writer: every task streams its own
+    partition through the pure-Python OCF codec into a uniquely-named
+    part file — no driver collect, parallelism = input partitions.
+    Same session-timezone caveat as the driver fallback (naive
+    timestamps are written as-is; the engine pins UTC). Requires
+    ``path`` on a filesystem all executors share — true of any
+    local-path sink; use the spark-avro package for HDFS/S3 URIs."""
+    fields = [(f.name, _avro_kind(f.dataType)) for f in df.schema.fields]
+    if mode == "overwrite":
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    def _write_part(batches):
+        import uuid
+
+        import pandas as pd
+
+        from pyspark import TaskContext
+
+        from tinyetl_spark.io import avro_py as ap
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+
+        def _rows():
+            for b in batches:
+                for tup in b.itertuples(index=False, name=None):
+                    yield tuple(
+                        None
+                        if v is None or v is pd.NaT or (isinstance(v, float) and v != v)
+                        else v
+                        for v in tup
+                    )
+
+        part = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
+        n = ap.write_file(part, fields, _rows())
+        yield pd.DataFrame({"n": [n]})
+
+    total = (
+        df.mapInPandas(_write_part, schema="n long")
+        .agg(F.sum("n").alias("n"))
+        .collect()[0]["n"]
+    )
+    return int(total or 0)
+
+
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> int | None:
-    """spark-avro for directory datasets (scale path); pure-Python OCF
-    codec for single files when the jar is absent — nullable-union
-    record schema with timestamp-micros, like the reference's writer
-    (avro.rs:408-481). Returns rows written on the fallback path."""
+    """spark-avro for directory datasets when the jar is present; else a
+    distributed pure-Python OCF writer (one part file per task). Single
+    files use the driver-side codec — nullable-union record schema with
+    timestamp-micros, like the reference's writer (avro.rs:408-481).
+    Returns rows written on the fallback paths."""
     if not is_single_file(path, "avro"):
         try:
             df.write.mode(mode).format("avro").save(path)
             return None
-        except Exception as exc:
-            raise RuntimeError(
-                "directory Avro datasets need the spark-avro module "
-                "(--packages org.apache.spark:spark-avro_2.13:<version>); "
-                "single-file .avro targets work without it — see "
-                "README.md 'What needs extra jars'"
-            ) from exc
+        except Exception:
+            return _write_avro_dir_py(df, path, mode)
     try:
         tmp = tempfile.mkdtemp(prefix="tinyetl_avro_")
         try:

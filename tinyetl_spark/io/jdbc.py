@@ -177,13 +177,16 @@ def read(
     else:
         reader = reader.option("dbtable", tgt.table)
     if partition_column:
+        # explicit AS (Derby rejects implicit column aliases) and a
+        # dialect-quoted column (case-folding DBs would otherwise
+        # uppercase it away from the exact name Spark's writer made;
+        # MySQL needs backticks — ANSI_QUOTES is off by default, so a
+        # double-quoted name there is a string literal)
+        q = _IDENT_QUOTE.get(tgt.kind, '"')
         bounds = spark.read.format("jdbc").option("url", tgt.url).option(
             "query",
-            # explicit AS (Derby rejects implicit column aliases) and
-            # ANSI-quoted column (case-folding DBs would otherwise
-            # uppercase it away from the exact name Spark's writer made)
-            f'SELECT MIN("{partition_column}") AS lo, '
-            f'MAX("{partition_column}") AS hi FROM {tgt.table}',
+            f"SELECT MIN({q}{partition_column}{q}) AS lo, "
+            f"MAX({q}{partition_column}{q}) AS hi FROM {tgt.table}",
         )
         for k, v in tgt.properties.items():
             bounds = bounds.option(k, v)

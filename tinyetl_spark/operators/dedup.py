@@ -740,7 +740,17 @@ def connected_components(
             f"round from {nparts} partitions (needs {nparts.bit_length() + 1})"
         )
     schema = "a long, b long"
+    rounds = 0
     while True:
+        # max_iter is a REAL cap, not just the up-front guard above:
+        # if the halving schedule ever changes, exceeding it fails loudly
+        # instead of silently emitting conflicting cluster ids
+        rounds += 1
+        if rounds > max_iter:
+            raise RuntimeError(
+                f"connected_components exceeded max_iter={max_iter} rounds "
+                f"without reaching the single-partition round"
+            )
         star = edges.repartition(nparts, "a").mapInPandas(_local_star, schema=schema)
         if nparts == 1:
             edges = star.localCheckpoint(eager=True)  # exact: one task saw it all
@@ -762,9 +772,11 @@ def connected_components_sql(pairs_query: str) -> str:
     return f"""
     WITH RECURSIVE
     pairs AS ({pairs_query}),
-    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+    -- a <> b mirrors the Spark side's self-loop filter: a node that
+    -- appears ONLY in self-pairs is in no component on either engine
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a <> id_b
               UNION
-              SELECT id_b AS a, id_a AS b FROM pairs),
+              SELECT id_b AS a, id_a AS b FROM pairs WHERE id_a <> id_b),
     walk AS (
         SELECT a, a AS lbl FROM (SELECT DISTINCT a FROM edges) t
         UNION

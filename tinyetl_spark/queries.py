@@ -39,8 +39,10 @@ def _q(name: str, oracle: str | None = None):
 
 
 _RUNTIME_CONFS = {
-    # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark rejects
-    # (PARQUET_TYPE_ILLEGAL); nanosAsLong makes it read as bigint.
+    # events.parquet carries TIMESTAMP(NANOS). Spark <= 4.0 rejects it
+    # (PARQUET_TYPE_ILLEGAL) unless nanosAsLong makes it read as bigint;
+    # Spark 4.1+ ignores the conf and reads it natively as TIMESTAMP_NTZ.
+    # _normalize_events_ts handles both shapes.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Timestamp→string formatting (date_format) follows the session
     # timezone; oracles (DuckDB) format wall-clock-free, so pin UTC.
@@ -66,16 +68,32 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
 _ensure_nanos_conf = _ensure_runtime_confs
 
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a plain µs TIMESTAMP
+    regardless of how this Spark version surfaced the parquet
+    TIMESTAMP(NANOS) source:
+
+      * bigint (epoch nanos) — Spark <= 4.0 under nanosAsLong;
+      * timestamp_ntz — Spark 4.1+ native nanos read (µs-truncated).
+        The session timezone is pinned UTC before any action runs, so
+        the NTZ→LTZ cast maps wall-clock 1:1 onto the same UTC instants
+        the bigint path produced.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a testdata table, normalizing nanosecond parquet timestamps
-    (read as long via the runtime nanosAsLong conf, convert to µs)."""
+    to a plain µs TIMESTAMP (see _normalize_events_ts)."""
     _ensure_runtime_confs(spark)
     path = f"{sf_dir}/{table}.parquet"
     if table == "events":
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 
@@ -1952,6 +1970,7 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH chars AS (
         SELECT doc_id, unnest(string_split(text, '')) AS ch
         FROM documents
+        WHERE strlen(text) = length(text) AND length(text) > 0
     )
     SELECT doc_id,
            [{bins}] AS hist
@@ -1967,13 +1986,17 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-free byte-level feature through the REAL multimodal decode
     plumbing (mapInPandas over binary payloads). The payload here is the
-    UTF-8 encoding of `text`, and the corpus is pure ASCII (verified both
-    sfs), so a per-character code-point binning in DuckDB is the exact
-    byte histogram — a real value-hash oracle for the Arrow path."""
+    UTF-8 encoding of `text`. Per-character code-point binning in DuckDB
+    equals the byte histogram ONLY for non-empty pure-ASCII text, so both
+    sides filter to octet_length == char_length AND length > 0 — the
+    assumption is enforced in the predicate, not just asserted (for this
+    corpus the filter passes every doc; verified both sfs)."""
     from tinyetl_spark.operators import multimodal
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.octet_length("text") == F.length("text")) & (F.length("text") > 0))
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
     )
     return multimodal.byte_histogram(d)
 
@@ -2277,7 +2300,11 @@ def streaming_foreachbatch_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     db = _roundtrip_dir(sf_dir, "stream_derby")
     ckpt = f"{db}.checkpoint"
-    # a fresh DB per run keeps the append + replay semantics inspectable
+    # a fresh DB per run keeps the append + replay semantics inspectable.
+    # Derby keeps a booted in-JVM instance per DB path: shut it down
+    # BEFORE rmtree, or a re-run's ;create=true resolves to the stale
+    # instance over deleted files and the foreachBatch write fails.
+    jio.derby_shutdown(spark, db)
     for p in (db, ckpt):
         shutil.rmtree(p, ignore_errors=True)
     os.makedirs(os.path.dirname(db), exist_ok=True)
@@ -2339,9 +2366,7 @@ def _staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stage = _stage_table_symlink(sf_dir, "events")
     stream = streaming.read_events_stream(spark, stage, raw_schema)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return _normalize_events_ts(stream)
 
 
 @_q(
