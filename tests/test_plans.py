@@ -230,3 +230,21 @@ def test_partitioned_scan_prunes(spark):
     p = plan_of(spark, "partitioned_scan_prune")
     seg = p.split("PartitionFilters:")[1][:160]
     assert "event_type" in seg  # predicate prunes directories at planning
+
+
+def test_char_entropy_in_row_no_shuffle_no_python(spark):
+    """char_entropy counts per-char in-row via HOFs — its whole point
+    vs an explode→groupBy is ZERO shuffle and zero Python."""
+    p = plan_of(spark, "char_entropy_docs")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bm25_broadcasts_df_table(spark):
+    """bm25's per-term document-frequency table is tiny — it must come
+    back as a broadcast join, never a shuffled sort-merge join."""
+    p = plan_of(spark, "bm25_top_terms")
+    assert "BroadcastHashJoin" in p
+    # the doc-length join keys on doc_id over two corpus-sized sides —
+    # a shuffle there is honest; a shuffled join on `term` is not
+    assert "SortMergeJoin [term" not in p

@@ -607,3 +607,157 @@ def winnow_fingerprints_sql(
       FROM grams)
     SELECT {id_col}, unnest(list_distinct(wmins)) AS fp FROM wins
     """
+
+
+# ------------------------------------------------------------- bm25
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k terms per document by BM25 (Robertson/Sparck Jones idf,
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)``) — tf-idf's production
+    successor: the ``k1`` saturation stops a term's score growing
+    linearly with repetition, and ``b`` normalizes away document
+    length, both of which matter for training-data relevance ranking
+    where document lengths are wildly skewed.
+
+    Same corpus-level shape as tf-idf: the explode→groupBy over
+    (doc, term) is the honest inverted-index shuffle (map-side combine
+    halves it), the tiny per-term df table broadcasts back, and avgdl
+    is a single driver scalar. Ties broken lexicographically; scores
+    rounded to 6dp so both engines' ln agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    words = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("term"))
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    # exact long sum / exact long count -> the same double in any engine
+    avgdl = dl.agg((F.sum("dl") / F.count("*")).alias("a")).collect()[0]["a"]
+    dft = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(idf * F.col("tf") * (k1 + 1.0) / norm, 6).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, "term", "bm25", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def bm25_top_terms_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    w = words_sql(text_col)
+    return f"""
+    WITH words_t AS (SELECT {id_col}, unnest({w}) AS term FROM {table}),
+    tf AS (SELECT {id_col}, term, count(*) AS tf FROM words_t GROUP BY 1, 2),
+    dl AS (SELECT {id_col}, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    dft AS (SELECT term, count(DISTINCT {id_col}) AS df_t FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM {table}),
+    scored AS (
+      SELECT tf.{id_col}, tf.term,
+             round(ln((CAST(n.n_docs AS DOUBLE) - dft.df_t + 0.5)
+                      / (dft.df_t + 0.5) + 1.0)
+                   * tf.tf * ({k1} + 1.0)
+                   / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl)),
+                   6) AS bm25
+      FROM tf
+      JOIN dft USING (term)
+      JOIN dl USING ({id_col})
+      CROSS JOIN stats CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY {id_col}
+                                   ORDER BY bm25 DESC, term ASC) AS rk
+      FROM scored)
+    SELECT {id_col}, term, bm25, rk FROM ranked WHERE rk <= {top_k}
+    """
+
+
+# ------------------------------------------------------- char entropy
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram character entropy (bits/char) — the cheap
+    quality signal that separates natural text (~4 bits) from
+    low-entropy boilerplate/repetition and high-entropy binary noise;
+    a standard pretraining-corpus filter alongside length/stopword
+    ratios.
+
+    Deliberately IN-ROW, unlike the tf-idf/bm25 shuffle: per-char
+    explode→groupBy would shuffle one row per CHARACTER of the corpus
+    (catastrophic at 100 TB), while the alphabet per doc is bounded
+    (~dozens), so counting via HOFs over the char array is
+    O(len × alphabet) inside whole-stage codegen with ZERO shuffle and
+    zero Python. The char array is materialized in its own projection
+    first (lambda HOFs re-evaluate shared subexpressions per
+    reference — the repo's documented codegen trap)."""
+    n = F.size(F.col("_chars"))
+    per_char = F.transform(
+        F.array_distinct(F.col("_chars")),
+        lambda c: F.size(F.filter(F.col("_chars"), lambda x: x == c)) / n,
+    )
+    ent = -F.aggregate(
+        F.transform(per_char, lambda p: p * F.log2(p)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(F.col(id_col), F.split(F.col(text_col), "").alias("_chars"))
+        .select(
+            F.col(id_col),
+            F.round(ent, 6).alias("entropy_bits"),
+            F.size("_chars").cast("bigint").alias("n_chars_e"),
+        )
+    )
+
+
+def char_entropy_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    # string_split(text, '') mirrors Spark split(text, '') per-char
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, string_split({text_col}, '') AS chars
+      FROM {table} WHERE length({text_col}) > 0),
+    probs AS (
+      SELECT {id_col}, chars,
+             list_transform(list_distinct(chars),
+                 c -> CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                      / len(chars)) AS ps
+      FROM base)
+    SELECT {id_col},
+           round(-list_aggregate(list_transform(ps, p -> p * log2(p)), 'sum'),
+                 6) AS entropy_bits,
+           len(chars) AS n_chars_e
+    FROM probs
+    """

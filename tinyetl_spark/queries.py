@@ -1482,6 +1482,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(load(spark, sf_dir, "documents"), top_k=3)
 
 
+@_q("bm25_top_terms", text.bm25_top_terms_sql(top_k=3))
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking (k1 saturation + length normalization) —
+    same inverted-index shuffle as tf-idf, broadcast df table."""
+    return text.bm25_top_terms(load(spark, sf_dir, "documents"), top_k=3)
+
+
+@_q("char_entropy_docs", text.char_entropy_sql())
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram character entropy per doc — the gibberish/boilerplate
+    quality filter. In-row HOFs: zero shuffle, zero Python."""
+    return text.char_entropy(load(spark, sf_dir, "documents"))
+
+
 @_q("chunk_documents", text.chunk_documents_sql(chunk_chars=200, overlap=50))
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 200-char chunks, 50-char overlap, 1→N
