@@ -205,3 +205,46 @@ def test_kmeans_fit_improves_inertia(spark):
     assert inertia(fit) < inertia(seed)
     # empty cells (if any) must keep the seed centroid, so shape holds
     assert len(fit) == len(seed) and all(len(c) == len(seed[0]) for c in fit)
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction must shrink the file count while preserving every row."""
+    from tinyetl_spark.operators import maintenance
+
+    src = str(tmp_path / "fragmented")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    import glob as g
+
+    assert len(g.glob(f"{src}/part-*.parquet")) == 64
+    dst = str(tmp_path / "compacted")
+    n = maintenance.compact_small_files(spark, src, dst, target_file_mb=512)
+    assert n == 1  # 10k rows is far under one 512 MB target file
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+    stats = maintenance.dataset_stats(spark, dst)
+    assert stats["n_files"] == 1 and stats["total_bytes"] > 0
+
+
+def test_upsert_snapshot_column_mismatch_rejected(spark):
+    from tinyetl_spark.operators import maintenance
+
+    base = spark.range(3).withColumn("v", F.lit(1))
+    bad = spark.range(3).withColumn("other", F.lit(2))
+    with pytest.raises(ValueError, match="column mismatch"):
+        maintenance.upsert_snapshot(base, bad, key="id")
+
+
+def test_salted_join_left_and_rejects_outer(spark):
+    from tinyetl_spark.operators import relational
+
+    big = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c"), (9, "z")], "k long, x string")
+    small = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    got = {
+        (r.k, r.x, r.name)
+        for r in relational.salted_join(big, small, "k", salt_buckets=4, how="left").collect()
+    }
+    assert got == {(1, "a", "one"), (1, "b", "one"), (2, "c", "two"), (9, "z", None)}
+    with pytest.raises(ValueError, match="inner/left"):
+        relational.salted_join(big, small, "k", how="full")

@@ -248,3 +248,10 @@ def test_bm25_broadcasts_df_table(spark):
     # the doc-length join keys on doc_id over two corpus-sized sides —
     # a shuffle there is honest; a shuffled join on `term` is not
     assert "SortMergeJoin [term" not in p
+
+
+def test_salted_join_joins_on_salt(spark):
+    """The whole point of the salted join: the physical join keys must
+    include the salt so a hot key spreads across reducers."""
+    p = plan_of(spark, "salted_join_orders")
+    assert "_salt" in p

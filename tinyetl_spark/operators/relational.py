@@ -172,6 +172,37 @@ def salted_agg(
     return phase1.groupBy(key).agg(*final_aggs)
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join by key salting: the big (skewed) side gets a
+    random salt in ``[0, salt_buckets)``, the small side is replicated
+    once per salt value, and the join runs on ``(key, _salt)`` — a hot
+    key's rows spread over ``salt_buckets`` reducers instead of one
+    straggler task. Results are IDENTICAL to the plain join: every big
+    row meets every matching small row exactly once (its salt picks the
+    one replica).
+
+    AQE's skew-join split handles most skewed sort-merge joins at
+    runtime; explicit salting remains the tool when AQE is off, when
+    the skew is in a shuffled-hash build side, or when a deterministic
+    plan is required. Cost: small side ×``salt_buckets`` — only pay it
+    when the small side is modest but too big to broadcast.
+
+    ``inner`` and ``left`` only: an unmatched small row under right /
+    full outer would surface once per replica."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    big_s = big.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    small_s = small.withColumn("_salt", salts)
+    return big_s.join(small_s, [key, "_salt"], how).drop("_salt")
+
+
 def sessionize(
     df: DataFrame,
     key: str,

@@ -544,6 +544,55 @@ def salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "salted_join_orders",
+    """
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join: orders salted over 8 buckets against a customer
+    side replicated once per salt — identical rows to the plain-join
+    oracle (the correctness claim that makes salting usable)."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    return relational.salted_join(o, c, key="custkey", salt_buckets=8).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@_q(
+    "upsert_documents",
+    """
+    WITH updates AS (
+      SELECT doc_id, text, lang, 'refresh' AS source, n_chars
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT d.doc_id,
+           coalesce(u.source, d.source) AS source,
+           d.n_chars
+    FROM documents d LEFT JOIN updates u USING (doc_id)
+    """,
+)
+def upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot merge: a re-scored slice of the corpus (every
+    10th doc, source → 'refresh') replaces its base rows, everything
+    else passes through — checked against the LEFT-JOIN/coalesce
+    formulation of MERGE (see operators.maintenance.upsert_snapshot)."""
+    from tinyetl_spark.operators import maintenance
+
+    docs = load(spark, sf_dir, "documents")
+    updates = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "source", F.lit("refresh")
+    )
+    merged = maintenance.upsert_snapshot(docs, updates, key="doc_id")
+    return merged.select("doc_id", "source", "n_chars")
+
+
+@_q(
     "bucketed_join_orders",
     """
     SELECT c.c_custkey, c.c_name,

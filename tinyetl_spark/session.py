@@ -31,9 +31,10 @@ _DEFAULTS = {
     # Parquet scans: keep row-group pruning + vectorized reader on.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
-    # TIMESTAMP(NANOS) parquet columns (the events table) read as long;
-    # loaders convert to µs timestamps. Set once here — per-query
-    # spark.conf.set would mutate a shared session mid-flight.
+    # TIMESTAMP(NANOS) parquet columns (the events table): Spark <= 4.0
+    # reads them as long under this conf; Spark 4.1+ ignores it and
+    # reads TIMESTAMP_NTZ natively. Harmless where ignored — loaders
+    # (queries._normalize_events_ts) map both shapes to µs timestamps.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
