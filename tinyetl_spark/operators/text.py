@@ -761,3 +761,91 @@ def char_entropy_sql(
            len(chars) AS n_chars_e
     FROM probs
     """
+
+
+# ------------------------------------------------- training-run prep
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle for a training epoch: rank every doc
+    by ``md5(seed || id)`` — a pseudo-random permutation that is (a)
+    reproducible bit-for-bit across engines, cluster layouts and
+    restarts (unlike ``orderBy(rand())``), and (b) re-keyable per epoch
+    by bumping ``seed``.
+
+    The total sort is the honest cost of a global shuffle — Spark does
+    it as sample-based range partitioning (RangePartitioning in the
+    plan), the same machinery a 100 TB sort uses; downstream consumers
+    read back in rank order. Emits (id, shuffle_rank)."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.orderBy(key.asc(), F.col(id_col).asc())
+    return df.select(
+        F.col(id_col), F.row_number().over(w).cast("bigint").alias("shuffle_rank")
+    )
+
+
+def epoch_shuffle_sql(
+    table: str = "documents", id_col: str = "doc_id", seed: int = 0
+) -> str:
+    return f"""
+    SELECT {id_col},
+           row_number() OVER (
+               ORDER BY md5('{seed}:' || CAST({id_col} AS VARCHAR)) ASC,
+                        {id_col} ASC) AS shuffle_rank
+    FROM {table}
+    """
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity_tokens: int = 512,
+) -> DataFrame:
+    """Greedy in-order sequence packing: walking docs in ``id`` order,
+    each doc lands in bin ``floor(cum_tokens_before / capacity)`` — the
+    context-window packing step that turns a shuffled corpus into
+    ~capacity-token training rows (docs longer than a window span
+    several; the consumer splits those at window edges).
+
+    The running total is ONE unbounded-preceding window sum. A single
+    global ordering means a single-reducer window at naive scale — so
+    at 100 TB, run this per shard (partitionBy the epoch-shuffle bin)
+    exactly like the salted patterns; the demo keeps the global order
+    its oracle can mirror. Emits (id, n_tokens, pack_id)."""
+    from pyspark.sql import Window
+
+    toks = F.size(words_col(text_col)).cast("bigint")
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(F.col(id_col), toks.alias("n_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(before / capacity_tokens).cast("bigint").alias("pack_id"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity_tokens: int = 512,
+) -> str:
+    w = words_sql(text_col)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, CAST(len({w}) AS BIGINT) AS n_tokens FROM {table})
+    SELECT {id_col}, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                    ORDER BY {id_col}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {capacity_tokens}) AS BIGINT) AS pack_id
+    FROM toks
+    """

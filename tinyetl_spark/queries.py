@@ -1531,6 +1531,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(load(spark, sf_dir, "documents"), top_k=3)
 
 
+@_q("epoch_shuffle_docs", text.epoch_shuffle_sql(seed=1))
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus permutation (md5-rank total sort,
+    RangePartitioning) — reproducible across engines and restarts."""
+    return text.epoch_shuffle(load(spark, sf_dir, "documents"), seed=1)
+
+
+@_q("pack_sequences_docs", text.pack_sequences_sql(capacity_tokens=512))
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order context-window packing via one running-total
+    window — assigns each doc its ~512-token training bin."""
+    return text.pack_sequences(load(spark, sf_dir, "documents"), capacity_tokens=512)
+
+
 @_q("bm25_top_terms", text.bm25_top_terms_sql(top_k=3))
 def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance ranking (k1 saturation + length normalization) —
