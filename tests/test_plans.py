@@ -255,3 +255,12 @@ def test_salted_join_joins_on_salt(spark):
     include the salt so a hot key spreads across reducers."""
     p = plan_of(spark, "salted_join_orders")
     assert "_salt" in p
+
+
+def test_epoch_shuffle_window_is_bucket_partitioned(spark):
+    """The global rank must be two-phase: the row_number window
+    partitions on the md5-prefix bucket (parallel), never an
+    unpartitioned ORDER BY window (single-reducer corpus funnel)."""
+    p = plan_of(spark, "epoch_shuffle_docs")
+    assert "windowspecdefinition(_b" in p
+    assert "BroadcastExchange" in p  # offsets come back broadcast

@@ -767,7 +767,7 @@ def char_entropy_sql(
 
 
 def epoch_shuffle(
-    df: DataFrame, id_col: str = "doc_id", seed: int = 0
+    df: DataFrame, id_col: str = "doc_id", seed: int = 0, buckets: int = 256
 ) -> DataFrame:
     """Deterministic global shuffle for a training epoch: rank every doc
     by ``md5(seed || id)`` — a pseudo-random permutation that is (a)
@@ -775,16 +775,38 @@ def epoch_shuffle(
     restarts (unlike ``orderBy(rand())``), and (b) re-keyable per epoch
     by bumping ``seed``.
 
-    The total sort is the honest cost of a global shuffle — Spark does
-    it as sample-based range partitioning (RangePartitioning in the
-    plan), the same machinery a 100 TB sort uses; downstream consumers
-    read back in rank order. Emits (id, shuffle_rank)."""
+    A naive ``row_number() OVER (ORDER BY key)`` funnels the whole
+    corpus through ONE window task, so the rank is computed two-phase:
+    the first hex chars of the key split the corpus into ``buckets``
+    uniform buckets (hex order == lexicographic key order, so bucket
+    boundaries respect the total order), each bucket ranks locally in
+    parallel, and a ``buckets``-row cumulative-offset table — driver
+    arithmetic, then broadcast — lifts local ranks to global ones.
+    One shuffle on the bucket; no single-reducer stage anywhere.
+    Emits (id, shuffle_rank)."""
     from pyspark.sql import Window
 
+    hex_chars = max(1, (buckets - 1).bit_length() // 4 or 1)
+    n_buckets = 16 ** hex_chars
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
-    w = Window.orderBy(key.asc(), F.col(id_col).asc())
-    return df.select(
-        F.col(id_col), F.row_number().over(w).cast("bigint").alias("shuffle_rank")
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("_key"),
+        F.conv(F.substring(key, 1, hex_chars), 16, 10).cast("int").alias("_b"),
+    )
+    w_local = Window.partitionBy("_b").orderBy(F.col("_key").asc(), F.col(id_col).asc())
+    local = keyed.withColumn("_r", F.row_number().over(w_local))
+    # n_buckets rows: trivially driver-sized at any corpus scale
+    counts = {r["_b"]: r["c"] for r in local.groupBy("_b").agg(F.count("*").alias("c")).collect()}
+    offsets, acc = [], 0
+    for b in range(n_buckets):
+        offsets.append((b, acc))
+        acc += counts.get(b, 0)
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_b int, _off long")
+    return (
+        local.join(F.broadcast(off_df), "_b")
+        .select(id_col, (F.col("_off") + F.col("_r")).cast("bigint").alias("shuffle_rank"))
     )
 
 
