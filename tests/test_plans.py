@@ -264,3 +264,11 @@ def test_epoch_shuffle_window_is_bucket_partitioned(spark):
     p = plan_of(spark, "epoch_shuffle_docs")
     assert "windowspecdefinition(_b" in p
     assert "BroadcastExchange" in p  # offsets come back broadcast
+
+
+def test_pack_sequences_window_is_bucket_partitioned(spark):
+    """Same two-phase contract as epoch_shuffle: the running-total
+    window partitions on the id-range bucket, never a bare ORDER BY."""
+    p = plan_of(spark, "pack_sequences_docs")
+    assert "windowspecdefinition(_b" in p
+    assert "BroadcastExchange" in p

@@ -834,22 +834,50 @@ def pack_sequences(
     ~capacity-token training rows (docs longer than a window span
     several; the consumer splits those at window edges).
 
-    The running total is ONE unbounded-preceding window sum. A single
-    global ordering means a single-reducer window at naive scale — so
-    at 100 TB, run this per shard (partitionBy the epoch-shuffle bin)
-    exactly like the salted patterns; the demo keeps the global order
-    its oracle can mirror. Emits (id, n_tokens, pack_id)."""
+    Like epoch_shuffle's rank, the running total is computed two-phase
+    rather than through one unpartitioned (single-reducer) window:
+    approxQuantile boundaries on ``id`` split the corpus into ordered
+    range buckets (manual range partitioning — the same sampling
+    Spark's own RangePartitioner does), each bucket computes its local
+    unbounded-preceding sum in parallel, and a bucket-total
+    cumulative-offset table (driver arithmetic over ≤ ``buckets`` rows,
+    then broadcast) lifts local prefix sums to global ones. One shuffle
+    on the bucket. Emits (id, n_tokens, pack_id)."""
     from pyspark.sql import Window
 
+    buckets = 32
     toks = F.size(words_col(text_col)).cast("bigint")
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
-    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    base = df.select(F.col(id_col), toks.alias("n_tokens"))
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(base.approxQuantile(id_col, qs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col(id_col).cast("double") > b))
+    else:
+        bucket = F.lit(0)
+    keyed = base.withColumn("_b", bucket)
+    w_local = (
+        Window.partitionBy("_b").orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    totals = {
+        r["_b"]: r["t"]
+        for r in keyed.groupBy("_b").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(len(bounds) + 1):
+        offsets.append((b, acc))
+        acc += totals.get(b, 0)
+    off_df = df.sparkSession.createDataFrame(offsets, "_b int, _off long")
     return (
-        df.select(F.col(id_col), toks.alias("n_tokens"))
+        keyed.withColumn("_lb", local_before)
+        .join(F.broadcast(off_df), "_b")
         .select(
             id_col,
             "n_tokens",
-            F.floor(before / capacity_tokens).cast("bigint").alias("pack_id"),
+            F.floor((F.col("_off") + F.col("_lb")) / capacity_tokens)
+            .cast("bigint")
+            .alias("pack_id"),
         )
     )
 
