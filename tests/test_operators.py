@@ -192,3 +192,84 @@ def test_winnowing_guarantee_shared_substring(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert 3 not in by_doc
     assert by_doc[1] & by_doc[2]  # shared fingerprint from COMMONRUN
+
+
+def test_salted_join_matches_plain_join_random(spark):
+    """Property check: salted_join == plain join bag-for-bag on random
+    multisets with duplicate and hot keys, inner and left."""
+    from hypothesis import given, settings, strategies as st
+
+    row = st.tuples(st.integers(0, 6), st.integers(0, 100))
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=40), st.lists(row, max_size=10))
+    def check(big_rows, small_rows):
+        # one small row per key (dim-table shape)
+        small_rows = list({k: (k, v) for k, v in small_rows}.values())
+        big = spark.createDataFrame(big_rows, "k long, x long")
+        small = spark.createDataFrame(small_rows, "k long, y long") if small_rows \
+            else spark.createDataFrame([], "k long, y long")
+        for how in ("inner", "left"):
+            got = sorted(
+                (r.k, r.x, r.y)
+                for r in relational.salted_join(big, small, "k", salt_buckets=4, how=how).collect()
+            )
+            want = sorted((r.k, r.x, r.y) for r in big.join(small, "k", how).collect())
+            assert got == want, how
+
+    check()
+
+
+def test_upsert_snapshot_random(spark):
+    """Property check: upsert == dict-update by key on random bases and
+    update batches (updates override, new keys append, rest survive)."""
+    from hypothesis import given, settings, strategies as st
+
+    row = st.tuples(st.integers(0, 30), st.integers(0, 100))
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(row, max_size=30), st.lists(row, max_size=15))
+    def check(base_rows, upd_rows):
+        base_rows = list({k: (k, v) for k, v in base_rows}.values())
+        upd_rows = list({k: (k, v + 1000) for k, v in upd_rows}.values())
+        from tinyetl_spark.operators import maintenance
+
+        base = spark.createDataFrame(base_rows, "k long, v long") if base_rows \
+            else spark.createDataFrame([], "k long, v long")
+        upd = spark.createDataFrame(upd_rows, "k long, v long") if upd_rows \
+            else spark.createDataFrame([], "k long, v long")
+        got = {r.k: r.v for r in maintenance.upsert_snapshot(base, upd, "k").collect()}
+        want = dict(base_rows)
+        want.update(dict(upd_rows))
+        assert got == want
+
+    check()
+
+
+def test_pack_sequences_invariants(spark):
+    """pack_id is non-decreasing in id order, starts at 0, and matches
+    the sequential floor(cum_before / capacity) reference."""
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, " ".join("w" for _ in range(rng.randint(1, 40)))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.pack_id)
+        for r in text.pack_sequences(df, capacity_tokens=64).collect()
+    }
+    cum = 0
+    for i in range(300):
+        n = len(rows[i][1].split())
+        assert got[i] == (n, cum // 64), i
+        cum += n
+
+
+def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    r1 = {r.doc_id: r.shuffle_rank for r in text.epoch_shuffle(df, seed=1).collect()}
+    r1b = {r.doc_id: r.shuffle_rank for r in text.epoch_shuffle(df, seed=1).collect()}
+    r2 = {r.doc_id: r.shuffle_rank for r in text.epoch_shuffle(df, seed=2).collect()}
+    assert sorted(r1.values()) == list(range(1, 501))  # a true permutation
+    assert r1 == r1b  # deterministic
+    assert r1 != r2  # seed actually re-keys
