@@ -2409,6 +2409,65 @@ def streaming_foreachbatch_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
 
+@_q(
+    "streaming_upsert_snapshot",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END AS lang,
+           source
+    FROM documents
+    """,
+)
+def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: a stream of re-labeled document slices merged into a
+    parquet snapshot by foreachBatch + maintenance.upsert_snapshot —
+    the table-maintenance loop a training corpus runs on re-crawl /
+    re-score streams. Snapshots are VERSIONED (write snap_v{n+1}, then
+    point to it): a batch must never overwrite the files it is lazily
+    reading, and a crashed batch leaves the previous snapshot intact
+    (checkpointed redelivery then re-applies it idempotently — the
+    upsert keys make the merge idempotent, unlike a blind append).
+    Three update files → three micro-batches, so state genuinely
+    carries across applies. Result = the final snapshot, which must
+    equal the one-shot batch MERGE the oracle expresses."""
+    import os
+    import shutil
+
+    from tinyetl_spark.operators import maintenance
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    root = _roundtrip_dir(sf_dir, "snap_upsert")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{root}/snap_v0")
+    upd_dir = f"{root}/updates"
+    updates = docs.filter(F.col("doc_id") % 7 == 3).withColumn("lang", F.lit("xx"))
+    updates.repartition(3).write.mode("overwrite").parquet(upd_dir)
+
+    schema = spark.read.parquet(upd_dir).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(upd_dir)
+    )
+    state = {"v": 0}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(f"{root}/snap_v{state['v']}")
+        merged = maintenance.upsert_snapshot(cur, batch_df, key="doc_id")
+        merged.write.mode("overwrite").parquet(f"{root}/snap_v{state['v'] + 1}")
+        state["v"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/snap_v{state['v']}").select(
+        "doc_id", "lang", "source"
+    )
+
+
 # =====================================================================
 # Structured Streaming twins (tinyetl_spark.streaming): the batch
 # events table replayed through the real streaming engine
