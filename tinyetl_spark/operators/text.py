@@ -714,29 +714,39 @@ def char_entropy(
 
     Deliberately IN-ROW, unlike the tf-idf/bm25 shuffle: per-char
     explode→groupBy would shuffle one row per CHARACTER of the corpus
-    (catastrophic at 100 TB), while the alphabet per doc is bounded
-    (~dozens), so counting via HOFs over the char array is
-    O(len × alphabet) inside whole-stage codegen with ZERO shuffle and
-    zero Python. The char array is materialized in its own projection
-    first (lambda HOFs re-evaluate shared subexpressions per
-    reference — the repo's documented codegen trap)."""
-    n = F.size(F.col("_chars"))
-    per_char = F.transform(
-        F.array_distinct(F.col("_chars")),
-        lambda c: F.size(F.filter(F.col("_chars"), lambda x: x == c)) / n,
+    (catastrophic at 100 TB). Counting is sort + run-length, O(L log L):
+    sort the char array, find run starts (where s[i] != s[i-1]), and
+    each run's length is the next start minus its own — NOT the naive
+    O(L × alphabet) per-distinct-char rescan. All codegen HOFs, zero
+    shuffle, zero Python. Every intermediate array is materialized in
+    its own projection (lambda HOFs re-evaluate shared subexpressions
+    per reference — the repo's documented codegen trap). Run order is
+    sort order in both engines, so even the fold order matches."""
+    n = F.size(F.col("_s"))
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (F.get(F.col("_s"), i - 1) != F.get(F.col("_s"), i - 2)),
+    )
+    p = lambda c: c.cast("double") / F.col("_n")  # noqa: E731
+    counts = F.transform(
+        F.col("_b"),
+        lambda s, k: F.coalesce(F.get(F.col("_b"), k + 1), F.col("_n") + 1) - s,
     )
     ent = -F.aggregate(
-        F.transform(per_char, lambda p: p * F.log2(p)),
+        F.transform(F.col("_c"), lambda c: p(c) * F.log2(p(c))),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
         df.filter(F.length(text_col) > 0)
-        .select(F.col(id_col), F.split(F.col(text_col), "").alias("_chars"))
+        .select(F.col(id_col), F.array_sort(F.split(F.col(text_col), "")).alias("_s"))
+        .select(F.col(id_col), F.col("_s"), n.alias("_n"))
+        .select(F.col(id_col), F.col("_n"), starts.alias("_b"))
+        .select(F.col(id_col), F.col("_n"), counts.alias("_c"))
         .select(
             F.col(id_col),
             F.round(ent, 6).alias("entropy_bits"),
-            F.size("_chars").cast("bigint").alias("n_chars_e"),
+            F.col("_n").cast("bigint").alias("n_chars_e"),
         )
     )
 
@@ -744,22 +754,30 @@ def char_entropy(
 def char_entropy_sql(
     table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
 ) -> str:
-    # string_split(text, '') mirrors Spark split(text, '') per-char
+    # string_split(text, '') mirrors Spark split(text, '') per-char;
+    # same sort + run-length formulation as the Spark side (run counts
+    # are a multiset property, so engine collation differences in the
+    # sort cannot change the result)
     return f"""
     WITH base AS (
-      SELECT {id_col}, string_split({text_col}, '') AS chars
+      SELECT {id_col}, list_sort(string_split({text_col}, '')) AS s,
+             length({text_col}) AS n
       FROM {table} WHERE length({text_col}) > 0),
-    probs AS (
-      SELECT {id_col}, chars,
-             list_transform(list_distinct(chars),
-                 c -> CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
-                      / len(chars)) AS ps
-      FROM base)
+    runs AS (
+      SELECT {id_col}, n,
+             list_filter(range(1, n + 1), i -> i = 1 OR s[i] != s[i-1]) AS b
+      FROM base),
+    cnts AS (
+      SELECT {id_col}, n,
+             list_transform(range(1, len(b) + 1),
+                 k -> coalesce(b[k+1], n + 1) - b[k]) AS c
+      FROM runs)
     SELECT {id_col},
-           round(-list_aggregate(list_transform(ps, p -> p * log2(p)), 'sum'),
-                 6) AS entropy_bits,
-           len(chars) AS n_chars_e
-    FROM probs
+           round(-list_aggregate(list_transform(c,
+                 x -> (CAST(x AS DOUBLE) / n) * log2(CAST(x AS DOUBLE) / n)),
+                 'sum'), 6) AS entropy_bits,
+           CAST(n AS BIGINT) AS n_chars_e
+    FROM cnts
     """
 
 
