@@ -272,3 +272,11 @@ def test_pack_sequences_window_is_bucket_partitioned(spark):
     p = plan_of(spark, "pack_sequences_docs")
     assert "windowspecdefinition(_b" in p
     assert "BroadcastExchange" in p
+
+
+def test_fuzzy_decontam_broadcasts_heldout(spark):
+    """The held-out bands must be the broadcast side everywhere — the
+    training corpus is probed in place, never shuffled for the match."""
+    p = plan_of(spark, "fuzzy_decontam")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p.split("jaccard")[0]  # band join side

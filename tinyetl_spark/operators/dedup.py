@@ -784,3 +784,71 @@ def connected_components_sql(pairs_query: str) -> str:
     )
     SELECT a AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY a
     """
+
+
+# ----------------------------------------------------- fuzzy decontam
+
+
+def fuzzy_decontam(
+    df: DataFrame,
+    heldout_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Fuzzy test-set decontamination: training docs whose word-set
+    Jaccard against ANY held-out doc clears ``threshold`` — the
+    approximate complement to the exact-shingle ``decontam_overlap``
+    (paraphrased or lightly-edited leakage shares few exact 5-grams
+    but keeps high set overlap).
+
+    Pipeline: one minhash-signature pass over the corpus (the md5 cost
+    is paid ONCE, both sides are filters of it), LSH band join with the
+    held-out side BROADCAST (a held-out benchmark is ~1e3-1e6 docs —
+    always the broadcast side at corpus scale, so the training side is
+    probed in place and never shuffled, and band-bucket skew cannot
+    exist), then exact Jaccard verify sized by |candidates|.
+
+    ``heldout_pred``: boolean Column marking held-out docs. Emits
+    (id_a = flagged training doc, id_b = matched held-out doc,
+    jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm)
+    b = lsh_bands(sigs, id_col, num_perm, bands)
+    held_ids = df.filter(heldout_pred).select(F.col(id_col).alias("_hid"))
+    tb = b.join(F.broadcast(held_ids), b[id_col] == F.col("_hid"), "left_anti")
+    hb = (
+        b.join(F.broadcast(held_ids), b[id_col] == F.col("_hid"), "left_semi")
+        .withColumnRenamed(id_col, "_held_id")
+    )
+    cand = (
+        tb.join(F.broadcast(hb), ["band_idx", "band_hash"])
+        .select(F.col(id_col).alias("id_a"), F.col("_held_id").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_verify(df, cand, text_col, id_col, threshold)
+
+
+def fuzzy_decontam_sql(
+    heldout_pred_sql: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+) -> str:
+    sig = minhash_signatures_sql(table, text_col, id_col, num_perm)
+    bands_sql = lsh_bands_sql("sig_t", id_col, num_perm, bands)
+    return f"""
+    WITH sig_t AS ({sig}),
+    bands_t AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT t.{id_col} AS id_a, h.{id_col} AS id_b
+      FROM bands_t t
+      JOIN bands_t h ON t.band_idx = h.band_idx AND t.band_hash = h.band_hash
+      WHERE NOT ({heldout_pred_sql.replace(id_col, f't.{id_col}')})
+        AND ({heldout_pred_sql.replace(id_col, f'h.{id_col}')}))
+    {jaccard_verify_sql("cand", table, text_col, id_col, threshold)}
+    """

@@ -1583,6 +1583,17 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontam_overlap(load(spark, sf_dir, "documents"))
 
 
+@_q("fuzzy_decontam", dedup.fuzzy_decontam_sql("doc_id % 97 = 0"))
+def fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy test-set decontamination: minhash-LSH match of training
+    docs against the broadcast held-out slice (doc_id % 97 == 0), exact
+    word-Jaccard verify — catches paraphrased leakage the exact-shingle
+    decontam_overlap misses."""
+    return dedup.fuzzy_decontam(
+        load(spark, sf_dir, "documents"), F.col("doc_id") % 97 == 0
+    )
+
+
 @_q("hash_sample_docs", text.hash_sample_sql(pct=10))
 def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% sample by salted id-hash — reproducible across
