@@ -252,3 +252,28 @@ def test_streaming_foreachbatch_jdbc_rerunnable(spark):
 
     for _ in range(2):
         assert QUERIES["streaming_foreachbatch_jdbc"](spark, SF_DIR).count() > 0
+
+
+def test_avro_directory_mode_semantics_and_exact_values(spark, tmp_path):
+    """Jar-free directory writes must honor Spark's write modes (error/
+    ignore must NOT silently append) and must round-trip exact values:
+    NaN doubles stay NaN (distinct from null) and longs above 2^53
+    survive (the pandas float64 path would corrupt them)."""
+    import math
+
+    from tinyetl_spark.io.files import read_avro, write_avro
+
+    big = 9007199254740993  # 2^53 + 1
+    df = spark.createDataFrame(
+        [(1, float("nan"), big), (2, None, None)],
+        "id long, score double, ref long",
+    )
+    out = str(tmp_path / "d")
+    assert write_avro(df, out) == 2
+    with pytest.raises(FileExistsError):
+        write_avro(df, out, mode="error")
+    assert write_avro(df, out, mode="ignore") == 0
+    assert read_avro(spark, out).count() == 2  # ignore really ignored
+    back = {r.id: r for r in read_avro(spark, out).collect()}
+    assert math.isnan(back[1].score) and back[1].ref == big
+    assert back[2].score is None and back[2].ref is None

@@ -223,7 +223,7 @@ def test_compact_small_files(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
-    stats = maintenance.dataset_stats(spark, dst)
+    stats = maintenance.dataset_stats(dst)
     assert stats["n_files"] == 1 and stats["total_bytes"] > 0
 
 

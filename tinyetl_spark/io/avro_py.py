@@ -172,13 +172,9 @@ def write_file(path: str, fields: list[tuple[str, str]], rows) -> int:
 
 # ---------------------------------------------------------------- read
 
-def read_header(path: str) -> list[tuple[str, str]]:
-    """Parse just the OCF header and return the field kinds — lets a
-    directory reader learn the schema without decoding any data blocks
-    (the header is metadata-only and lives in the first few KB)."""
-    with open(path, "rb") as fh:
-        data = fh.read(1 << 20)  # schema JSON is tiny; 1 MiB is ample
-    buf = io.BytesIO(data)
+def _read_meta(buf: io.BytesIO, path: str) -> dict[bytes, bytes]:
+    """Magic check + the OCF header metadata map (shared by the
+    header-only and full readers so fixes can't drift apart)."""
     if buf.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro object container file")
     meta: dict[bytes, bytes] = {}
@@ -190,6 +186,16 @@ def read_header(path: str) -> list[tuple[str, str]]:
             k = _read_bytes(buf)
             v = _read_bytes(buf)
             meta[k] = v
+    return meta
+
+
+def read_header(path: str) -> list[tuple[str, str]]:
+    """Parse just the OCF header and return the field kinds — lets a
+    directory reader learn the schema without decoding any data blocks
+    (the header is metadata-only and lives in the first few KB)."""
+    with open(path, "rb") as fh:
+        data = fh.read(1 << 20)  # schema JSON is tiny; 1 MiB is ample
+    meta = _read_meta(io.BytesIO(data), path)
     return _field_kinds(json.loads(meta[b"avro.schema"]))
 
 
@@ -201,17 +207,7 @@ def read_file(path: str) -> tuple[list[tuple[str, str]], list[tuple]]:
     with open(path, "rb") as fh:
         data = fh.read()
     buf = io.BytesIO(data)
-    if buf.read(4) != MAGIC:
-        raise ValueError(f"{path}: not an Avro object container file")
-    meta: dict[bytes, bytes] = {}
-    while True:
-        count = _zigzag_decode(buf)
-        if count == 0:
-            break
-        for _ in range(abs(count)):
-            k = _read_bytes(buf)
-            v = _read_bytes(buf)
-            meta[k] = v
+    meta = _read_meta(buf, path)
     codec = meta.get(b"avro.codec", b"null")
     if codec != b"null":
         raise ValueError(f"unsupported Avro codec {codec!r} (null only)")

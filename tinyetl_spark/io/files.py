@@ -164,30 +164,51 @@ def _read_avro_dir_py(spark: SparkSession, path: str) -> DataFrame:
     kinds = avro_py.read_header(files[0])
     schema = _avro_spark_schema(kinds)
     names = [n for n, _ in kinds]
-    ts_cols = [n for n, k in kinds if k.startswith("timestamp")]
 
     def _read_part(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         from tinyetl_spark.io import avro_py as ap
 
+        # typed arrays built straight from the decoded python values —
+        # a pandas hop here would fold real NaN doubles into nulls
+        # (pandas uses NaN as ITS null sentinel)
+        pa_types = {
+            "long": pa.int64(), "int": pa.int64(), "double": pa.float64(),
+            "float": pa.float64(), "boolean": pa.bool_(),
+            "bytes": pa.binary(), "string": pa.string(), "date": pa.date32(),
+        }
+
+        def pa_type(kind: str):
+            if kind.startswith("timestamp"):
+                # read_file yields tz-aware UTC datetimes; a UTC-typed
+                # array converts to Spark TIMESTAMP instant-exactly
+                # whatever the session timezone is
+                return pa.timestamp("us", tz="UTC")
+            return pa_types.get(kind, pa.string())
+
         for b in batches:
-            for p in b["path"]:
-                _, rows = ap.read_file(p)
+            for p in b.column(b.schema.get_field_index("path")).to_pylist():
+                own_kinds, rows = ap.read_file(p)
                 if not rows:
                     continue
-                pdf = pd.DataFrame(rows, columns=names)
-                for c in ts_cols:
-                    # read_file yields tz-aware UTC datetimes; a UTC
-                    # series converts to Spark TIMESTAMP instant-exactly
-                    # whatever the session timezone is
-                    pdf[c] = pd.to_datetime(pdf[c], utc=True)
-                yield pdf
+                # index by the FILE'S own field order — append-written
+                # parts may order columns differently (KeyError =
+                # honest schema drift)
+                by_name = {n: i for i, (n, _) in enumerate(own_kinds)}
+                kind_of = dict(own_kinds)
+                cols = [
+                    pa.array([r[by_name[n]] for r in rows], type=pa_type(kind_of[n]))
+                    for n in names
+                ]
+                yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    paths_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
-        len(files), "path"
-    )
-    return paths_df.mapInPandas(_read_part, schema=schema)
+    # range-partition on a distinct index: exact one-file-per-task
+    # placement (hash-partitioning path strings collides birthday-style)
+    paths_df = spark.createDataFrame(
+        list(enumerate(files)), "i int, path string"
+    ).repartitionByRange(len(files), "i")
+    return paths_df.mapInArrow(_read_part, schema=schema)
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
@@ -372,6 +393,7 @@ def _write_avro_dir_py(df: DataFrame, path: str, mode: str) -> int:
     ``path`` on a filesystem all executors share — true of any
     local-path sink; use the spark-avro package for HDFS/S3 URIs."""
     fields = [(f.name, _avro_kind(f.dataType)) for f in df.schema.fields]
+    names = [n for n, _ in fields]
     if mode == "overwrite":
         shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
@@ -379,7 +401,7 @@ def _write_avro_dir_py(df: DataFrame, path: str, mode: str) -> int:
     def _write_part(batches):
         import uuid
 
-        import pandas as pd
+        import pyarrow as pa
 
         from pyspark import TaskContext
 
@@ -389,21 +411,20 @@ def _write_avro_dir_py(df: DataFrame, path: str, mode: str) -> int:
         pid = ctx.partitionId() if ctx is not None else 0
 
         def _rows():
+            # Arrow batches, not pandas: int64-with-nulls stays int64
+            # (pandas would widen to float64 and corrupt ids > 2^53)
+            # and null is distinct from a real NaN double, which the
+            # single-file writer preserves and this writer must too
             for b in batches:
-                for tup in b.itertuples(index=False, name=None):
-                    yield tuple(
-                        None
-                        if v is None or v is pd.NaT or (isinstance(v, float) and v != v)
-                        else v
-                        for v in tup
-                    )
+                cols = [b.column(b.schema.get_field_index(n)).to_pylist() for n in names]
+                yield from zip(*cols)
 
         part = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
         n = ap.write_file(part, fields, _rows())
-        yield pd.DataFrame({"n": [n]})
+        yield pa.RecordBatch.from_pydict({"n": [n]})
 
     total = (
-        df.mapInPandas(_write_part, schema="n long")
+        df.mapInArrow(_write_part, schema="n long")
         .agg(F.sum("n").alias("n"))
         .collect()[0]["n"]
     )
@@ -420,7 +441,22 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> int | None:
         try:
             df.write.mode(mode).format("avro").save(path)
             return None
-        except Exception:
+        except Exception as exc:
+            # fall back ONLY on "no avro data source" (jar absent) —
+            # with the jar present a real write failure must surface,
+            # not get silently re-run through the Python codec
+            msg = str(exc)
+            if "DATA_SOURCE_NOT_FOUND" not in msg and "Failed to find" not in msg:
+                raise
+            # the jar-path save() raised before honoring mode — enforce
+            # the same semantics here
+            exists = os.path.isdir(path) and bool(os.listdir(path))
+            if mode in ("error", "errorifexists") and exists:
+                raise FileExistsError(f"path already exists: {path}") from None
+            if mode == "ignore" and exists:
+                return 0
+            if mode not in ("overwrite", "append", "error", "errorifexists", "ignore"):
+                raise ValueError(f"unsupported write mode: {mode!r}") from None
             return _write_avro_dir_py(df, path, mode)
     try:
         tmp = tempfile.mkdtemp(prefix="tinyetl_avro_")

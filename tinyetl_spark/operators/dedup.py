@@ -841,14 +841,18 @@ def fuzzy_decontam_sql(
 ) -> str:
     sig = minhash_signatures_sql(table, text_col, id_col, num_perm)
     bands_sql = lsh_bands_sql("sig_t", id_col, num_perm, bands)
+    # the predicate is evaluated against the TABLE (a held CTE of ids),
+    # not spliced into bands_t — it may reference any document column,
+    # matching the Spark side's arbitrary-Column contract
     return f"""
     WITH sig_t AS ({sig}),
     bands_t AS ({bands_sql}),
+    held AS (SELECT {id_col} AS hid FROM {table} WHERE {heldout_pred_sql}),
     cand AS (
       SELECT DISTINCT t.{id_col} AS id_a, h.{id_col} AS id_b
       FROM bands_t t
       JOIN bands_t h ON t.band_idx = h.band_idx AND t.band_hash = h.band_hash
-      WHERE NOT ({heldout_pred_sql.replace(id_col, f't.{id_col}')})
-        AND ({heldout_pred_sql.replace(id_col, f'h.{id_col}')}))
+      JOIN held ON h.{id_col} = held.hid
+      WHERE t.{id_col} NOT IN (SELECT hid FROM held))
     {jaccard_verify_sql("cand", table, text_col, id_col, threshold)}
     """

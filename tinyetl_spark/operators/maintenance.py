@@ -15,7 +15,6 @@ import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def upsert_snapshot(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
@@ -72,7 +71,7 @@ def compact_small_files(
     return len(glob.glob(os.path.join(dst_dir, "part-*.parquet")))
 
 
-def dataset_stats(spark: SparkSession, path: str) -> dict:
+def dataset_stats(path: str) -> dict:
     """File-layout health check: count/bytes/min/max/mean file size —
     the numbers that tell you a compaction is due."""
     sizes = [

@@ -639,7 +639,9 @@ def bm25_top_terms(
 
     n_docs = df.count()
     words = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("term"))
-    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # cut lineage: tf feeds dl, the avgdl scalar job, dft, and the final
+    # scored plan — the explode+groupBy shuffle must run once, not four times
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf")).localCheckpoint(eager=False)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     # exact long sum / exact long count -> the same double in any engine
     avgdl = dl.agg((F.sum("dl") / F.count("*")).alias("a")).collect()[0]["a"]
@@ -804,18 +806,21 @@ def epoch_shuffle(
     Emits (id, shuffle_rank)."""
     from pyspark.sql import Window
 
-    hex_chars = max(1, (buckets - 1).bit_length() // 4 or 1)
+    hex_chars = max(1, ((buckets - 1).bit_length() + 3) // 4)  # ceil: >= buckets
     n_buckets = 16 ** hex_chars
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    # cut lineage: the bucket-count job below and the returned plan
+    # would otherwise BOTH recompute the md5 keying scan
     keyed = df.select(
         F.col(id_col),
         key.alias("_key"),
         F.conv(F.substring(key, 1, hex_chars), 16, 10).cast("int").alias("_b"),
-    )
+    ).localCheckpoint(eager=False)
     w_local = Window.partitionBy("_b").orderBy(F.col("_key").asc(), F.col(id_col).asc())
     local = keyed.withColumn("_r", F.row_number().over(w_local))
-    # n_buckets rows: trivially driver-sized at any corpus scale
-    counts = {r["_b"]: r["c"] for r in local.groupBy("_b").agg(F.count("*").alias("c")).collect()}
+    # n_buckets rows: trivially driver-sized at any corpus scale —
+    # counts need only the bucket column, never the rank window
+    counts = {r["_b"]: r["c"] for r in keyed.groupBy("_b").agg(F.count("*").alias("c")).collect()}
     offsets, acc = [], 0
     for b in range(n_buckets):
         offsets.append((b, acc))
@@ -865,7 +870,9 @@ def pack_sequences(
 
     buckets = 32
     toks = F.size(words_col(text_col)).cast("bigint")
-    base = df.select(F.col(id_col), toks.alias("n_tokens"))
+    # cut lineage FIRST: tokenization feeds the quantile job, the totals
+    # job, and the returned plan — pay it once
+    base = df.select(F.col(id_col), toks.alias("n_tokens")).localCheckpoint(eager=False)
     qs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(base.approxQuantile(id_col, qs, 0.001)))
     if bounds:
