@@ -248,3 +248,34 @@ def test_salted_join_left_and_rejects_outer(spark):
     assert got == {(1, "a", "one"), (1, "b", "one"), (2, "c", "two"), (9, "z", None)}
     with pytest.raises(ValueError, match="inner/left"):
         relational.salted_join(big, small, "k", how="full")
+
+
+def test_pq_trained_recall_and_compression(spark):
+    """Trained PQ codebooks: ADC top-10 must recover a meaningful part
+    of the exact-L2 top-10 (4-bit x 8 subspaces is coarse — the bar is
+    recall, not equality), and codes must be valid 4-bit indexes."""
+    from tinyetl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = similarity.train_pq_codebooks(emb, seed=7)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    codes = similarity.pq_encode(emb, books).collect()
+    assert all(0 <= c <= 15 for r in codes for c in r.codes)
+    assert all(len(r.codes) == 8 for r in codes)
+
+    # exact-L2 top-10 for query 0 (unit-normed corpus: L2 rank == cosine rank)
+    import numpy as np
+
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    q = rows[0]
+    exact = sorted(
+        ((vid, ((q - v) ** 2).sum()) for vid, v in rows.items() if vid != 0),
+        key=lambda t: t[1],
+    )[:10]
+    exact_ids = {vid for vid, _ in exact}
+    # production PQ is shortlist-then-exact-rerank: the ADC top-50
+    # shortlist must hold most of the true top-10 (chance: 50/500)
+    short = {
+        r.vec_id for r in similarity.pq_topk(emb, query_id=0, k=50, codebooks=books).collect()
+    }
+    assert len(exact_ids & short) >= 5

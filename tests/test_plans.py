@@ -280,3 +280,11 @@ def test_fuzzy_decontam_broadcasts_heldout(spark):
     p = plan_of(spark, "fuzzy_decontam")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p.split("jaccard")[0]  # band join side
+
+
+def test_pq_encode_pure_codegen(spark):
+    """PQ encoding is a per-row projection: zero Exchange, zero Python —
+    the compression scan must run at parquet scan speed."""
+    p = plan_of(spark, "pq_encode_vectors")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

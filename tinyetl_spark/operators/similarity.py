@@ -688,3 +688,210 @@ def kmeans_fit(
         for c, posvals in new.items():
             cents[c] = [posvals[p] for p in range(len(cents[c]))]
     return cents
+
+
+# ------------------------------------------------ product quantization
+
+PQ_M = 8    # subvectors (64-dim embeddings -> 8 dims per subspace)
+PQ_K = 16   # centroids per subspace -> 4-bit codes, 8 bytes per vector
+
+
+def _pq_seeded_codebooks(
+    m: int = PQ_M, k: int = PQ_K, dim: int = IVF_DIM
+) -> list[list[list[float]]]:
+    """Deterministic LCG codebooks (same generator family as the IVF
+    seeds) — the quantizer must be IDENTICAL literal text in the Spark
+    plan and the DuckDB oracle, so the oracle-checked queries share
+    these; production trains with train_pq_codebooks."""
+    dsub = dim // m
+    state = 0xC0DEB00C
+    books = []
+    for _ in range(m):
+        book = []
+        for _ in range(k):
+            c = []
+            for _ in range(dsub):
+                state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 63) - 1)
+                c.append(round((state >> 33) / float(1 << 30) - 1.0, 6))
+            book.append(c)
+        books.append(book)
+    return books
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd k-means on a bounded, deterministic
+    driver-side sample (ordered by id). The m codebooks total
+    m*k*dsub floats — trivially broadcastable; at 100 TB train on a
+    ~100k sample exactly like train_ivf_centroids."""
+    import numpy as np
+
+    rows = df.orderBy(id_col).limit(sample).select(vec_col).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    dsub = x.shape[1] // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=k, replace=False)]
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append([[round(float(v), 6) for v in c] for c in cent])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes) — each vector compressed to m nearest-subcentroid
+    indexes (4-bit codes at the defaults: 8 bytes/vector vs 256 for
+    float32, the memory step that makes billion-vector ANN fit).
+
+    Pure codegen projection: m*k small folds per row, zero shuffle,
+    zero Python. Each subspace's distance array materializes in its own
+    projection so the argmin's two references don't re-fold (the
+    repo's documented HOF re-evaluation trap)."""
+    books = codebooks or _pq_seeded_codebooks()
+    dsub = len(books[0][0])
+    base = df.select(F.col(id_col), _vec(vec_col).alias("_v"))
+    dist_cols = [
+        F.array(
+            *[_ivf_dist_col(F.slice(F.col("_v"), j * dsub + 1, dsub), c) for c in book]
+        ).alias(f"_d{j}")
+        for j, book in enumerate(books)
+    ]
+    staged = base.select(F.col(id_col), *dist_cols)
+    codes = [
+        (F.array_position(F.col(f"_d{j}"), F.array_min(F.col(f"_d{j}"))) - 1).cast("int")
+        for j in range(len(books))
+    ]
+    return staged.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def _pq_codes_sql(
+    vec_expr: str, books: list[list[list[float]]]
+) -> str:
+    dsub = len(books[0][0])
+    parts = []
+    for j, book in enumerate(books):
+        sub = f"({vec_expr})[{j * dsub + 1}:{j * dsub + dsub}]"
+        dists = ", ".join(_ivf_dist_sql(sub, c) for c in book)
+        parts.append(f"(list_position([{dists}], list_min([{dists}])) - 1)")
+    return "[" + ", ".join(parts) + "]"
+
+
+def pq_encode_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> str:
+    books = codebooks or _pq_seeded_codebooks()
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    SELECT {id_col}, {_pq_codes_sql(v, books)} AS codes
+    FROM {table}
+    """
+
+
+def pq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact, each
+    corpus vector is its PQ codes, and the approximate distance is m
+    table lookups — the query-to-subcentroid distance table (m*k
+    doubles) is computed once on the driver and inlined as literals
+    (at scale: broadcast). Scan cost per vector: m array gets + adds,
+    no vector math at all."""
+    books = codebooks or _pq_seeded_codebooks()
+    dsub = len(books[0][0])
+    m = len(books)
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    q = [float(x) for x in qrow[0]]
+
+    def _sqdist(j: int, c: list[float]) -> float:
+        # sequential left-to-right fold — the same summation order as
+        # the SQL twin's list_sum and the Spark-side aggregate, so all
+        # three produce bit-identical doubles (numpy's pairwise
+        # summation would not)
+        acc = 0.0
+        for i, cv in enumerate(c):
+            d = q[j * dsub + i] - cv
+            acc += d * d
+        return acc
+
+    dtab = [[_sqdist(j, c) for c in book] for j, book in enumerate(books)]
+    dtab_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dtab])
+    enc = pq_encode(df.filter(F.col(id_col) != query_id), books, vec_col, id_col)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.get(F.get(dtab_lit, j), c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_topk_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> str:
+    """DuckDB twin: the dtab literal CANNOT be inlined (it depends on
+    the query vector), so it is recomputed in SQL from the same
+    codebook literals over the same query row — identical arithmetic
+    order gives bit-identical doubles."""
+    books = codebooks or _pq_seeded_codebooks()
+    dsub = len(books[0][0])
+    m = len(books)
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    rows = []
+    for j, book in enumerate(books):
+        sub = f"(qvec)[{j * dsub + 1}:{j * dsub + dsub}]"
+        rows.append("[" + ", ".join(_ivf_dist_sql(sub, c) for c in book) + "]")
+    dtab = "[" + ", ".join(rows) + "]"
+    return f"""
+    WITH qv_t AS (
+      SELECT {v} AS qvec FROM {table} WHERE {id_col} = {query_id}),
+    dtab_t AS (SELECT {dtab} AS dtab FROM qv_t),
+    enc AS (
+      SELECT {id_col}, {_pq_codes_sql(v, books)} AS codes
+      FROM {table} WHERE {id_col} != {query_id})
+    SELECT e.{id_col},
+           round(list_sum(list_transform(range(1, {m} + 1),
+                 j -> d.dtab[j][e.codes[j] + 1])), 6) AS adc_dist
+    FROM enc e CROSS JOIN dtab_t d
+    ORDER BY adc_dist ASC, e.{id_col} ASC
+    LIMIT {k}
+    """

@@ -1963,6 +1963,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, nprobe=2)
 
 
+@_q("pq_encode_vectors", similarity.pq_encode_sql())
+def pq_encode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-dim vector -> 8 nearest-subcentroid
+    codes (8 bytes vs 256 for float32 — the memory step that fits
+    billion-vector ANN in RAM). Pure codegen projection, zero shuffle;
+    oracle shares the deterministic codebook literals."""
+    return similarity.pq_encode(load(spark, sf_dir, "embeddings"))
+
+
+@_q("ann_pq_topk", similarity.pq_topk_sql(query_id=0, k=10))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: the query-to-subcentroid distance
+    table is driver-computed and inlined (broadcast at scale); each
+    corpus vector costs m table lookups — no vector math in the scan."""
+    return similarity.pq_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
 @_q(
     "kmeans_refine_step",
     similarity.kmeans_update_sql(similarity._ivf_seeded_centroids()),
