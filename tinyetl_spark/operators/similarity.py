@@ -770,12 +770,24 @@ def pq_encode(
     books = codebooks or _pq_seeded_codebooks()
     dsub = len(books[0][0])
     base = df.select(F.col(id_col), _vec(vec_col).alias("_v"))
-    dist_cols = [
-        F.array(
-            *[_ivf_dist_col(F.slice(F.col("_v"), j * dsub + 1, dsub), c) for c in book]
-        ).alias(f"_d{j}")
-        for j, book in enumerate(books)
-    ]
+
+    def _dists(j: int, book: list[list[float]]) -> Column:
+        # ONE transform over the codebook literal, not k separate fold
+        # expressions — 16x fewer expressions keeps the generated code
+        # inside JIT/codegen limits (the unrolled form fell back to
+        # interpreted evaluation and ran ~10x slower)
+        book_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in book])
+        sub = F.slice(F.col("_v"), j * dsub + 1, dsub)
+        return F.transform(
+            book_lit,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    dist_cols = [_dists(j, book).alias(f"_d{j}") for j, book in enumerate(books)]
     staged = base.select(F.col(id_col), *dist_cols)
     codes = [
         (F.array_position(F.col(f"_d{j}"), F.array_min(F.col(f"_d{j}"))) - 1).cast("int")
@@ -888,6 +900,108 @@ def pq_topk_sql(
     enc AS (
       SELECT {id_col}, {_pq_codes_sql(v, books)} AS codes
       FROM {table} WHERE {id_col} != {query_id})
+    SELECT e.{id_col},
+           round(list_sum(list_transform(range(1, {m} + 1),
+                 j -> d.dtab[j][e.codes[j] + 1])), 6) AS adc_dist
+    FROM enc e CROSS JOIN dtab_t d
+    ORDER BY adc_dist ASC, e.{id_col} ASC
+    LIMIT {k}
+    """
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """The full production ANN shape — IVF-PQ: the coarse quantizer
+    prunes the corpus to ``nprobe`` cells (partition pruning with a
+    materialized index), then ADC scans only those cells' PQ codes.
+    At 100 TB: index stored as parquet partitioned by cell with a
+    ``codes`` column, so a probe reads nprobe/n_cells of the data and
+    does m lookups per row — no float vectors touched at query time."""
+    cents = centroids or _ivf_seeded_centroids()
+    books = codebooks or _pq_seeded_codebooks()
+    dsub = len(books[0][0])
+    m = len(books)
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    q = [float(x) for x in qrow[0]]
+
+    def _seq_sqdist(vals: list[float], c: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(vals, c):
+            d = a - b
+            acc += d * d
+        return acc
+
+    cell_d = [_seq_sqdist(q, c) for c in cents]
+    probe = [i for i, _ in sorted(enumerate(cell_d), key=lambda t: t[1])[:nprobe]]
+    dtab = [
+        [_seq_sqdist(q[j * dsub : (j + 1) * dsub], c) for c in book]
+        for j, book in enumerate(books)
+    ]
+    dtab_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dtab])
+    cand = ivf_assign(df.filter(F.col(id_col) != query_id), vec_col, cents).filter(
+        F.col("_cell").isin(*probe)
+    )
+    enc = pq_encode(cand, books, vec_col, id_col)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.get(F.get(dtab_lit, j), c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_pq_topk_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> str:
+    cents = centroids or _ivf_seeded_centroids()
+    books = codebooks or _pq_seeded_codebooks()
+    dsub = len(books[0][0])
+    m = len(books)
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    tv = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qdists = ", ".join(_ivf_dist_sql("qvec", c) for c in cents)
+    rows = []
+    for j, book in enumerate(books):
+        sub = f"(qvec)[{j * dsub + 1}:{j * dsub + dsub}]"
+        rows.append("[" + ", ".join(_ivf_dist_sql(sub, c) for c in book) + "]")
+    dtab = "[" + ", ".join(rows) + "]"
+    return f"""
+    WITH qv_t AS (
+      SELECT {v} AS qvec FROM {table} WHERE {id_col} = {query_id}),
+    qd AS (
+      SELECT unnest(range(0, {len(cents)})) AS cell,
+             unnest([{qdists}]) AS d
+      FROM qv_t),
+    probe AS (SELECT cell FROM qd ORDER BY d ASC LIMIT {nprobe}),
+    dtab_t AS (SELECT {dtab} AS dtab FROM qv_t),
+    enc AS (
+      SELECT t.{id_col}, {_pq_codes_sql(tv, books)} AS codes
+      FROM {table} t
+      WHERE t.{id_col} != {query_id}
+        AND {ivf_assign_sql(tv, cents)} IN (SELECT cell FROM probe))
     SELECT e.{id_col},
            round(list_sum(list_transform(range(1, {m} + 1),
                  j -> d.dtab[j][e.codes[j] + 1])), 6) AS adc_dist

@@ -1980,6 +1980,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+@_q("ann_ivf_pq_topk", similarity.ivf_pq_topk_sql(query_id=0, k=10, nprobe=2))
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full production ANN shape — IVF-PQ: coarse cells prune the
+    corpus to nprobe cells (partition pruning with a materialized
+    index), ADC scans only those cells' 8-byte codes."""
+    return similarity.ivf_pq_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, nprobe=2
+    )
+
+
 @_q(
     "kmeans_refine_step",
     similarity.kmeans_update_sql(similarity._ivf_seeded_centroids()),
