@@ -279,3 +279,15 @@ def test_pq_trained_recall_and_compression(spark):
         r.vec_id for r in similarity.pq_topk(emb, query_id=0, k=50, codebooks=books).collect()
     }
     assert len(exact_ids & short) >= 5
+
+
+def test_ann_query_id_not_found_raises_clearly(spark):
+    from tinyetl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not found"):
+        similarity.pq_topk(emb, query_id=10**9)
+    with pytest.raises(ValueError, match="not found"):
+        similarity.ivf_pq_topk(emb, query_id=10**9)
+    with pytest.raises(ValueError, match="not found"):
+        similarity.ivf_topk(emb, query_id=10**9)

@@ -218,7 +218,14 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     avro.rs:105-211)."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception:
+    except Exception as exc:
+        # fall back ONLY when the avro data source itself is absent —
+        # with the jar present, a real read failure (corrupt file,
+        # unsupported codec) must surface, not get retried through the
+        # Python codec (mirrors write_avro's rule)
+        msg = str(exc)
+        if "DATA_SOURCE_NOT_FOUND" not in msg and "Failed to find" not in msg:
+            raise
         from tinyetl_spark.io import avro_py
 
         if os.path.isdir(path):
@@ -437,6 +444,8 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> int | None:
     files use the driver-side codec — nullable-union record schema with
     timestamp-micros, like the reference's writer (avro.rs:408-481).
     Returns rows written on the fallback paths."""
+    if mode not in ("overwrite", "append", "error", "errorifexists", "ignore"):
+        raise ValueError(f"unsupported write mode: {mode!r}")
     if not is_single_file(path, "avro"):
         try:
             df.write.mode(mode).format("avro").save(path)
@@ -449,14 +458,13 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> int | None:
             if "DATA_SOURCE_NOT_FOUND" not in msg and "Failed to find" not in msg:
                 raise
             # the jar-path save() raised before honoring mode — enforce
-            # the same semantics here
-            exists = os.path.isdir(path) and bool(os.listdir(path))
+            # the same semantics here (the jar raises on ANY existing
+            # path, including an empty directory or a plain file)
+            exists = os.path.exists(path)
             if mode in ("error", "errorifexists") and exists:
                 raise FileExistsError(f"path already exists: {path}") from None
             if mode == "ignore" and exists:
                 return 0
-            if mode not in ("overwrite", "append", "error", "errorifexists", "ignore"):
-                raise ValueError(f"unsupported write mode: {mode!r}") from None
             return _write_avro_dir_py(df, path, mode)
     try:
         tmp = tempfile.mkdtemp(prefix="tinyetl_avro_")

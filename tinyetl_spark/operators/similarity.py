@@ -286,12 +286,9 @@ def ivf_topk(
     """IVF probe: assign the corpus to coarse cells, search only the
     ``nprobe`` cells nearest the query. With a materialized index
     (``build_ivf_index``) the cell filter becomes partition pruning."""
-    import numpy as np
-
     cents = centroids or _ivf_seeded_centroids()
-    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
-    q = np.array(qrow[0], dtype=np.float64)
-    dists = [float(((q - np.array(c)) ** 2).sum()) for c in cents]
+    q = _query_vec(df, query_id, vec_col, id_col)
+    dists = [_seq_sqdist(q, c) for c in cents]
     probe_cells = [i for i, _ in sorted(enumerate(dists), key=lambda t: t[1])[:nprobe]]
     vec = _vec(vec_col)
     assigned = ivf_assign(df.filter(F.col(id_col) != query_id), vec_col, cents)
@@ -712,7 +709,11 @@ def _pq_seeded_codebooks(
             c = []
             for _ in range(dsub):
                 state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 63) - 1)
-                c.append(round((state >> 33) / float(1 << 30) - 1.0, 6))
+                # 63-bit state >> 33 leaves 30 bits: divide by 2^29 for
+                # the full [-1, 1) range (2^30 would collapse every
+                # coordinate into [-1, 0) — all-negative centroids
+                # barely discriminate a zero-centered corpus)
+                c.append(round((state >> 33) / float(1 << 29) - 1.0, 6))
             book.append(c)
         books.append(book)
     return books
@@ -751,6 +752,59 @@ def train_pq_codebooks(
                     cent[c] = members.mean(axis=0)
         books.append([[round(float(v), 6) for v in c] for c in cent])
     return books
+
+
+def _query_vec(
+    df: DataFrame, query_id: int, vec_col: str, id_col: str
+) -> list[float]:
+    """Fetch ONE query vector as python floats, failing clearly when
+    the id is absent (head() would return None and crash downstream)."""
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"query {id_col}={query_id} not found in corpus")
+    return [float(x) for x in qrow[0]]
+
+
+def _seq_sqdist(vals: list[float], c: list[float]) -> float:
+    """Squared L2 as a sequential left-to-right fold — the same
+    summation order as the SQL twins' list_sum and the Spark-side
+    aggregate, so all three produce bit-identical doubles (numpy's
+    pairwise summation would not)."""
+    acc = 0.0
+    for a, b in zip(vals, c):
+        d = a - b
+        acc += d * d
+    return acc
+
+
+def _pq_dtab(q: list[float], books: list[list[list[float]]]) -> list[list[float]]:
+    """Query-to-subcentroid distance table (m x k doubles)."""
+    dsub = len(books[0][0])
+    return [
+        [_seq_sqdist(q[j * dsub : (j + 1) * dsub], c) for c in book]
+        for j, book in enumerate(books)
+    ]
+
+
+def _adc_topk(enc: DataFrame, dtab: list[list[float]], k: int, id_col: str) -> DataFrame:
+    """Asymmetric-distance top-k over a (id, codes) relation: m table
+    lookups + adds per row against the inlined dtab literal."""
+    m = len(dtab)
+    dtab_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dtab])
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.get(F.get(dtab_lit, j), c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def pq_encode(
@@ -837,39 +891,20 @@ def pq_topk(
     (at scale: broadcast). Scan cost per vector: m array gets + adds,
     no vector math at all."""
     books = codebooks or _pq_seeded_codebooks()
-    dsub = len(books[0][0])
-    m = len(books)
-    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
-    q = [float(x) for x in qrow[0]]
-
-    def _sqdist(j: int, c: list[float]) -> float:
-        # sequential left-to-right fold — the same summation order as
-        # the SQL twin's list_sum and the Spark-side aggregate, so all
-        # three produce bit-identical doubles (numpy's pairwise
-        # summation would not)
-        acc = 0.0
-        for i, cv in enumerate(c):
-            d = q[j * dsub + i] - cv
-            acc += d * d
-        return acc
-
-    dtab = [[_sqdist(j, c) for c in book] for j, book in enumerate(books)]
-    dtab_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dtab])
+    q = _query_vec(df, query_id, vec_col, id_col)
     enc = pq_encode(df.filter(F.col(id_col) != query_id), books, vec_col, id_col)
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, j: F.get(F.get(dtab_lit, j), c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc(id_col))
-        .limit(k)
-    )
+    return _adc_topk(enc, _pq_dtab(q, books), k, id_col)
+
+
+def _pq_dtab_sql(books: list[list[list[float]]]) -> str:
+    """SQL literal for the query-to-subcentroid distance table, built
+    from the same codebook literals over a `qvec` CTE column."""
+    dsub = len(books[0][0])
+    rows = []
+    for j, book in enumerate(books):
+        sub = f"(qvec)[{j * dsub + 1}:{j * dsub + dsub}]"
+        rows.append("[" + ", ".join(_ivf_dist_sql(sub, c) for c in book) + "]")
+    return "[" + ", ".join(rows) + "]"
 
 
 def pq_topk_sql(
@@ -885,14 +920,9 @@ def pq_topk_sql(
     codebook literals over the same query row — identical arithmetic
     order gives bit-identical doubles."""
     books = codebooks or _pq_seeded_codebooks()
-    dsub = len(books[0][0])
     m = len(books)
     v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
-    rows = []
-    for j, book in enumerate(books):
-        sub = f"(qvec)[{j * dsub + 1}:{j * dsub + dsub}]"
-        rows.append("[" + ", ".join(_ivf_dist_sql(sub, c) for c in book) + "]")
-    dtab = "[" + ", ".join(rows) + "]"
+    dtab = _pq_dtab_sql(books)
     return f"""
     WITH qv_t AS (
       SELECT {v} AS qvec FROM {table} WHERE {id_col} = {query_id}),
@@ -927,43 +957,14 @@ def ivf_pq_topk(
     does m lookups per row — no float vectors touched at query time."""
     cents = centroids or _ivf_seeded_centroids()
     books = codebooks or _pq_seeded_codebooks()
-    dsub = len(books[0][0])
-    m = len(books)
-    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).head()
-    q = [float(x) for x in qrow[0]]
-
-    def _seq_sqdist(vals: list[float], c: list[float]) -> float:
-        acc = 0.0
-        for a, b in zip(vals, c):
-            d = a - b
-            acc += d * d
-        return acc
-
+    q = _query_vec(df, query_id, vec_col, id_col)
     cell_d = [_seq_sqdist(q, c) for c in cents]
     probe = [i for i, _ in sorted(enumerate(cell_d), key=lambda t: t[1])[:nprobe]]
-    dtab = [
-        [_seq_sqdist(q[j * dsub : (j + 1) * dsub], c) for c in book]
-        for j, book in enumerate(books)
-    ]
-    dtab_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dtab])
     cand = ivf_assign(df.filter(F.col(id_col) != query_id), vec_col, cents).filter(
         F.col("_cell").isin(*probe)
     )
     enc = pq_encode(cand, books, vec_col, id_col)
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, j: F.get(F.get(dtab_lit, j), c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc(id_col))
-        .limit(k)
-    )
+    return _adc_topk(enc, _pq_dtab(q, books), k, id_col)
 
 
 def ivf_pq_topk_sql(
@@ -978,16 +979,11 @@ def ivf_pq_topk_sql(
 ) -> str:
     cents = centroids or _ivf_seeded_centroids()
     books = codebooks or _pq_seeded_codebooks()
-    dsub = len(books[0][0])
     m = len(books)
     v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
     tv = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
     qdists = ", ".join(_ivf_dist_sql("qvec", c) for c in cents)
-    rows = []
-    for j, book in enumerate(books):
-        sub = f"(qvec)[{j * dsub + 1}:{j * dsub + dsub}]"
-        rows.append("[" + ", ".join(_ivf_dist_sql(sub, c) for c in book) + "]")
-    dtab = "[" + ", ".join(rows) + "]"
+    dtab = _pq_dtab_sql(books)
     return f"""
     WITH qv_t AS (
       SELECT {v} AS qvec FROM {table} WHERE {id_col} = {query_id}),
