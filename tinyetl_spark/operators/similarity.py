@@ -1005,3 +1005,67 @@ def ivf_pq_topk_sql(
     ORDER BY adc_dist ASC, e.{id_col} ASC
     LIMIT {k}
     """
+
+
+def pq_rerank_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Shortlist-then-rerank — how PQ is actually served: ADC ranks the
+    whole corpus by compressed codes (cheap, lossy), the top
+    ``shortlist`` ids join back to their float vectors, and exact
+    cosine reranks just those. Recall comes from the shortlist width,
+    precision from the exact pass; the full-precision vectors are
+    touched for only ``shortlist`` rows however big the corpus is."""
+    q = _query_vec(df, query_id, vec_col, id_col)
+    short = pq_topk(df, query_id, shortlist, vec_col, id_col, codebooks).select(id_col)
+    qv = F.array(*[F.lit(x) for x in q])
+    vec = _vec(vec_col)
+    return (
+        df.join(short, id_col, "left_semi")
+        .select(F.col(id_col), F.round(cosine_col(vec, qv), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_rerank_topk_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> str:
+    books = codebooks or _pq_seeded_codebooks()
+    m = len(books)
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    tv = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    dtab = _pq_dtab_sql(books)
+    return f"""
+    WITH qv_t AS (
+      SELECT {v} AS qvec FROM {table} WHERE {id_col} = {query_id}),
+    dtab_t AS (SELECT {dtab} AS dtab FROM qv_t),
+    enc AS (
+      SELECT {id_col}, {_pq_codes_sql(v, books)} AS codes
+      FROM {table} WHERE {id_col} != {query_id}),
+    short AS (
+      SELECT e.{id_col}
+      FROM enc e CROSS JOIN dtab_t d
+      ORDER BY round(list_sum(list_transform(range(1, {m} + 1),
+                    j -> d.dtab[j][e.codes[j] + 1])), 6) ASC, e.{id_col} ASC
+      LIMIT {shortlist})
+    SELECT t.{id_col}, round({cosine_sql(tv, qv)}, 6) AS cosine
+    FROM {table} t
+    JOIN short s ON s.{id_col} = t.{id_col}
+    CROSS JOIN (SELECT {vec_col} FROM {table} WHERE {id_col} = {query_id}) q
+    ORDER BY cosine DESC, t.{id_col} ASC
+    LIMIT {k}
+    """

@@ -1990,6 +1990,16 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ann_pq_rerank_topk", similarity.pq_rerank_topk_sql(query_id=0, k=10, shortlist=50))
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortlist-then-rerank, PQ as actually served: ADC over codes
+    picks 50 candidates, exact cosine reranks only those — recall from
+    the shortlist width, precision from the exact pass."""
+    return similarity.pq_rerank_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=50
+    )
+
+
 @_q(
     "kmeans_refine_step",
     similarity.kmeans_update_sql(similarity._ivf_seeded_centroids()),
