@@ -44,7 +44,10 @@ def _zigzag_encode(n: int) -> bytes:
 def _zigzag_decode(buf: io.BytesIO) -> int:
     shift, acc = 0, 0
     while True:
-        b = buf.read(1)[0]
+        raw = buf.read(1)
+        if not raw:
+            raise EOFError("Avro buffer underflow while decoding varint")
+        b = raw[0]
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
             break
@@ -58,7 +61,11 @@ def _write_bytes(out: bytearray, b: bytes) -> None:
 
 
 def _read_bytes(buf: io.BytesIO) -> bytes:
-    return buf.read(_zigzag_decode(buf))
+    n = _zigzag_decode(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError(f"Avro buffer underflow: wanted {n} bytes, got {len(data)}")
+    return data
 
 
 # -------------------------------------------------------------- schema
@@ -150,13 +157,18 @@ def write_file(path: str, fields: list[tuple[str, str]], rows) -> int:
                 elif kind == "timestamp":
                     if isinstance(value, dt.datetime):
                         # Spark hands the driver NAIVE datetimes in the
-                        # session tz (UTC here); match naive with naive
-                        epoch = (
-                            dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
-                            if value.tzinfo
-                            else dt.datetime(1970, 1, 1)
-                        )
-                        micros = (value - epoch) // dt.timedelta(microseconds=1)
+                        # session tz (UTC here); a tz-aware value is
+                        # normalized to UTC so a non-UTC session zone
+                        # can't shift the written instant
+                        if value.tzinfo:
+                            micros = (
+                                value.astimezone(dt.timezone.utc)
+                                - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+                            ) // dt.timedelta(microseconds=1)
+                        else:
+                            micros = (value - dt.datetime(1970, 1, 1)) // dt.timedelta(
+                                microseconds=1
+                            )
                     else:
                         micros = int(value)
                     block += _zigzag_encode(micros)
@@ -194,8 +206,14 @@ def read_header(path: str) -> list[tuple[str, str]]:
     directory reader learn the schema without decoding any data blocks
     (the header is metadata-only and lives in the first few KB)."""
     with open(path, "rb") as fh:
-        data = fh.read(1 << 20)  # schema JSON is tiny; 1 MiB is ample
-    meta = _read_meta(io.BytesIO(data), path)
+        data = fh.read(1 << 20)  # schema JSON is tiny; 1 MiB is usually ample
+        try:
+            meta = _read_meta(io.BytesIO(data), path)
+        except EOFError:
+            # header larger than the 1 MiB probe — fall back to the whole
+            # file so an oversized schema/metadata map still parses
+            data = data + fh.read()
+            meta = _read_meta(io.BytesIO(data), path)
     return _field_kinds(json.loads(meta[b"avro.schema"]))
 
 

@@ -399,11 +399,17 @@ def _write_avro_dir_py(df: DataFrame, path: str, mode: str) -> int:
     timestamps are written as-is; the engine pins UTC). Requires
     ``path`` on a filesystem all executors share — true of any
     local-path sink; use the spark-avro package for HDFS/S3 URIs."""
+    import uuid as _uuid
+
     fields = [(f.name, _avro_kind(f.dataType)) for f in df.schema.fields]
     names = [n for n, _ in fields]
     if mode == "overwrite":
         shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
+    # one job-scope id minted on the DRIVER: final part names are
+    # deterministic per partition, so a retried/speculative task attempt
+    # replaces its twin's file instead of accumulating a duplicate
+    job_id = _uuid.uuid4().hex[:8]
 
     def _write_part(batches):
         import uuid
@@ -426,8 +432,18 @@ def _write_avro_dir_py(df: DataFrame, path: str, mode: str) -> int:
                 cols = [b.column(b.schema.get_field_index(n)).to_pylist() for n in names]
                 yield from zip(*cols)
 
-        part = os.path.join(path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.avro")
-        n = ap.write_file(part, fields, _rows())
+        # commit protocol: write to an attempt-unique temp name, then
+        # os.replace() onto the deterministic final name — a task that
+        # dies mid-write leaves only a .tmp (ignored by read_avro's
+        # *.avro glob), and duplicate attempts atomically overwrite
+        final = os.path.join(path, f"part-{job_id}-{pid:05d}.avro")
+        tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
+        try:
+            n = ap.write_file(tmp, fields, _rows())
+            os.replace(tmp, final)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         yield pa.RecordBatch.from_pydict({"n": [n]})
 
     total = (

@@ -326,7 +326,7 @@ def ivf_topk_sql(
       SELECT unnest(range(0, {len(cents)})) AS cell,
              unnest([{qdists}]) AS d
       FROM qv_t),
-    probe AS (SELECT cell FROM qd ORDER BY d ASC LIMIT {nprobe})
+    probe AS (SELECT cell FROM qd ORDER BY d ASC, cell ASC LIMIT {nprobe})
     SELECT t.{id_col}, round({cosine_sql(v, qv)}, 6) AS cosine
     FROM {table} t, (SELECT {vec_col} FROM {table} WHERE {id_col} = {query_id}) q
     WHERE t.{id_col} != {query_id}
@@ -991,7 +991,7 @@ def ivf_pq_topk_sql(
       SELECT unnest(range(0, {len(cents)})) AS cell,
              unnest([{qdists}]) AS d
       FROM qv_t),
-    probe AS (SELECT cell FROM qd ORDER BY d ASC LIMIT {nprobe}),
+    probe AS (SELECT cell FROM qd ORDER BY d ASC, cell ASC LIMIT {nprobe}),
     dtab_t AS (SELECT {dtab} AS dtab FROM qv_t),
     enc AS (
       SELECT t.{id_col}, {_pq_codes_sql(tv, books)} AS codes
