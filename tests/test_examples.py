@@ -1,0 +1,301 @@
+"""Replay of the reference's ``examples/`` scenarios through the CLI.
+
+Each test reproduces one of the reference's committed example runs
+(reference ``examples/run_all_examples.sh``) end-to-end through
+``python -m tinyetl_spark.cli`` and asserts the reference's OWN
+committed expected outputs / value-level checks:
+
+* 01  basic CSV -> JSON            (committed ``output.json``, exact)
+* 02  file:// protocol -> parquet  (run.sh: file exists + readable)
+* 05  CSV -> SQLite                (committed ``employees.db``, exact)
+* 06  CSV -> SQLite + transforms   (committed ``products.db``, exact;
+                                    run.sh value asserts: price_cents
+                                    129999, 2 heavy items)
+* 10  CSV -> Avro                  (run.sh: non-empty; plus read-back)
+* 11  schema-file validation       (schemas/employee_schema.yaml)
+* 12  env-var secrets + dry-run    (run.sh: rc 0 with injected secret)
+* 13  YAML config + script         (committed ``employees_output.csv``,
+                                    fresh fixture, value-exact modulo
+                                    Lua-integer vs double display)
+* 15  CSV -> DuckDB -> JSON        (committed ``products_output.json``)
+* 17  SQLite JSON -> parquet -> JSON (committed ``verify_output.json``
+                                    first block, doc JSON value-equal)
+
+Committed-fixture caveats (visible in the reference repo itself):
+13's ``employees_output.json`` is stale (id=24 vs the config's 55555)
+and 17's ``verify_output.json`` accumulated five append runs — where a
+fixture is self-inconsistent we assert the run.sh's value checks and
+the self-consistent committed portion instead.
+
+Numeric display: the reference serializes Lua integers as ``2020`` and
+its Decimal as minimal digits (``102000``); Spark's static schema types
+the same expressions DOUBLE (``2020.0``). Numeric cells are therefore
+compared by VALUE (float equality), not by byte.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import os
+import sqlite3
+
+import pytest
+
+from tinyetl_spark import cli
+
+REF = "/root/reference/examples"
+
+pytestmark = pytest.mark.usefixtures("spark")  # reuse the session JVM
+
+
+def _cp(src: str, dst_dir, name: str | None = None) -> str:
+    import shutil
+
+    dst = str(dst_dir / (name or os.path.basename(src)))
+    shutil.copyfile(src, dst)
+    return dst
+
+
+def _num(x):
+    try:
+        # reference Decimal math vs IEEE double: 0.15 * 2.20462 is
+        # 0.330693 there and 0.33069299999999996 here — compare at 6dp
+        return round(float(x), 6)
+    except (TypeError, ValueError):
+        return x
+
+
+def _vals(row: dict) -> dict:
+    return {k: _num(v) for k, v in row.items()}
+
+
+# --------------------------------------------------------------- ex 01
+
+def test_example_01_csv_to_json(tmp_path):
+    src = _cp(f"{REF}/01_basic_csv_to_json/input.csv", tmp_path)
+    out = str(tmp_path / "output.json")
+    assert cli.main([src, out]) == 0
+    got = json.load(open(out))
+    want = json.load(open(f"{REF}/01_basic_csv_to_json/output.json"))
+    assert got == want  # byte-value exact, including key sets and order
+
+
+# --------------------------------------------------------------- ex 02
+
+def test_example_02_file_protocol_parquet(tmp_path, spark):
+    src = _cp(f"{REF}/02_file_protocol_explicit/input.csv", tmp_path)
+    out = str(tmp_path / "output.parquet")
+    assert cli.main([f"file://{src}", f"file://{out}"]) == 0
+    assert os.path.getsize(out) > 0
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    assert {"id", "name", "email"} <= set(back.columns)
+
+
+# --------------------------------------------------------------- ex 05
+
+def test_example_05_csv_to_sqlite(tmp_path):
+    src = _cp(f"{REF}/05_csv_to_sqlite/employees.csv", tmp_path)
+    db = str(tmp_path / "employees.db")
+    assert cli.main([src, f"{db}#employees"]) == 0
+
+    ours = sqlite3.connect(db)
+    ref = sqlite3.connect(f"{REF}/05_csv_to_sqlite/employees.db")
+    q = "SELECT * FROM employees ORDER BY employee_id"
+    cols = [d[0] for d in ours.execute(q).description]
+    ref_cols = [d[0] for d in ref.execute(q).description]
+    assert cols == ref_cols
+    # the committed fixture is a clean single run -> compare exactly
+    assert ours.execute(q).fetchall() == ref.execute(q).fetchall()
+
+
+# --------------------------------------------------------------- ex 06
+
+def test_example_06_sqlite_transforms(tmp_path):
+    src = _cp(f"{REF}/06_csv_to_sqlite_with_transforms/products.csv", tmp_path)
+    db = str(tmp_path / "products.db")
+    transforms = (
+        "full_name=row.product_code .. ': ' .. row.name; "
+        "price_cents=row.unit_price * 100; "
+        "weight_lb=row.weight_kg * 2.20462; "
+        "is_heavy=row.weight_kg > 10"
+    )
+    assert cli.main([src, f"{db}#products_enriched", "--transform", transforms]) == 0
+
+    con = sqlite3.connect(db)
+    con.row_factory = sqlite3.Row
+    rows = {r["product_code"]: dict(r)
+            for r in con.execute("SELECT * FROM products_enriched")}
+    ref = sqlite3.connect(f"{REF}/06_csv_to_sqlite_with_transforms/products.db")
+    ref.row_factory = sqlite3.Row
+    ref_rows = {r["product_code"]: dict(r)
+                for r in ref.execute("SELECT * FROM products_enriched")}
+    assert set(rows) == set(ref_rows) == {f"SKU00{i}" for i in range(1, 6)}
+    for code, want in ref_rows.items():
+        assert _vals(rows[code]) == _vals(want), code
+    # run.sh's own value asserts
+    assert rows["SKU001"]["price_cents"] == 129999
+    assert sum(1 for r in rows.values() if r["is_heavy"]) == 2
+
+
+# --------------------------------------------------------------- ex 10
+
+def test_example_10_csv_to_avro(tmp_path):
+    from tinyetl_spark.io import avro_py
+
+    src = _cp(f"{REF}/10_csv_to_avro/input.csv", tmp_path)
+    out = str(tmp_path / "output.avro")
+    assert cli.main([src, out]) == 0
+    assert os.path.getsize(out) > 0
+    kinds, rows = avro_py.read_file(out)
+    with open(src) as fh:
+        want = list(csv.DictReader(fh))
+    assert len(rows) == len(want)
+    names = [k for k, _ in kinds]
+    got = [dict(zip(names, r)) for r in rows]
+    assert {r["name"] for r in got} == {r["name"] for r in want}
+
+
+# --------------------------------------------------------------- ex 11
+
+def test_example_11_schema_file(tmp_path):
+    src = _cp(f"{REF}/11_schema_file_validation/employees.csv", tmp_path)
+    schema = _cp(f"{REF}/schemas/employee_schema.yaml", tmp_path)
+    db = str(tmp_path / "employees_final.db")
+    assert cli.main([src, f"{db}#employees", "--schema-file", schema]) == 0
+    con = sqlite3.connect(db)
+    with open(src) as fh:
+        want = list(csv.DictReader(fh))
+    assert con.execute("SELECT COUNT(*) FROM employees").fetchone()[0] == len(want)
+    row = con.execute(
+        "SELECT employee_id, first_name, salary, is_full_time FROM employees "
+        "ORDER BY employee_id LIMIT 1"
+    ).fetchone()
+    assert row[0] == 1 and row[1] == "John"
+    assert float(row[2]) == 85000.50  # decimal enforced by the schema
+    assert row[3] in (1, True)  # boolean
+
+
+# --------------------------------------------------------------- ex 12
+
+def test_example_12_env_secret_dry_run(tmp_path, monkeypatch, capsys):
+    src = _cp(f"{REF}/12_env_var_secrets/users.csv", tmp_path)
+    monkeypatch.setenv("TINYETL_SECRET_mysql_dest", "testpass")
+    rc = cli.main(
+        [src, "mysql://testuser:@localhost:3306/testdb#users",
+         "--dest-secret-id", "mysql_dest", "--dry-run"]
+    )
+    assert rc == 0  # dry-run validates the plan without a live server
+
+
+# --------------------------------------------------------------- ex 13
+
+def test_example_13_yaml_config(tmp_path, monkeypatch):
+    _cp(f"{REF}/13_yaml_config/employees.csv", tmp_path)
+    cfg = tmp_path / "basic_config.yaml"
+    # same job as the reference's basic_config.yaml, with ${EX13_DIR}
+    # exercising the env-substitution path run.sh demonstrates
+    cfg.write_text(
+        """
+version: 1
+source:
+  uri: "${EX13_DIR}/employees.csv"
+target:
+  uri: "${EX13_DIR}/employees_output.csv"
+options:
+  batch_size: 1000
+  infer_schema: true
+  transform:
+    type: script
+    value: |
+      id = 55555
+      full_name = row.first_name .. " " .. row.last_name
+      annual_salary = row.monthly_salary * 12
+      hire_year = tonumber(string.sub(row.hire_date, 1, 4))
+      current_year = 2024
+      years_service = current_year - hire_year
+"""
+    )
+    monkeypatch.setenv("EX13_DIR", str(tmp_path))
+    assert cli.main(["run", str(cfg)]) == 0
+
+    with open(tmp_path / "employees_output.csv") as fh:
+        got = {r["id"] + r["last_name"]: r for r in csv.DictReader(fh)}
+    with open(f"{REF}/13_yaml_config/employees_output.csv") as fh:
+        want = {r["id"] + r["last_name"]: r for r in csv.DictReader(fh)}
+    assert set(got) == set(want) and len(got) == 10
+    for key, w in want.items():
+        g = got[key]
+        assert set(g) == set(w), key
+        # numeric cells by value (Lua integer 2020 vs Spark double
+        # 2020.0); strings/dates byte-exact — including the RFC3339
+        # "+00:00" hire_date form
+        assert _vals(g) == _vals(w), key
+
+
+def test_example_13_missing_env_is_hard_error(tmp_path, monkeypatch):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "version: 1\nsource:\n  uri: '${NO_SUCH_VAR_XYZ}/in.csv'\n"
+        "target:\n  uri: 'out.json'\n"
+    )
+    monkeypatch.delenv("NO_SUCH_VAR_XYZ", raising=False)
+    assert cli.main(["run", str(cfg)]) == 2
+
+
+# --------------------------------------------------------------- ex 15
+
+def test_example_15_duckdb_roundtrip(tmp_path):
+    import duckdb
+
+    src = _cp(f"{REF}/15_csv_to_duckdb/products.csv", tmp_path)
+    db = str(tmp_path / "products.duckdb")
+    assert cli.main([src, f"{db}#products"]) == 0
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM products").fetchone()[0] == 6
+    con.close()
+
+    out = str(tmp_path / "products_output.json")
+    assert cli.main([f"{db}#products", out]) == 0
+    got = json.load(open(out))
+    want = json.load(open(f"{REF}/15_csv_to_duckdb/products_output.json"))
+    by_id = {r["product_id"]: r for r in got}
+    assert len(got) == len(want) == 6
+    for w in want:
+        g = by_id[w["product_id"]]
+        assert set(g) == set(w)
+        assert _vals(g) == _vals(w), w["product_id"]
+
+
+# --------------------------------------------------------------- ex 17
+
+def test_example_17_sqlite_json_to_parquet(tmp_path, spark):
+    db = str(tmp_path / "names.db")
+    con = sqlite3.connect(db)
+    con.executescript(open(f"{REF}/17_sqlite_json_to_parquet/setup_db.sql").read())
+    con.commit()
+    con.close()
+    schema = _cp(f"{REF}/17_sqlite_json_to_parquet/names_schema.yaml", tmp_path)
+
+    pq = str(tmp_path / "names_output.parquet")
+    assert cli.main([f"sqlite://{db}#names", pq, "--schema-file", schema]) == 0
+    assert spark.read.parquet(pq).count() == 5
+
+    out = str(tmp_path / "verify_output.json")
+    assert cli.main([pq, out]) == 0
+    got = json.load(open(out))
+    # committed verify_output.json accumulated 5 append runs; its first
+    # 5-row block is one clean run — that is the golden
+    want = json.load(open(f"{REF}/17_sqlite_json_to_parquet/verify_output.json"))[:5]
+    assert len(got) == 5
+    by_id = {r["id"]: r for r in got}
+    for w in want:
+        g = by_id[w["id"]]
+        assert g["name"] == w["name"] and g["url"] == w["url"]
+        # doc survives as JSON: value-equal whether serialized as an
+        # escaped string (committed blocks 1-4) or nested (block 5)
+        g_doc = json.loads(g["doc"]) if isinstance(g["doc"], str) else g["doc"]
+        w_doc = json.loads(w["doc"]) if isinstance(w["doc"], str) else w["doc"]
+        assert g_doc == w_doc, w["id"]

@@ -288,3 +288,24 @@ def test_pq_encode_pure_codegen(spark):
     p = plan_of(spark, "pq_encode_vectors")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_jaccard_verify_parquet_stage_swap(spark, tmp_path):
+    """With stage_path set, the LSH->verify hand-off goes through a
+    parquet stage (file scan in the verify plan, candidates + sets on
+    disk) and returns the same pairs as the localCheckpoint profile —
+    the cluster-real retry/resume shape from SURVEY's scale notes."""
+    from tinyetl_spark.operators import dedup
+    from tinyetl_spark.queries import load
+
+    df = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    cand = dedup.minhash_candidates(df)
+    base = dedup.jaccard_verify(df, cand).orderBy("id_a", "id_b").collect()
+    staged_df = dedup.jaccard_verify(df, cand, stage_path=str(tmp_path))
+    staged = staged_df.orderBy("id_a", "id_b").collect()
+    assert staged == base
+    p = staged_df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in p.lower()  # verify reads the persisted stage
+    import os
+    assert os.path.isdir(tmp_path / "jaccard_candidates")
+    assert os.path.isdir(tmp_path / "word_sets")

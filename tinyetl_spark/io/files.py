@@ -36,7 +36,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -51,6 +51,24 @@ from tinyetl_spark.schema_infer import (
 # RFC3339 with UTC offset and µs — chrono's to_rfc3339 keeps sub-second
 # precision (csv.rs:258); the read-back chain parses it losslessly
 RFC3339_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def rfc3339_col(c: Column) -> Column:
+    """chrono ``to_rfc3339`` parity (csv.rs:256, json.rs:171): offset
+    printed as ``+00:00`` (never ``Z``), fractional seconds omitted when
+    zero and trimmed to milli/micro groups otherwise — so a midnight
+    timestamp round-trips as ``2024-11-01T00:00:00+00:00`` exactly like
+    the reference's committed example outputs."""
+    base = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+    frac = F.date_format(c, "SSSSSS")
+    off = F.date_format(c, "xxx")
+    return F.concat(
+        base,
+        F.when(frac == "000000", F.lit(""))
+        .when(frac.endswith("000"), F.concat(F.lit("."), F.substring(frac, 1, 3)))
+        .otherwise(F.concat(F.lit("."), frac)),
+        off,
+    )
 
 
 def is_single_file(path: str, fmt: str) -> bool:
@@ -255,9 +273,13 @@ def _stringify_for_csv(df: DataFrame) -> DataFrame:
     for f_ in df.schema.fields:
         c = F.col(f_.name)
         if isinstance(f_.dataType, (T.TimestampType, T.TimestampNTZType)):
-            cols.append(F.date_format(c, RFC3339_FMT).alias(f_.name))
+            cols.append(rfc3339_col(c).alias(f_.name))
         elif isinstance(f_.dataType, T.DateType):
-            cols.append(F.date_format(c, "yyyy-MM-dd'T'00:00:00XXX").alias(f_.name))
+            cols.append(
+                F.concat(
+                    F.date_format(c, "yyyy-MM-dd'T'00:00:00"), F.date_format(c, "xxx")
+                ).alias(f_.name)
+            )
         elif isinstance(f_.dataType, (T.StructType, T.ArrayType, T.MapType)):
             cols.append(F.to_json(c).alias(f_.name))
         elif isinstance(f_.dataType, T.BinaryType):
@@ -333,7 +355,15 @@ def _json_ready(df: DataFrame) -> DataFrame:
     for f_ in df.schema.fields:
         c = F.col(f_.name)
         if isinstance(f_.dataType, (T.TimestampType, T.TimestampNTZType)):
-            cols.append(F.date_format(c, RFC3339_FMT).alias(f_.name))
+            cols.append(rfc3339_col(c).alias(f_.name))
+        elif isinstance(f_.dataType, T.DateType):
+            # the reference has no bare date type — Value::Date is a
+            # DateTime and serializes as midnight RFC3339 (json.rs:171)
+            cols.append(
+                F.concat(
+                    F.date_format(c, "yyyy-MM-dd'T'00:00:00"), F.date_format(c, "xxx")
+                ).alias(f_.name)
+            )
         elif isinstance(f_.dataType, T.BinaryType):
             # blob -> base64 text, reference duckdb.rs:293-296
             cols.append(F.base64(c).alias(f_.name))

@@ -30,6 +30,8 @@ extensions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -339,6 +341,7 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     k: int = NGRAM_K,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Character n-gram Jaccard on candidate pairs (finer-grained than
     word-set Jaccard — robust to tokenization differences). Same
@@ -347,14 +350,21 @@ def ngram_jaccard(
     semi-joined to the candidate id set first, and the normalized text
     materializes in its own projection before the substring lambda
     (inlined, the lambda re-evaluates it per element — ~600x)."""
+    if stage_path is not None:
+        # persist the LSH candidate pairs themselves: the verify stage
+        # (and any retry of it) then starts from a parquet scan instead
+        # of re-running the signature+banding pass
+        candidates = _stage(candidates, stage_path, "ngram_candidates")
     ids = _candidate_ids(candidates)
-    # joined twice below — cut lineage so the k-gram explosion runs
-    # once per involved doc, not once per join side
-    gsets = (
+    # joined twice below — materialize so the k-gram explosion runs
+    # once per involved doc, not once per join side (parquet stage when
+    # stage_path is set; lazy localCheckpoint otherwise)
+    gsets = _stage(
         df.join(ids, df[id_col] == ids._cid, "left_semi")
         .select(F.col(id_col).alias("jid"), norm_text_col(text_col).alias("_nt"))
-        .select("jid", _char_ngrams_from("_nt", k).alias("gs"))
-        .localCheckpoint(eager=False)
+        .select("jid", _char_ngrams_from("_nt", k).alias("gs")),
+        stage_path,
+        "ngram_sets",
     )
     j = (
         candidates.join(
@@ -402,6 +412,22 @@ def ngram_jaccard_sql(
 
 # ----------------------------------------------------- jaccard (verify)
 
+def _stage(df: DataFrame, stage_path: str | None, name: str) -> DataFrame:
+    """Materialization point between the LSH-candidate stage and the
+    verify stage. ``stage_path=None`` (default, local/test profile) cuts
+    lineage with a lazy ``localCheckpoint`` — enough to stop Catalyst
+    re-deriving the set-build per join side. With a path, the stage is
+    written to parquet and re-scanned: the cluster-real shape, where a
+    multi-hour verify can retry/resume from the persisted candidates
+    instead of recomputing the signature pass (and the set table gets
+    column stats + splittable scan parallelism for free)."""
+    if stage_path is None:
+        return df.localCheckpoint(eager=False)
+    p = os.path.join(stage_path, name)
+    df.write.mode("overwrite").parquet(p)
+    return df.sparkSession.read.parquet(p)
+
+
 def _candidate_ids(candidates: DataFrame) -> DataFrame:
     """Distinct doc ids appearing on either side of the pair table —
     the semi-join prefilter for verify stages."""
@@ -418,6 +444,7 @@ def jaccard_verify(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard on candidate pairs; keep >= threshold.
 
@@ -429,14 +456,22 @@ def jaccard_verify(
     for that 0.1% — at 100 TB that is the difference between a verify
     stage sized by |candidates| and one sized by |corpus|.
     """
+    if stage_path is not None:
+        # persist the LSH candidate pairs themselves: verify (and any
+        # retry) starts from a parquet scan, not a recomputed LSH pass
+        candidates = _stage(candidates, stage_path, "jaccard_candidates")
     ids = _candidate_ids(candidates)
     # the set table is joined twice (a-side, b-side) and exchange reuse
-    # does not apply across those subtrees — cut lineage so the sets
-    # compute once (size bounded: involved docs only)
-    wsets = (
+    # does not apply across those subtrees — materialize so the sets
+    # compute once (size bounded: involved docs only); parquet stage
+    # when stage_path is set, lazy localCheckpoint otherwise
+    wsets = _stage(
         df.join(ids, df[id_col] == ids._cid, "left_semi")
-        .select(F.col(id_col).alias("jid"), F.array_distinct(words_col(text_col)).alias("ws"))
-        .localCheckpoint(eager=False)
+        .select(
+            F.col(id_col).alias("jid"), F.array_distinct(words_col(text_col)).alias("ws")
+        ),
+        stage_path,
+        "word_sets",
     )
     j = (
         candidates.join(wsets.withColumnRenamed("jid", "id_a").withColumnRenamed("ws", "ws_a"), "id_a")

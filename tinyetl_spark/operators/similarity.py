@@ -1069,3 +1069,90 @@ def pq_rerank_topk_sql(
     ORDER BY cosine DESC, t.{id_col} ASC
     LIMIT {k}
     """
+
+
+# -------------------------------------------------------- recall@k
+
+# Each ANN tier's fitness claim is its RECALL against exact search, not
+# just that it returns k deterministic rows. (df, query_id, k) -> topk
+# and the matching DuckDB twin, per tier.
+RECALL_TIERS: dict[str, tuple] = {
+    "lsh": (
+        lambda df, q, k: ann_topk(df, q, k),
+        lambda table, q, k: ann_topk_sql(table, q, k),
+    ),
+    "ivf": (
+        lambda df, q, k: ivf_topk(df, q, k),
+        lambda table, q, k: ivf_topk_sql(table, q, k),
+    ),
+    "pq": (
+        lambda df, q, k: pq_topk(df, q, k),
+        lambda table, q, k: pq_topk_sql(table, q, k),
+    ),
+    "ivf_pq": (
+        lambda df, q, k: ivf_pq_topk(df, q, k),
+        lambda table, q, k: ivf_pq_topk_sql(table, q, k),
+    ),
+    "rerank": (
+        lambda df, q, k: pq_rerank_topk(df, q, k),
+        lambda table, q, k: pq_rerank_topk_sql(table, q, k),
+    ),
+}
+
+# default probe set for the registered recall queries: spread across the
+# id range so cells/buckets differ (ids exist at every test SF)
+RECALL_PROBES = (0, 7, 21, 42)
+
+
+def ann_recall(
+    df: DataFrame,
+    tier: str,
+    probes: tuple[int, ...] = RECALL_PROBES,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """recall@k of one ANN tier vs exact brute-force on the same probes.
+
+    One row per probe: (query_id, recall). Each probe contributes two
+    <=k-row subplans (exact + approximate) joined on the id — the
+    corpus is scanned once per side per probe, every ranking is the
+    deterministic (score, id) order both engines share, so recall is a
+    stable number the oracle can hash. Probe count is a literal handful
+    — this is a quality metric, not a serving path."""
+    tier_fn = RECALL_TIERS[tier][0]
+    parts = []
+    for q in probes:
+        exact = brute_topk(df, q, k).select(id_col)
+        approx = tier_fn(df, q, k).select(id_col)
+        hits = exact.join(approx, id_col, "inner")
+        parts.append(
+            hits.agg(F.count("*").alias("_hits")).select(
+                F.lit(int(q)).cast("bigint").alias("query_id"),
+                F.round(F.col("_hits") / F.lit(float(k)), 4).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("query_id")
+
+
+def ann_recall_sql(
+    table: str,
+    tier: str,
+    probes: tuple[int, ...] = RECALL_PROBES,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> str:
+    sql_fn = RECALL_TIERS[tier][1]
+    parts = []
+    for q in probes:
+        b = brute_topk_sql(table, q, k)
+        a = sql_fn(table, q, k)
+        parts.append(
+            f"SELECT CAST({q} AS BIGINT) AS query_id, "
+            f"round(CAST((SELECT count(*) FROM ({b}) bb "
+            f"JOIN ({a}) aa ON bb.{id_col} = aa.{id_col}) AS DOUBLE) "
+            f"/ {k}, 4) AS recall"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY query_id"

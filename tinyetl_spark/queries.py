@@ -2000,6 +2000,26 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_ann_recall(tier: str) -> None:
+    """recall@k per ANN tier against brute-force on the same probes —
+    the fitness number an ANN tier actually needs, oracle-checked as a
+    deterministic value (VERDICT r4 item 5)."""
+
+    @_q(f"ann_recall_{tier}", similarity.ann_recall_sql("embeddings", tier))
+    def _fn(spark: SparkSession, sf_dir: str, _tier=tier) -> DataFrame:
+        return similarity.ann_recall(load(spark, sf_dir, "embeddings"), _tier)
+
+    _fn.__name__ = f"ann_recall_{tier}"
+    _fn.__doc__ = (
+        f"recall@10 of the {tier} ANN tier vs exact brute-force cosine "
+        "over probes (0, 7, 21, 42); one (query_id, recall) row each."
+    )
+
+
+for _tier in similarity.RECALL_TIERS:
+    _register_ann_recall(_tier)
+
+
 @_q(
     "kmeans_refine_step",
     similarity.kmeans_update_sql(similarity._ivf_seeded_centroids()),
