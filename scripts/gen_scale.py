@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Generate a 10x scale factor from an existing testdata dir (default
+sf0.1 -> sf1) for local scale-proofing of the heavy operator tier.
+
+documents: 10 id-shifted copies; copies > 0 append a per-copy tag word,
+so the corpus gains realistic NEAR-duplicate structure (jaccard ~0.95
+to the original) instead of exact dupes — near-dup candidate counts
+grow superlinearly exactly like a crawl corpus with mirrored pages.
+embeddings: 10 id-shifted copies with a tiny per-copy magnitude
+perturbation (cosine-neutral; this tier's scale test measures
+throughput, not recall).
+Other tables are symlinked from the source dir.
+
+Usage: python scripts/gen_scale.py [SRC_DIR] [DST_DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+
+def main(src: str, dst: str, copies: int = 10) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    nmax = con.sql(f"SELECT max(doc_id)+1 FROM '{src}/documents.parquet'").fetchone()[0]
+    con.execute(f"""
+    COPY (
+      SELECT doc_id + i*{nmax} AS doc_id,
+             CASE WHEN i = 0 THEN text ELSE text || ' copytag' || i END AS text,
+             * EXCLUDE (doc_id, text, i)
+      FROM '{src}/documents.parquet', range({copies}) t(i)
+    ) TO '{dst}/documents.parquet' (FORMAT parquet)
+    """)
+    vmax = con.sql(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+    con.execute(f"""
+    COPY (
+      SELECT vec_id + i*{vmax} AS vec_id,
+             list_transform(embedding,
+                            x -> CAST(x * (1.0 + 0.0003*i) AS FLOAT)) AS embedding,
+             * EXCLUDE (vec_id, embedding, i)
+      FROM '{src}/embeddings.parquet', range({copies}) t(i)
+    ) TO '{dst}/embeddings.parquet' (FORMAT parquet)
+    """)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        p = f"{dst}/{t}.parquet"
+        if not os.path.exists(p):
+            os.symlink(f"{src}/{t}.parquet", p)
+    docs = con.sql(f"SELECT count(*) FROM '{dst}/documents.parquet'").fetchone()[0]
+    vecs = con.sql(f"SELECT count(*) FROM '{dst}/embeddings.parquet'").fetchone()[0]
+    print(f"{dst}: {docs} documents, {vecs} embeddings")
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    main(args[0] if args else "/root/testdata/sf0.1",
+         args[1] if len(args) > 1 else "/root/scaledata/sf1")

@@ -2675,7 +2675,12 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
     )
-    return streaming.run_bounded(out, spark, mode="append")
+    # join state is O(rate x (watermark + interval)) — tens of thousands
+    # of rows at sf0.1 — while each state partition pays a store
+    # open/commit per micro-batch per side; measured 1.9 s at 2
+    # partitions vs 3.3 s at 8 and 4.4 s at 16. Scale the count with
+    # state volume (rate x interval), not batch parallelism.
+    return streaming.run_bounded(out, spark, mode="append", state_partitions=2)
 
 
 @_q(
