@@ -32,6 +32,7 @@ _PRIORITY = [
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_indexed_topk",
     "ann_batch_topk", "pq_encode_vectors", "ann_pq_topk", "ann_ivf_pq_topk",
     "ann_pq_rerank_topk", "ann_rpq_topk", "ann_rpq_rerank_topk",
+    "ann_multiprobe_topk", "ann_recall_multiprobe",
     "ann_recall_lsh", "ann_recall_ivf", "ann_recall_pq",
     "ann_recall_ivf_pq", "ann_recall_rerank", "ann_recall_rpq",
     "ann_recall_rpq_rerank", "kmeans_refine_step",

@@ -28,10 +28,23 @@ def http_fetch(url: str, options: dict[str, str] | None = None) -> str:
     for k, v in options.items():
         if k.startswith("header."):
             req.add_header(k[len("header."):], v)
-    if "basic_auth" in options:  # "user:pass"
+    # reference option names (http.rs:54-62): auth.basic.username /
+    # auth.basic.password and auth.bearer; the flat basic_auth
+    # ("user:pass") / bearer_token forms stay accepted as aliases
+    if "auth.basic.username" in options or "auth.basic.password" in options:
+        pair = (
+            options.get("auth.basic.username", "")
+            + ":"
+            + options.get("auth.basic.password", "")
+        )
+        token = base64.b64encode(pair.encode()).decode()
+        req.add_header("Authorization", f"Basic {token}")
+    elif "basic_auth" in options:  # "user:pass"
         token = base64.b64encode(options["basic_auth"].encode()).decode()
         req.add_header("Authorization", f"Basic {token}")
-    if "bearer_token" in options:
+    if "auth.bearer" in options:
+        req.add_header("Authorization", f"Bearer {options['auth.bearer']}")
+    elif "bearer_token" in options:
         req.add_header("Authorization", f"Bearer {options['bearer_token']}")
     suffix = os.path.splitext(urlparse(url).path)[1] or ".dat"
     fd, staged = tempfile.mkstemp(prefix="tinyetl_http_", suffix=suffix)

@@ -28,6 +28,28 @@ from pyspark.sql import functions as F
 SIGN_BITS = 6  # coarse buckets = 2^6 = 64
 
 
+def _lit_array(data) -> Column:
+    """Nested Python numbers → ONE parsed array literal.
+
+    Building the same tree with ``F.array(*[F.lit(v) ...])`` costs one
+    py4j round-trip per element; the PQ/RPQ tables are tens of
+    thousands of elements per query and measured 8-20 s of pure plan
+    CONSTRUCTION per recall query. One ``F.expr`` string is one
+    round-trip. Floats use the ``D`` suffix so Spark parses DOUBLE,
+    not DECIMAL."""
+
+    def fmt(x) -> str:
+        if isinstance(x, (list, tuple)):
+            return "array(" + ",".join(fmt(v) for v in x) + ")"
+        if isinstance(x, bool) or not isinstance(x, (int, float)):
+            raise TypeError(f"unsupported literal: {x!r}")
+        if isinstance(x, int):
+            return str(x)
+        return f"{float(x)!r}D"
+
+    return F.expr(fmt(data))
+
+
 def _vec(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -167,6 +189,75 @@ def ann_topk_sql(
     """
 
 
+def ann_multiprobe_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = SIGN_BITS,
+    radius: int = 1,
+) -> DataFrame:
+    """Multi-probe sign-LSH: probe the query's bucket AND every bucket
+    within Hamming distance ``radius`` of it.
+
+    Why: a neighbor at cosine ~0.4 agrees with the query on one sign
+    bit with probability 1 - theta/pi ~ 0.63, so an exact 6-bit bucket
+    match happens only ~6% of the time — single-probe recall@10
+    measured 0.05. Probing the 6 Hamming-1 buckets too (7 of 64
+    buckets = ~11% of the corpus) lifts recall several-fold at a
+    bounded scan cost; at scale the probe set is still planning-time
+    partition pruning over a bucket-partitioned corpus, just with 7
+    partition values instead of 1."""
+    with_bucket = df.select(
+        F.col(id_col), F.col(vec_col), sign_bucket_col(F.col(vec_col), bits).alias("bucket")
+    )
+    q = with_bucket.filter(F.col(id_col) == query_id).select(
+        _vec(vec_col).alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    # XOR masks for all buckets within the Hamming radius (radius 1 =
+    # the bucket itself + one flipped bit each); the probe set depends
+    # on the query row, so it is an OR of XOR equalities against the
+    # broadcast side rather than literal isin values
+    masks = [0] + ([1 << i for i in range(bits)] if radius >= 1 else [])
+    cond = None
+    for mk in masks:
+        c = F.col("bucket") == F.col("qbucket").bitwiseXOR(F.lit(mk))
+        cond = c if cond is None else (cond | c)
+    probed = (
+        with_bucket.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), cond)
+        .select(
+            F.col(id_col), F.round(cosine_col(_vec(vec_col), F.col("qv")), 6).alias("cosine")
+        )
+    )
+    return probed.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def ann_multiprobe_topk_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = SIGN_BITS,
+    radius: int = 1,
+) -> str:
+    v = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    tb = sign_bucket_sql(f"t.{vec_col}", bits)
+    qb = sign_bucket_sql(f"q.{vec_col}", bits)
+    masks = [0] + ([1 << i for i in range(bits)] if radius >= 1 else [])
+    cond = " OR ".join(f"({tb}) = xor(({qb}), {mk})" for mk in masks)
+    return f"""
+    SELECT t.{id_col}, round({cosine_sql(v, qv)}, 6) AS cosine
+    FROM {table} t, (SELECT {vec_col} FROM {table} WHERE {id_col} = {query_id}) q
+    WHERE t.{id_col} != {query_id} AND ({cond})
+    ORDER BY cosine DESC, t.{id_col} ASC
+    LIMIT {k}
+    """
+
+
 # ------------------------------------------------------------- IVF ANN
 
 IVF_CENTROIDS = 8
@@ -225,7 +316,7 @@ def train_ivf_centroids(
 
 
 def _ivf_dist_col(vec: Column, centroid: list[float]) -> Column:
-    carr = F.array(*[F.lit(float(v)) for v in centroid])
+    carr = _lit_array([float(v) for v in centroid])
     return F.aggregate(
         F.zip_with(vec, carr, lambda x, c: (x - c) * (x - c)),
         F.lit(0.0),
@@ -282,17 +373,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
+    q_vec: list[float] | None = None,
 ) -> DataFrame:
     """IVF probe: assign the corpus to coarse cells, search only the
     ``nprobe`` cells nearest the query. With a materialized index
     (``build_ivf_index``) the cell filter becomes partition pruning."""
     cents = centroids or _ivf_seeded_centroids()
-    q = _query_vec(df, query_id, vec_col, id_col)
+    q = q_vec or _query_vec(df, query_id, vec_col, id_col)
     dists = [_seq_sqdist(q, c) for c in cents]
     probe_cells = [i for i, _ in sorted(enumerate(dists), key=lambda t: t[1])[:nprobe]]
     vec = _vec(vec_col)
     assigned = ivf_assign(df.filter(F.col(id_col) != query_id), vec_col, cents)
-    qv = F.array(*[F.lit(float(x)) for x in q])
+    qv = _lit_array([float(x) for x in q])
     return (
         assigned.filter(F.col("_cell").isin(*probe_cells))
         .select(F.col(id_col), F.round(cosine_col(vec, qv), 6).alias("cosine"))
@@ -395,7 +487,7 @@ def ann_topk_indexed(
     for i in range(max(0, probes - 1)):
         buckets.add(qbucket ^ (1 << i))
     corpus = spark.read.parquet(index_path).filter(F.col("bucket").isin(*buckets))
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = _lit_array([float(x) for x in query_vec])
     scored = corpus.select(
         F.col(id_col), F.round(cosine_col(_vec(vec_col), qv), 6).alias("cosine")
     )
@@ -802,7 +894,7 @@ def _adc_topk(enc: DataFrame, dtab: list[list[float]], k: int, id_col: str) -> D
     """Asymmetric-distance top-k over a (id, codes) relation: m table
     lookups + adds per row against the inlined dtab literal."""
     m = len(dtab)
-    dtab_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in dtab])
+    dtab_lit = _lit_array(dtab)
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -842,7 +934,7 @@ def pq_encode(
         # expressions — 16x fewer expressions keeps the generated code
         # inside JIT/codegen limits (the unrolled form fell back to
         # interpreted evaluation and ran ~10x slower)
-        book_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in book])
+        book_lit = _lit_array(book)
         sub = F.slice(F.col("_v"), j * dsub + 1, dsub)
         return F.transform(
             book_lit,
@@ -895,6 +987,8 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebooks: list[list[list[float]]] | None = None,
+    q_vec: list[float] | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: the query stays exact, each
     corpus vector is its PQ codes, and the approximate distance is m
@@ -903,9 +997,11 @@ def pq_topk(
     (at scale: broadcast). Scan cost per vector: m array gets + adds,
     no vector math at all."""
     books = codebooks or _pq_seeded_codebooks()
-    q = _query_vec(df, query_id, vec_col, id_col)
-    enc = pq_encode(df.filter(F.col(id_col) != query_id), books, vec_col, id_col)
-    return _adc_topk(enc, _pq_dtab(q, books), k, id_col)
+    q = q_vec or _query_vec(df, query_id, vec_col, id_col)
+    if enc is None:
+        enc = pq_encode(df, books, vec_col, id_col)
+    coded = enc.filter(F.col(id_col) != query_id)
+    return _adc_topk(coded, _pq_dtab(q, books), k, id_col)
 
 
 def _pq_dtab_sql(books: list[list[list[float]]]) -> str:
@@ -960,6 +1056,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    q_vec: list[float] | None = None,
 ) -> DataFrame:
     """The full production ANN shape — IVF-PQ: the coarse quantizer
     prunes the corpus to ``nprobe`` cells (partition pruning with a
@@ -969,7 +1066,7 @@ def ivf_pq_topk(
     does m lookups per row — no float vectors touched at query time."""
     cents = centroids or _ivf_seeded_centroids()
     books = codebooks or _pq_seeded_codebooks()
-    q = _query_vec(df, query_id, vec_col, id_col)
+    q = q_vec or _query_vec(df, query_id, vec_col, id_col)
     cell_d = [_seq_sqdist(q, c) for c in cents]
     probe = [i for i, _ in sorted(enumerate(cell_d), key=lambda t: t[1])[:nprobe]]
     cand = ivf_assign(df.filter(F.col(id_col) != query_id), vec_col, cents).filter(
@@ -1027,6 +1124,8 @@ def pq_rerank_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebooks: list[list[list[float]]] | None = None,
+    q_vec: list[float] | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """Shortlist-then-rerank — how PQ is actually served: ADC ranks the
     whole corpus by compressed codes (cheap, lossy), the top
@@ -1034,9 +1133,11 @@ def pq_rerank_topk(
     cosine reranks just those. Recall comes from the shortlist width,
     precision from the exact pass; the full-precision vectors are
     touched for only ``shortlist`` rows however big the corpus is."""
-    q = _query_vec(df, query_id, vec_col, id_col)
-    short = pq_topk(df, query_id, shortlist, vec_col, id_col, codebooks).select(id_col)
-    qv = F.array(*[F.lit(x) for x in q])
+    q = q_vec or _query_vec(df, query_id, vec_col, id_col)
+    short = pq_topk(
+        df, query_id, shortlist, vec_col, id_col, codebooks, q_vec=q, enc=enc
+    ).select(id_col)
+    qv = _lit_array([float(x) for x in q])
     vec = _vec(vec_col)
     return (
         df.join(short, id_col, "left_semi")
@@ -1088,34 +1189,50 @@ def pq_rerank_topk_sql(
 # Each ANN tier's fitness claim is its RECALL against exact search, not
 # just that it returns k deterministic rows. (df, query_id, k) -> topk
 # and the matching DuckDB twin, per tier.
+# Spark lambdas take (df, q, k, q_vec, enc): ann_recall prefetches the
+# probe vectors with ONE collect and (for the PQ family) encodes the
+# corpus ONCE, so an N-probe recall query costs one encode subtree +
+# N cheap ADC/scan branches, not N full per-probe pipelines.
 RECALL_TIERS: dict[str, tuple] = {
     "lsh": (
-        lambda df, q, k: ann_topk(df, q, k),
+        lambda df, q, k, qv, enc: ann_topk(df, q, k),
         lambda table, q, k: ann_topk_sql(table, q, k),
+        None,
+    ),
+    "multiprobe": (
+        lambda df, q, k, qv, enc: ann_multiprobe_topk(df, q, k),
+        lambda table, q, k: ann_multiprobe_topk_sql(table, q, k),
+        None,
     ),
     "ivf": (
-        lambda df, q, k: ivf_topk(df, q, k),
+        lambda df, q, k, qv, enc: ivf_topk(df, q, k, q_vec=qv),
         lambda table, q, k: ivf_topk_sql(table, q, k),
+        None,
     ),
     "pq": (
-        lambda df, q, k: pq_topk(df, q, k),
+        lambda df, q, k, qv, enc: pq_topk(df, q, k, q_vec=qv, enc=enc),
         lambda table, q, k: pq_topk_sql(table, q, k),
+        "pq",
     ),
     "ivf_pq": (
-        lambda df, q, k: ivf_pq_topk(df, q, k),
+        lambda df, q, k, qv, enc: ivf_pq_topk(df, q, k, q_vec=qv),
         lambda table, q, k: ivf_pq_topk_sql(table, q, k),
+        None,
     ),
     "rerank": (
-        lambda df, q, k: pq_rerank_topk(df, q, k),
+        lambda df, q, k, qv, enc: pq_rerank_topk(df, q, k, q_vec=qv, enc=enc),
         lambda table, q, k: pq_rerank_topk_sql(table, q, k),
+        "pq",
     ),
     "rpq": (
-        lambda df, q, k: rpq_topk(df, q, k),
+        lambda df, q, k, qv, enc: rpq_topk(df, q, k, q_vec=qv, enc=enc),
         lambda table, q, k: rpq_topk_sql(table, q, k),
+        "rpq",
     ),
     "rpq_rerank": (
-        lambda df, q, k: rpq_rerank_topk(df, q, k),
+        lambda df, q, k, qv, enc: rpq_rerank_topk(df, q, k, q_vec=qv, enc=enc),
         lambda table, q, k: rpq_rerank_topk_sql(table, q, k),
+        "rpq",
     ),
 }
 
@@ -1139,11 +1256,25 @@ def ann_recall(
     deterministic (score, id) order both engines share, so recall is a
     stable number the oracle can hash. Probe count is a literal handful
     — this is a quality metric, not a serving path."""
-    tier_fn = RECALL_TIERS[tier][0]
+    tier_fn, _, enc_family = RECALL_TIERS[tier]
+    # ONE action for all probe vectors (each tier fn would otherwise
+    # run its own head() job per probe)
+    qvs = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in df.filter(F.col(id_col).isin(*[int(p) for p in probes]))
+        .select(id_col, "embedding")
+        .collect()
+    }
+    # the corpus encoding is probe-independent — build its subtree once
+    enc = None
+    if enc_family == "pq":
+        enc = pq_encode(df)
+    elif enc_family == "rpq":
+        enc = rpq_encode(df)
     parts = []
     for q in probes:
         exact = brute_topk(df, q, k).select(id_col)
-        approx = tier_fn(df, q, k).select(id_col)
+        approx = tier_fn(df, q, k, qvs[int(q)], enc).select(id_col)
         hits = exact.join(approx, id_col, "inner")
         parts.append(
             hits.agg(F.count("*").alias("_hits")).select(
@@ -1220,9 +1351,7 @@ def rpq_encode(
     cur = df.select(F.col(id_col), _vec(vec_col).alias("_r"))
     all_codes: list[str] = []
     for s, books in enumerate(st):
-        book_lits = [
-            F.array(*[F.array(*[F.lit(v) for v in c]) for c in book]) for book in books
-        ]
+        book_lits = [_lit_array(book) for book in books]
 
         def _dists(j: int) -> Column:
             sub = F.slice(F.col("_r"), j * dsub + 1, dsub)
@@ -1349,12 +1478,8 @@ def _rpq_adc_topk(
 ) -> DataFrame:
     d1, d2, cross = tabs
     m = len(d1)
-
-    def lit2(t):
-        return F.array(*[F.array(*[F.lit(v) for v in row]) for row in t])
-
-    d1l, d2l = lit2(d1), lit2(d2)
-    ctl = F.array(*[lit2(t) for t in cross])
+    d1l, d2l = _lit_array(d1), _lit_array(d2)
+    ctl = _lit_array(cross)
     codes = F.col("codes")
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -1378,14 +1503,18 @@ def rpq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     stages: list[list[list[list[float]]]] | None = None,
+    q_vec: list[float] | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """Residual-PQ ADC top-k: scan cost per vector is 2m code lookups
     plus m cross-term lookups against inlined literal tables — exact
     reconstruction-distance ranking, no vector math in the scan."""
     st = stages or _rpq_seeded_stages()
-    q = _query_vec(df, query_id, vec_col, id_col)
-    enc = rpq_encode(df.filter(F.col(id_col) != query_id), st, vec_col, id_col)
-    return _rpq_adc_topk(enc, _rpq_tabs(q, st), k, id_col)
+    q = q_vec or _query_vec(df, query_id, vec_col, id_col)
+    if enc is None:
+        enc = rpq_encode(df, st, vec_col, id_col)
+    coded = enc.filter(F.col(id_col) != query_id)
+    return _rpq_adc_topk(coded, _rpq_tabs(q, st), k, id_col)
 
 
 def _rpq_tab_sql(t) -> str:
@@ -1451,13 +1580,17 @@ def rpq_rerank_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     stages: list[list[list[list[float]]]] | None = None,
+    q_vec: list[float] | None = None,
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """Residual-PQ shortlist + exact cosine rerank — the serving shape
     with the better compressed ranking underneath (measured recall@10
     0.72 vs 0.54 for one-stage PQ at the same shortlist width)."""
-    q = _query_vec(df, query_id, vec_col, id_col)
-    short = rpq_topk(df, query_id, shortlist, vec_col, id_col, stages).select(id_col)
-    qv = F.array(*[F.lit(x) for x in q])
+    q = q_vec or _query_vec(df, query_id, vec_col, id_col)
+    short = rpq_topk(
+        df, query_id, shortlist, vec_col, id_col, stages, q_vec=q, enc=enc
+    ).select(id_col)
+    qv = _lit_array([float(x) for x in q])
     vec = _vec(vec_col)
     return (
         df.join(short, id_col, "left_semi")

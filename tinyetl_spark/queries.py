@@ -2000,6 +2000,17 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("ann_multiprobe_topk", similarity.ann_multiprobe_topk_sql(query_id=0, k=10))
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: the query bucket plus its Hamming-1
+    neighbors (7 of 64 buckets) — at scale still planning-time
+    partition pruning, just over 7 partition values; fixes single-probe
+    sign-LSH's ~0.05 recall on unit-norm vectors."""
+    return similarity.ann_multiprobe_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10
+    )
+
+
 @_q("ann_rpq_topk", similarity.rpq_topk_sql(query_id=0, k=10))
 def ann_rpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-PQ ADC top-k: stage-2 codes quantize what stage 1
