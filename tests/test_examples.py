@@ -39,7 +39,6 @@ compared by VALUE (float equality), not by byte.
 from __future__ import annotations
 
 import csv
-import io
 import json
 import os
 import sqlite3

@@ -273,3 +273,38 @@ def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark):
     assert sorted(r1.values()) == list(range(1, 501))  # a true permutation
     assert r1 == r1b  # deterministic
     assert r1 != r2  # seed actually re-keys
+
+
+def test_trained_pq_beats_seeded_on_adc_recall(spark):
+    """The production PQ path: train_pq_codebooks on the bounded
+    driver-side sample, then the same pq_topk machinery. Trained
+    codebooks must reach at least the seeded books' recall@10 against
+    brute force (they model the data; the seeded books only model its
+    scale), and the whole path must be deterministic."""
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators import similarity as sim
+    from tinyetl_spark.queries import load
+
+    df = load(spark, SF_DIR, "embeddings")
+    books = sim.train_pq_codebooks(df)
+    books2 = sim.train_pq_codebooks(df)
+    assert books == books2  # bounded ordered sample + fixed seed
+
+    probes = [0, 7, 21]
+
+    def recall(codebooks) -> float:
+        enc = sim.pq_encode(df, codebooks)
+        hits = 0
+        for q in probes:
+            exact = {r[0] for r in sim.brute_topk(df, q, 10).collect()}
+            qv = sim._query_vec(df, q, "embedding", "vec_id")
+            approx = {
+                r[0]
+                for r in sim._adc_topk(
+                    enc.filter(enc.vec_id != q), sim._pq_dtab(qv, codebooks), 10, "vec_id"
+                ).collect()
+            }
+            hits += len(exact & approx)
+        return hits / (10.0 * len(probes))
+
+    assert recall(books) >= recall(sim._pq_seeded_codebooks())
