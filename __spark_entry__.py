@@ -41,6 +41,9 @@ _PRIORITY = [
     "minhash_signatures", "minhash_candidates", "near_dup_jaccard",
     "near_dup_ngram", "simhash_docs", "simhash_near_dups", "dedup_clusters",
     "dedup_survivors", "dedup_incremental",
+    # semantic dedup / LM quality / layout
+    "semantic_dup_pairs", "semantic_dedup_survivors",
+    "unigram_logprob_docs", "zorder_key_events",
     # decontamination / fingerprinting
     "fuzzy_decontam", "decontam_overlap", "winnow_fingerprints",
     # streaming

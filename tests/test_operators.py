@@ -308,3 +308,36 @@ def test_trained_pq_beats_seeded_on_adc_recall(spark):
         return hits / (10.0 * len(probes))
 
     assert recall(books) >= recall(sim._pq_seeded_codebooks())
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    """zorder_write: round-trips all rows, and each output file covers
+    a bounded hyper-rectangle — the per-file spread of BOTH interleaved
+    columns must be far below a random layout's (that is the property
+    row-group pruning exploits)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from tinyetl_spark.operators import maintenance as m
+
+    n = 1 << 12
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 2654435761 % (1 << 8)).alias("x"),
+        (F.col("id") * 40503 % (1 << 8)).alias("y"),
+    )
+    out = str(tmp_path / "z.parquet")
+    m.zorder_write(df, out, ["x", "y"], bits=8, target_files=16)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert {r.id for r in back.select("id").collect()} == set(range(n))
+    spreads = []
+    for part in _glob.glob(out + "/part-*.parquet"):
+        stats = spark.read.parquet(part).agg(
+            (F.max("x") - F.min("x")).alias("sx"), (F.max("y") - F.min("y")).alias("sy")
+        ).collect()[0]
+        spreads.append(max(stats.sx, stats.sy))
+    # random layout: every file spans ~the full 0..255 range of both
+    # columns; z-ordered 16-file layout must average far tighter
+    assert sum(spreads) / len(spreads) < 200, spreads

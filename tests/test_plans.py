@@ -309,3 +309,28 @@ def test_jaccard_verify_parquet_stage_swap(spark, tmp_path):
     import os
     assert os.path.isdir(tmp_path / "jaccard_candidates")
     assert os.path.isdir(tmp_path / "word_sets")
+
+
+def test_semantic_dup_pairs_single_cell_shuffle(spark):
+    """Cell assignment is codegen; the pair join shuffles on the cell
+    id (plus AQE wrappers) and never goes Python or nested-loop."""
+    p = plan_of(spark, "semantic_dup_pairs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The bounded top-V vocabulary joins back as a broadcast — the
+    corpus-side explode is never shuffled for the model join."""
+    p = plan_of(spark, "unigram_logprob_docs")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_zorder_key_is_pure_codegen(spark):
+    """The Morton key is bit arithmetic in the scan projection: no
+    Exchange before the final order-by, no Python anywhere."""
+    p = plan_of(spark, "zorder_key_events")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "TakeOrderedAndProject" in p  # orderBy+limit, not a full sort

@@ -87,3 +87,60 @@ def dataset_stats(path: str) -> dict:
         "max_bytes": max(sizes),
         "mean_bytes": sum(sizes) // len(sizes),
     }
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Z-order (Morton) interleave of N non-negative integer columns
+    into one clustering key: bit i of each column lands at position
+    i*N + column-index, so rows close in EVERY dimension are close in
+    the sort order.
+
+    This is the multi-column data-skipping layout (the technique behind
+    Delta/Iceberg OPTIMIZE ZORDER BY, from Morton 1966): sort-and-write
+    by the z-key and parquet row-group min/max stats become selective
+    for range predicates on ANY of the interleaved columns, not just
+    the leading sort column. Columns must already be scaled to
+    [0, 2^bits) — quantile-rank them first for skewed data.
+
+    Pure bit arithmetic (shiftleft/bitwiseAND/OR folds) — codegen, zero
+    shuffle; the one shuffle is the range-partition of the sort that
+    uses the key."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    acc = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            bit = F.shiftright(c.cast("bigint"), i).bitwiseAND(F.lit(1))
+            acc = acc.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return acc
+
+
+def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
+    n = len(cols)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * n + j})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_write(
+    df: DataFrame, path: str, cols: list[str], bits: int = 16, target_files: int | None = None
+) -> None:
+    """Sort by the z-key and write parquet: repartitionByRange on the
+    key (one range shuffle; AQE balances the ranges), sortWithinPartitions,
+    write — every output file then covers a tight hyper-rectangle of the
+    interleaved columns and row-group pruning works for all of them."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("_z", zorder_key(cols, bits))
+    n = target_files or keyed.rdd.getNumPartitions()
+    (
+        keyed.repartitionByRange(n, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1620,3 +1620,89 @@ def rpq_rerank_topk_sql(
     ORDER BY cosine DESC, t.{id_col} ASC
     LIMIT {k}
     """
+
+
+# ------------------------------------------------- semantic dedup
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    max_cell_size: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public arXiv method): cluster the embedding space,
+    then compare pairs only WITHIN a cluster; pairs at cosine >=
+    threshold are semantic duplicates even when their texts share no
+    n-grams.
+
+    Scale shape: one shuffle on the cell id; per-cell pair space is
+    (n/cells)^2, so at corpus scale train centroids with
+    ``train_ivf_centroids``/``kmeans_fit`` at ~sqrt(n) cells (SemDeDup
+    uses 50k clusters for 100M docs) — the oracle profile uses the
+    seeded literal centroids so both engines share the quantizer.
+    Cells above ``max_cell_size`` are dropped outright, the same
+    skew/boilerplate guard as every other pairwise op here."""
+    cents = centroids or _ivf_seeded_centroids()
+    from pyspark.sql import Window
+
+    base = ivf_assign(df.select(F.col(id_col), F.col(vec_col)), vec_col, cents)
+    base = base.withColumn(
+        "_csz", F.count("*").over(Window.partitionBy("_cell"))
+    ).filter(F.col("_csz") <= max_cell_size)
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_cell")
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_cell")
+    return (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine_col(_vec("va"), _vec("vb")), 6).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dup_pairs_sql(
+    table: str = "embeddings",
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    max_cell_size: int = 4096,
+) -> str:
+    cents = centroids or _ivf_seeded_centroids()
+    va = f"list_transform(a.{vec_col}, x -> CAST(x AS DOUBLE))"
+    vb = f"list_transform(b.{vec_col}, x -> CAST(x AS DOUBLE))"
+    cell = ivf_assign_sql(f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))", cents)
+    return f"""
+    WITH celled AS (SELECT *, {cell} AS cell FROM {table}),
+    sized AS (SELECT *, count(*) OVER (PARTITION BY cell) AS csz FROM celled),
+    ok AS (SELECT * FROM sized WHERE csz <= {max_cell_size})
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           round({cosine_sql(va, vb)}, 6) AS cosine
+    FROM ok a JOIN ok b ON a.cell = b.cell AND a.{id_col} < b.{id_col}
+    WHERE round({cosine_sql(va, vb)}, 6) >= {threshold}
+    """
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Keep ONE vector per semantic-duplicate component: pair graph →
+    connected components (min-id representative) → anti-join the
+    non-representatives. The id list that survives a SemDeDup prune."""
+    from tinyetl_spark.operators import dedup as _dedup
+
+    pairs = semantic_dup_pairs(df, threshold, vec_col, id_col, centroids)
+    cc = _dedup.connected_components(pairs)
+    drop = cc.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.select(id_col).join(drop, id_col, "left_anti").orderBy(id_col)

@@ -949,3 +949,74 @@ def pack_sequences_sql(
                 / {capacity_tokens}) AS BIGINT) AS pack_id
     FROM toks
     """
+
+
+# --------------------------------------------- unigram LM quality score
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 65536,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the cheap stand-in
+    for the perplexity filter of CCNet-style pipelines (Wenzek et al.
+    2020 score documents with a KenLM model and drop the worst tail;
+    a corpus-fit unigram model is the zero-dependency version): noisy
+    or out-of-domain text uses rare words and scores low.
+
+    Shape at scale: one explode→groupBy builds the frequency table
+    (map-side combined), the model keeps only the ``top_vocab`` most
+    frequent words (count desc, word asc — deterministic) so the
+    broadcast stays bounded however large the corpus vocabulary gets;
+    everything outside the kept vocabulary scores at the 0.5/N floor.
+    Per-word log-probs round to 9dp and sum as DECIMAL(38,9), so the
+    per-doc mean is summation-order-independent and hashes identically
+    on both engines."""
+    w = F.explode(words_col(F.lower(F.col(text_col)))).alias("w")
+    words = df.select(F.col(id_col), w)
+    freq = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = int(freq.agg(F.sum("cnt").alias("t")).collect()[0]["t"])
+    vocab = freq.orderBy(F.desc("cnt"), F.asc("w")).limit(top_vocab)
+    # floor computed in-engine like the in-vocab branch (both engines
+    # round their own libm ln at 9dp, same as the bm25 convention)
+    lp = F.when(
+        F.col("cnt").isNotNull(),
+        F.round(F.log(F.col("cnt") / F.lit(float(total))), 9),
+    ).otherwise(F.round(F.log(F.lit(0.5 / float(total))), 9))
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .select(F.col(id_col), lp.cast("decimal(38,9)").alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round((F.sum("_lp") / F.count("*")).cast("double"), 6).alias("avg_logprob"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def unigram_logprob_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 65536,
+) -> str:
+    ws = words_sql(f"lower({text_col})")
+    return f"""
+    WITH words AS (
+      SELECT {id_col}, unnest({ws}) AS w FROM {table}),
+    freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+    tot AS (SELECT sum(cnt) AS t FROM freq),
+    vocab AS (SELECT w, cnt FROM freq ORDER BY cnt DESC, w ASC LIMIT {top_vocab}),
+    scored AS (
+      SELECT words.{id_col},
+             CAST(CASE WHEN v.cnt IS NOT NULL
+                  THEN round(ln(v.cnt / CAST(t.t AS DOUBLE)), 9)
+                  ELSE round(ln(0.5 / CAST(t.t AS DOUBLE)), 9)
+             END AS DECIMAL(38,9)) AS lp
+      FROM words LEFT JOIN vocab v ON words.w = v.w CROSS JOIN tot t)
+    SELECT {id_col}, count(*) AS n_words,
+           round(CAST(sum(lp) / count(*) AS DOUBLE), 6) AS avg_logprob
+    FROM scored GROUP BY {id_col} ORDER BY {id_col}
+    """

@@ -2051,6 +2051,81 @@ for _tier in similarity.RECALL_TIERS:
     _register_ann_recall(_tier)
 
 
+@_q("semantic_dup_pairs", similarity.semantic_dup_pairs_sql(threshold=0.4))
+def semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs: embedding-space cells
+    (seeded quantizer shared with the oracle), within-cell cosine >=
+    threshold — catches paraphrases that share no n-grams. One shuffle
+    on the cell id; cells above the size cap are dropped (skew guard);
+    at corpus scale train ~sqrt(n) cells instead of the 8 seeded ones."""
+    return similarity.semantic_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+_SEM_CC_ORACLE = dedup.connected_components_sql(
+    similarity.semantic_dup_pairs_sql(threshold=0.4)
+)
+
+
+@_q(
+    "semantic_dedup_survivors",
+    f"""
+    WITH cc AS ({_SEM_CC_ORACLE})
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+    ORDER BY vec_id
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup prune end-to-end: semantic pair graph → connected
+    components (min-id representative) → anti-join the rest. The id
+    list a semantic dedup pass would keep for training."""
+    return similarity.semantic_dedup_survivors(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@_q(
+    "unigram_logprob_docs",
+    text.unigram_logprob_sql(top_vocab=16),
+)
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: per-doc mean unigram log-prob
+    under a corpus-fit model with a bounded top-16 vocabulary (OOV
+    words hit the 0.5/N floor — the branch a web-scale vocab always
+    exercises). Low scorers are the perplexity-filter drop tail."""
+    return text.unigram_logprob(load(spark, sf_dir, "documents"), top_vocab=16)
+
+
+from tinyetl_spark.operators.maintenance import zorder_key_sql as _zorder_key_sql
+
+_ZORDER_ORACLE = f"""
+    SELECT event_id, user_id,
+           {_zorder_key_sql(["user_id", "(event_id % 65536)"], 16)} AS zval
+    FROM events ORDER BY zval, event_id LIMIT 1000
+    """
+
+
+@_q("zorder_key_events", _ZORDER_ORACLE)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over (user_id, event_id mod 2^16)
+    — the Delta/Iceberg OPTIMIZE ZORDER layout primitive: sort-write by
+    this key and parquet min/max stats prune range predicates on EITHER
+    column. Pure bit arithmetic, zero shuffle for the key itself."""
+    from tinyetl_spark.operators import maintenance
+
+    ev = load(spark, sf_dir, "events")
+    z = maintenance.zorder_key(
+        [F.col("user_id"), F.pmod(F.col("event_id"), F.lit(1 << 16))], bits=16
+    )
+    return (
+        ev.select("event_id", "user_id", z.alias("zval"))
+        .orderBy("zval", "event_id")
+        .limit(1000)
+    )
+
+
 @_q(
     "kmeans_refine_step",
     similarity.kmeans_update_sql(similarity._ivf_seeded_centroids()),
