@@ -43,7 +43,7 @@ _PRIORITY = [
     "dedup_survivors", "dedup_incremental",
     # semantic dedup / LM quality / layout
     "semantic_dup_pairs", "semantic_dedup_survivors",
-    "unigram_logprob_docs", "zorder_key_events",
+    "unigram_logprob_docs", "zorder_key_events", "temperature_mix_docs",
     # decontamination / fingerprinting
     "fuzzy_decontam", "decontam_overlap", "winnow_fingerprints",
     # streaming

@@ -1020,3 +1020,83 @@ def unigram_logprob_sql(
            round(CAST(sum(lp) / count(*) AS DOUBLE), 6) AS avg_logprob
     FROM scored GROUP BY {id_col} ORDER BY {id_col}
     """
+
+
+# ---------------------------------------------- temperature mixing
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str = "lang",
+    alpha: float = 0.5,
+    target_rows: int = 1000,
+    id_col: str = "doc_id",
+    buckets: int = 10000,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based (alpha-) sampling across strata — the
+    multilingual-LM mixing rule (XLM-R / mT5, public): a stratum's
+    share of the mix is proportional to n^alpha, so alpha=1 keeps the
+    natural distribution, alpha->0 approaches uniform, and 0.3-0.7
+    upsamples the tail without flooding the head.
+
+    Per-stratum keep-rate = min(1, target * n^alpha / sum(n^alpha) / n),
+    applied with the same salted-hash determinism as
+    :func:`stratified_sample` (integer bucket threshold from an
+    identically-computed double, so both engines keep the same rows).
+    Scale shape: one tiny groupBy for the counts, rates broadcast back,
+    the filter runs at the scan."""
+    n = F.col("_n").cast("double")
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count("*").alias("_n"))
+        # weights rounded + decimal-summed so the total is
+        # summation-order-independent across engines
+        .withColumn("_w", F.round(F.pow(n, F.lit(float(alpha))), 6).cast("decimal(38,6)"))
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("_w").over(Window.partitionBy())
+    rates = counts.select(
+        F.col(strata_col),
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * (F.col("_w").cast("double") / tot.cast("double"))
+                / n,
+            )
+            * buckets
+        ).cast("int").alias("_thresh"),
+    )
+    keyed = hash64_col(F.col(id_col).cast("string"), seed=salt) % buckets
+    return df.join(F.broadcast(rates), strata_col).filter(keyed < F.col("_thresh")).drop(
+        "_thresh"
+    )
+
+
+def temperature_mix_sql(
+    table: str = "documents",
+    strata_col: str = "lang",
+    alpha: float = 0.5,
+    target_rows: int = 1000,
+    id_col: str = "doc_id",
+    buckets: int = 10000,
+    salt: str = "tmix",
+) -> str:
+    keyed = hash64_sql(f"CAST({id_col} AS VARCHAR)", seed=salt)
+    return f"""
+    WITH counts AS (
+      SELECT {strata_col}, count(*) AS n,
+             CAST(round(pow(CAST(count(*) AS DOUBLE), {alpha}), 6)
+                  AS DECIMAL(38,6)) AS w
+      FROM {table} GROUP BY {strata_col}),
+    rates AS (
+      SELECT {strata_col},
+             CAST(floor(least(1.0,
+                 {target_rows} * (CAST(w AS DOUBLE)
+                                  / CAST(sum(w) OVER () AS DOUBLE))
+                 / CAST(n AS DOUBLE)) * {buckets}) AS INT) AS thresh
+      FROM counts)
+    SELECT t.* FROM {table} t JOIN rates r USING ({strata_col})
+    WHERE {keyed.replace(id_col, 't.' + id_col)} % {buckets} < r.thresh
+    """

@@ -2087,6 +2087,20 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "temperature_mix_docs",
+    text.temperature_mix_sql(alpha=0.5, target_rows=300),
+)
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixing across languages — the XLM-R/mT5
+    multilingual sampling rule: stratum share ∝ n^alpha, so tail
+    languages upsample without flooding the head. Deterministic salted-
+    hash thresholds; rates broadcast; filter at the scan."""
+    return text.temperature_mix(
+        load(spark, sf_dir, "documents"), alpha=0.5, target_rows=300
+    )
+
+
+@_q(
     "unigram_logprob_docs",
     text.unigram_logprob_sql(top_vocab=16),
 )
