@@ -277,3 +277,170 @@ def test_avro_directory_mode_semantics_and_exact_values(spark, tmp_path):
     back = {r.id: r for r in read_avro(spark, out).collect()}
     assert math.isnan(back[1].score) and back[1].ref == big
     assert back[2].score is None and back[2].ref is None
+
+
+# ------------------------------------------------------------- ODBC
+
+class _FakePyodbc:
+    """Minimal pyodbc stand-in: stores tables in memory and answers
+    exactly the statement shapes io/odbc_io.py issues (schema probe,
+    CREATE/DELETE/INSERT/SELECT with [bracket] quoting). Lets the
+    ODBC connector logic run end-to-end without unixODBC."""
+
+    class Error(Exception):
+        pass
+
+    def __init__(self):
+        self.tables: dict[str, dict] = {}
+        self.connect_strings: list[str] = []
+
+    def connect(self, conn_str, autocommit=True):
+        self.connect_strings.append(conn_str)
+        return _FakeConn(self)
+
+
+class _FakeConn:
+    def __init__(self, mod):
+        self.mod = mod
+
+    def cursor(self):
+        return _FakeCursor(self.mod)
+
+    def commit(self):
+        pass
+
+    def rollback(self):
+        pass
+
+    def close(self):
+        pass
+
+
+class _FakeCursor:
+    def __init__(self, mod):
+        self.mod = mod
+        self._rows: list[tuple] = []
+        self.description = None
+
+    def _table(self, sql, kw):
+        return sql.split(kw + " [", 1)[1].split("]", 1)[0]
+
+    def execute(self, sql, params=None):
+        import re
+
+        t = self.mod.tables
+        if sql.startswith("SELECT * FROM [") and sql.endswith("WHERE 1=0"):
+            name = self._table(sql, "FROM")
+            if name not in t:
+                raise _FakePyodbc.Error(f"no table {name}")
+            self.description = [(c, ty) for c, ty in t[name]["schema"]]
+            self._rows = []
+        elif sql.startswith("SELECT 1 FROM ["):
+            name = self._table(sql, "FROM")
+            if name not in t:
+                raise _FakePyodbc.Error(f"no table {name}")
+            self._rows = []
+        elif sql.startswith("CREATE TABLE ["):
+            name = self._table(sql, "TABLE")
+            cols = re.findall(
+                r"\[([^\]]+)\] (\w+(?:\(\d+(?:,\d+)?\))?)", sql.split("(", 1)[1]
+            )
+            # store python types for the probe's description
+            tymap = {"BIGINT": int, "BIT": bool, "DECIMAL(18,4)": float}
+            t[name] = {
+                "schema": [(c, tymap.get(ty, str)) for c, ty in cols],
+                "rows": [],
+            }
+        elif sql.startswith("DELETE FROM ["):
+            t[self._table(sql, "FROM")]["rows"].clear()
+        elif sql.startswith("INSERT INTO ["):
+            name = self._table(sql, "INTO")
+            n_cols = len(t[name]["schema"])
+            rows = [
+                tuple(params[i : i + n_cols]) for i in range(0, len(params), n_cols)
+            ]
+            t[name]["rows"].extend(rows)
+        elif sql.startswith("SELECT * FROM ["):
+            name = self._table(sql, "FROM")
+            self.description = [(c, ty) for c, ty in t[name]["schema"]]
+            self._rows = list(t[name]["rows"])
+        else:
+            raise _FakePyodbc.Error(f"fake pyodbc: unhandled SQL {sql[:60]}")
+
+    def fetchmany(self, n):
+        out, self._rows = self._rows[:n], self._rows[n:]
+        return out
+
+
+def test_odbc_roundtrip_via_fake_pyodbc(spark, tmp_path, monkeypatch):
+    """The full ODBC path — URI parse, auto-DDL with the reference's
+    type map, chunked multi-row INSERT, truncate, schema-probe read —
+    through the engine with a fake pyodbc module."""
+    import sys
+
+    fake = _FakePyodbc()
+    monkeypatch.setitem(sys.modules, "pyodbc", fake)
+
+    url = ("odbc://Driver={ODBC Driver 17 for SQL Server};Server=localhost,1433;"
+           "Database=testdb;UID=SA;PWD=x#customers")
+    df = spark.createDataFrame(
+        [(1, "Ada", 9.5), (2, "Grace", 3.25)], "id long, name string, score double"
+    )
+    from tinyetl_spark.io import odbc_io
+
+    assert odbc_io.write_table(df, url) == 2
+    # verbatim connection string reached the driver manager
+    assert fake.connect_strings[0].startswith("Driver={ODBC Driver 17")
+    # reference DDL type map
+    schema = dict(fake.tables["customers"]["schema"])
+    assert schema["id"] is int and schema["name"] is str and schema["score"] is float
+
+    back = odbc_io.read_table(spark, url)
+    assert back.count() == 2
+    got = {r.id: (r.name, r.score) for r in back.collect()}
+    assert got == {1: ("Ada", 9.5), 2: ("Grace", 3.25)}
+
+    # append then truncate through the ENGINE write path
+    from tinyetl_spark.uris import parse_uri
+    from tinyetl_spark.engine import write_target
+
+    loc = parse_uri(url)
+    write_target(df, loc, append=True)
+    assert len(fake.tables["customers"]["rows"]) == 4
+    write_target(df, loc, append=False)  # truncate
+    assert len(fake.tables["customers"]["rows"]) == 2
+
+
+def test_odbc_transfer_counts_driver_side(spark, tmp_path, monkeypatch):
+    """transfer() must treat odbc as a driver-side sink: the row count
+    comes from the writer itself, NOT a write-job Observation (the
+    toLocalIterator consumption never resolves an Observation — this
+    deadlocked before the fix)."""
+    import sys
+
+    fake = _FakePyodbc()
+    monkeypatch.setitem(sys.modules, "pyodbc", fake)
+    src = tmp_path / "in.csv"
+    src.write_text("id,name\n1,Ada\n2,Grace\n")
+    stats = transfer(spark, str(src), "odbc://DSN=testdb;UID=u;PWD=p#people")
+    assert stats.rows_transferred == 2
+    assert len(fake.tables["people"]["rows"]) == 2
+
+
+def test_odbc_without_pyodbc_fails_clearly(spark, monkeypatch):
+    import sys
+
+    monkeypatch.setitem(sys.modules, "pyodbc", None)
+    from tinyetl_spark.io import odbc_io
+
+    with pytest.raises(RuntimeError, match="pyodbc"):
+        odbc_io.read_table(spark, "odbc://DSN=x#t")
+
+
+def test_odbc_uri_parse_requires_table():
+    from tinyetl_spark.io import odbc_io
+
+    with pytest.raises(ValueError, match="table specification"):
+        odbc_io.parse_odbc_uri("odbc://DSN=mydb;UID=u;PWD=p")
+    conn, table = odbc_io.parse_odbc_uri("odbc://DSN=mydb;UID=u;PWD=p#t1")
+    assert conn == "DSN=mydb;UID=u;PWD=p" and table == "t1"

@@ -81,7 +81,13 @@ def read_source(spark: SparkSession, loc: Location, infer: bool = True) -> DataF
                 f"ssh source needs a file extension or --source-type: {loc.raw}"
             )
         return read_source(spark, Location(inner, staged, loc.table), infer=infer)
-    if loc.kind in ("postgres", "mysql", "mssql", "odbc", "derby"):
+    if loc.kind == "odbc":
+        # no JDBC-ODBC bridge exists on modern JVMs — ODBC runs through
+        # the driver-side pyodbc connector (reference odbc.rs parity)
+        from tinyetl_spark.io import odbc_io
+
+        return odbc_io.read_table(spark, _odbc_uri(loc))
+    if loc.kind in ("postgres", "mysql", "mssql", "derby"):
         tgt = jio.build_jdbc(loc.kind, loc.path, loc.table)
         return jio.read(
             spark,
@@ -90,6 +96,13 @@ def read_source(spark: SparkSession, loc: Location, infer: bool = True) -> DataF
             query=loc.options.get("query"),
         )
     raise UnsupportedUriError(f"Unsupported source: {loc.raw}")
+
+
+def _odbc_uri(loc: Location) -> str:
+    """Rebuild the canonical ``odbc://conn#table`` form whether the
+    fragment survived in ``path`` or was split into ``table``."""
+    conn = loc.path.split("://", 1)[-1].split("#")[0]
+    return f"odbc://{conn}#{loc.table_name}"
 
 
 # --------------------------------------------------------------- sinks
@@ -142,7 +155,11 @@ def write_target(df: DataFrame, loc: Location, append: bool) -> int | None:
         from tinyetl_spark.io import snowflake_mock
 
         snowflake_mock.write_table(df, loc.path, loc.table_name)
-    elif loc.kind in ("postgres", "mysql", "mssql", "odbc", "derby"):
+    elif loc.kind == "odbc":
+        from tinyetl_spark.io import odbc_io
+
+        return odbc_io.write_table(df, _odbc_uri(loc), truncate=not append)
+    elif loc.kind in ("postgres", "mysql", "mssql", "derby"):
         tgt = jio.build_jdbc(loc.kind, loc.path, loc.table)
         jio.write(df, tgt, loc.kind, mode="append" if append else "overwrite")
     elif loc.kind == "http":
@@ -224,7 +241,7 @@ def transfer(
         else:
             append = False  # missing, or exists-but-no-append → recreate
 
-    if tgt.kind in ("sqlite", "duckdb", "avro"):
+    if tgt.kind in ("sqlite", "duckdb", "avro", "odbc"):
         # driver-side sinks stream toLocalIterator and count themselves;
         # an Observation would never resolve for that execution shape.
         # (avro may take the spark-native path and return None → count.)
