@@ -52,6 +52,7 @@ _PRIORITY = [
     "streaming_interval_join", "streaming_sink_parquet",
     "streaming_foreachbatch_jdbc", "streaming_upsert_snapshot",
     # multimodal
+    "multimodal_decode_bmp", "multimodal_decode_wav",
     "multimodal_meta", "multimodal_dedup", "multimodal_byte_histogram",
     "multimodal_frame_sample", "multimodal_thumbnail",
     # text analysis / training-data prep

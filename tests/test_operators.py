@@ -341,3 +341,31 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     # random layout: every file spans ~the full 0..255 range of both
     # columns; z-ordered 16-file layout must average far tighter
     assert sum(spreads) / len(spreads) < 200, spreads
+
+
+def test_bmp_wav_decoders_roundtrip_and_reject():
+    """The pure-struct media decoders: synth->decode round-trips exact
+    metadata and stats; malformed/codec payloads fail loudly."""
+    import pytest as _pytest
+
+    from tinyetl_spark.operators import multimodal as mm
+
+    pix = bytes(i % 251 for i in range(8 * 3 * 4))  # 8x4, stride 24
+    d = mm.decode_bmp(mm.synth_bmp(pix, 8, 4))
+    assert (d["width"], d["height"], d["n_channels"]) == (8, 4, 3)
+    assert d["mean_value"] == round(sum(pix) / len(pix), 6)
+
+    w = mm.decode_wav(mm.synth_wav(bytes(range(96)), sample_rate=16000))
+    assert (w["n_channels"], w["sample_rate"], w["n_samples"]) == (1, 16000, 48)
+
+    with _pytest.raises(ValueError):
+        mm.decode_bmp(b"PNG....")
+    with _pytest.raises(ValueError):
+        mm.decode_wav(b"OggS....")
+    # compressed BMP and non-PCM WAV are honest NotImplementedError
+    import struct
+
+    bad = bytearray(mm.synth_bmp(pix, 8, 4))
+    struct.pack_into("<I", bad, 14 + 16, 1)  # BI_RLE8 compression flag
+    with _pytest.raises(NotImplementedError):
+        mm.decode_bmp(bytes(bad))

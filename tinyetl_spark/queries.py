@@ -2266,6 +2266,92 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_histogram(d)
 
 
+def _synth_media_df(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """ASCII documents → REAL binary media payloads: the doc's bytes
+    cycled to 96 fill an 8x4 24-bit BMP pixel array or 48 16-bit PCM
+    WAV samples. Synthesis is Arrow-batched mapInPandas; the decode
+    queries then parse these payloads with the real decoders."""
+    from tinyetl_spark.operators import multimodal
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter((F.octet_length("text") == F.length("text")) & (F.length("text") > 0))
+        .select("doc_id", "text")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = t.encode()
+                cyc = bytes(b[i % len(b)] for i in range(96))
+                payloads.append(
+                    multimodal.synth_bmp(cyc, 8, 4)
+                    if kind == "bmp"
+                    else multimodal.synth_wav(cyc)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    return d.mapInPandas(run, schema="doc_id long, payload binary")
+
+
+_CYCLED_BYTE = "ord(text[(i % length(text)) + 1])"
+
+
+@_q(
+    "multimodal_decode_bmp",
+    f"""
+    SELECT doc_id, 'bmp' AS fmt, 8 AS width, 4 AS height, 3 AS n_channels,
+           round(CAST(list_sum(list_transform(range(0, 96),
+                 i -> {_CYCLED_BYTE})) AS DOUBLE) / 96, 6) AS mean_value
+    FROM documents
+    WHERE strlen(text) = length(text) AND length(text) > 0
+    """,
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize an uncompressed 24-bit
+    BMP per doc from its text bytes, parse it with the pure-struct BMP
+    decoder (header-validated dims + mean pixel byte), and check the
+    mean against the oracle's independent byte arithmetic. This is the
+    codec-free slice of the multimodal decode contract made real —
+    codec formats (jpeg/png) still gate on PIL."""
+    from tinyetl_spark.operators import multimodal
+
+    out = multimodal.decode_media(_synth_media_df(spark, sf_dir, "bmp"))
+    return out.select("doc_id", "fmt", "width", "height", "n_channels", "mean_value")
+
+
+@_q(
+    "multimodal_decode_wav",
+    f"""
+    SELECT doc_id, 'wav' AS fmt, 1 AS n_channels, 8000 AS sample_rate,
+           CAST(48 AS BIGINT) AS n_samples,
+           round(sqrt(CAST(list_sum(list_transform(range(0, 48),
+                 j -> CAST({_CYCLED_BYTE.replace('i %', '(2*j) %')}
+                      + 256 * {_CYCLED_BYTE.replace('i %', '(2*j+1) %')}
+                      AS BIGINT)
+                      * ({_CYCLED_BYTE.replace('i %', '(2*j) %')}
+                         + 256 * {_CYCLED_BYTE.replace('i %', '(2*j+1) %')})))
+                 AS DOUBLE) / 48), 6) AS mean_value
+    FROM documents
+    WHERE strlen(text) = length(text) AND length(text) > 0
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: text bytes become 48 little-endian
+    16-bit PCM samples in a RIFF/WAVE container, the pure-struct WAV
+    decoder walks the chunks and computes the RMS, and the oracle
+    recomputes that RMS from the same bytes with no WAV anywhere."""
+    from tinyetl_spark.operators import multimodal
+
+    out = multimodal.decode_media(_synth_media_df(spark, sf_dir, "wav"))
+    return out.select(
+        "doc_id", "fmt", "n_channels", "sample_rate", "n_samples", "mean_value"
+    )
+
+
 # =====================================================================
 # Engine round-trips (write path -> read path -> oracle on the source):
 # the reference's round-trip tests as correctness-gate queries
