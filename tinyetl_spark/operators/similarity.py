@@ -1630,7 +1630,7 @@ def semantic_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
-    max_cell_size: int = 4096,
+    max_cell_size: int = 2048,
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1645,7 +1645,11 @@ def semantic_dup_pairs(
     uses 50k clusters for 100M docs) — the oracle profile uses the
     seeded literal centroids so both engines share the quantizer.
     Cells above ``max_cell_size`` are dropped outright, the same
-    skew/boilerplate guard as every other pairwise op here."""
+    skew/boilerplate guard as every other pairwise op here — a dropped
+    cell is the signal that the quantizer is too coarse for the corpus
+    (at 10x the test corpus the 8 seeded cells all trip the guard;
+    training 8x more cells restores near-linear wall clock, measured in
+    the README SCALING table)."""
     cents = centroids or _ivf_seeded_centroids()
     from pyspark.sql import Window
 
@@ -1671,7 +1675,7 @@ def semantic_dup_pairs_sql(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
-    max_cell_size: int = 4096,
+    max_cell_size: int = 2048,
 ) -> str:
     cents = centroids or _ivf_seeded_centroids()
     va = f"list_transform(a.{vec_col}, x -> CAST(x AS DOUBLE))"
