@@ -42,8 +42,10 @@ _PRIORITY = [
     # semantic dedup / LM quality / layout
     "semantic_dup_pairs", "semantic_dedup_survivors",
     "unigram_logprob_docs", "zorder_key_events", "temperature_mix_docs",
-    # decontamination / fingerprinting
-    "fuzzy_decontam", "decontam_overlap", "winnow_fingerprints",
+    # decontamination / fingerprinting (winnow_fingerprints itself is
+    # property-tested + local-green; the decontam composition takes its
+    # driver slot)
+    "fuzzy_decontam", "decontam_overlap", "winnow_decontam",
     # streaming
     "streaming_tumbling", "streaming_hopping", "streaming_sessions",
     "streaming_dedup", "streaming_user_counts", "streaming_enrich",

@@ -1100,3 +1100,55 @@ def temperature_mix_sql(
     SELECT t.* FROM {table} t JOIN rates r USING ({strata_col})
     WHERE {keyed.replace(id_col, 't.' + id_col)} % {buckets} < r.thresh
     """
+
+
+# ----------------------------------------- winnowing decontamination
+
+def winnow_decontam(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mod: int = 97,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Exact-substring test-set decontamination via MOSS winnowing:
+    flag training documents sharing any winnowing fingerprint with the
+    held-out side (doc_id % mod == 0 stands in for the benchmark
+    corpus). The winnowing guarantee makes this the strongest of the
+    three decontam tiers for verbatim leakage: ANY shared substring of
+    length >= k+w-1 chars is caught — word-shingle overlap misses
+    sub-word and punctuation-straddling matches, minhash is
+    probabilistic.
+
+    Same scale shape as decontam_overlap: held-out fingerprints
+    collapse to DISTINCT and broadcast; the training corpus is scanned,
+    never shuffled; one groupBy over the (small) flagged survivors.
+    Output: (doc_id, n_shared) per contaminated training doc."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    heldout = fps.filter(F.col(id_col) % mod == 0).select("fp").distinct()
+    train = fps.filter(F.col(id_col) % mod != 0)
+    return (
+        train.join(F.broadcast(heldout), "fp")
+        .groupBy(id_col)
+        .agg(F.count_distinct("fp").alias("n_shared"))
+    )
+
+
+def winnow_decontam_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mod: int = 97,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> str:
+    fps = winnow_fingerprints_sql(table, text_col, id_col, k, w)
+    return f"""
+    WITH fps AS ({fps}),
+    heldout AS (SELECT DISTINCT fp FROM fps WHERE {id_col} % {mod} = 0),
+    train AS (SELECT * FROM fps WHERE {id_col} % {mod} != 0)
+    SELECT t.{id_col}, count(DISTINCT t.fp) AS n_shared
+    FROM train t JOIN heldout h ON t.fp = h.fp
+    GROUP BY t.{id_col}
+    """

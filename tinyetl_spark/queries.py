@@ -1583,6 +1583,16 @@ def decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontam_overlap(load(spark, sf_dir, "documents"))
 
 
+@_q("winnow_decontam", text.winnow_decontam_sql())
+def winnow_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination tier: MOSS winnowing fingerprints
+    shared with the held-out split — catches verbatim leakage that
+    word-shingle overlap (sub-word, punctuation-straddling matches) and
+    probabilistic minhash both miss. Held-out side broadcast; the
+    training corpus never shuffles."""
+    return text.winnow_decontam(load(spark, sf_dir, "documents"))
+
+
 @_q("fuzzy_decontam", dedup.fuzzy_decontam_sql("doc_id % 97 = 0"))
 def fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy test-set decontamination: minhash-LSH match of training
