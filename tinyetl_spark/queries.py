@@ -2061,6 +2061,21 @@ for _tier in similarity.RECALL_TIERS:
     _register_ann_recall(_tier)
 
 
+def _materialized_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic pair graph staged once to parquet — the pairs query and
+    the survivors prune share one materialization (the same
+    pairs→clusters→survivors barrier the simhash pipeline uses)."""
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "semantic_pairs",
+        similarity.semantic_dup_pairs_sql(threshold=0.4),
+        lambda: similarity.semantic_dup_pairs(
+            load(spark, sf_dir, "embeddings"), threshold=0.4
+        ),
+    )
+
+
 @_q("semantic_dup_pairs", similarity.semantic_dup_pairs_sql(threshold=0.4))
 def semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic duplicate pairs: embedding-space cells
@@ -2068,9 +2083,7 @@ def semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold — catches paraphrases that share no n-grams. One shuffle
     on the cell id; cells above the size cap are dropped (skew guard);
     at corpus scale train ~sqrt(n) cells instead of the 8 seeded ones."""
-    return similarity.semantic_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.4
-    )
+    return _materialized_semantic_pairs(spark, sf_dir)
 
 
 _SEM_CC_ORACLE = dedup.connected_components_sql(
@@ -2090,10 +2103,15 @@ _SEM_CC_ORACLE = dedup.connected_components_sql(
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SemDeDup prune end-to-end: semantic pair graph → connected
     components (min-id representative) → anti-join the rest. The id
-    list a semantic dedup pass would keep for training."""
-    return similarity.semantic_dedup_survivors(
-        load(spark, sf_dir, "embeddings"), threshold=0.4
+    list a semantic dedup pass would keep for training. Consumes the
+    STAGED pair table — the pair join runs once for both queries."""
+    pairs = _materialized_semantic_pairs(spark, sf_dir)
+    cc = dedup.connected_components(pairs)
+    drop = cc.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
     )
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select("vec_id").join(drop, "vec_id", "left_anti").orderBy("vec_id")
 
 
 @_q(
