@@ -39,9 +39,10 @@ _PRIORITY = [
     "minhash_signatures", "minhash_candidates", "near_dup_jaccard",
     "near_dup_ngram", "simhash_docs", "simhash_near_dups", "dedup_clusters",
     "dedup_survivors", "dedup_incremental",
-    # semantic dedup / LM quality / layout
+    # semantic dedup / LM quality / layout / ingest
     "semantic_dup_pairs", "semantic_dedup_survivors",
     "unigram_logprob_docs", "zorder_key_events", "temperature_mix_docs",
+    "rag_ingest_pipeline",
     # decontamination / fingerprinting (winnow_fingerprints itself is
     # property-tested + local-green; the decontam composition takes its
     # driver slot)

@@ -334,3 +334,14 @@ def test_zorder_key_is_pure_codegen(spark):
     p = plan_of(spark, "zorder_key_events")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "TakeOrderedAndProject" in p  # orderBy+limit, not a full sort
+
+
+def test_rag_ingest_single_shuffle_no_python(spark):
+    """chunk -> hash-embed -> bucket -> count is ONE distributed plan:
+    exactly one aggregation shuffle and zero Python (the embedder slot
+    is pure codegen here; a Pandas-UDF model call would add exactly one
+    ArrowEval stage in its place)."""
+    p = plan_of(spark, "rag_ingest_pipeline")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Generate" in p  # posexplode chunking inside codegen

@@ -2294,6 +2294,64 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_histogram(d)
 
 
+_RAG_DIM = 8  # hash-embedding dims for the ingest pipeline query
+
+
+def _rag_embed_cols() -> list:
+    """Deterministic hash-embedding of chunk_text: dim i is the seeded
+    60-bit hash scaled into [-0.5, 0.5). Stands in for the model call
+    of a RAG ingest pipeline — same pure-codegen shape a Pandas-UDF
+    embedder would slot into, but oracle-expressible."""
+    return [
+        ((hash64_col(F.col("chunk_text"), seed=f"e{i}") % 1000) / 1000.0 - 0.5).alias(
+            f"e{i}"
+        )
+        for i in range(_RAG_DIM)
+    ]
+
+
+def _rag_embed_sql(i: int) -> str:
+    return f"({hash64_sql('chunk_text', seed=f'e{i}')} % 1000) / 1000.0 - 0.5"
+
+
+@_q(
+    "rag_ingest_pipeline",
+    f"""
+    WITH chunks AS ({text.chunk_documents_sql(chunk_chars=200, overlap=50)}),
+    embedded AS (
+      SELECT {", ".join(f"{_rag_embed_sql(i)} AS e{i}" for i in range(_RAG_DIM))}
+      FROM chunks WHERE length(chunk_text) > 0),
+    bucketed AS (
+      SELECT ({" + ".join(f"(CASE WHEN e{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(_RAG_DIM))})
+             AS bucket
+      FROM embedded)
+    SELECT bucket, count(*) AS n_chunks
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship RAG ingestion, end to end in ONE distributed plan:
+    documents → overlapping context chunks (codegen posexplode) →
+    per-chunk embedding (deterministic hash stand-in for the model
+    call; a Pandas-UDF embedder slots into the same position) →
+    sign-LSH index buckets → per-bucket cardinality, i.e. the shard
+    histogram an ANN index build would write partitioned. No Python,
+    one aggregation shuffle; at 100 TB the bucket column is the
+    partitionBy key of the index write (`build_ann_index`)."""
+    chunks = text.chunk_documents(load(spark, sf_dir, "documents"))
+    emb = chunks.filter(F.length("chunk_text") > 0).select(*_rag_embed_cols())
+    bucket = None
+    for i in range(_RAG_DIM):
+        term = F.when(F.col(f"e{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else (bucket + term)
+    return (
+        emb.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_chunks"))
+        .orderBy("bucket")
+    )
+
+
 def _synth_media_df(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """ASCII documents → REAL binary media payloads: the doc's bytes
     cycled to 96 fill an 8x4 24-bit BMP pixel array or 48 16-bit PCM
