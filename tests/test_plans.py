@@ -345,3 +345,37 @@ def test_rag_ingest_single_shuffle_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "Generate" in p  # posexplode chunking inside codegen
+
+
+def test_gopher_rules_in_row_no_shuffle_no_python(spark):
+    """Every Gopher rule is a per-row HOF/regex expression over one
+    word-array projection — scan-speed, no Exchange, no Python."""
+    p = plan_of(spark, "gopher_quality_docs")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bm25_search_filters_before_shuffle_and_takeordered(spark):
+    """The exploded term stream must be joined (broadcast) against the
+    query terms BEFORE any aggregation shuffle, and the global top-k
+    must be TakeOrderedAndProject, never a full sort."""
+    p = plan_of(spark, "bm25_search_docs")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin [term" not in p
+
+
+def test_quality_budget_window_is_bucket_partitioned(spark):
+    """Same two-phase contract as pack_sequences: the quality-ordered
+    prefix sum windows on the quantile bucket, never a bare ORDER BY
+    (single-reducer corpus funnel)."""
+    p = plan_of(spark, "quality_budget_select")
+    assert "windowspecdefinition(_b" in p
+    assert "BroadcastExchange" in p
+
+
+def test_cluster_best_survivor_broadcasts_clusters(spark):
+    """The cluster table (dup-involved docs only) must broadcast into
+    the quality join — the corpus-sized quality side stays in place."""
+    p = plan_of(spark, "cluster_best_survivor")
+    assert "BroadcastHashJoin" in p

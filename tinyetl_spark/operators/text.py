@@ -1152,3 +1152,267 @@ def winnow_decontam_sql(
     FROM train t JOIN heldout h ON t.fp = h.fp
     GROUP BY t.{id_col}
     """
+
+
+# ------------------------------------------- Gopher-style rule filter
+
+# Rule constants (Rae et al., "Scaling Language Models: ... Gopher",
+# §A1.1) — thresholds tuned to the synthetic corpus's 10-99-word docs
+# so the keep flag actually splits; the RULES are the deliverable.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1          # '#' or '...' per word
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8       # words containing >= 1 letter
+GOPHER_MIN_STOP_HITS = 2               # distinct required stopwords
+GOPHER_STOPS: tuple[str, ...] = ("the", "a", "and", "of", "to")
+GOPHER_SYMBOL_RE = r"#|\.\.\."
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules: word-count bounds, mean word
+    length bounds, symbol-to-word ratio, fraction of words with an
+    alphabetic character, and required-stopword hits — ANDed into a
+    ``keep`` flag. The standard first-pass heuristic filter of every
+    web-scale pre-training pipeline (Gopher, RefinedWeb, FineWeb).
+
+    All signals are per-row codegen expressions over one word-array
+    projection — no shuffle, no Python; at 100 TB this runs at scan
+    speed and fuses with whatever projection follows it."""
+    w = words_col(text_col)
+    stoparr = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    base = df.select(
+        F.col(id_col),
+        F.size(w).alias("_nw"),
+        F.aggregate(w, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)).alias("_wl"),
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).alias("_aw"),
+        F.size(F.array_intersect(w, stoparr)).alias("_sh"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(GOPHER_SYMBOL_RE), 0)).alias("_sy"),
+    )
+    nw = F.col("_nw")
+    mean_wl = (F.col("_wl") / nw).cast("double")
+    alpha_frac = (F.col("_aw") / nw).cast("double")
+    sym_ratio = (F.col("_sy") / nw).cast("double")
+    keep = (
+        nw.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(GOPHER_MIN_WORD_LEN, GOPHER_MAX_WORD_LEN)
+        & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("_sh") >= GOPHER_MIN_STOP_HITS)
+    )
+    return base.select(
+        F.col(id_col),
+        nw.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.col("_sh").cast("bigint").alias("stop_hits"),
+        F.when(nw == 0, F.lit(False)).otherwise(keep).alias("keep"),
+    )
+
+
+def gopher_rules_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    w = words_sql(text_col)
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             len({w}) AS nw,
+             list_sum(list_transform({w}, x -> length(x))) AS wl,
+             len(list_filter({w}, x -> regexp_matches(x, '[A-Za-z]'))) AS aw,
+             len(list_distinct(list_intersect({w}, [{stops}]))) AS sh,
+             len(regexp_extract_all({text_col}, '{GOPHER_SYMBOL_RE}')) AS sy
+      FROM {table})
+    SELECT {id_col},
+           CAST(nw AS BIGINT) AS n_words,
+           round(CAST(wl AS DOUBLE) / nw, 6) AS mean_word_len,
+           round(CAST(aw AS DOUBLE) / nw, 6) AS alpha_word_frac,
+           round(CAST(sy AS DOUBLE) / nw, 6) AS symbol_ratio,
+           CAST(sh AS BIGINT) AS stop_hits,
+           CASE WHEN nw = 0 THEN false ELSE
+             nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AND (CAST(wl AS DOUBLE) / nw)
+                 BETWEEN {GOPHER_MIN_WORD_LEN} AND {GOPHER_MAX_WORD_LEN}
+             AND (CAST(sy AS DOUBLE) / nw) <= {GOPHER_MAX_SYMBOL_RATIO}
+             AND (CAST(aw AS DOUBLE) / nw) >= {GOPHER_MIN_ALPHA_WORD_FRAC}
+             AND sh >= {GOPHER_MIN_STOP_HITS}
+           END AS keep
+    FROM base
+    """
+
+
+# ----------------------------------------------------- BM25 doc search
+
+BM25_QUERY_TERMS: tuple[str, ...] = ("spark", "join", "window")
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 15,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Full-corpus BM25 retrieval for a fixed query: score every
+    document by the sum of its matched-term BM25 contributions, return
+    the global top-k (score desc, id asc tiebreak).
+
+    Scale shape: document length comes straight from the word array (no
+    explode needed), the exploded term stream is FILTERED to the query's
+    terms before the (doc, term) groupBy — the shuffle carries only
+    query-matched rows, not the corpus inverted index — the per-term
+    document frequencies are a |query|-row broadcast, and the top-k is
+    a TakeOrderedAndProject, never a full sort."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    base = df.select(
+        F.col(id_col), words_col(text_col).alias("_ws")
+    ).select(
+        F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
+    ).localCheckpoint(eager=False)  # feeds the avgdl scalar job AND the scored plan
+    n_docs = base.count()
+    stats = base.agg((F.sum("dl") / F.count("*")).alias("a")).collect()[0]["a"]
+    tf = (
+        base.select(F.col(id_col), F.col("dl"), F.explode("_ws").alias("term"))
+        .join(F.broadcast(base.sparkSession.createDataFrame([(t,) for t in query_terms], "term string")), "term")
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0)
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(stats)))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(idf * F.col("tf") * (k1 + 1.0) / norm), 6).alias("score"),
+            F.count("*").cast("bigint").alias("n_matched"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
+
+
+def bm25_search_sql(
+    table: str = "documents",
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 15,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    w = words_sql(text_col)
+    qlist = ", ".join(f"('{t}')" for t in query_terms)
+    return f"""
+    WITH q(term) AS (VALUES {qlist}),
+    base AS (SELECT {id_col}, {w} AS ws FROM {table}),
+    dl_t AS (SELECT {id_col}, len(ws) AS dl FROM base),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     count(*) AS n_docs FROM dl_t),
+    exploded AS (SELECT {id_col}, unnest(ws) AS term FROM base),
+    tf AS (
+      SELECT e.{id_col}, e.term, dl_t.dl, count(*) AS tf
+      FROM exploded e
+      JOIN q USING (term)
+      JOIN dl_t USING ({id_col})
+      GROUP BY 1, 2, 3),
+    dft AS (SELECT term, count(DISTINCT {id_col}) AS df_t FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.{id_col},
+             round(sum(ln((CAST(stats.n_docs AS DOUBLE) - dft.df_t + 0.5)
+                          / (dft.df_t + 0.5) + 1.0)
+                       * tf.tf * ({k1} + 1.0)
+                       / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / stats.avgdl))),
+                   6) AS score,
+             CAST(count(*) AS BIGINT) AS n_matched
+      FROM tf CROSS JOIN stats
+      JOIN dft USING (term)
+      GROUP BY tf.{id_col})
+    SELECT * FROM scored ORDER BY score DESC, {id_col} ASC LIMIT {top_k}
+    """
+
+
+# --------------------------------------- quality-ordered token budget
+
+QUALITY_BUDGET_TOKENS = 10_000
+
+
+def quality_budget_select(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_tokens: int = QUALITY_BUDGET_TOKENS,
+) -> DataFrame:
+    """Data selection under a token budget: walk documents from highest
+    quality_score down (id asc tiebreak) and keep every doc that STARTS
+    within the budget — the 'train on the best N tokens' selection step
+    (cf. DataComp / QuRating-style quality-ordered curation).
+
+    The cumulative token count over the quality ordering is computed
+    two-phase like pack_sequences: approxQuantile boundaries on the
+    quality score split the corpus into ordered range buckets, each
+    bucket prefix-sums locally in parallel, and a driver-built
+    cumulative-offset table (<= buckets rows, broadcast) lifts local
+    sums to global — no single-reducer window. Emits the selected
+    (id, n_words, quality)."""
+    from pyspark.sql import Window
+
+    buckets = 32
+    base = (
+        quality_score(df, text_col, id_col)
+        .select(id_col, "n_words", "quality")
+        .localCheckpoint(eager=False)  # feeds quantile job, totals job, and the plan
+    )
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(base.approxQuantile("quality", qs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(float(v)) for v in bounds])
+        # descending walk: bucket 0 = highest quality ⇒ count bounds >= q
+        bucket = F.size(F.filter(barr, lambda v: F.col("quality").cast("double") <= v))
+    else:
+        bucket = F.lit(0)
+    keyed = base.withColumn("_b", bucket)
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy(F.desc("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum("n_words").over(w_local), F.lit(0))
+    totals = {
+        r["_b"]: r["t"]
+        for r in keyed.groupBy("_b").agg(F.sum("n_words").alias("t")).collect()
+    }
+    # bucket index counts bounds >= q, so bucket 0 holds the HIGHEST
+    # quality — accumulate offsets in ascending bucket order
+    offsets, acc = [], 0
+    for bk in range(len(bounds) + 1):
+        offsets.append((bk, acc))
+        acc += totals.get(bk, 0)
+    off_df = df.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    return (
+        keyed.withColumn("_lb", local_before)
+        .join(F.broadcast(off_df), "_b")
+        .filter((F.col("_off") + F.col("_lb")) < budget_tokens)
+        .select(id_col, "n_words", "quality")
+    )
+
+
+def quality_budget_select_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_tokens: int = QUALITY_BUDGET_TOKENS,
+) -> str:
+    q = quality_score_sql(table, text_col, id_col)
+    return f"""
+    WITH q AS ({q})
+    SELECT {id_col}, n_words, quality FROM (
+      SELECT {id_col}, n_words, quality,
+             coalesce(sum(n_words) OVER (
+                 ORDER BY quality DESC, {id_col} ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM q)
+    WHERE cb < {budget_tokens}
+    """

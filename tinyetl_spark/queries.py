@@ -1604,6 +1604,33 @@ def fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("gopher_quality_docs", text.gopher_rules_sql())
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules composite quality filter: word-count / mean-word-
+    length bounds, symbol ratio, alpha-word fraction, required-stopword
+    hits → one ``keep`` flag. Pure per-row codegen — runs at scan speed
+    and fuses with downstream projections at any corpus size."""
+    return text.gopher_rules(load(spark, sf_dir, "documents"))
+
+
+@_q("bm25_search_docs", text.bm25_search_sql())
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BM25 retrieval for a fixed query: the exploded term
+    stream is filtered to the query's terms BEFORE the (doc, term)
+    shuffle, per-term document frequencies broadcast, and the global
+    top-k is TakeOrderedAndProject — never a full sort."""
+    return text.bm25_search(load(spark, sf_dir, "documents"))
+
+
+@_q("quality_budget_select", text.quality_budget_select_sql())
+def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: keep the highest-quality documents
+    whose cumulative token count starts within the budget. The global
+    quality-ordered prefix sum runs two-phase (quantile range buckets +
+    broadcast offset table) — no single-reducer window."""
+    return text.quality_budget_select(load(spark, sf_dir, "documents"))
+
+
 @_q("hash_sample_docs", text.hash_sample_sql(pct=10))
 def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% sample by salted id-hash — reproducible across
@@ -1938,6 +1965,38 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@_q(
+    "cluster_best_survivor",
+    f"""
+    WITH cc AS ({_CC_ORACLE}), q AS ({text.quality_score_sql()})
+    SELECT cluster_id, doc_id, quality FROM (
+      SELECT cc.cluster_id, cc.doc_id, q.quality,
+             row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY q.quality DESC, cc.doc_id ASC) AS rk
+      FROM cc JOIN q USING (doc_id))
+    WHERE rk = 1
+    """,
+)
+def cluster_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: instead of keeping each dup
+    cluster's min-id member, keep its HIGHEST-quality member (FineWeb /
+    RefinedWeb practice — the canonical doc should be the best copy,
+    not an arbitrary one). The cluster table is tiny relative to the
+    corpus (dup-involved docs only), so the quality join broadcasts it;
+    the per-cluster argmax windows over cluster-sized groups only."""
+    clusters = _materialized_clusters(spark, sf_dir)
+    quality = text.quality_score(load(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+    joined = quality.join(F.broadcast(clusters), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", "doc_id", "quality")
     )
 
 
