@@ -1241,12 +1241,49 @@ RECALL_TIERS: dict[str, tuple] = {
 RECALL_PROBES = (0, 7, 21, 42)
 
 
+def brute_ground_truth(
+    df: DataFrame,
+    probes: tuple[int, ...] = RECALL_PROBES,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors for every probe in one DataFrame
+    (query_id, vec_id) — the ground-truth table every recall query
+    shares. Computed once and STAGED (see queries.py): 8 recall tiers
+    x 4 probes would otherwise re-run 32 brute-force corpus scans for
+    identical answers."""
+    parts = [
+        brute_topk(df, q, k)
+        .select(F.lit(int(q)).cast("bigint").alias("query_id"), F.col(id_col))
+        for q in probes
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def brute_ground_truth_sql(
+    table: str,
+    probes: tuple[int, ...] = RECALL_PROBES,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> str:
+    parts = [
+        f"SELECT CAST({q} AS BIGINT) AS query_id, {id_col} "
+        f"FROM ({brute_topk_sql(table, q, k)})"
+        for q in probes
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def ann_recall(
     df: DataFrame,
     tier: str,
     probes: tuple[int, ...] = RECALL_PROBES,
     k: int = 10,
     id_col: str = "vec_id",
+    exact_df: DataFrame | None = None,
 ) -> DataFrame:
     """recall@k of one ANN tier vs exact brute-force on the same probes.
 
@@ -1273,7 +1310,10 @@ def ann_recall(
         enc = rpq_encode(df)
     parts = []
     for q in probes:
-        exact = brute_topk(df, q, k).select(id_col)
+        if exact_df is not None:
+            exact = exact_df.filter(F.col("query_id") == int(q)).select(id_col)
+        else:
+            exact = brute_topk(df, q, k).select(id_col)
         approx = tier_fn(df, q, k, qvs[int(q)], enc).select(id_col)
         hits = exact.join(approx, id_col, "inner")
         parts.append(

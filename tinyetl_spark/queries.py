@@ -2100,6 +2100,19 @@ def ann_rpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialized_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force ground truth for the recall probes, staged ONCE —
+    8 recall tiers share identical exact top-k sides (32 brute corpus
+    scans collapse to 4 plus a parquet read)."""
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "ann_ground_truth",
+        similarity.brute_ground_truth_sql("embeddings"),
+        lambda: similarity.brute_ground_truth(load(spark, sf_dir, "embeddings")),
+    )
+
+
 def _register_ann_recall(tier: str) -> None:
     """recall@k per ANN tier against brute-force on the same probes —
     the fitness number an ANN tier actually needs, oracle-checked as a
@@ -2107,7 +2120,11 @@ def _register_ann_recall(tier: str) -> None:
 
     @_q(f"ann_recall_{tier}", similarity.ann_recall_sql("embeddings", tier))
     def _fn(spark: SparkSession, sf_dir: str, _tier=tier) -> DataFrame:
-        return similarity.ann_recall(load(spark, sf_dir, "embeddings"), _tier)
+        return similarity.ann_recall(
+            load(spark, sf_dir, "embeddings"),
+            _tier,
+            exact_df=_materialized_ann_exact(spark, sf_dir),
+        )
 
     _fn.__name__ = f"ann_recall_{tier}"
     _fn.__doc__ = (
