@@ -1284,6 +1284,7 @@ def ann_recall(
     k: int = 10,
     id_col: str = "vec_id",
     exact_df: DataFrame | None = None,
+    enc_df: DataFrame | None = None,
 ) -> DataFrame:
     """recall@k of one ANN tier vs exact brute-force on the same probes.
 
@@ -1303,11 +1304,14 @@ def ann_recall(
         .collect()
     }
     # the corpus encoding is probe-independent — build its subtree once
-    enc = None
-    if enc_family == "pq":
-        enc = pq_encode(df)
-    elif enc_family == "rpq":
-        enc = rpq_encode(df)
+    # (or, production-shaped, read the staged code table the caller
+    # already materialized)
+    enc = enc_df
+    if enc is None:
+        if enc_family == "pq":
+            enc = pq_encode(df)
+        elif enc_family == "rpq":
+            enc = rpq_encode(df)
     parts = []
     for q in probes:
         if exact_df is not None:

