@@ -1111,6 +1111,7 @@ def winnow_decontam(
     mod: int = 97,
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    fps_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring test-set decontamination via MOSS winnowing:
     flag training documents sharing any winnowing fingerprint with the
@@ -1125,7 +1126,7 @@ def winnow_decontam(
     collapse to DISTINCT and broadcast; the training corpus is scanned,
     never shuffled; one groupBy over the (small) flagged survivors.
     Output: (doc_id, n_shared) per contaminated training doc."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    fps = fps_df if fps_df is not None else winnow_fingerprints(df, text_col, id_col, k, w)
     heldout = fps.filter(F.col(id_col) % mod == 0).select("fp").distinct()
     train = fps.filter(F.col(id_col) % mod != 0)
     return (

@@ -1589,8 +1589,17 @@ def winnow_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared with the held-out split — catches verbatim leakage that
     word-shingle overlap (sub-word, punctuation-straddling matches) and
     probabilistic minhash both miss. Held-out side broadcast; the
-    training corpus never shuffles."""
-    return text.winnow_decontam(load(spark, sf_dir, "documents"))
+    training corpus never shuffles. Consumes the STAGED fingerprint
+    table (production shape: fingerprints are computed at ingest and
+    every decontam / clone-detection pass reads them)."""
+    fps = _stage_once_df(
+        spark,
+        sf_dir,
+        "winnow_fps",
+        text.winnow_fingerprints_sql(),
+        lambda: text.winnow_fingerprints(load(spark, sf_dir, "documents")),
+    )
+    return text.winnow_decontam(load(spark, sf_dir, "documents"), fps_df=fps)
 
 
 @_q("fuzzy_decontam", dedup.fuzzy_decontam_sql("doc_id % 97 = 0"))
