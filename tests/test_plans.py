@@ -379,3 +379,20 @@ def test_cluster_best_survivor_broadcasts_clusters(spark):
     the quality join — the corpus-sized quality side stays in place."""
     p = plan_of(spark, "cluster_best_survivor")
     assert "BroadcastHashJoin" in p
+
+
+def test_dup_ngram_frac_in_row_no_shuffle_no_python(spark):
+    """Duplicate-n-gram fraction is sort + neighbor-equality inside the
+    row — like char_entropy, its whole point is ZERO shuffle."""
+    p = plan_of(spark, "dup_ngram_frac_docs")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_curation_pipeline_two_phase_no_python(spark):
+    """The composed curation plan keeps every stage's scale contract:
+    the budget/shuffle windows stay bucket-partitioned and no stage
+    falls back to Python."""
+    p = plan_of(spark, "curation_pipeline")
+    assert "windowspecdefinition(_b" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -1171,26 +1171,24 @@ GOPHER_STOPS: tuple[str, ...] = ("the", "a", "and", "of", "to")
 GOPHER_SYMBOL_RE = r"#|\.\.\."
 
 
-def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Gopher-style document quality rules: word-count bounds, mean word
-    length bounds, symbol-to-word ratio, fraction of words with an
-    alphabetic character, and required-stopword hits — ANDed into a
-    ``keep`` flag. The standard first-pass heuristic filter of every
-    web-scale pre-training pipeline (Gopher, RefinedWeb, FineWeb).
-
-    All signals are per-row codegen expressions over one word-array
-    projection — no shuffle, no Python; at 100 TB this runs at scan
-    speed and fuses with whatever projection follows it."""
-    w = words_col(text_col)
+def _gopher_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Rule inputs appended to the caller's columns — the word array
+    materializes in its own projection so the five metrics referencing
+    it don't each re-split (the HOF re-evaluation trap)."""
     stoparr = F.array(*[F.lit(s) for s in GOPHER_STOPS])
-    base = df.select(
-        F.col(id_col),
-        F.size(w).alias("_nw"),
-        F.aggregate(w, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)).alias("_wl"),
-        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).alias("_aw"),
-        F.size(F.array_intersect(w, stoparr)).alias("_sh"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(GOPHER_SYMBOL_RE), 0)).alias("_sy"),
+    w = F.col("_ws")
+    return df.withColumn("_ws", words_col(text_col)).withColumns(
+        {
+            "_nw": F.size(w),
+            "_wl": F.aggregate(w, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)),
+            "_aw": F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))),
+            "_sh": F.size(F.array_intersect(w, stoparr)),
+            "_sy": F.size(F.regexp_extract_all(F.col(text_col), F.lit(GOPHER_SYMBOL_RE), 0)),
+        }
     )
+
+
+def _gopher_keep() -> Column:
     nw = F.col("_nw")
     mean_wl = (F.col("_wl") / nw).cast("double")
     alpha_frac = (F.col("_aw") / nw).cast("double")
@@ -1202,14 +1200,50 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
         & (F.col("_sh") >= GOPHER_MIN_STOP_HITS)
     )
+    return F.when(nw == 0, F.lit(False)).otherwise(keep)
+
+
+GOPHER_TEMP_COLS = ("_ws", "_nw", "_wl", "_aw", "_sh", "_sy")
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The Gopher rules applied IN PLACE: the caller's rows, minus the
+    ones the composite rule rejects — a per-row filter at scan speed
+    (no metric table, no join-back). The first stage of the curation
+    pipeline."""
+    return _gopher_metrics(df, text_col, id_col).filter(_gopher_keep()).drop(*GOPHER_TEMP_COLS)
+
+
+def gopher_keep_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    """DuckDB twin of gopher_filter as a CTE body: SELECT * of the rows
+    the composite rule keeps."""
+    g = gopher_rules_sql(table, text_col, id_col)
+    return f"""
+    SELECT t.* FROM {table} t
+    JOIN ({g}) gr ON t.{id_col} = gr.{id_col} AND gr.keep
+    """
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules: word-count bounds, mean word
+    length bounds, symbol-to-word ratio, fraction of words with an
+    alphabetic character, and required-stopword hits — ANDed into a
+    ``keep`` flag. The standard first-pass heuristic filter of every
+    web-scale pre-training pipeline (Gopher, RefinedWeb, FineWeb).
+
+    All signals are per-row codegen expressions over one word-array
+    projection — no shuffle, no Python; at 100 TB this runs at scan
+    speed and fuses with whatever projection follows it."""
+    base = _gopher_metrics(df.select(id_col, text_col), text_col, id_col)
+    nw = F.col("_nw")
     return base.select(
         F.col(id_col),
         nw.cast("bigint").alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(alpha_frac, 6).alias("alpha_word_frac"),
-        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round((F.col("_wl") / nw).cast("double"), 6).alias("mean_word_len"),
+        F.round((F.col("_aw") / nw).cast("double"), 6).alias("alpha_word_frac"),
+        F.round((F.col("_sy") / nw).cast("double"), 6).alias("symbol_ratio"),
         F.col("_sh").cast("bigint").alias("stop_hits"),
-        F.when(nw == 0, F.lit(False)).otherwise(keep).alias("keep"),
+        _gopher_keep().alias("keep"),
     )
 
 
@@ -1416,4 +1450,64 @@ def quality_budget_select_sql(
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
       FROM q)
     WHERE cb < {budget_tokens}
+    """
+
+
+# ------------------------------------- duplicate n-gram fraction
+
+DUP_NGRAM_N = 3
+
+
+def dup_ngram_frac(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = DUP_NGRAM_N
+) -> DataFrame:
+    """Gopher's duplicate-n-gram repetition rule: the fraction of a
+    document's word n-gram positions occupied by an n-gram that occurs
+    more than once in the SAME document — catches templated/looping
+    text that per-word stats (repetition_stats) miss.
+
+    IN-ROW like char_entropy, and by the same trick: sort the gram
+    array and flag positions whose sorted neighbor is equal (a gram is
+    duplicated iff it touches an equal neighbor after sorting) —
+    O(L log L), not the naive O(L^2) per-gram rescan. The flag count is
+    a multiset property, so engine collation differences in the sort
+    cannot change the result. Zero shuffle, zero Python."""
+    ws = words_col(text_col)
+    base = df.select(F.col(id_col), ws.alias("_ws")).filter(F.size("_ws") >= n)
+    staged = base.select(
+        F.col(id_col), F.array_sort(_shingle_col("_ws", n)).alias("_g")
+    ).select(F.col(id_col), F.col("_g"), F.size("_g").alias("_n"))
+    dup = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.col("_n")),
+            lambda i: ((i > 1) & (F.get(F.col("_g"), i - 1) == F.get(F.col("_g"), i - 2)))
+            | ((i < F.col("_n")) & (F.get(F.col("_g"), i - 1) == F.get(F.col("_g"), i))),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("_n").cast("bigint").alias("n_grams"),
+        F.round(dup / F.col("_n"), 6).alias("dup_gram_frac"),
+    )
+
+
+def dup_ngram_frac_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id", n: int = DUP_NGRAM_N
+) -> str:
+    w = words_sql(text_col)
+    return f"""
+    WITH ws AS (
+      SELECT {id_col}, {w} AS arr FROM {table} WHERE len({w}) >= {n}),
+    g AS (
+      SELECT {id_col},
+             list_sort(list_transform(range(1, len(arr) - {n} + 2),
+                                      i -> array_to_string(arr[i:i+{n - 1}], ' '))) AS s
+      FROM ws),
+    gg AS (SELECT {id_col}, s, len(s) AS ng FROM g)
+    SELECT {id_col},
+           CAST(ng AS BIGINT) AS n_grams,
+           round(CAST(len(list_filter(range(1, ng + 1),
+                 i -> (i > 1 AND s[i] = s[i-1])
+                   OR (i < ng AND s[i] = s[i+1]))) AS DOUBLE) / ng, 6) AS dup_gram_frac
+    FROM gg
     """

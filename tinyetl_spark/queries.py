@@ -1640,6 +1640,46 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_budget_select(load(spark, sf_dir, "documents"))
 
 
+@_q("dup_ngram_frac_docs", text.dup_ngram_frac_sql())
+def dup_ngram_frac_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-n-gram repetition rule, in-row via the
+    sort + neighbor-equality trick (O(L log L), zero shuffle) — catches
+    templated/looping text that per-word repetition stats miss."""
+    return text.dup_ngram_frac(load(spark, sf_dir, "documents"))
+
+
+_CURATION_ORACLE = f"""
+    WITH kept AS ({text.gopher_keep_sql("documents")}),
+    fp AS ({text.fingerprint_sql("kept")}),
+    canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+    uniq AS (SELECT k.* FROM kept k JOIN canon USING (doc_id)),
+    sel AS ({text.quality_budget_select_sql("uniq")}),
+    shuf AS ({text.epoch_shuffle_sql("sel", seed=1)})
+    SELECT s.doc_id, s.shuffle_rank, q.n_words, q.quality
+    FROM shuf s JOIN sel q USING (doc_id)
+    """
+
+
+@_q("curation_pipeline", _CURATION_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation path END TO END: Gopher-rules filter
+    (in-place, scan speed) → exact dedup to first occurrence (one
+    uniform-hash shuffle) → token-budget quality selection (two-phase
+    prefix sum) → deterministic epoch shuffle (two-phase rank). One
+    composed DataFrame plan — the shape a real corpus build runs
+    nightly, oracle-checked against the identical SQL chain."""
+    docs = load(spark, sf_dir, "documents")
+    kept = text.gopher_filter(docs)
+    fp = text.fingerprint(kept)
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    uniq = kept.join(canon, "doc_id")
+    sel = text.quality_budget_select(uniq)
+    shuf = text.epoch_shuffle(sel, seed=1)
+    return shuf.join(sel, "doc_id").select(
+        "doc_id", "shuffle_rank", "n_words", "quality"
+    )
+
+
 @_q("hash_sample_docs", text.hash_sample_sql(pct=10))
 def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% sample by salted id-hash — reproducible across
