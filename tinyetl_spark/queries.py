@@ -3158,6 +3158,55 @@ def streaming_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_INGEST_CELL = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@_q(
+    "streaming_index_ingest",
+    f"""
+    SELECT {{cell}} AS cell, COUNT(*) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """.format(
+        cell="CAST("
+        + similarity.ivf_assign_sql(_IVF_INGEST_CELL, similarity._ivf_seeded_centroids())
+        + " AS INT)"
+    ),
+)
+def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance: the vector firehose replayed
+    through Structured Streaming, each vector assigned its IVF cell
+    in-stream (pure codegen against broadcast centroid literals) and
+    appended to a CELL-PARTITIONED parquet index under a checkpoint —
+    Spark's exactly-once file-sink contract means a replayed batch
+    never double-inserts, and probes of the growing index stay
+    planning-time partition pruning. Verified by the per-cell counts
+    of the index read back against the batch oracle."""
+    stage = _stage_table_symlink(sf_dir, "embeddings")
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    assigned = similarity.ivf_assign(
+        stream.select("vec_id", "embedding"), "embedding",
+        similarity._ivf_seeded_centroids(), out_col="cell",
+    )
+    sink = _roundtrip_dir(sf_dir, "ivf_stream_index_v1")
+    ckpt = f"{sink}.checkpoint"
+    q = (
+        assigned.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("cell")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .select(F.col("cell").cast("int").alias("cell"), "n_vectors")
+    )
+
+
 @_q(
     "streaming_sessions",
     """
