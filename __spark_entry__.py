@@ -34,7 +34,9 @@ _PRIORITY = [
     "ann_pq_rerank_topk", "ann_rpq_topk", "ann_rpq_rerank_topk",
     "ann_multiprobe_topk", "ann_recall_multiprobe", "ann_recall_ivf",
     "ann_recall_rpq", "ann_recall_rpq_rerank", "kmeans_refine_step",
-    "embedding_norms", "embedding_quantize", "embedding_near_dups",
+    # round-5 flagships take the slots of two trivial embedding ops
+    # (norms/quantize stay local-oracle green, rotate in later)
+    "curation_pipeline", "streaming_index_ingest", "embedding_near_dups",
     # near-dup dedup tier
     "minhash_signatures", "minhash_candidates", "near_dup_jaccard",
     "near_dup_ngram", "simhash_docs", "simhash_near_dups", "dedup_clusters",
@@ -60,8 +62,11 @@ _PRIORITY = [
     "bm25_top_terms", "char_entropy_docs", "epoch_shuffle_docs",
     "pack_sequences_docs", "tfidf_top_terms", "token_stats", "text_quality",
     "lang_id", "chunk_documents", "repetition_stats",
-    # remaining recall tiers (locally oracle-green; rotate into the
-    # driver window in a later round)
+    # next in rotation (locally oracle-green; enter the 50-query driver
+    # window as earlier tiers accumulate driver-green rounds)
+    "gopher_quality_docs", "bm25_search_docs", "quality_budget_select",
+    "cluster_best_survivor", "dup_ngram_frac_docs", "embedding_norms",
+    "embedding_quantize",
     "ann_recall_lsh", "ann_recall_pq", "ann_recall_ivf_pq", "ann_recall_rerank",
 ]
 
