@@ -396,3 +396,12 @@ def test_curation_pipeline_two_phase_no_python(spark):
     p = plan_of(spark, "curation_pipeline")
     assert "windowspecdefinition(_b" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_ivf_pq_probe_prunes_index_partitions(spark):
+    """The staged IVF-PQ index is cell-partitioned: a probe must show
+    the cell filter as PartitionFilters (planning-time pruning over the
+    index files), and never re-encode a vector."""
+    p = plan_of(spark, "ann_ivf_pq_topk")
+    seg = p.split("PartitionFilters:")[1][:160]
+    assert "cell" in seg

@@ -916,6 +916,7 @@ def pq_encode(
     codebooks: list[list[list[float]]] | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, codes) — each vector compressed to m nearest-subcentroid
     indexes (4-bit codes at the defaults: 8 bytes/vector vs 256 for
@@ -927,7 +928,8 @@ def pq_encode(
     repo's documented HOF re-evaluation trap)."""
     books = codebooks or _pq_seeded_codebooks()
     dsub = len(books[0][0])
-    base = df.select(F.col(id_col), _vec(vec_col).alias("_v"))
+    keep = [F.col(c) for c in keep_cols]
+    base = df.select(F.col(id_col), *keep, _vec(vec_col).alias("_v"))
 
     def _dists(j: int, book: list[list[float]]) -> Column:
         # ONE transform over the codebook literal, not k separate fold
@@ -946,12 +948,12 @@ def pq_encode(
         )
 
     dist_cols = [_dists(j, book).alias(f"_d{j}") for j, book in enumerate(books)]
-    staged = base.select(F.col(id_col), *dist_cols)
+    staged = base.select(F.col(id_col), *keep, *dist_cols)
     codes = [
         (F.array_position(F.col(f"_d{j}"), F.array_min(F.col(f"_d{j}"))) - 1).cast("int")
         for j in range(len(books))
     ]
-    return staged.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return staged.select(F.col(id_col), *keep, F.array(*codes).alias("codes"))
 
 
 def _pq_codes_sql(
@@ -1047,6 +1049,44 @@ def pq_topk_sql(
     """
 
 
+def ivf_pq_index(
+    df: DataFrame,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """THE production IVF-PQ index: (id, cell, codes) in one codegen
+    projection pass — coarse cell for pruning, PQ codes for ADC.
+    Written ``partitionBy("cell")`` (see queries.py), a probe reads
+    nprobe/n_cells of the files (planning-time pruning) and never
+    touches a float vector."""
+    cents = centroids or _ivf_seeded_centroids()
+    books = codebooks or _pq_seeded_codebooks()
+    assigned = ivf_assign(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, cents, out_col="cell"
+    )
+    return pq_encode(assigned, books, vec_col, id_col, keep_cols=("cell",))
+
+
+def ivf_pq_index_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> str:
+    cents = centroids or _ivf_seeded_centroids()
+    books = codebooks or _pq_seeded_codebooks()
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    SELECT {id_col},
+           CAST({ivf_assign_sql(v, cents)} AS INT) AS cell,
+           {_pq_codes_sql(v, books)} AS codes
+    FROM {table}
+    """
+
+
 def ivf_pq_topk(
     df: DataFrame,
     query_id: int,
@@ -1057,6 +1097,7 @@ def ivf_pq_topk(
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
     q_vec: list[float] | None = None,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """The full production ANN shape — IVF-PQ: the coarse quantizer
     prunes the corpus to ``nprobe`` cells (partition pruning with a
@@ -1069,10 +1110,17 @@ def ivf_pq_topk(
     q = q_vec or _query_vec(df, query_id, vec_col, id_col)
     cell_d = [_seq_sqdist(q, c) for c in cents]
     probe = [i for i, _ in sorted(enumerate(cell_d), key=lambda t: t[1])[:nprobe]]
-    cand = ivf_assign(df.filter(F.col(id_col) != query_id), vec_col, cents).filter(
-        F.col("_cell").isin(*probe)
-    )
-    enc = pq_encode(cand, books, vec_col, id_col)
+    if index_df is not None:
+        # staged (id, cell, codes) index: the cell filter is partition
+        # pruning on the index dataset, nothing is re-encoded
+        enc = index_df.filter(F.col("cell").isin(*probe)).filter(
+            F.col(id_col) != query_id
+        ).select(id_col, "codes")
+    else:
+        cand = ivf_assign(df.filter(F.col(id_col) != query_id), vec_col, cents).filter(
+            F.col("_cell").isin(*probe)
+        )
+        enc = pq_encode(cand, books, vec_col, id_col)
     return _adc_topk(enc, _pq_dtab(q, books), k, id_col)
 
 
@@ -1215,9 +1263,9 @@ RECALL_TIERS: dict[str, tuple] = {
         "pq",
     ),
     "ivf_pq": (
-        lambda df, q, k, qv, enc: ivf_pq_topk(df, q, k, q_vec=qv),
+        lambda df, q, k, qv, enc: ivf_pq_topk(df, q, k, q_vec=qv, index_df=enc),
         lambda table, q, k: ivf_pq_topk_sql(table, q, k),
-        None,
+        "ivf_pq",
     ),
     "rerank": (
         lambda df, q, k, qv, enc: pq_rerank_topk(df, q, k, q_vec=qv, enc=enc),
@@ -1312,6 +1360,8 @@ def ann_recall(
             enc = pq_encode(df)
         elif enc_family == "rpq":
             enc = rpq_encode(df)
+        elif enc_family == "ivf_pq":
+            enc = ivf_pq_index(df)
     parts = []
     for q in probes:
         if exact_df is not None:

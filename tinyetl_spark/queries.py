@@ -2095,6 +2095,21 @@ def _materialized_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialized_ivf_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-PQ index staged once, PARTITIONED BY cell —
+    probes become planning-time partition pruning over the index files
+    and never re-encode a vector."""
+    path = _stage_once(
+        spark,
+        sf_dir,
+        "ivf_pq_index",
+        similarity.ivf_pq_index_sql(),
+        lambda: similarity.ivf_pq_index(load(spark, sf_dir, "embeddings")),
+        partition_by=["cell"],
+    )
+    return spark.read.parquet(path)
+
+
 def _materialized_rpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual-PQ code table staged once (version key: the rpq twin
     SQL, which embeds every stage-codebook constant)."""
@@ -2133,7 +2148,8 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus to nprobe cells (partition pruning with a materialized
     index), ADC scans only those cells' 8-byte codes."""
     return similarity.ivf_pq_topk(
-        load(spark, sf_dir, "embeddings"), query_id=0, k=10, nprobe=2
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, nprobe=2,
+        index_df=_materialized_ivf_pq_index(spark, sf_dir),
     )
 
 
@@ -2209,6 +2225,8 @@ def _register_ann_recall(tier: str) -> None:
             enc_df = _materialized_pq_codes(spark, sf_dir)
         elif fam == "rpq":
             enc_df = _materialized_rpq_codes(spark, sf_dir)
+        elif fam == "ivf_pq":
+            enc_df = _materialized_ivf_pq_index(spark, sf_dir)
         return similarity.ann_recall(
             load(spark, sf_dir, "embeddings"),
             _tier,
