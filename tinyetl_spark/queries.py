@@ -1640,6 +1640,52 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_budget_select(load(spark, sf_dir, "documents"))
 
 
+@_q(
+    "corpus_stats_report",
+    f"""
+    WITH q AS ({text.quality_score_sql()}),
+    agg AS (
+      SELECT d.lang, d.source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(q.n_words) AS BIGINT) AS total_words,
+             SUM(CAST(round(q.quality * 1000000) AS BIGINT)) AS sq
+      FROM documents d JOIN q ON d.doc_id = q.doc_id
+      GROUP BY 1, 2)
+    SELECT lang, source, n_docs, total_words,
+           CAST((2 * sq + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000
+               AS mean_quality
+    FROM agg
+    """,
+)
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus data card: per (lang, source) stratum doc counts,
+    token totals, and mean quality — the report every corpus build
+    publishes alongside the data. Quality is per-row codegen; the only
+    shuffle is the low-cardinality stratum groupBy (map-side partials
+    mean strata x partitions rows move, not the corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select("doc_id", "n_words", "quality")
+    joined = docs.select("doc_id", "lang", "source").join(q, "doc_id")
+    agg = joined.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        # exact integer micro-units: Spark's round() rounds a double's
+        # SHORTEST decimal repr (HALF_UP) while DuckDB rounds the
+        # binary value — a .5-ULP mean diverges the oracle; half-up
+        # integer division cannot
+        F.sum(F.round(F.col("quality") * 1000000).cast("bigint")).alias("_sq"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_words",
+        (
+            F.expr("(2 * _sq + n_docs) DIV (2 * n_docs)").cast("double") / 1000000.0
+        ).alias("mean_quality"),
+    )
+
+
 @_q("dup_ngram_frac_docs", text.dup_ngram_frac_sql())
 def dup_ngram_frac_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher's duplicate-n-gram repetition rule, in-row via the
