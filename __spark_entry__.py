@@ -65,8 +65,9 @@ _PRIORITY = [
     # next in rotation (locally oracle-green; enter the 50-query driver
     # window as earlier tiers accumulate driver-green rounds)
     "gopher_quality_docs", "bm25_search_docs", "quality_budget_select",
-    "cluster_best_survivor", "dup_ngram_frac_docs", "embedding_norms",
-    "embedding_quantize",
+    "cluster_best_survivor", "dup_ngram_frac_docs", "corpus_stats_report",
+    "streaming_quality_filter", "event_outliers", "hot_keys_audit",
+    "embedding_norms", "embedding_quantize",
     "ann_recall_lsh", "ann_recall_pq", "ann_recall_ivf_pq", "ann_recall_rerank",
 ]
 

@@ -405,3 +405,18 @@ def test_ivf_pq_probe_prunes_index_partitions(spark):
     p = plan_of(spark, "ann_ivf_pq_topk")
     seg = p.split("PartitionFilters:")[1][:160]
     assert "cell" in seg
+
+
+def test_event_outliers_broadcasts_stats(spark):
+    """The per-type stats table is tiny — it must broadcast back into
+    the corpus scan, never shuffle the events."""
+    p = plan_of(spark, "event_outliers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_hot_keys_audit_takeordered(spark):
+    """Heavy-hitter audit: map-side-combined agg + TakeOrdered, never a
+    global sort of the key histogram."""
+    p = plan_of(spark, "hot_keys_audit")
+    assert "TakeOrderedAndProject" in p

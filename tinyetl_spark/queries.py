@@ -1641,6 +1641,78 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "event_outliers",
+    """
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(38,6))) AS s1,
+             SUM(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6))) AS s2
+      FROM events GROUP BY 1),
+    st AS (
+      SELECT event_type,
+             CAST(s1 AS DOUBLE) / n AS m,
+             sqrt((CAST(s2 AS DOUBLE) - n * (CAST(s1 AS DOUBLE) / n)
+                   * (CAST(s1 AS DOUBLE) / n)) / n) AS sd
+      FROM s)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - st.m) / st.sd, 4) AS z
+    FROM events e JOIN st USING (event_type)
+    WHERE st.sd > 0 AND abs((e.value - st.m) / st.sd) > 3
+    """,
+)
+def event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality monitoring: per-event-type z-score outliers
+    (|z| > 3). Moments are exact decimal sums (order-independent across
+    engines and partitionings) converted to doubles through the same
+    operation sequence on both sides, so the boundary test cannot flip
+    on fold order. The stats table is event-type-sized — broadcast —
+    and the corpus is scanned once."""
+    e = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(38,6)")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    m = F.col("s1").cast("double") / F.col("n")
+    st = s.select(
+        "event_type",
+        m.alias("m"),
+        F.sqrt(
+            (F.col("s2").cast("double") - F.col("n") * m * m) / F.col("n")
+        ).alias("sd"),
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(z) > 3))
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )
+
+
+@_q(
+    "hot_keys_audit",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    ORDER BY n_orders DESC, o_custkey ASC LIMIT 20
+    """,
+)
+def hot_keys_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter audit for shuffle keys: the top-20 hottest join/agg
+    keys by row count — the report that tells you WHICH keys need the
+    salted-join/salted-agg treatment before a 100 TB run. One map-side-
+    combined aggregation + TakeOrderedAndProject; never a full sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
     "corpus_stats_report",
     f"""
     WITH q AS ({text.quality_score_sql()}),
@@ -3269,6 +3341,35 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"))
         .select(F.col("cell").cast("int").alias("cell"), "n_vectors")
     )
+
+
+@_q(
+    "streaming_quality_filter",
+    f"""
+    WITH kept AS ({text.gopher_keep_sql("documents")})
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(len({text.words_sql("text")})) AS BIGINT) AS total_words
+    FROM kept GROUP BY source
+    """,
+)
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation ON THE STREAM: the Gopher-rules filter is stateless
+    per-row codegen, so it runs unchanged inside Structured Streaming —
+    documents are filtered as they arrive and only the per-source
+    running totals are stateful (complete-mode aggregation over a
+    low-cardinality key). The shape of an ingest gate that rejects
+    junk before it ever lands in the corpus."""
+    from tinyetl_spark import streaming
+
+    stage = _stage_table_symlink(sf_dir, "documents")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    kept = text.gopher_filter(stream)
+    agg = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.size(text.words_col("text"))).cast("bigint").alias("total_words"),
+    )
+    return streaming.run_bounded(agg, spark, mode="complete", state_partitions=4)
 
 
 @_q(
