@@ -374,16 +374,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
     q_vec: list[float] | None = None,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: assign the corpus to coarse cells, search only the
     ``nprobe`` cells nearest the query. With a materialized index
-    (``build_ivf_index``) the cell filter becomes partition pruning."""
+    (``build_ivf_index`` / a staged (id, vec, cell) table passed as
+    ``index_df``) the cell filter becomes partition pruning and no
+    vector is re-assigned at query time."""
     cents = centroids or _ivf_seeded_centroids()
     q = q_vec or _query_vec(df, query_id, vec_col, id_col)
     dists = [_seq_sqdist(q, c) for c in cents]
     probe_cells = [i for i, _ in sorted(enumerate(dists), key=lambda t: t[1])[:nprobe]]
     vec = _vec(vec_col)
-    assigned = ivf_assign(df.filter(F.col(id_col) != query_id), vec_col, cents)
+    if index_df is not None:
+        assigned = index_df.withColumnRenamed("cell", "_cell").filter(
+            F.col(id_col) != query_id
+        )
+    else:
+        assigned = ivf_assign(df.filter(F.col(id_col) != query_id), vec_col, cents)
     qv = _lit_array([float(x) for x in q])
     return (
         assigned.filter(F.col("_cell").isin(*probe_cells))
@@ -1253,9 +1261,9 @@ RECALL_TIERS: dict[str, tuple] = {
         None,
     ),
     "ivf": (
-        lambda df, q, k, qv, enc: ivf_topk(df, q, k, q_vec=qv),
+        lambda df, q, k, qv, enc: ivf_topk(df, q, k, q_vec=qv, index_df=enc),
         lambda table, q, k: ivf_topk_sql(table, q, k),
-        None,
+        "ivf",
     ),
     "pq": (
         lambda df, q, k, qv, enc: pq_topk(df, q, k, q_vec=qv, enc=enc),
@@ -1362,6 +1370,11 @@ def ann_recall(
             enc = rpq_encode(df)
         elif enc_family == "ivf_pq":
             enc = ivf_pq_index(df)
+        elif enc_family == "ivf":
+            enc = ivf_assign(
+                df.select(F.col(id_col), F.col("embedding")), "embedding",
+                _ivf_seeded_centroids(), out_col="cell",
+            )
     parts = []
     for q in probes:
         if exact_df is not None:

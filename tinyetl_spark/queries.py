@@ -2195,9 +2195,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN: corpus assigned to cells, only the
     nprobe nearest cells searched. The oracle shares the deterministic
     quantizer literals; production uses train_ivf_centroids + the
-    cell-partitioned index (build_ivf_index)."""
-    return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10, nprobe=2)
+    cell-partitioned index (consumed here via the staged table)."""
+    return similarity.ivf_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, nprobe=2,
+        index_df=_materialized_ivf_index(spark, sf_dir),
+    )
 
+
+
+def _materialized_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF float index (id, embedding, cell) staged once,
+    PARTITIONED BY cell — probes prune at planning time and never
+    re-assign a vector."""
+    path = _stage_once(
+        spark,
+        sf_dir,
+        "ivf_index",
+        similarity.ivf_topk_sql("embeddings", 0, 10),  # embeds quantizer consts
+        lambda: similarity.ivf_assign(
+            load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            "embedding", similarity._ivf_seeded_centroids(), out_col="cell",
+        ),
+        partition_by=["cell"],
+    )
+    return spark.read.parquet(path)
 
 
 def _materialized_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2345,6 +2366,8 @@ def _register_ann_recall(tier: str) -> None:
             enc_df = _materialized_rpq_codes(spark, sf_dir)
         elif fam == "ivf_pq":
             enc_df = _materialized_ivf_pq_index(spark, sf_dir)
+        elif fam == "ivf":
+            enc_df = _materialized_ivf_index(spark, sf_dir)
         return similarity.ann_recall(
             load(spark, sf_dir, "embeddings"),
             _tier,
