@@ -443,3 +443,150 @@ def test_unigram_logprob_bounds(spark):
     out = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(df, top_vocab=2).collect()}
     assert all(v < 0 for v in out.values())
     assert out[0] > out[1] > out[2]  # frequent beats mixed beats rare/OOV
+
+
+def test_dup_ngram_frac_matches_bruteforce(spark):
+    """Property: dup_ngram_frac's sorted-neighbor trick equals the
+    brute-force 'count gram positions whose gram occurs >1 time'."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators import text
+
+    word = st.sampled_from(["a", "b", "c", "ab"])
+    doc = st.lists(word, min_size=3, max_size=25)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def check(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_grams, r.dup_gram_frac) for r in text.dup_ngram_frac(df).collect()}
+        for i, ws in enumerate(docs):
+            grams = [" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)]
+            c = Counter(grams)
+            dup = sum(1 for g in grams if c[g] > 1)
+            assert got[i][0] == len(grams)
+            assert abs(got[i][1] - round(dup / len(grams), 6)) < 1e-9
+
+    check()
+
+
+def test_quality_budget_select_is_quality_prefix(spark):
+    """Property: the selected set is EXACTLY the prefix of the
+    (quality desc, id asc) ordering whose cumulative token count starts
+    under the budget — the two-phase prefix sum must agree with the
+    single-threaded definition."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators import text
+
+    word = st.sampled_from(["the", "a", "table", "scan", "merge", "zz"])
+    doc = st.lists(word, min_size=1, max_size=30)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=12), st.integers(5, 120))
+    def check(docs, budget):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        q = {
+            r.doc_id: (r.quality, r.n_words)
+            for r in text.quality_score(df).collect()
+        }
+        order = sorted(q, key=lambda d: (-q[d][0], d))
+        expected, acc = set(), 0
+        for d in order:
+            if acc < budget:
+                expected.add(d)
+            acc += q[d][1]
+        got = {
+            r.doc_id
+            for r in text.quality_budget_select(df, budget_tokens=budget).collect()
+        }
+        assert got == expected
+
+    check()
+
+
+def test_gopher_filter_consistent_with_rules(spark):
+    """gopher_filter must keep exactly the ids gopher_rules flags
+    keep=true, and the keep flag must match a direct reimplementation
+    of the rule constants."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators import text as t
+
+    word = st.sampled_from(["the", "a", "of", "scan", "q", "##", "longishword"])
+    doc = st.lists(word, min_size=1, max_size=60)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def check(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        flags = {r.doc_id: r.keep for r in t.gopher_rules(df).collect()}
+        kept = {r.doc_id for r in t.gopher_filter(df).collect()}
+        assert kept == {d for d, k in flags.items() if k}
+        import re as _re
+
+        for i, ws in enumerate(docs):
+            textv = " ".join(ws)
+            nw = len(ws)
+            wl = sum(len(w) for w in ws) / nw
+            aw = sum(1 for w in ws if _re.search("[A-Za-z]", w)) / nw
+            sh = len(set(ws) & set(t.GOPHER_STOPS))
+            sy = len(_re.findall(t.GOPHER_SYMBOL_RE, textv)) / nw
+            want = (
+                t.GOPHER_MIN_WORDS <= nw <= t.GOPHER_MAX_WORDS
+                and t.GOPHER_MIN_WORD_LEN <= wl <= t.GOPHER_MAX_WORD_LEN
+                and sy <= t.GOPHER_MAX_SYMBOL_RATIO
+                and aw >= t.GOPHER_MIN_ALPHA_WORD_FRAC
+                and sh >= t.GOPHER_MIN_STOP_HITS
+            )
+            assert flags[i] == want, (i, ws)
+
+    check()
+
+
+def test_bm25_search_matches_bruteforce(spark):
+    """Property: bm25_search's filtered-explode formulation equals a
+    direct python BM25 over the same corpus and query."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators import text as t
+
+    word = st.sampled_from(["spark", "join", "window", "scan", "agg"])
+    doc = st.lists(word, min_size=1, max_size=20)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=10))
+    def check(docs):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.score for r in t.bm25_search(df, top_k=100).collect()}
+        n = len(docs)
+        avgdl = sum(len(ws) for ws in docs) / n
+        dfreq = Counter()
+        for ws in docs:
+            for term in set(ws) & set(t.BM25_QUERY_TERMS):
+                dfreq[term] += 1
+        for i, ws in enumerate(docs):
+            c = Counter(ws)
+            s = 0.0
+            for term in t.BM25_QUERY_TERMS:
+                if c[term] == 0:
+                    continue
+                idf = math.log((n - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1.0)
+                s += idf * c[term] * (t.BM25_K1 + 1.0) / (
+                    c[term] + t.BM25_K1 * (1.0 - t.BM25_B + t.BM25_B * len(ws) / avgdl)
+                )
+            if s > 0:
+                assert abs(got[i] - round(s, 6)) < 1e-6, (i, got.get(i), s)
+            else:
+                assert i not in got
+
+    check()
