@@ -363,3 +363,28 @@ def test_transform_bool_assignment_carries_class(spark):
     rows = {r.a: r.lab for r in out.collect()}
     assert rows[1] == "lo"
     assert rows[5] == "hi"
+
+
+def test_cli_query_subcommand(spark, tmp_path, capsys):
+    """`query` runs any registered operator from the CLI: --list
+    enumerates, NAME previews, --target writes through the same sink
+    dispatch a transfer uses, unknown names are a clean rc=2."""
+    from tinyetl_spark.cli import main
+
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "q1_pricing_summary" in out and "curation_pipeline" in out
+
+    sf = "/root/testdata/sf0.001"
+    assert main(["query", "hot_keys_audit", "--sf-dir", sf, "--preview", "5"]) == 0
+    assert "o_custkey" in capsys.readouterr().out
+
+    target = str(tmp_path / "card.json")
+    assert main(["query", "corpus_stats_report", "--sf-dir", sf, "--target", target]) == 0
+    import json as _json
+
+    with open(target) as fh:
+        rows = _json.load(fh)
+    assert rows and {"lang", "source", "n_docs"} <= set(rows[0])
+
+    assert main(["query", "no_such_query"]) == 2

@@ -167,6 +167,8 @@ def main(argv: list[str] | None = None) -> int:
         args2 = build_parser().parse_args(argv[1:])
         print(generate_config(args2), end="")
         return 0
+    if argv and argv[0] == "query":
+        return _run_query(argv[1:])
     if argv and argv[0] == "run":
         if len(argv) < 2:
             print("error: 'run' needs a job.yaml path", file=sys.stderr)
@@ -205,6 +207,62 @@ def main(argv: list[str] | None = None) -> int:
         "source_options": dict(kv.split("=", 1) for kv in args.source_option),
     }
     return _execute(kwargs)
+
+
+def _run_query(argv: list[str]) -> int:
+    """``query`` subcommand: run any registered analytics/curation query
+    from the CLI (beyond-the-reference surface — the library's operator
+    registry exposed the same way the transfer engine is).
+
+        python -m tinyetl_spark.cli query --list
+        python -m tinyetl_spark.cli query NAME [--sf-dir DIR]
+            [--target URI] [--preview N]
+
+    Without --target the result previews like the transfer engine's
+    --preview; with --target it writes through the SAME sink dispatch
+    (csv/json/parquet/avro/sqlite/duckdb/jdbc/...) a transfer uses."""
+    p = argparse.ArgumentParser(prog="tinyetl query")
+    p.add_argument("name", nargs="?")
+    p.add_argument("--list", action="store_true", dest="list_queries")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="directory holding the parquet tables the queries read",
+    )
+    p.add_argument("--target", help="sink URI (same dispatch as a transfer target)")
+    p.add_argument("--preview", type=int, default=20)
+    a = p.parse_args(argv)
+
+    from tinyetl_spark.queries import QUERIES
+
+    if a.list_queries or not a.name:
+        for n in sorted(QUERIES):
+            print(n)
+        return 0
+    if a.name not in QUERIES:
+        print(f"error: unknown query '{a.name}' (try --list)", file=sys.stderr)
+        return 2
+
+    from tinyetl_spark.session import get_spark
+
+    spark = get_spark(app_name="tinyetl_spark_query")
+    try:
+        df = QUERIES[a.name](spark, a.sf_dir)
+        if a.target:
+            from tinyetl_spark.engine import write_target
+            from tinyetl_spark.uris import parse_uri
+
+            loc = parse_uri(a.target)
+            n = write_target(df, loc, append=False)
+            if n is None:  # Spark-native sink: count the plan once
+                n = df.count()
+            print(f"Done: query '{a.name}' -> {a.target} ({n} rows)")
+        else:
+            df.show(a.preview, truncate=15)
+    except Exception as exc:  # noqa: BLE001 — CLI boundary: one clear line, rc!=0
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    return 0
 
 
 def _execute(kwargs: dict) -> int:
