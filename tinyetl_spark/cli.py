@@ -5,6 +5,7 @@ src/main.rs:16-265, YAML jobs src/yaml_config.rs:9-171).
     python -m tinyetl_spark.cli run job.yaml
     python -m tinyetl_spark.cli generate-config SOURCE TARGET [flags]
     python -m tinyetl_spark.cli generate-default-config
+    python -m tinyetl_spark.cli query NAME [--sf-dir D] [--target URI]
 
 YAML job format (same shape the reference reads/writes):
 
