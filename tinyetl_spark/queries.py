@@ -1641,6 +1641,148 @@ def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ohlc_bars_events",
+    """
+    WITH ranked AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def ohlc_bars_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars per (type, hour) — the
+    metrics-rollup shape every event warehouse materializes. Open and
+    close are picked by deterministic (ts, id) rank windows; the
+    windows and the final aggregation share ONE (type, hour) shuffle
+    (same partition keys, no extra Exchange)."""
+    e = load(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    base = e.select("event_type", h.alias("h"), "value", "ts", "event_id")
+    wa = Window.partitionBy("event_type", "h").orderBy(F.asc("ts"), F.asc("event_id"))
+    wd = Window.partitionBy("event_type", "h").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = base.select(
+        "event_type", "h", "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "h").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+    ).select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "open", "high", "low", "close", "n_events",
+    )
+
+
+@_q(
+    "funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= v.t2 GROUP BY 1)
+    SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT '2_view', COUNT(*) FROM v
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (signup → view → purchase): each stage
+    keeps users whose stage event happens at/after their previous
+    stage's first event. Stage tables are user-grained (tiny next to
+    the event log) — each hop is one groupBy plus a join keyed on
+    user_id that AQE turns into a broadcast as the funnel narrows."""
+    e = load(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.lit("1_signup").alias("stage"), F.count("*").alias("n_users")),
+        v.agg(F.lit("2_view").alias("stage"), F.count("*").alias("n_users")),
+        p.agg(F.lit("3_purchase").alias("stage"), F.count("*").alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@_q(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS d0 FROM events GROUP BY 1),
+    act AS (
+      SELECT DISTINCT e.user_id,
+             f.d0,
+             datediff('day', f.d0, date_trunc('day', e.ts)) // 7 AS wk
+      FROM events e JOIN first_seen f USING (user_id))
+    SELECT strftime(d0, '%Y-%m-%d') AS cohort_day,
+           CAST(wk AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    week-offset of later activity — the standard retention triangle.
+    The first-seen table is user-grained and joins back keyed on
+    user_id; the distinct + rollup is one shuffle on (user, cohort,
+    week), map-side combined."""
+    e = load(spark, sf_dir, "events")
+    f0 = e.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+    act = (
+        e.join(f0, "user_id")
+        .select(
+            "user_id",
+            "d0",
+            F.floor(
+                F.datediff(F.date_trunc("day", F.col("ts")), F.col("d0")) / 7
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    return act.groupBy("d0", "wk").agg(F.count("*").alias("n_users")).select(
+        F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("wk").cast("bigint").alias("week_offset"),
+        "n_users",
+    )
+
+
+@_q(
     "event_outliers",
     """
     WITH s AS (
