@@ -590,3 +590,19 @@ def test_bm25_search_matches_bruteforce(spark):
                 assert i not in got
 
     check()
+
+
+def test_bmp_resize_identity_and_sampling():
+    """bmp_resize to the SAME dims is pixel-identical; downsample picks
+    exactly the floor(dst*src/dst) source pixels."""
+    from tinyetl_spark.operators import multimodal as mm
+
+    pix = bytes(range(8 * 3)) * 4  # 8x4, stride 24, rows 0..3
+    bmp = mm.synth_bmp(pix, 8, 4)
+    same = mm.bmp_resize(bmp, 8, 4)
+    assert mm.decode_bmp(same) == mm.decode_bmp(bmp)
+    small = mm.bmp_resize(bmp, 4, 2)
+    d = mm.decode_bmp(small)
+    assert (d["width"], d["height"]) == (4, 2)
+    want = [pix[(2 * r) * 24 + (2 * c) * 3 + k] for r in range(2) for c in range(4) for k in range(3)]
+    assert d["mean_value"] == round(sum(want) / len(want), 6)

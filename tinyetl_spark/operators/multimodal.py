@@ -343,6 +343,68 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def bmp_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor BMP resize: parse the pixel array, sample
+    source rows/cols (src = floor(dst * src_dim / dst_dim) — the
+    classic NN kernel), re-encode through synth_bmp. Pure bytes; no
+    codec library."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    _size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError("only uncompressed BI_RGB 24-bit BMP")
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    out_stride = ((out_w * 3 + 3) // 4) * 4
+    out = bytearray()
+    for r in range(out_h):
+        sr = r * h // out_h
+        row = bytearray()
+        for c in range(out_w):
+            sc = c * w // out_w
+            base = off + sr * stride + sc * 3
+            row += payload[base : base + 3]
+        row += b"\x00" * (out_stride - len(row))
+        out += row
+    return synth_bmp(bytes(out), out_w, out_h)
+
+
+def resize_media(
+    df: DataFrame,
+    out_w: int = 4,
+    out_h: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched resize stage: each BMP payload is NN-resized and
+    the RESIZED artifact is re-decoded for its stats — so the check
+    covers the full encode → resize → re-encode → decode path, not
+    just the arithmetic."""
+    schema = f"{id_col} long, width int, height int, mean_value double"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                d = decode_bmp(bmp_resize(bytes(p), out_w, out_h))
+                rows.append(
+                    {
+                        id_col: int(i),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "mean_value": d["mean_value"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
 def decode_media(
     df: DataFrame,
     payload_col: str = "payload",

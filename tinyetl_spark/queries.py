@@ -2877,6 +2877,33 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_resize_bmp",
+    f"""
+    SELECT doc_id, 4 AS width, 2 AS height,
+           round(CAST(list_sum(list_transform(range(0, 24),
+                 i -> ord(text[(((48 * (i // 12) + 6 * ((i % 12) // 3) + (i % 3)))
+                                % length(text)) + 1]))) AS DOUBLE) / 24, 6)
+               AS mean_value
+    FROM documents
+    WHERE strlen(text) = length(text) AND length(text) > 0
+    """,
+)
+def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: the synthesized 8x4 BMP is
+    nearest-neighbor downsampled to 4x2 with pure byte arithmetic,
+    re-encoded, and re-decoded for its stats; the oracle recomputes
+    the mean of exactly the NN-sampled source bytes (src index =
+    2r*stride + 2c*3 + channel) with no BMP anywhere. Upgrades the
+    thumbnail stage from deterministic-fake to a real pixel op for
+    the codec-free format."""
+    from tinyetl_spark.operators import multimodal
+
+    return multimodal.resize_media(
+        _synth_media_df(spark, sf_dir, "bmp"), out_w=4, out_h=2
+    )
+
+
+@_q(
     "multimodal_decode_wav",
     f"""
     SELECT doc_id, 'wav' AS fmt, 1 AS n_channels, 8000 AS sample_rate,
