@@ -606,3 +606,19 @@ def test_bmp_resize_identity_and_sampling():
     assert (d["width"], d["height"]) == (4, 2)
     want = [pix[(2 * r) * 24 + (2 * c) * 3 + k] for r in range(2) for c in range(4) for k in range(3)]
     assert d["mean_value"] == round(sum(want) / len(want), 6)
+
+
+def test_wav_decimate_keeps_every_nth_sample():
+    from tinyetl_spark.operators import multimodal as mm
+    import struct
+
+    samples = list(range(0, 48))
+    raw = b"".join(struct.pack("<h", s) for s in samples)
+    wav = mm.synth_wav(raw, 8000)
+    dec = mm.wav_decimate(wav, 3)
+    d = mm.decode_wav(dec)
+    kept = samples[::3]
+    rms = (sum(s * s for s in kept) / len(kept)) ** 0.5
+    assert d["sample_rate"] == 8000 // 3
+    assert d["n_samples"] == len(kept)
+    assert d["mean_value"] == round(rms, 6)

@@ -405,6 +405,65 @@ def resize_media(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
+def wav_decimate(payload: bytes, factor: int) -> bytes:
+    """REAL audio downsample (decimation by integer factor): walk the
+    RIFF chunks, keep every ``factor``-th 16-bit sample, re-encode at
+    rate/factor. Pure bytes; no DSP library. (Proper decimation
+    low-pass-filters first — this is the sampling step of that chain,
+    which is what the byte-level contract can verify exactly.)"""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, bits, data = 12, None, None, b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_code, _n_ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError("only 16-bit PCM")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    kept = b"".join(
+        data[i * 2 : i * 2 + 2] for i in range(0, len(data) // 2, factor)
+    )
+    return synth_wav(kept, rate // factor)
+
+
+def decimate_media(
+    df: DataFrame,
+    factor: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched decimation stage: each WAV payload is decimated
+    and the RESULT re-decoded for its stats — covers the full
+    decode → sample → re-encode → decode path."""
+    schema = f"{id_col} long, sample_rate int, n_samples long, mean_value double"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                d = decode_wav(wav_decimate(bytes(p), factor))
+                rows.append(
+                    {
+                        id_col: int(i),
+                        "sample_rate": d["sample_rate"],
+                        "n_samples": d["n_samples"],
+                        "mean_value": d["mean_value"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
 def decode_media(
     df: DataFrame,
     payload_col: str = "payload",

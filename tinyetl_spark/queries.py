@@ -2932,6 +2932,32 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "multimodal_decimate_wav",
+    f"""
+    SELECT doc_id, 4000 AS sample_rate, CAST(24 AS BIGINT) AS n_samples,
+           round(sqrt(CAST(list_sum(list_transform(range(0, 24),
+                 j -> CAST({_CYCLED_BYTE.replace('i %', '(4*j) %')}
+                      + 256 * {_CYCLED_BYTE.replace('i %', '(4*j+1) %')}
+                      AS BIGINT)
+                      * ({_CYCLED_BYTE.replace('i %', '(4*j) %')}
+                         + 256 * {_CYCLED_BYTE.replace('i %', '(4*j+1) %')})))
+                 AS DOUBLE) / 24), 6) AS mean_value
+    FROM documents
+    WHERE strlen(text) = length(text) AND length(text) > 0
+    """,
+)
+def multimodal_decimate_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample end-to-end: the synthesized 48-sample PCM
+    WAV is decimated 2:1 in pure byte arithmetic (every other 16-bit
+    sample, rate halved), re-encoded, and re-decoded; the oracle
+    recomputes the RMS of exactly the even-indexed samples from the
+    raw text bytes with no WAV anywhere."""
+    from tinyetl_spark.operators import multimodal
+
+    return multimodal.decimate_media(_synth_media_df(spark, sf_dir, "wav"), factor=2)
+
+
 # =====================================================================
 # Engine round-trips (write path -> read path -> oracle on the source):
 # the reference's round-trip tests as correctness-gate queries
