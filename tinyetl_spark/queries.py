@@ -1613,6 +1613,72 @@ def fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECONTAM_REPORT_ORACLE = f"""
+    WITH o AS ({text.decontam_overlap_sql()}),
+    w AS ({text.winnow_decontam_sql()}),
+    fz AS ({dedup.fuzzy_decontam_sql("doc_id % 97 = 0")}),
+    f AS (SELECT DISTINCT CASE WHEN id_a % 97 = 0 THEN id_b ELSE id_a END AS doc_id
+          FROM fz),
+    ids AS (SELECT doc_id FROM o UNION SELECT doc_id FROM w
+            UNION SELECT doc_id FROM f)
+    SELECT i.doc_id,
+           i.doc_id IN (SELECT doc_id FROM o) AS shingle_hit,
+           i.doc_id IN (SELECT doc_id FROM w) AS winnow_hit,
+           i.doc_id IN (SELECT doc_id FROM f) AS fuzzy_hit
+    FROM ids i
+    """
+
+
+@_q("decontam_report", _DECONTAM_REPORT_ORACLE)
+def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination DASHBOARD: one row per flagged training doc
+    with a hit flag per tier — exact word-shingle overlap, winnowing
+    exact-substring, and fuzzy minhash — the artifact a corpus audit
+    actually reviews (each tier catches leakage the others miss). The
+    three flag sets are tiny relative to the corpus and staged once;
+    the report is two full-outer joins over them."""
+    def _flags(name: str, sql: str, build, col: str) -> DataFrame:
+        staged = _stage_once_df(spark, sf_dir, name, sql, build)
+        return staged.select("doc_id").distinct().withColumn(col, F.lit(True))
+
+    docs = load(spark, sf_dir, "documents")
+    o = _flags(
+        "decontam_overlap_ids",
+        text.decontam_overlap_sql(),
+        lambda: text.decontam_overlap(docs),
+        "shingle_hit",
+    )
+    w = _flags(
+        "winnow_decontam_ids",
+        text.winnow_decontam_sql(),
+        lambda: text.winnow_decontam(docs),
+        "winnow_hit",
+    )
+    fz_pairs = _stage_once_df(
+        spark,
+        sf_dir,
+        "fuzzy_decontam_pairs",
+        dedup.fuzzy_decontam_sql("doc_id % 97 = 0"),
+        lambda: dedup.fuzzy_decontam(docs, F.col("doc_id") % 97 == 0),
+    )
+    f = (
+        fz_pairs.select(
+            F.when(F.col("id_a") % 97 == 0, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("fuzzy_hit", F.lit(True))
+    )
+    report = o.join(w, "doc_id", "full_outer").join(f, "doc_id", "full_outer")
+    return report.select(
+        "doc_id",
+        F.coalesce("shingle_hit", F.lit(False)).alias("shingle_hit"),
+        F.coalesce("winnow_hit", F.lit(False)).alias("winnow_hit"),
+        F.coalesce("fuzzy_hit", F.lit(False)).alias("fuzzy_hit"),
+    )
+
+
 @_q("gopher_quality_docs", text.gopher_rules_sql())
 def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rules composite quality filter: word-count / mean-word-
