@@ -1022,6 +1022,91 @@ def unigram_logprob_sql(
     """
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 65536,
+) -> DataFrame:
+    """Per-document mean bigram log-probability, p(w2|w1) =
+    c(w1 w2)/c(w1·) — one step closer to CCNet's KenLM than the
+    unigram score: word-order scrambles and unnatural collocations
+    drop the conditional probabilities even when every word is common.
+
+    Same scale contract as unigram_logprob: one explode→groupBy each
+    for the bigram and predecessor tables (map-side combined), the
+    model bounded to the ``top_vocab`` most frequent bigrams (count
+    desc, bigram asc — deterministic) and broadcast; everything else
+    backs off to the 0.5/total floor. Per-position log-probs round to
+    9dp and sum as DECIMAL(38,9) — order-independent, engine-equal."""
+    ws = words_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), ws.alias("_ws")).filter(F.size("_ws") >= 2)
+    pos = base.select(
+        F.col(id_col),
+        F.col("_ws"),
+        F.explode(F.sequence(F.lit(1), F.size("_ws") - 1)).alias("i"),
+    )
+    bgd = pos.select(
+        F.col(id_col),
+        F.element_at("_ws", F.col("i")).alias("w1"),
+        F.concat_ws(
+            " ", F.element_at("_ws", F.col("i")), F.element_at("_ws", F.col("i") + 1)
+        ).alias("bg"),
+    )
+    uni = bgd.groupBy("w1").agg(F.count("*").alias("c1"))
+    freq = bgd.groupBy("bg").agg(F.count("*").alias("c2"))
+    total = int(freq.agg(F.sum("c2").alias("t")).collect()[0]["t"])
+    vocab = freq.orderBy(F.desc("c2"), F.asc("bg")).limit(top_vocab)
+    lp = F.when(
+        F.col("c2").isNotNull(),
+        F.round(F.log(F.col("c2") / F.col("c1")), 9),
+    ).otherwise(F.round(F.log(F.lit(0.5 / float(total))), 9))
+    return (
+        bgd.join(F.broadcast(vocab), "bg", "left")
+        .join(F.broadcast(uni), "w1", "left")
+        .select(F.col(id_col), lp.cast("decimal(38,9)").alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round((F.sum("_lp") / F.count("*")).cast("double"), 6).alias("avg_logprob"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def bigram_logprob_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 65536,
+) -> str:
+    ws = words_sql(f"lower({text_col})")
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {ws} AS arr FROM {table} WHERE len({ws}) >= 2),
+    pos AS (
+      SELECT {id_col}, arr, unnest(range(1, len(arr))) AS i FROM base),
+    bgd AS (
+      SELECT {id_col}, arr[i] AS w1, arr[i] || ' ' || arr[i+1] AS bg FROM pos),
+    uni AS (SELECT w1, count(*) AS c1 FROM bgd GROUP BY 1),
+    freq AS (SELECT bg, count(*) AS c2 FROM bgd GROUP BY 1),
+    tot AS (SELECT sum(c2) AS t FROM freq),
+    vocab AS (SELECT bg, c2 FROM freq ORDER BY c2 DESC, bg ASC LIMIT {top_vocab}),
+    scored AS (
+      SELECT bgd.{id_col},
+             CAST(CASE WHEN v.c2 IS NOT NULL
+                  THEN round(ln(v.c2 / CAST(u.c1 AS DOUBLE)), 9)
+                  ELSE round(ln(0.5 / CAST(t.t AS DOUBLE)), 9)
+             END AS DECIMAL(38,9)) AS lp
+      FROM bgd LEFT JOIN vocab v ON bgd.bg = v.bg
+      LEFT JOIN uni u ON bgd.w1 = u.w1
+      CROSS JOIN tot t)
+    SELECT {id_col}, count(*) AS n_bigrams,
+           round(CAST(sum(lp) / count(*) AS DOUBLE), 6) AS avg_logprob
+    FROM scored GROUP BY {id_col} ORDER BY {id_col}
+    """
+
+
 # ---------------------------------------------- temperature mixing
 
 def temperature_mix(

@@ -2662,6 +2662,17 @@ def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bigram_logprob_docs",
+    text.bigram_logprob_sql(top_vocab=64),
+)
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score p(w2|w1) with a bounded top-64 bigram
+    model and a 0.5/total backoff floor — word-order-sensitive where
+    the unigram score is not; the step between unigram and KenLM."""
+    return text.bigram_logprob(load(spark, sf_dir, "documents"), top_vocab=64)
+
+
+@_q(
     "unigram_logprob_docs",
     text.unigram_logprob_sql(top_vocab=16),
 )
