@@ -1999,7 +1999,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = text.fingerprint(kept)
     canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     uniq = kept.join(canon, "doc_id")
-    sel = text.quality_budget_select(uniq)
+    # cut lineage at the selection: both the shuffle-rank stage and the
+    # final join consume `sel` — without the cut the whole
+    # filter→dedup→budget subtree codegens and runs twice
+    sel = text.quality_budget_select(uniq).localCheckpoint(eager=False)
     shuf = text.epoch_shuffle(sel, seed=1)
     return shuf.join(sel, "doc_id").select(
         "doc_id", "shuffle_rank", "n_words", "quality"
