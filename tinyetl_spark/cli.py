@@ -232,6 +232,11 @@ def _run_query(argv: list[str]) -> int:
     )
     p.add_argument("--target", help="sink URI (same dispatch as a transfer target)")
     p.add_argument("--preview", type=int, default=20)
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of running",
+    )
     a = p.parse_args(argv)
 
     from tinyetl_spark.queries import QUERIES
@@ -249,6 +254,9 @@ def _run_query(argv: list[str]) -> int:
     spark = get_spark(app_name="tinyetl_spark_query")
     try:
         df = QUERIES[a.name](spark, a.sf_dir)
+        if a.explain:
+            df.explain("formatted")
+            return 0
         if a.target:
             from tinyetl_spark.engine import write_target
             from tinyetl_spark.uris import parse_uri

@@ -1613,6 +1613,52 @@ def fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "corpus_diff",
+    f"""
+    WITH fp AS ({text.fingerprint_sql()}),
+    v1 AS (SELECT d.doc_id, fp.fingerprint FROM documents d
+           JOIN fp ON d.doc_id = fp.doc_id WHERE d.doc_id % 3 != 0),
+    v2 AS (SELECT d.doc_id, fp.fingerprint FROM documents d
+           JOIN fp ON d.doc_id = fp.doc_id WHERE d.doc_id % 5 != 0),
+    j AS (
+      SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.fingerprint != v2.fingerprint THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+    SELECT status, COUNT(*) AS n_docs FROM j GROUP BY status
+    """,
+)
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (modeled here as two
+    id-filtered views of the table): added / removed / changed /
+    unchanged doc counts by content fingerprint — the audit that runs
+    between nightly corpus builds. One full-outer join keyed on the
+    doc id; fingerprints are per-row codegen, so at 100 TB this is a
+    co-partitioned join of two fingerprint manifests (or zero-shuffle
+    with both manifests bucketed by id at write time)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = text.fingerprint(docs).select("doc_id", "fingerprint")
+    v1 = fp.filter(F.col("doc_id") % 3 != 0)
+    v2 = fp.filter(F.col("doc_id") % 5 != 0)
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.fingerprint") != F.col("b.fingerprint"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 _DECONTAM_REPORT_ORACLE = f"""
     WITH o AS ({text.decontam_overlap_sql()}),
     w AS ({text.winnow_decontam_sql()}),
