@@ -622,3 +622,52 @@ def test_wav_decimate_keeps_every_nth_sample():
     assert d["sample_rate"] == 8000 // 3
     assert d["n_samples"] == len(kept)
     assert d["mean_value"] == round(rms, 6)
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """Property: the distributed 3-iteration PageRank equals a direct
+    python power iteration with the same floor-based half-up rounding
+    (pure IEEE, engine-independent)."""
+    import math
+
+    from decimal import Decimal
+
+    def r9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators import dedup
+
+    edge = st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1])
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=20))
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {r.doc_id: r.pagerank for r in dedup.pagerank(df).collect()}
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        n = len(adj)
+        pr = {v: 1.0 / n for v in adj}
+        for _ in range(dedup.PAGERANK_ITERS):
+            nxt = {}
+            for v in adj:
+                s = sum(
+                    (Decimal(repr(r9(pr[u] / len(adj[u])))) for u in adj[v]),
+                    Decimal(0),
+                )
+                nxt[v] = r9(
+                    (1 - dedup.PAGERANK_DAMPING) / n
+                    + dedup.PAGERANK_DAMPING * float(s)
+                )
+            pr = nxt
+        want = {v: r6(p) for v, p in pr.items()}
+        assert got == want
+
+    check()

@@ -891,3 +891,110 @@ def fuzzy_decontam_sql(
       WHERE t.{id_col} NOT IN (SELECT hid FROM held))
     {jaccard_verify_sql("cand", table, text_col, id_col, threshold)}
     """
+
+
+# ------------------------------------------------------- PageRank
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+
+def pagerank(
+    pairs: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+) -> DataFrame:
+    """PageRank over the (undirected) near-dup pair graph — the
+    centrality signal web-corpus pipelines use for document authority
+    (CommonCrawl ranks hosts with exactly this family). Fixed
+    ``iters`` power iterations, so the oracle can unroll the same
+    algebra as chained CTEs.
+
+    Scale shape per iteration: one join of the rank vector with the
+    edge list (both partitioned by source id — co-partitioned at
+    scale), one groupBy on the destination. Cross-engine determinism:
+    each neighbor contribution rounds to 9dp and sums as
+    DECIMAL(38,9) (order-independent), and every scalar literal is
+    written as the same double expression on both sides.
+
+    Rounding is arithmetic half-up via ``floor(x*1e9 + 0.5)/1e9`` —
+    pure IEEE ops, bit-identical in every engine — NOT the engines'
+    ``round()`` builtins, whose half-way semantics differ (Spark
+    rounds the shortest decimal repr half-up, DuckDB rounds the
+    binary value, python rounds half-even).
+
+    Emits (doc_id, pagerank). No collects beyond the node count."""
+    edges = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("t")
+    ).unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("t")))
+    # cut lineage: edges feed deg, every iteration's join, and nodes
+    edges = edges.localCheckpoint(eager=False)
+    nodes = edges.select(F.col("s").alias("id")).distinct()
+    deg = edges.groupBy("s").agg(F.count("*").alias("d"))
+    n = nodes.count()
+    pr = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr.withColumnRenamed("id", "s"), "s")
+            .join(deg, "s")
+            .select(
+                F.col("t").alias("id"),
+                (F.floor(F.col("pr") / F.col("d") * 1e9 + 0.5) / 1e9)
+                .cast("decimal(38,9)")
+                .alias("c"),
+            )
+        )
+        sums = contrib.groupBy("id").agg(F.sum("c").alias("cs"))
+        pr = nodes.join(sums, "id", "left").select(
+            "id",
+            (
+                F.floor(
+                    (
+                        F.lit((1 - damping) / n)
+                        + damping * F.coalesce(F.col("cs"), F.lit(0)).cast("double")
+                    )
+                    * 1e9
+                    + 0.5
+                )
+                / 1e9
+            ).alias("pr"),
+        )
+    return pr.select(
+        F.col("id").alias("doc_id"),
+        (F.floor(F.col("pr") * 1e6 + 0.5) / 1e6).alias("pagerank"),
+    )
+
+
+def pagerank_sql(
+    pairs_query: str,
+    iters: int = PAGERANK_ITERS,
+    damping: float = PAGERANK_DAMPING,
+) -> str:
+    ctes = [
+        f"pairs AS ({pairs_query})",
+        "edges AS (SELECT id_a AS s, id_b AS t FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs)",
+        "nodes AS (SELECT DISTINCT s AS id FROM edges)",
+        "deg AS (SELECT s AS id, count(*) AS d FROM edges GROUP BY 1)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "pr0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)",
+    ]
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"it{i} AS (SELECT e.t AS id, "
+            f"sum(CAST(floor(p.pr / deg.d * 1e9 + 0.5) / 1e9 AS DECIMAL(38,9))) AS cs "
+            f"FROM edges e JOIN {prev} p ON e.s = p.id "
+            f"JOIN deg ON deg.id = e.s GROUP BY 1)"
+        )
+        ctes.append(
+            f"pr{i} AS (SELECT nodes.id, "
+            f"floor(((1 - {damping}) / nn.n "
+            f"+ {damping} * CAST(coalesce(it{i}.cs, 0) AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS pr "
+            f"FROM nodes LEFT JOIN it{i} ON nodes.id = it{i}.id CROSS JOIN nn)"
+        )
+        prev = f"pr{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, floor(pr * 1e6 + 0.5) / 1e6 AS pagerank FROM {prev}"
+    )

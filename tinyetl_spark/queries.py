@@ -2357,6 +2357,22 @@ def _materialized_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pagerank_dups",
+    dedup.pagerank_sql(
+        f"SELECT id_a, id_b FROM ({dedup.simhash_near_dups_sql(max_hamming=8)})"
+    ),
+)
+def pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph (3 power
+    iterations, damping 0.85) — the document-authority signal web
+    pipelines rank hosts with; here the most-connected member of each
+    dup cluster surfaces as its authority. Consumes the STAGED pair
+    table; the oracle unrolls the identical iterations as CTEs."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.pagerank(_materialized_simhash_pairs(spark, sf_dir, docs))
+
+
 @_q("dedup_clusters", _CC_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS (cluster_id = min reachable
