@@ -64,6 +64,22 @@ def token_stats_sql(table: str = "documents", text_col: str = "text", id_col: st
     """
 
 
+def floor_round(c: Column, nd: int) -> Column:
+    """Arithmetic half-up rounding via floor(x*10^nd + 0.5)/10^nd —
+    pure IEEE ops, bit-identical in every engine. Use instead of
+    ``F.round`` when the value can land EXACTLY on a half-way point
+    (sums/weighted combos of terminating decimals): the engines'
+    ``round`` builtins disagree there (Spark rounds the shortest
+    decimal repr half-up, DuckDB rounds the binary value)."""
+    scale = float(10**nd)
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
+def floor_round_sql(expr: str, nd: int) -> str:
+    scale = 10**nd
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality signals: word count, mean word length, stopword
     ratio, alpha ratio, and a combined score. All ratios rounded to 6
@@ -99,13 +115,24 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(score, 6).alias("quality"),
+        # the composite is a weighted sum of terminating decimals — it
+        # CAN land exactly on a half-way point, where the engines'
+        # round() builtins disagree; the plain ratios above cannot
+        # (they either terminate within 6dp or repeat forever)
+        floor_round(score, 6).alias("quality"),
     )
 
 
 def quality_score_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     w = words_sql(text_col)
+    quality_round = floor_round_sql(
+        """CASE WHEN n_words < 5 THEN 0.0 ELSE
+             least(1.0, n_words / 100.0) * 0.4
+             + least(1.0, (CAST(n_stop AS DOUBLE) / n_words) * 5.0) * 0.3
+             + (CAST(n_alpha AS DOUBLE) / n_chars) * 0.3 END""",
+        6,
+    )
     return f"""
     WITH base AS (
       SELECT {id_col},
@@ -119,10 +146,7 @@ def quality_score_sql(table: str = "documents", text_col: str = "text", id_col: 
            round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS mean_word_len,
            round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
            round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
-           round(CASE WHEN n_words < 5 THEN 0.0 ELSE
-             least(1.0, n_words / 100.0) * 0.4
-             + least(1.0, (CAST(n_stop AS DOUBLE) / n_words) * 5.0) * 0.3
-             + (CAST(n_alpha AS DOUBLE) / n_chars) * 0.3 END, 6) AS quality
+           {quality_round} AS quality
     FROM base
     """
 
