@@ -74,6 +74,7 @@ def main() -> None:
                 break
 
     timings: dict[str, float] = {}
+    reps_detail: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     failures: dict[str, str] = {}
     # best-of-2: with ~60 distinct plans in one JVM, first executions
@@ -91,6 +92,7 @@ def main() -> None:
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
+                reps_detail.setdefault(name, []).append(round(elapsed, 4))
                 best = elapsed if best is None else min(best, elapsed)
             except Exception as exc:  # noqa: BLE001 — a broken query must not kill the bench
                 failures[name] = f"{type(exc).__name__}: {exc}"[:200]
@@ -158,7 +160,9 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as f:
-            json.dump(out, f, indent=1, sort_keys=True)
+            # per-rep wall times let a drift audit separate JIT/GC
+            # noise (rep spread) from real regressions (min moved)
+            json.dump(dict(out, reps=reps_detail), f, indent=1, sort_keys=True)
     except OSError:
         detail_path = None
     line = dict(out, detail_file="BENCH_DETAIL.json" if detail_path else None)
