@@ -44,8 +44,23 @@ def main(src: str, dst: str, copies: int = 10) -> None:
       FROM '{src}/embeddings.parquet', range({copies}) t(i)
     ) TO '{dst}/embeddings.parquet' (FORMAT parquet)
     """)
+    # events: copies shift users into fresh id ranges and jitter time by
+    # i seconds — 10x the event log with the same per-user temporal
+    # shape, so sessions/windows/funnels see real growth (a pure
+    # symlink would leave the event tier unscaled)
+    emax = con.sql(f"SELECT max(event_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
+    umax = con.sql(f"SELECT max(user_id)+1 FROM '{src}/events.parquet'").fetchone()[0]
+    con.execute(f"""
+    COPY (
+      SELECT event_id + i*{emax} AS event_id,
+             ts + to_seconds(i) AS ts,
+             user_id + i*{umax} AS user_id,
+             * EXCLUDE (event_id, ts, user_id, i)
+      FROM '{src}/events.parquet', range({copies}) t(i)
+    ) TO '{dst}/events.parquet' (FORMAT parquet)
+    """)
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"]:
+              "orders", "lineitem"]:
         p = f"{dst}/{t}.parquet"
         if not os.path.exists(p):
             os.symlink(f"{src}/{t}.parquet", p)
