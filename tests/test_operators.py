@@ -671,3 +671,23 @@ def test_pagerank_matches_reference_power_iteration(spark):
         assert got == want
 
     check()
+
+
+def test_corpus_ops_handle_empty_input(spark):
+    """Driver-side scalars (avgdl, vocab totals, node counts) must not
+    crash on an empty table — every op returns an empty result with
+    its normal schema."""
+    from tinyetl_spark.operators import dedup, text
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert text.bm25_search(empty).count() == 0
+    assert text.bm25_top_terms(empty).count() == 0
+    assert text.unigram_logprob(empty).count() == 0
+    assert text.bigram_logprob(empty).count() == 0
+    assert text.gopher_rules(empty).count() == 0
+    assert text.quality_budget_select(empty).count() == 0
+    assert text.epoch_shuffle(empty).count() == 0
+    assert text.pack_sequences(empty).count() == 0
+    assert dedup.pagerank(pairs).count() == 0
+    assert {f.name for f in dedup.pagerank(pairs).schema} == {"doc_id", "pagerank"}

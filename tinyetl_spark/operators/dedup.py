@@ -931,7 +931,7 @@ def pagerank(
     edges = edges.localCheckpoint(eager=False)
     nodes = edges.select(F.col("s").alias("id")).distinct()
     deg = edges.groupBy("s").agg(F.count("*").alias("d"))
-    n = nodes.count()
+    n = nodes.count() or 1  # empty graph: every stage below yields 0 rows
     pr = nodes.select("id", F.lit(1.0 / n).alias("pr"))
     for _ in range(iters):
         contrib = (

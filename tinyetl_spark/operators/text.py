@@ -686,7 +686,7 @@ def bm25_top_terms(
     rounded to 6dp so both engines' ln agree bit-for-bit."""
     from pyspark.sql import Window
 
-    n_docs = df.count()
+    n_docs = df.count() or 1  # empty corpus: plan still builds, yields 0 rows
     words = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("term"))
     # cut lineage: tf feeds dl, the avgdl scalar job, dft, and the final
     # scored plan — the explode+groupBy shuffle must run once, not four times
@@ -694,6 +694,8 @@ def bm25_top_terms(
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     # exact long sum / exact long count -> the same double in any engine
     avgdl = dl.agg((F.sum("dl") / F.count("*")).alias("a")).collect()[0]["a"]
+    if avgdl is None:  # empty corpus
+        avgdl = 1.0
     dft = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
@@ -1000,7 +1002,7 @@ def unigram_logprob(
     w = F.explode(words_col(F.lower(F.col(text_col)))).alias("w")
     words = df.select(F.col(id_col), w)
     freq = words.groupBy("w").agg(F.count("*").alias("cnt"))
-    total = int(freq.agg(F.sum("cnt").alias("t")).collect()[0]["t"])
+    total = int(freq.agg(F.sum("cnt").alias("t")).collect()[0]["t"] or 1)
     vocab = freq.orderBy(F.desc("cnt"), F.asc("w")).limit(top_vocab)
     # floor computed in-engine like the in-vocab branch (both engines
     # round their own libm ln at 9dp, same as the bm25 convention)
@@ -1079,7 +1081,7 @@ def bigram_logprob(
     )
     uni = bgd.groupBy("w1").agg(F.count("*").alias("c1"))
     freq = bgd.groupBy("bg").agg(F.count("*").alias("c2"))
-    total = int(freq.agg(F.sum("c2").alias("t")).collect()[0]["t"])
+    total = int(freq.agg(F.sum("c2").alias("t")).collect()[0]["t"] or 1)
     vocab = freq.orderBy(F.desc("c2"), F.asc("bg")).limit(top_vocab)
     lp = F.when(
         F.col("c2").isNotNull(),
@@ -1416,8 +1418,10 @@ def bm25_search(
     ).select(
         F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
     ).localCheckpoint(eager=False)  # feeds the avgdl scalar job AND the scored plan
-    n_docs = base.count()
+    n_docs = base.count() or 1  # empty corpus: plan yields 0 rows
     stats = base.agg((F.sum("dl") / F.count("*")).alias("a")).collect()[0]["a"]
+    if stats is None:
+        stats = 1.0
     tf = (
         base.select(F.col(id_col), F.col("dl"), F.explode("_ws").alias("term"))
         .join(F.broadcast(base.sparkSession.createDataFrame([(t,) for t in query_terms], "term string")), "term")
