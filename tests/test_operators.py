@@ -691,3 +691,73 @@ def test_corpus_ops_handle_empty_input(spark):
     assert text.pack_sequences(empty).count() == 0
     assert dedup.pagerank(pairs).count() == 0
     assert {f.name for f in dedup.pagerank(pairs).schema} == {"doc_id", "pagerank"}
+
+
+def test_funnel_and_ohlc_match_bruteforce(spark):
+    """Property: funnel stage sets and OHLC open/close tie-breaks match
+    a direct python evaluation on random event logs."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    ev = st.tuples(
+        st.integers(0, 5),                      # user
+        st.integers(0, 7200),                   # seconds offset
+        st.sampled_from(["signup", "view", "purchase", "click"]),
+        st.integers(-50, 50),                   # value
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=40))
+    def check(rows):
+        data = [
+            (i, base + dt.timedelta(seconds=s), u, t, float(v), "{}")
+            for i, (u, s, t, v) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        import tinyetl_spark.queries as q
+
+        orig = q.load
+        q.load = lambda _s, _d, table, _df=df: _df  # events only here
+        try:
+            funnel = {r.stage: r.n_users for r in QUERIES["funnel_conversion"](spark, "x").collect()}
+            bars = {
+                (r.event_type, r.hour_start): (r.open, r.high, r.low, r.close, r.n_events)
+                for r in QUERIES["ohlc_bars_events"](spark, "x").collect()
+            }
+        finally:
+            q.load = orig
+        # python funnel
+        by_user = {}
+        for i, (u, s, t, v) in enumerate(rows):
+            by_user.setdefault(u, []).append((base + dt.timedelta(seconds=s), i, t, v))
+        s1 = {u: min(ts for ts, _i, t, _v in evs if t == "signup")
+              for u, evs in by_user.items() if any(t == "signup" for _ts, _i, t, _v in evs)}
+        s2 = {}
+        for u, t1 in s1.items():
+            vs = [ts for ts, _i, t, _v in by_user[u] if t == "view" and ts >= t1]
+            if vs:
+                s2[u] = min(vs)
+        s3 = {}
+        for u, t2 in s2.items():
+            ps = [ts for ts, _i, t, _v in by_user[u] if t == "purchase" and ts >= t2]
+            if ps:
+                s3[u] = min(ps)
+        assert funnel == {"1_signup": len(s1), "2_view": len(s2), "3_purchase": len(s3)}
+        # python ohlc
+        groups = {}
+        for i, (u, s, t, v) in enumerate(rows):
+            ts = base + dt.timedelta(seconds=s)
+            key = (t, ts.replace(minute=0, second=0, microsecond=0).strftime("%Y-%m-%d %H:%M:%S"))
+            groups.setdefault(key, []).append((ts, i, float(v)))
+        for key, evs in groups.items():
+            evs.sort()
+            vals = [v for _ts, _i, v in evs]
+            assert bars[key] == (evs[0][2], max(vals), min(vals), evs[-1][2], len(evs))
+
+    check()
