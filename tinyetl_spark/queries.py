@@ -1945,6 +1945,49 @@ def event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "fk_violations_audit",
+    """
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def fk_violations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per declared FK edge
+    — the data-quality check an ingest gate runs before publishing a
+    snapshot. Each edge is a left-anti join; parent key sets are small
+    next to the fact tables, so they broadcast, and the audit runs at
+    scan speed per edge."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+
+    def orphans(child, key_c, parent, key_p, label):
+        cnt = child.join(
+            F.broadcast(parent.select(key_p).distinct()),
+            child[key_c] == F.col(key_p),
+            "left_anti",
+        ).agg(F.count("*").alias("n_orphans"))
+        return cnt.select(F.lit(label).alias("fk"), "n_orphans")
+
+    parts = [
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        orphans(o, "o_custkey", c, "c_custkey", "orders->customer"),
+        orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_q(
     "hot_keys_audit",
     """
     SELECT o_custkey, COUNT(*) AS n_orders
