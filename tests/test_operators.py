@@ -761,3 +761,20 @@ def test_funnel_and_ohlc_match_bruteforce(spark):
             assert bars[key] == (evs[0][2], max(vals), min(vals), evs[-1][2], len(evs))
 
     check()
+
+
+def test_lsh_tuner_properties():
+    """S-curve is monotone in s; tuner returns divisor pairs; weighting
+    toward false negatives picks a lower inflection (more recall)."""
+    from tinyetl_spark.operators import dedup
+
+    probs = [dedup.lsh_candidate_probability(s / 20, 4, 4) for s in range(21)]
+    assert probs == sorted(probs) and probs[0] == 0.0 and probs[-1] == 1.0
+    for t in (0.2, 0.4, 0.6, 0.8):
+        b, r = dedup.tune_lsh_params(t)
+        assert b * r == dedup.NUM_PERM
+        b_rec, r_rec = dedup.tune_lsh_params(t, fn_weight=0.9)
+        assert dedup.lsh_threshold(b_rec, r_rec) <= dedup.lsh_threshold(b, r)
+    # the repo default (16 perms, 4 bands x 4 rows) is what the tuner
+    # picks for mid-range thresholds — documents why those constants
+    assert dedup.tune_lsh_params(0.5) == (4, 4)

@@ -998,3 +998,57 @@ def pagerank_sql(
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT id AS doc_id, floor(pr * 1e6 + 0.5) / 1e6 AS pagerank FROM {prev}"
     )
+
+
+# ---------------------------------------------- LSH parameter tuning
+
+def lsh_candidate_probability(jaccard: float, bands: int, rows: int) -> float:
+    """P(candidate) for similarity s under (b bands, r rows/band):
+    1 - (1 - s^r)^b — the MMDS S-curve."""
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def lsh_threshold(bands: int, rows: int) -> float:
+    """The S-curve inflection (1/b)^(1/r) — the similarity where
+    candidate probability crosses ~0.5; pairs above it are likely
+    candidates, below it likely filtered."""
+    return (1.0 / bands) ** (1.0 / rows)
+
+
+def tune_lsh_params(
+    threshold: float,
+    num_perm: int = NUM_PERM,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) for a target jaccard threshold by
+    minimizing weighted false-positive + false-negative S-curve area
+    (the datasketch/MMDS tuning rule): FP area = integral of
+    P(candidate) below the threshold, FN area = integral of
+    1 - P(candidate) above it, both by midpoint rule. ``fn_weight``
+    biases toward recall (dedup pipelines usually prefer a few extra
+    verify pairs over missed dups).
+
+    Driver-side pure math over <= num_perm divisor pairs — use it to
+    pick NUM_PERM/BANDS before a run; the verify stage makes the final
+    call exact either way."""
+    best, best_err = None, None
+    steps = 200
+    for rows in range(1, num_perm + 1):
+        if num_perm % rows:
+            continue
+        bands = num_perm // rows
+        fp = sum(
+            lsh_candidate_probability((i + 0.5) * threshold / steps, bands, rows)
+            for i in range(steps)
+        ) * (threshold / steps)
+        fn = sum(
+            1.0
+            - lsh_candidate_probability(
+                threshold + (i + 0.5) * (1.0 - threshold) / steps, bands, rows
+            )
+            for i in range(steps)
+        ) * ((1.0 - threshold) / steps)
+        err = (1.0 - fn_weight) * fp + fn_weight * fn
+        if best_err is None or err < best_err:
+            best, best_err = (bands, rows), err
+    return best
