@@ -70,7 +70,7 @@ _PRIORITY = [
     "ohlc_bars_events", "funnel_conversion", "cohort_retention",
     "multimodal_resize_bmp", "multimodal_decimate_wav",
     "decontam_report", "bigram_logprob_docs", "corpus_diff", "pagerank_dups",
-    "fk_violations_audit",
+    "fk_violations_audit", "epoch_order_manifest",
     "embedding_norms", "embedding_quantize",
     "ann_recall_lsh", "ann_recall_pq", "ann_recall_ivf_pq", "ann_recall_rerank",
 ]

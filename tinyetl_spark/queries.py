@@ -2770,6 +2770,32 @@ def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "epoch_order_manifest",
+    " UNION ALL ".join(
+        f"SELECT CAST({ep} AS BIGINT) AS epoch, * FROM ({text.epoch_shuffle_sql(seed=ep)})"
+        for ep in (0, 1, 2)
+    ),
+)
+def epoch_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multi-epoch training order in one manifest: every
+    (epoch, doc, rank) from re-keying the deterministic md5 shuffle per
+    epoch seed — what a trainer persists so any step of any epoch is
+    reproducible bit-for-bit after a restart. Three independent
+    two-phase ranks, unioned; no cross-epoch shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    parts = [
+        text.epoch_shuffle(docs, seed=ep).select(
+            F.lit(ep).cast("bigint").alias("epoch"), "doc_id", "shuffle_rank"
+        )
+        for ep in (0, 1, 2)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@_q(
     "bigram_logprob_docs",
     text.bigram_logprob_sql(top_vocab=64),
 )
