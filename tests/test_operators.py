@@ -778,3 +778,68 @@ def test_lsh_tuner_properties():
     # the repo default (16 perms, 4 bands x 4 rows) is what the tuner
     # picks for mid-range thresholds — documents why those constants
     assert dedup.tune_lsh_params(0.5) == (4, 4)
+
+
+def test_edit_distance_join_complete_random(spark):
+    """Property check: the PassJoin segment filter is COMPLETE — on
+    random corpora and probes mutated by ALL three edit kinds
+    (delete / substitute / insert, not just the query's deletions),
+    edit_distance_join equals the brute-force cross join at d=1."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.fuzzy import edit_distance_join
+
+    word = st.text(alphabet="abc x", min_size=2, max_size=10).map(
+        lambda s: s.strip() or "aa"
+    )
+
+    def brute(corpus, probes):
+
+        def lev(a, b):
+            if abs(len(a) - len(b)) > 1:
+                return 2
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        return sorted(
+            (t, s, lev(t, s)) for t in probes for s in corpus if lev(t, s) <= 1
+        )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(word, min_size=1, max_size=25, unique=True),
+        st.data(),
+    )
+    def check(corpus, data):
+        probes = set()
+        for s in corpus[:6]:
+            kind = data.draw(st.sampled_from(["del", "sub", "ins", "exact"]))
+            i = data.draw(st.integers(0, max(0, len(s) - 1)))
+            ch = data.draw(st.sampled_from("abzx "))
+            if kind == "del" and len(s) > 2:
+                probes.add(s[:i] + s[i + 1 :])
+            elif kind == "sub":
+                probes.add(s[:i] + ch + s[i + 1 :])
+            elif kind == "ins":
+                probes.add(s[:i] + ch + s[i:])
+            else:
+                probes.add(s)
+        probes = sorted(p for p in probes if len(p) >= 2)
+        if not probes:
+            return
+        cdf = spark.createDataFrame([(s,) for s in corpus], "s string")
+        pdf = spark.createDataFrame([(t,) for t in probes], "t string")
+        got = sorted(
+            (r.probe_text, r.match_text, r.dist)
+            for r in edit_distance_join(cdf, pdf).collect()
+        )
+        assert got == brute(corpus, probes)
+
+    check()

@@ -420,3 +420,35 @@ def test_hot_keys_audit_takeordered(spark):
     global sort of the key histogram."""
     p = plan_of(spark, "hot_keys_audit")
     assert "TakeOrderedAndProject" in p
+
+
+def test_dup_passage_spans_two_shuffles_no_python(spark):
+    """Passage extraction shuffles exactly twice — once on the gram
+    hash (count window) and once on doc_id (island merge; the span
+    groupBy reuses that partitioning) — and the gram STRING never
+    shuffles: only the 64-bit hash crosses the wire."""
+    p = plan_of(spark, "dup_passage_spans")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_line_dedup_no_python_anti_join_not_broadcast_nested_loop(spark):
+    """The boilerplate anti-join must stay a hash join on the
+    normalized line (either broadcast or shuffled is acceptable — the
+    set is unbounded in principle) and never a nested-loop cross."""
+    p = plan_of(spark, "line_dedup_docs")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_fuzzy_join_is_equi_join_no_cross(spark):
+    """The PassJoin filter's whole point: the similarity join runs as a
+    plain equi-join on (segment, slot, length) — a cross/nested-loop
+    join here means the segment keys stopped matching and the plan
+    degenerated to |corpus| x |probes|."""
+    p = plan_of(spark, "fuzzy_join_phrases")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert "levenshtein" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -1624,3 +1624,222 @@ def dup_ngram_frac_sql(
                    OR (i < ng AND s[i] = s[i+1]))) AS DOUBLE) / ng, 6) AS dup_gram_frac
     FROM gg
     """
+
+
+# ------------------------------------------- duplicate-passage spans
+
+# Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better") removes EXACT duplicate passages, not just whole near-dup
+# documents: any word run that re-occurs anywhere in the corpus. The
+# suffix-array construction it uses is single-machine; the distributed
+# re-expression is k-gram position marking + interval merging, which is
+# two equi-key shuffles regardless of corpus size.
+PASSAGE_N = 10  # words per passage gram (Lee et al. use 50 BPE tokens)
+
+
+def dup_passage_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = PASSAGE_N
+) -> DataFrame:
+    """Duplicated-passage extraction: every maximal word span whose
+    n-gram positions are all covered by an n-gram occurring >= 2 times
+    corpus-wide (including twice within one document). Output one row
+    per merged span: (doc_id, span_start, span_end, span_words,
+    n_dup_grams), word positions 1-based inclusive.
+
+    Scale shape: positions are carried as (doc_id, pos, gram-hash64) so
+    the wide gram strings never shuffle; "occurs >= 2 times" is a count
+    window over the gram hash (ONE shuffle on gh, no self-join); the
+    surviving duplicated positions — sized by the duplicated text, not
+    the corpus — regroup once per doc_id for the gaps-and-islands merge
+    (lag + running sum, then the span groupBy reuses the same doc_id
+    partitioning). Same-length intervals sorted by start merge iff
+    next_start <= prev_start + n, so one lag suffices — no running-max
+    end is needed."""
+    from pyspark.sql import Window
+
+    ws = df.select(F.col(id_col), words_col(text_col).alias("_ws")).filter(
+        F.size("_ws") >= n
+    )
+    pg = ws.select(
+        F.col(id_col), F.posexplode(_shingle_col("_ws", n)).alias("_p", "_g")
+    ).select(F.col(id_col), (F.col("_p") + 1).alias("pos"), hash64_col("_g").alias("gh"))
+    dup = (
+        pg.withColumn("_c", F.count("*").over(Window.partitionBy("gh")))
+        .filter(F.col("_c") >= 2)
+        .select(id_col, "pos")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup.withColumn(
+        "_new",
+        F.when(
+            F.col("pos") <= F.coalesce(F.lag("pos").over(w_doc), F.lit(-2 * n)) + n,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "_isl",
+        F.sum("_new").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("bigint").alias("span_end"),
+            (F.max("pos") - F.min("pos") + n).cast("bigint").alias("span_words"),
+            F.count("*").cast("bigint").alias("n_dup_grams"),
+        )
+        .drop("_isl")
+    )
+
+
+def dup_passage_spans_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id", n: int = PASSAGE_N
+) -> str:
+    w = words_sql(text_col)
+    gram = f"array_to_string(arr[i:i+{n - 1}], ' ')"
+    return f"""
+    WITH ws AS (
+      SELECT {id_col}, {w} AS arr FROM {table} WHERE len({w}) >= {n}),
+    g AS (
+      SELECT {id_col},
+             unnest(range(1, len(arr) - {n} + 2)) AS pos,
+             unnest(list_transform(range(1, len(arr) - {n} + 2), i -> {gram})) AS s
+      FROM ws),
+    pg AS (SELECT {id_col}, pos, {hash64_sql('s')} AS gh FROM g),
+    dup AS (
+      SELECT {id_col}, pos FROM (
+        SELECT {id_col}, pos, count(*) OVER (PARTITION BY gh) AS c FROM pg)
+      WHERE c >= 2),
+    fl AS (
+      SELECT {id_col}, pos,
+             CASE WHEN pos <= coalesce(lag(pos) OVER w, {-2 * n}) + {n}
+                  THEN 0 ELSE 1 END AS nw
+      FROM dup WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)),
+    isl AS (
+      SELECT {id_col}, pos,
+             sum(nw) OVER (PARTITION BY {id_col} ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl)
+    SELECT {id_col},
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {n - 1} AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + {n} AS BIGINT) AS span_words,
+           CAST(count(*) AS BIGINT) AS n_dup_grams
+    FROM isl GROUP BY {id_col}, island
+    """
+
+
+# ------------------------------------------------- line-level dedup
+
+# RefinedWeb / CCNet drop individual LINES that repeat across many
+# documents (nav bars, cookie banners, boilerplate footers) — a finer
+# instrument than whole-document dedup: it salvages the unique part of
+# a page instead of keeping or killing it wholesale.
+LINE_DEDUP_MIN_DF = 3  # a line in >= this many distinct docs is boilerplate
+RELINE_WORDS = 8       # words per derived line for newline-free corpora
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = LINE_DEDUP_MIN_DF,
+) -> DataFrame:
+    """Cross-document line dedup: drop every line whose normalized form
+    (lower+trim) appears in >= min_df distinct documents, then rebuild
+    each document from its surviving lines in original order. Output:
+    (doc_id, n_lines, n_kept, clean_text) for EVERY input doc — a fully
+    boilerplate doc comes back with n_kept=0 and clean_text=''.
+
+    Scale shape: lines explode once; the document-frequency count is a
+    groupBy on the normalized line; the boilerplate set (only lines
+    ABOVE the threshold — tiny next to the corpus but unbounded, so NOT
+    broadcast) anti-joins back on the same key; the rebuild regroups by
+    doc_id collecting (pos, line) structs — per-doc state only, no
+    global sort."""
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("_p", "line")
+    ).select(
+        F.col(id_col),
+        (F.col("_p") + 1).alias("pos"),
+        F.col("line"),
+        F.lower(F.trim("line")).alias("norm"),
+    )
+    boiler = (
+        lines.groupBy("norm")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("norm")
+    )
+    kept = lines.join(boiler, "norm", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).cast("bigint").alias("n_lines")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def line_dedup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = LINE_DEDUP_MIN_DF,
+) -> str:
+    return f"""
+    WITH l0 AS (SELECT {id_col}, {text_col} AS _t, str_split({text_col}, chr(10)) AS arr
+                FROM {table}),
+    lines AS (
+      SELECT {id_col},
+             unnest(range(1, len(arr) + 1)) AS pos,
+             unnest(arr) AS line
+      FROM l0),
+    nl AS (SELECT {id_col}, pos, line, lower(trim(line)) AS norm FROM lines),
+    bl AS (SELECT norm FROM nl GROUP BY norm HAVING count(DISTINCT {id_col}) >= {min_df}),
+    kept AS (SELECT * FROM nl WHERE norm NOT IN (SELECT norm FROM bl)),
+    reb AS (
+      SELECT {id_col},
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY {id_col})
+    SELECT l0.{id_col},
+           CAST(len(l0.arr) AS BIGINT) AS n_lines,
+           CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(reb.clean_text, '') AS clean_text
+    FROM l0 LEFT JOIN reb USING ({id_col})
+    """
+
+
+def reline_col(text_col: str = "text", w: int = RELINE_WORDS) -> Column:
+    """Re-chunk whitespace text into newline-joined lines of ``w`` words
+    each — gives line-oriented operators a deterministic line structure
+    on corpora that carry none (all in-row codegen)."""
+    ws = words_col(text_col)
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.ceil(F.size(ws) / F.lit(w)).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(ws, (i - 1) * w + 1, w)),
+        ),
+        "\n",
+    )
+
+
+def reline_sql(text_col: str = "text", w: int = RELINE_WORDS) -> str:
+    arr = words_sql(text_col)
+    return (
+        f"array_to_string(list_transform(range(1, (len({arr}) + {w - 1}) // {w} + 1), "
+        f"i -> array_to_string(({arr})[(i-1)*{w}+1:(i-1)*{w}+{w}], ' ')), chr(10))"
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from tinyetl_spark.functions.dates import FORMATS, parse_date_multi, parse_date_multi_sql
 from tinyetl_spark.functions.hashing import hash64_col, hash64_sql
-from tinyetl_spark.operators import dedup, multimodal, relational, similarity, text
+from tinyetl_spark.operators import dedup, fuzzy, multimodal, relational, similarity, text
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -2061,6 +2061,45 @@ def dup_ngram_frac_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort + neighbor-equality trick (O(L log L), zero shuffle) — catches
     templated/looping text that per-word repetition stats miss."""
     return text.dup_ngram_frac(load(spark, sf_dir, "documents"))
+
+
+@_q("dup_passage_spans", text.dup_passage_spans_sql())
+def dup_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style duplicate-PASSAGE extraction: maximal word spans
+    covered by corpus-repeated n-grams, merged gaps-and-islands. Two
+    equi-key shuffles (gram-hash count window, per-doc island merge) —
+    the distributed stand-in for the single-machine suffix array."""
+    return text.dup_passage_spans(load(spark, sf_dir, "documents"))
+
+
+_LINE_DEDUP_ORACLE = text.line_dedup_sql(
+    table=f"(SELECT doc_id, {text.reline_sql('text')} AS text FROM documents) t"
+)
+
+
+@_q("line_dedup_docs", _LINE_DEDUP_ORACLE)
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet line-level boilerplate dedup: drop lines that
+    repeat across >= 3 distinct docs, rebuild each doc from survivors.
+    The corpus is newline-free, so both engines first re-chunk text
+    into deterministic 8-word lines (in-row) — the operator itself is
+    generic over any newline-structured text."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", text.reline_col("text").alias("text")
+    )
+    return text.line_dedup(docs)
+
+
+@_q("fuzzy_join_phrases", fuzzy.fuzzy_join_phrases_sql())
+def fuzzy_join_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy join (PassJoin segment filter): typo'd
+    probe phrases against the corpus phrase dictionary via an equi-join
+    on (segment, slot, length) + Levenshtein verify on candidates only.
+    The filter is provably complete, so the result equals the oracle's
+    brute-force length-banded cross join."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = fuzzy.phrase_corpus(docs)
+    return fuzzy.edit_distance_join(corpus, fuzzy.typo_probes(corpus))
 
 
 _CURATION_ORACLE = f"""
