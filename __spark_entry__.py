@@ -73,6 +73,7 @@ _PRIORITY = [
     "fk_violations_audit", "epoch_order_manifest",
     "embedding_norms", "embedding_quantize",
     "ann_recall_lsh", "ann_recall_pq", "ann_recall_ivf_pq", "ann_recall_rerank",
+    "dup_passage_spans", "line_dedup_docs", "fuzzy_join_phrases",
 ]
 
 
