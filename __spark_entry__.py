@@ -74,6 +74,8 @@ _PRIORITY = [
     "embedding_norms", "embedding_quantize",
     "ann_recall_lsh", "ann_recall_pq", "ann_recall_ivf_pq", "ann_recall_rerank",
     "dup_passage_spans", "line_dedup_docs", "fuzzy_join_phrases",
+    "bpe_pair_counts", "bpe_train_merges", "corpus_overlap_kmv",
+    "corpus_overlap_exact",
 ]
 
 

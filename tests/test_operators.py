@@ -843,3 +843,74 @@ def test_edit_distance_join_complete_random(spark):
         assert got == brute(corpus, probes)
 
     check()
+
+
+def test_bpe_train_matches_python_reference_random(spark):
+    """Property check: distributed BPE training equals the classic
+    single-machine greedy algorithm (word-freq dict form) — same merge
+    table, same order, same tie-breaks — on random corpora."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.tokenizer import BPE_END, bpe_train
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=5)
+
+    def ref_bpe(texts, n_merges):
+        import collections
+
+        wf = collections.Counter(w for t in texts for w in t.split())
+        syms = {w: list(w) + [BPE_END] for w in wf}
+        out = []
+        for rank in range(1, n_merges + 1):
+            pc = collections.Counter()
+            for w, c in wf.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += c
+            if not pc:
+                break
+            (a, b), total = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )[0]
+            if total < 2:
+                break
+            out.append((rank, a, b, total))
+            for w in syms:
+                merged = []
+                for x in syms[w]:
+                    if merged and merged[-1] == a and x == b:
+                        merged[-1] = a + b
+                    else:
+                        merged.append(x)
+                syms[w] = merged
+        return out
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=6), min_size=1, max_size=8))
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            tuple(r)
+            for r in bpe_train(df, n_merges=5)
+            .toPandas()
+            .itertuples(index=False, name=None)
+        ]
+        assert got == ref_bpe(texts, 5)
+
+    check()
+
+
+def test_kmv_overlap_tracks_exact(spark):
+    """The KMV estimate must land within sketch error of the exact
+    overlap on the test corpus: union within 2x and jaccard within
+    +/-0.1 absolute (k=256 => ~6% std error on union; intersection is
+    noisier)."""
+    from tinyetl_spark.operators.sketches import corpus_overlap_exact, corpus_overlap_kmv
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    est = corpus_overlap_kmv(docs).collect()[0]
+    exact = corpus_overlap_exact(docs).collect()[0]
+    assert 0 < est["union_est"] < 2 * exact["n_union"]
+    assert est["union_est"] > exact["n_union"] / 2
+    assert abs(est["jaccard_est"] - exact["jaccard"]) < 0.1

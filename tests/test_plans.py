@@ -452,3 +452,21 @@ def test_fuzzy_join_is_equi_join_no_cross(spark):
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
     assert "levenshtein" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bpe_pair_counts_takeordered_no_python(spark):
+    """BPE pair counting ends in a bounded TakeOrdered (top-30), never
+    a global sort, and stays out of Python."""
+    p = plan_of(spark, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_kmv_sketch_takeordered_no_python(spark):
+    """Each KMV sketch is a bounded TakeOrdered over distinct hashes —
+    the whole point is avoiding corpus-sized distinct-joins. The 1x1
+    estimate combine is an explicit 1-row broadcast (allowed); Python
+    must not appear."""
+    p = plan_of(spark, "corpus_overlap_kmv")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

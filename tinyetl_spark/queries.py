@@ -20,7 +20,16 @@ from pyspark.sql import functions as F
 
 from tinyetl_spark.functions.dates import FORMATS, parse_date_multi, parse_date_multi_sql
 from tinyetl_spark.functions.hashing import hash64_col, hash64_sql
-from tinyetl_spark.operators import dedup, fuzzy, multimodal, relational, similarity, text
+from tinyetl_spark.operators import (
+    dedup,
+    fuzzy,
+    multimodal,
+    relational,
+    similarity,
+    sketches,
+    text,
+    tokenizer,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -2100,6 +2109,40 @@ def fuzzy_join_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     corpus = fuzzy.phrase_corpus(docs)
     return fuzzy.edit_distance_join(corpus, fuzzy.typo_probes(corpus))
+
+
+@_q("bpe_pair_counts", tokenizer.bpe_pair_counts_sql())
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training iteration 0: adjacent symbol-pair frequencies over
+    the word-frequency dictionary (the one corpus-sized shuffle), top
+    30 deterministic TakeOrdered."""
+    return tokenizer.bpe_pair_counts(load(spark, sf_dir, "documents"))
+
+
+@_q("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full greedy BPE training (12 merges) — iterative, so no single
+    SQL twin; pinned instead by tests/test_operators.py's pure-Python
+    reference comparison. Per iteration only the winning pair row
+    crosses the driver."""
+    return tokenizer.bpe_train(load(spark, sf_dir, "documents"))
+
+
+@_q("corpus_overlap_kmv", sketches.corpus_overlap_kmv_sql())
+def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch overlap estimate between the even/odd halves
+    of the corpus (shingle streams) — two 256-row sketches instead of
+    two corpus-sized distinct-joins; md5-hash-deterministic, so the
+    estimate itself is oracle-checked."""
+    return sketches.corpus_overlap_kmv(load(spark, sf_dir, "documents"))
+
+
+@_q("corpus_overlap_exact", sketches.corpus_overlap_exact_sql())
+def corpus_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ground truth for corpus_overlap_kmv (distinct counts +
+    semi-join intersection) — the estimator's error is a checked
+    number, not a claim."""
+    return sketches.corpus_overlap_exact(load(spark, sf_dir, "documents"))
 
 
 _CURATION_ORACLE = f"""
