@@ -464,9 +464,23 @@ def test_bpe_pair_counts_takeordered_no_python(spark):
 
 def test_kmv_sketch_takeordered_no_python(spark):
     """Each KMV sketch is a bounded TakeOrdered over distinct hashes —
-    the whole point is avoiding corpus-sized distinct-joins. The 1x1
-    estimate combine is an explicit 1-row broadcast (allowed); Python
-    must not appear."""
+    the whole point is avoiding corpus-sized distinct-joins. The
+    registered query checkpoints its sketches (256-row cut so estimate
+    branches can't re-run the corpus scan), which hides the sketch plan
+    behind a LogicalRDD — so pin the TakeOrdered on the un-checkpointed
+    sketch plan directly, and pin the combine plan to scans of the
+    checkpointed sketches (no corpus rescans) with no Python."""
+    from pyspark.sql import functions as F
+
+    from tinyetl_spark.operators.sketches import kmv_sketch
+    from tinyetl_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")
+    sk = kmv_sketch(docs.select(F.col("text").alias("s")), F.col("s"), checkpoint=False)
+    sp = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in sp
+
     p = plan_of(spark, "corpus_overlap_kmv")
-    assert "TakeOrderedAndProject" in p
+    assert "Scan ExistingRDD" in p          # combine reads the checkpointed sketches
+    assert "FileScan" not in p              # ...never the corpus again
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -26,22 +26,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tinyetl_spark.functions.hashing import hash64_col, hash64_sql
-from tinyetl_spark.operators.text import _shingle_col, words_col, words_sql
+from tinyetl_spark.operators.text import shingle_stream, words_sql
 
 PHRASE_K = 3       # words per corpus phrase
 PROBE_MOD = 149    # hash64(phrase) % MOD == 0 ⇒ phrase seeds a typo probe
 EDIT_D = 1         # edit-distance threshold
 
 
-def phrase_corpus(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = PHRASE_K
-) -> DataFrame:
+def phrase_corpus(df: DataFrame, text_col: str = "text", k: int = PHRASE_K) -> DataFrame:
     """The DISTINCT k-word phrases of a corpus — the dictionary side of
     the fuzzy join (one column ``s``). One explode + one distinct."""
-    ws = df.select(words_col(text_col).alias("_ws")).filter(F.size("_ws") >= k)
-    return (
-        ws.select(F.explode(_shingle_col("_ws", k)).alias("s")).distinct()
-    )
+    return shingle_stream(df, text_col, k).distinct()
 
 
 def phrase_corpus_sql(
@@ -93,7 +88,13 @@ def edit_distance_join(
     start shifted by -1/0/+1 (<= 18 in-row keys). The equi-join key
     (substring, slot, L) keeps buckets tight; Levenshtein runs on
     candidates only. Both explodes are in-row codegen; the join is one
-    hash shuffle sized by |keys|, never |corpus| x |probes|."""
+    hash shuffle sized by |keys|, never |corpus| x |probes|.
+
+    Length-1 corpus strings degenerate to an EMPTY first segment; the
+    empty piece "occurs" trivially, so every such string becomes a
+    candidate for probes of length <= 2 — still bounded (few strings
+    are that short) and required for completeness: filtering those keys
+    out silently missed e.g. ('za', 'a')."""
     if d != 1:
         raise NotImplementedError("segment filter is built for d=1")
     # ---- index side: 2 segments per corpus string
@@ -128,7 +129,7 @@ def edit_distance_join(
                 "   CASE WHEN slot = 1 THEN 1 + sh ELSE L div 2 + 1 + sh END as q,"
                 "   CASE WHEN slot = 1 THEN L div 2 ELSE L - L div 2 END as sl"
                 "  )))))), "
-                " k -> k.L >= 2 AND k.q >= 1 AND k.sl >= 1"
+                " k -> k.L >= 1 AND k.q >= 1 AND k.sl >= 0"
                 "      AND k.q + k.sl - 1 <= length(t))"
             )
         ).alias("_k"),

@@ -27,18 +27,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tinyetl_spark.functions.hashing import MAX60, hash64_col, hash64_sql
-from tinyetl_spark.operators.text import _shingle_col, floor_round, floor_round_sql, words_col, words_sql
+from tinyetl_spark.operators.text import floor_round, floor_round_sql, shingle_stream, words_sql
 
 KMV_K = 256        # sketch size
 OVERLAP_SHINGLE_K = 5  # words per shingle for the corpus-overlap queries
 
 
-def kmv_sketch(df: DataFrame, item: Column) -> DataFrame:
+def kmv_sketch(df: DataFrame, item: Column, *, checkpoint: bool = True) -> DataFrame:
     """Bottom-k distinct hashes of an item column — one column ``h``,
-    exactly min(k, |distinct|) rows. TakeOrdered: no global sort."""
-    return (
-        df.select(hash64_col(item).alias("h")).distinct().orderBy("h").limit(KMV_K)
-    )
+    exactly min(k, |distinct|) rows. TakeOrdered (no global sort),
+    then checkpointed by default: the sketch is consumed by several
+    estimate branches, and without the cut each branch would re-run the
+    corpus-sized hash+distinct scan — the exact cost the sketch exists
+    to avoid. ``checkpoint=False`` keeps the plan inspectable (the
+    plan-shape tests pin the TakeOrdered there)."""
+    sk = df.select(hash64_col(item).alias("h")).distinct().orderBy("h").limit(KMV_K)
+    return sk.localCheckpoint() if checkpoint else sk
 
 
 def kmv_overlap(a: DataFrame, b: DataFrame, item: Column) -> DataFrame:
@@ -50,7 +54,7 @@ def kmv_overlap(a: DataFrame, b: DataFrame, item: Column) -> DataFrame:
     inter_est = round(jaccard_est * union_est). All arithmetic is the
     same IEEE ops in both engines, so the oracle matches exactly."""
     sa, sb = kmv_sketch(a, item), kmv_sketch(b, item)
-    s = sa.union(sb).distinct().orderBy("h").limit(KMV_K)
+    s = sa.union(sb).distinct().orderBy("h").limit(KMV_K).localCheckpoint()
     stats = s.agg(F.max("h").alias("_hmax"), F.count("*").alias("_n"))
     inter = (
         s.join(sa, "h", "left_semi")
@@ -72,8 +76,7 @@ def kmv_overlap(a: DataFrame, b: DataFrame, item: Column) -> DataFrame:
 
 
 def _shingles(df: DataFrame, text_col: str, k: int) -> DataFrame:
-    ws = df.select(words_col(text_col).alias("_ws")).filter(F.size("_ws") >= k)
-    return ws.select(F.explode(_shingle_col("_ws", k)).alias("s"))
+    return shingle_stream(df, text_col, k)
 
 
 def corpus_overlap_kmv(

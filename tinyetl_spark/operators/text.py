@@ -1800,7 +1800,7 @@ def line_dedup_sql(
     min_df: int = LINE_DEDUP_MIN_DF,
 ) -> str:
     return f"""
-    WITH l0 AS (SELECT {id_col}, {text_col} AS _t, str_split({text_col}, chr(10)) AS arr
+    WITH l0 AS (SELECT {id_col}, str_split({text_col}, chr(10)) AS arr
                 FROM {table}),
     lines AS (
       SELECT {id_col},
@@ -1843,3 +1843,11 @@ def reline_sql(text_col: str = "text", w: int = RELINE_WORDS) -> str:
         f"array_to_string(list_transform(range(1, (len({arr}) + {w - 1}) // {w} + 1), "
         f"i -> array_to_string(({arr})[(i-1)*{w}+1:(i-1)*{w}+{w}], ' ')), chr(10))"
     )
+
+
+def shingle_stream(df: DataFrame, text_col: str = "text", k: int = DECONTAM_K) -> DataFrame:
+    """All k-word shingles of a corpus as one column ``s`` (one in-row
+    explode, not distinct) — the shared front end of the fuzzy-join
+    dictionary, overlap sketches, and decontamination streams."""
+    ws = df.select(words_col(text_col).alias("_ws")).filter(F.size("_ws") >= k)
+    return ws.select(F.explode(_shingle_col("_ws", k)).alias("s"))

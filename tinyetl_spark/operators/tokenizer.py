@@ -33,9 +33,13 @@ BPE_MERGES = 12    # merges learned by the training query
 
 def word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, wcount): the corpus collapsed to its dictionary — the
-    only corpus-sized shuffle in BPE training."""
+    only corpus-sized shuffle in BPE training. Empty words (blank
+    documents tokenize to ['']) are dropped BEFORE the shuffle: they
+    carry no pairs, and an empty word would trip Spark's backwards
+    sequence(1, 0) in the symbol init."""
     return (
         df.select(F.explode(words_col(text_col)).alias("word"))
+        .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("wcount"))
     )
@@ -93,7 +97,7 @@ def bpe_pair_counts_sql(
     return f"""
     WITH wf AS (
       SELECT w AS word, count(*) AS wcount
-      FROM (SELECT unnest({w}) AS w FROM {table}) GROUP BY w),
+      FROM (SELECT unnest({w}) AS w FROM {table}) WHERE w <> '' GROUP BY w),
     sy AS (
       SELECT wcount,
              list_append(list_transform(range(1, length(word) + 1),
@@ -133,11 +137,15 @@ def bpe_train(
     (rank, lsym, rsym, total) in learned order.
 
     Scale shape: ONE corpus-sized shuffle (the word-frequency groupBy,
-    checkpointed so iterations never rescan the corpus); each iteration
-    is a vocabulary-sized pair count whose single winning row is the
-    only thing the driver sees. The symbol table is re-checkpointed per
-    iteration so plan depth stays O(1), not O(n_merges) — on a cluster
-    the swap point is a parquet stage, same as the dedup pipeline."""
+    checkpointed ONCE so iterations never rescan the corpus — and so
+    exactly one checkpoint's storage is ever held, instead of pinning a
+    copy per iteration); each iteration is a vocabulary-sized pair
+    count whose single winning row is the only thing the driver sees.
+    Iteration i recomputes i in-row folds from that checkpoint —
+    O(n_merges^2) folds over the VOCABULARY table, the cheap side of
+    the trade at the default 12 merges. A production 32k-merge run
+    would stage the symbol table to parquet periodically (same swap
+    point as the dedup pipeline)."""
     spark = df.sparkSession
     cur = (
         word_freq(df, text_col)
@@ -156,7 +164,7 @@ def bpe_train(
             break
         a, b, total = top[0]["lsym"], top[0]["rsym"], top[0]["total"]
         merges.append((rank, a, b, int(total)))
-        cur = cur.withColumn("s", _apply_merge(F.col("s"), a, b)).localCheckpoint()
+        cur = cur.withColumn("s", _apply_merge(F.col("s"), a, b))
     return spark.createDataFrame(
         merges, "rank bigint, lsym string, rsym string, total bigint"
     )
