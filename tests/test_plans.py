@@ -484,3 +484,15 @@ def test_kmv_sketch_takeordered_no_python(spark):
     assert "Scan ExistingRDD" in p          # combine reads the checkpointed sketches
     assert "FileScan" not in p              # ...never the corpus again
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_source_overlap_matrix_pairs_never_touch_corpus(spark):
+    """The pairwise estimate stage must read only the checkpointed
+    |sources| x k sketch table: after the one corpus scan (hidden
+    behind the checkpoint's LogicalRDD), no FileScan may appear in the
+    combine plan, and the source-pair enumeration may cross only the
+    distinct source lists."""
+    p = plan_of(spark, "source_overlap_matrix")
+    assert "Scan ExistingRDD" in p
+    assert "FileScan" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -180,3 +180,122 @@ def corpus_overlap_exact_sql(
            {floor_round_sql('CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter)', 6)} AS jaccard
     FROM st
     """
+
+
+def kmv_sketch_by(df: DataFrame, group_col: str, item: Column, k: int = KMV_K) -> DataFrame:
+    """Bottom-k distinct hashes PER GROUP in one pass: (group, h). A
+    window row_number over (group, hash) replaces N separate top-k
+    jobs — one shuffle keyed by group, grouped-top-k filter, output
+    at most |groups| x k rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        df.select(F.col(group_col), hash64_col(item).alias("h"))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(group_col, "h")
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = OVERLAP_SHINGLE_K,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Pairwise shingle-overlap estimates between every pair of corpus
+    sources: (src_a, src_b, k_pair, n_inter, jaccard_est), src_a <
+    src_b — the "which sources mirror each other" audit that decides
+    dedup priorities before any join runs.
+
+    Scale shape: the corpus is scanned ONCE (grouped bottom-k
+    sketches); every pairwise estimate then works on the |sources| x k
+    sketch table only. Per pair, the KMV union trick: the bottom-k of
+    A union B is a subset of sketch(A) union sketch(B), so ranking the
+    per-pair union of sketch hashes and counting the shared ones inside
+    the bottom-k estimates Jaccard with zero further corpus access.
+    Pair enumeration crosses only the DISTINCT SOURCE LIST with itself
+    (|sources|^2 rows), never data."""
+    from pyspark.sql import Window
+
+    sh = shingle_stream(df, text_col, shingle_k, keep=(group_col,))
+    sk = kmv_sketch_by(sh, group_col, F.col("s"), k).localCheckpoint()
+    srcs = sk.select(F.col(group_col).alias("src")).distinct()
+    pairs = (
+        srcs.select(F.col("src").alias("src_a"))
+        .crossJoin(srcs.select(F.col("src").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    ua = pairs.join(
+        sk.select(F.col(group_col).alias("src_a"), "h"), "src_a"
+    ).select("src_a", "src_b", "h")
+    ub = pairs.join(
+        sk.select(F.col(group_col).alias("src_b"), "h"), "src_b"
+    ).select("src_a", "src_b", "h")
+    union = (
+        ua.unionByName(ub)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.count("*").alias("_sides"))
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    ranked = union.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return (
+        ranked.groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("bigint").alias("k_pair"),
+            F.sum(F.when(F.col("_sides") == 2, 1).otherwise(0)).cast("bigint").alias("n_inter"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "k_pair",
+            "n_inter",
+            floor_round(F.col("n_inter") / F.col("k_pair"), 6).alias("jaccard_est"),
+        )
+    )
+
+
+def source_overlap_matrix_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = OVERLAP_SHINGLE_K,
+    k: int = KMV_K,
+) -> str:
+    w = words_sql(text_col)
+    h = hash64_sql("s")
+    return f"""
+    WITH sh AS (
+      SELECT {group_col} AS g,
+             unnest(list_transform(range(1, len(arr) - {shingle_k - 1} + 1),
+                    i -> array_to_string(arr[i:i+{shingle_k - 1}], ' '))) AS s
+      FROM (SELECT {group_col}, {w} AS arr FROM {table}
+            WHERE len({w}) >= {shingle_k})),
+    hs AS (SELECT DISTINCT g, {h} AS h FROM sh),
+    sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs)
+      WHERE rn <= {k}),
+    srcs AS (SELECT DISTINCT g FROM sk),
+    pairs AS (
+      SELECT a.g AS src_a, b.g AS src_b FROM srcs a, srcs b WHERE a.g < b.g),
+    u AS (
+      SELECT src_a, src_b, h, count(*) AS sides FROM (
+        SELECT p.src_a, p.src_b, s.h FROM pairs p JOIN sk s ON s.g = p.src_a
+        UNION ALL
+        SELECT p.src_a, p.src_b, s.h FROM pairs p JOIN sk s ON s.g = p.src_b)
+      GROUP BY src_a, src_b, h),
+    r AS (
+      SELECT src_a, src_b, h, sides,
+             row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+      FROM u)
+    SELECT src_a, src_b,
+           CAST(count(*) AS BIGINT) AS k_pair,
+           CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+           {floor_round_sql("CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS jaccard_est
+    FROM r WHERE rn <= {k}
+    GROUP BY src_a, src_b
+    """

@@ -1845,9 +1845,14 @@ def reline_sql(text_col: str = "text", w: int = RELINE_WORDS) -> str:
     )
 
 
-def shingle_stream(df: DataFrame, text_col: str = "text", k: int = DECONTAM_K) -> DataFrame:
+def shingle_stream(
+    df: DataFrame, text_col: str = "text", k: int = DECONTAM_K, keep: tuple = ()
+) -> DataFrame:
     """All k-word shingles of a corpus as one column ``s`` (one in-row
-    explode, not distinct) — the shared front end of the fuzzy-join
-    dictionary, overlap sketches, and decontamination streams."""
-    ws = df.select(words_col(text_col).alias("_ws")).filter(F.size("_ws") >= k)
-    return ws.select(F.explode(_shingle_col("_ws", k)).alias("s"))
+    explode, not distinct), optionally carrying ``keep`` columns (e.g.
+    a source tag for grouped sketches) — the shared front end of the
+    fuzzy-join dictionary, overlap sketches, and decontamination
+    streams."""
+    cols = [F.col(c) for c in keep]
+    ws = df.select(*cols, words_col(text_col).alias("_ws")).filter(F.size("_ws") >= k)
+    return ws.select(*cols, F.explode(_shingle_col("_ws", k)).alias("s"))

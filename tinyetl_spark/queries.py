@@ -2137,6 +2137,15 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.corpus_overlap_kmv(load(spark, sf_dir, "documents"))
 
 
+@_q("source_overlap_matrix", sketches.source_overlap_matrix_sql())
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KMV overlap estimates between every pair of corpus
+    sources — ONE corpus scan builds per-source bottom-k sketches
+    (grouped window top-k); all 190 pairwise estimates then run on the
+    |sources| x 256 sketch table alone."""
+    return sketches.source_overlap_matrix(load(spark, sf_dir, "documents"))
+
+
 @_q("corpus_overlap_exact", sketches.corpus_overlap_exact_sql())
 def corpus_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ground truth for corpus_overlap_kmv (distinct counts +
