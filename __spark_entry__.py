@@ -75,7 +75,7 @@ _PRIORITY = [
     "ann_recall_lsh", "ann_recall_pq", "ann_recall_ivf_pq", "ann_recall_rerank",
     "dup_passage_spans", "line_dedup_docs", "fuzzy_join_phrases",
     "bpe_pair_counts", "bpe_train_merges", "corpus_overlap_kmv",
-    "corpus_overlap_exact", "source_overlap_matrix",
+    "corpus_overlap_exact", "source_overlap_matrix", "bpe_encode_docs",
 ]
 
 

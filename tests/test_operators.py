@@ -914,3 +914,49 @@ def test_kmv_overlap_tracks_exact(spark):
     assert 0 < est["union_est"] < 2 * exact["n_union"]
     assert est["union_est"] > exact["n_union"] / 2
     assert abs(est["jaccard_est"] - exact["jaccard"]) < 0.1
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """bpe_encode applied after bpe_train reproduces the classic
+    single-machine encode (train merges -> greedy left-to-right fold
+    per word, flattened in document order) on random corpora."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.tokenizer import BPE_END, bpe_encode, bpe_train
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=5)
+
+    def ref_encode(text, merges):
+        toks = []
+        for w in text.split():
+            s = list(w) + [BPE_END]
+            for a, b in merges:
+                out = []
+                for x in s:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                s = out
+            toks.extend(s)
+        return toks
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=6), min_size=1, max_size=6))
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges = [
+            (r["lsym"], r["rsym"]) for r in bpe_train(df, n_merges=5).collect()
+        ]
+        got = {
+            r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+            for r in bpe_encode(df, merges).collect()
+        }
+        for i, t in enumerate(texts):
+            want = ref_encode(t, merges)
+            assert got[i] == (len(want), want), (t, merges)
+
+    check()

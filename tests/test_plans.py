@@ -496,3 +496,13 @@ def test_source_overlap_matrix_pairs_never_touch_corpus(spark):
     assert "Scan ExistingRDD" in p
     assert "FileScan" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bpe_encode_in_row_no_shuffle_no_python(spark):
+    """Encoding with learned merges is literal-folded in-row work: the
+    encode stage itself adds NO shuffle and no Python (the registered
+    query's only exchanges belong to the training collects, which run
+    before the returned plan)."""
+    p = plan_of(spark, "bpe_encode_docs")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

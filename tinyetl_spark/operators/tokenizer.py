@@ -168,3 +168,58 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank bigint, lsym string, rsym string, total bigint"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to a corpus: per document, tokenize
+    each word to chars+end-marker and fold every merge through it in
+    learned order (the standard greedy BPE encode). Output:
+    (doc_id, n_tokens, tokens) with tokens the flattened per-word
+    symbol arrays in document order.
+
+    Scale shape: ENTIRELY in-row — the merge list is folded into the
+    expression tree as literals (like the PQ codebook transforms), so
+    encoding runs at scan speed with zero shuffle and zero Python. The
+    expression grows linearly with the merge count; for a production
+    32k-merge vocabulary the same loop would emit a Pandas-UDF batch
+    encoder instead — this operator is the plumbing-and-semantics
+    contract, pinned by the round-trip property test against the
+    single-machine reference encode."""
+    words = words_col(text_col)
+    per_word = F.transform(
+        F.filter(words, lambda w: F.length(w) > 0),
+        lambda w: _sym_init(w),
+    )
+    # bind (a, b) through a factory: PySpark infers the HOF's arity
+    # from the lambda's PARAMETER COUNT, so default-arg closures
+    # (lambda s, a=a, b=b: ...) mis-declare a 3-ary lambda
+    def _merge_fn(a: str, b: str):
+        return lambda s: _apply_merge(s, a, b)
+
+    for a, b in merges:
+        per_word = F.transform(per_word, _merge_fn(a, b))
+    toks = F.flatten(per_word)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        toks.alias("tokens"),
+    )
+
+
+def bpe_train_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = BPE_MERGES,
+) -> DataFrame:
+    """Train on the corpus, then encode the corpus with what was
+    learned — the end-to-end tokenizer path a data pipeline actually
+    runs. Only the merge table (n_merges rows) crosses the driver
+    between the phases."""
+    learned = [(r["lsym"], r["rsym"]) for r in bpe_train(df, text_col, n_merges).collect()]
+    return bpe_encode(df, learned, text_col, id_col)

@@ -2137,6 +2137,17 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.corpus_overlap_kmv(load(spark, sf_dir, "documents"))
 
 
+@_q("bpe_encode_docs")
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end tokenizer path: train 12 BPE merges on the
+    corpus, then encode every document with them. The encode is pure
+    in-row codegen (merges folded in as literals); only the 12-row
+    merge table crosses the driver. Iterative training has no single
+    SQL twin — semantics pinned by the pure-Python reference
+    comparison in tests/test_operators.py."""
+    return tokenizer.bpe_train_encode(load(spark, sf_dir, "documents"))
+
+
 @_q("source_overlap_matrix", sketches.source_overlap_matrix_sql())
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise KMV overlap estimates between every pair of corpus
