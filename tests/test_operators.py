@@ -922,7 +922,7 @@ def test_bpe_encode_matches_python_reference(spark):
     per word, flattened in document order) on random corpora."""
     from hypothesis import given, settings, strategies as st
 
-    from tinyetl_spark.operators.tokenizer import BPE_END, bpe_encode, bpe_train
+    from tinyetl_spark.operators.tokenizer import BPE_END, bpe_encode, bpe_train, bpe_train_encode
 
     word = st.text(alphabet="abcd", min_size=1, max_size=5)
 
@@ -955,8 +955,16 @@ def test_bpe_encode_matches_python_reference(spark):
             r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
             for r in bpe_encode(df, merges).collect()
         }
+        # the dictionary-join pipeline must agree with the literal-fold
+        # form (docs that are all-empty words drop out of the join form)
+        joined = {
+            r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+            for r in bpe_train_encode(df, n_merges=5).collect()
+        }
         for i, t in enumerate(texts):
             want = ref_encode(t, merges)
             assert got[i] == (len(want), want), (t, merges)
+            if want:
+                assert joined[i] == (len(want), want), (t, merges)
 
     check()

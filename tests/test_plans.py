@@ -498,11 +498,14 @@ def test_source_overlap_matrix_pairs_never_touch_corpus(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_bpe_encode_in_row_no_shuffle_no_python(spark):
-    """Encoding with learned merges is literal-folded in-row work: the
-    encode stage itself adds NO shuffle and no Python (the registered
-    query's only exchanges belong to the training collects, which run
-    before the returned plan)."""
+def test_bpe_encode_is_dictionary_join_no_python(spark):
+    """The registered encode is the DICTIONARY-JOIN form: doc words
+    equi-join the trained word->symbols table (each word's merge folds
+    ran once in training, not per occurrence), then one per-doc
+    regroup. The plan must show a hash join against the checkpointed
+    vocabulary (LogicalRDD), no nested-loop cross, and no Python."""
     p = plan_of(spark, "bpe_encode_docs")
-    assert "Exchange" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert "Scan ExistingRDD" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
