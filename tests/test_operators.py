@@ -968,3 +968,56 @@ def test_bpe_encode_matches_python_reference(spark):
                 assert joined[i] == (len(want), want), (t, merges)
 
     check()
+
+
+def test_dup_passage_spans_matches_brute_force_random(spark):
+    """Independent semantic pin for dup_passage_spans: the DuckDB twin
+    shares the window/island algorithm, so this checks against a
+    straight-line Python brute force instead — count every n-gram
+    occurrence corpus-wide, mark positions of grams seen >= 2 times,
+    merge overlapping/adjacent fixed-length intervals — on random
+    corpora built from a tiny vocabulary (guaranteeing real cross-doc
+    and intra-doc duplicate runs)."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.text import dup_passage_spans
+
+    N = 3  # small gram so short random docs produce spans
+    word = st.sampled_from(["a", "b", "c"])
+
+    def brute(texts):
+        from collections import Counter
+
+        grams = Counter()
+        per_doc = {}
+        for i, t in enumerate(texts):
+            ws = t.split()
+            per_doc[i] = [tuple(ws[p : p + N]) for p in range(len(ws) - N + 1)]
+            grams.update(per_doc[i])
+        out = []
+        for i, gs in per_doc.items():
+            dup_pos = [p + 1 for p, g in enumerate(gs) if grams[g] >= 2]
+            spans = []
+            for p in dup_pos:
+                if spans and p <= spans[-1][1] - N + 1 + N:  # p <= prev_start_max + n
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], p + N - 1), spans[-1][2] + 1)
+                else:
+                    spans.append((p, p + N - 1, 1))
+            for s0, s1, cnt in spans:
+                out.append((i, s0, s1, s1 - s0 + 1, cnt))
+        return sorted(out)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.lists(word, min_size=3, max_size=12), min_size=1, max_size=8))
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_words, r.n_dup_grams)
+            for r in dup_passage_spans(df, n=N).collect()
+        )
+        assert got == brute(texts)
+
+    check()
