@@ -990,6 +990,25 @@ def pq_encode_sql(
     """
 
 
+def pq_encode_codes_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+) -> str:
+    """pq_encode_sql with codes flattened to a comma-joined string —
+    the driver-comparable projection (its canonicalizer sorts rows in
+    pandas and dies on unhashable list cells)."""
+    books = codebooks or _pq_seeded_codebooks()
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    codes = _pq_codes_sql(v, books)
+    return f"""
+    SELECT {id_col},
+           array_to_string(list_transform({codes}, c -> CAST(c AS VARCHAR)), ',') AS codes
+    FROM {table}
+    """
+
+
 def pq_topk(
     df: DataFrame,
     query_id: int,

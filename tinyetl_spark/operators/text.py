@@ -1016,7 +1016,13 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_words"),
-            F.round((F.sum("_lp") / F.count("*")).cast("double"), 6).alias("avg_logprob"),
+            # cast BOTH sides to double BEFORE dividing: decimal division
+            # scale rules differ between engines (1-ulp divergence at
+            # sf0.01, driver r5), whereas double/double is bit-exact IEEE;
+            # floor_round is the repo's engine-proof half-up convention
+            floor_round(
+                F.sum("_lp").cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_logprob"),
         )
         .orderBy(id_col)
     )
@@ -1043,7 +1049,7 @@ def unigram_logprob_sql(
              END AS DECIMAL(38,9)) AS lp
       FROM words LEFT JOIN vocab v ON words.w = v.w CROSS JOIN tot t)
     SELECT {id_col}, count(*) AS n_words,
-           round(CAST(sum(lp) / count(*) AS DOUBLE), 6) AS avg_logprob
+           {floor_round_sql("CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS avg_logprob
     FROM scored GROUP BY {id_col} ORDER BY {id_col}
     """
 
@@ -1094,7 +1100,12 @@ def bigram_logprob(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round((F.sum("_lp") / F.count("*")).cast("double"), 6).alias("avg_logprob"),
+            # double-first divide + floor_round: same engine-proof mean
+            # convention as unigram_logprob (decimal division scale rules
+            # diverge between engines; double/double IEEE does not)
+            floor_round(
+                F.sum("_lp").cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_logprob"),
         )
         .orderBy(id_col)
     )
@@ -1128,7 +1139,7 @@ def bigram_logprob_sql(
       LEFT JOIN uni u ON bgd.w1 = u.w1
       CROSS JOIN tot t)
     SELECT {id_col}, count(*) AS n_bigrams,
-           round(CAST(sum(lp) / count(*) AS DOUBLE), 6) AS avg_logprob
+           {floor_round_sql("CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS avg_logprob
     FROM scored GROUP BY {id_col} ORDER BY {id_col}
     """
 

@@ -2679,13 +2679,20 @@ def _materialized_rpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("pq_encode_vectors", similarity.pq_encode_sql())
+@_q("pq_encode_vectors", similarity.pq_encode_codes_sql())
 def pq_encode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: each 64-dim vector -> 8 nearest-subcentroid
     codes (8 bytes vs 256 for float32 — the memory step that fits
     billion-vector ANN in RAM). Pure codegen projection, zero shuffle;
-    oracle shares the deterministic codebook literals."""
-    return similarity.pq_encode(load(spark, sf_dir, "embeddings"))
+    oracle shares the deterministic codebook literals. Codes project as
+    a comma-joined string here (scalar columns only — the driver's
+    canonicalizer can't sort array cells); internal consumers
+    (pq_topk/rerank) keep the array form from pq_encode."""
+    enc = similarity.pq_encode(load(spark, sf_dir, "embeddings"))
+    return enc.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes"),
+    )
 
 
 @_q("ann_pq_topk", similarity.pq_topk_sql(query_id=0, k=10))
