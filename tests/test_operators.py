@@ -906,14 +906,33 @@ def test_kmv_overlap_tracks_exact(spark):
     overlap on the test corpus: union within 2x and jaccard within
     +/-0.1 absolute (k=256 => ~6% std error on union; intersection is
     noisier)."""
-    from tinyetl_spark.operators.sketches import corpus_overlap_exact, corpus_overlap_kmv
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators.sketches import KMV_K, corpus_overlap_exact, corpus_overlap_kmv
+    from tinyetl_spark.queries import load
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = load(spark, SF_DIR, "documents")
     est = corpus_overlap_kmv(docs).collect()[0]
     exact = corpus_overlap_exact(docs).collect()[0]
     assert 0 < est["union_est"] < 2 * exact["n_union"]
     assert est["union_est"] > exact["n_union"] / 2
     assert abs(est["jaccard_est"] - exact["jaccard"]) < 0.1
+    if est["k"] < KMV_K:  # under-full sketch holds the whole union: exact
+        assert est["union_est"] == exact["n_union"]
+        assert est["inter_est"] == exact["n_inter"]
+
+
+def test_kmv_overlap_underfull_returns_exact_counts(spark):
+    """A corpus with fewer distinct items than the sketch size must
+    come back with the EXACT union/intersection, not the estimator."""
+    from tinyetl_spark.operators.sketches import kmv_overlap
+
+    a = spark.range(40).selectExpr("concat('x', id % 30) AS v")
+    b = spark.range(40).selectExpr("concat('x', id % 30 + 20) AS v")
+    row = kmv_overlap(a, b, F.col("v")).collect()[0]
+    assert row["k"] == 50  # |union| = 30 + 30 - 10 distinct
+    assert row["union_est"] == 50
+    assert row["inter_est"] == row["n_inter"] == 10
+    assert abs(row["jaccard_est"] - 10 / 50) < 1e-9
 
 
 def test_bpe_encode_matches_python_reference(spark):
@@ -956,18 +975,38 @@ def test_bpe_encode_matches_python_reference(spark):
             for r in bpe_encode(df, merges).collect()
         }
         # the dictionary-join pipeline must agree with the literal-fold
-        # form (docs that are all-empty words drop out of the join form)
+        # form for EVERY doc — all-empty-word docs keep a row with
+        # n_tokens=0 in both (left-join contract)
         joined = {
             r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
             for r in bpe_train_encode(df, n_merges=5).collect()
         }
+        assert set(joined) == set(got)
         for i, t in enumerate(texts):
             want = ref_encode(t, merges)
             assert got[i] == (len(want), want), (t, merges)
-            if want:
-                assert joined[i] == (len(want), want), (t, merges)
+            assert joined[i] == (len(want), want), (t, merges)
 
     check()
+
+
+def test_bpe_train_encode_keeps_empty_docs(spark):
+    """A document whose words are all empty must come back with
+    n_tokens=0 and tokens=[] from BOTH encode forms (the join form
+    used to drop it)."""
+    from tinyetl_spark.operators.tokenizer import bpe_encode, bpe_train_encode
+
+    df = spark.createDataFrame(
+        [(0, "ab ab cd"), (1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    for out in (
+        bpe_train_encode(df, n_merges=2),
+        bpe_encode(df, [("a", "b")]),
+    ):
+        rows = {r.doc_id: (r.n_tokens, list(r.tokens)) for r in out.collect()}
+        assert set(rows) == {0, 1, 2}
+        assert rows[1] == (0, []) and rows[2] == (0, [])
+        assert rows[0][0] > 0
 
 
 def test_dup_passage_spans_matches_brute_force_random(spark):
@@ -1021,3 +1060,25 @@ def test_dup_passage_spans_matches_brute_force_random(spark):
         assert got == brute(texts)
 
     check()
+
+
+def test_dup_passage_spans_hot_gram_fixture(spark):
+    """Skew fixture: ONE boilerplate gram shared by every document (the
+    web-crawl footer case that made the old count-window a straggler).
+    20k docs x the same 3-gram must still produce one exact span per
+    doc; the plan-shape guarantee (no window on gh) lives in
+    test_plans.test_dup_passage_spans_skew_safe_no_python."""
+    from tinyetl_spark.operators.text import dup_passage_spans
+
+    n_docs = 20_000
+    df = spark.range(n_docs).selectExpr(
+        "id AS doc_id", "concat('unique', id, ' cookie banner footer') AS text"
+    )
+    out = dup_passage_spans(df, n=3)
+    rows = out.collect()
+    # each doc: positions 1..2 are grams; only pos 2 ('cookie banner
+    # footer') repeats corpus-wide -> one span [2, 4] per doc
+    assert len(rows) == n_docs
+    assert {(r.span_start, r.span_end, r.span_words, r.n_dup_grams) for r in rows} == {
+        (2, 4, 3, 1)
+    }

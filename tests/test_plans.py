@@ -422,13 +422,18 @@ def test_hot_keys_audit_takeordered(spark):
     assert "TakeOrderedAndProject" in p
 
 
-def test_dup_passage_spans_two_shuffles_no_python(spark):
-    """Passage extraction shuffles exactly twice — once on the gram
-    hash (count window) and once on doc_id (island merge; the span
-    groupBy reuses that partitioning) — and the gram STRING never
-    shuffles: only the 64-bit hash crosses the wire."""
+def test_dup_passage_spans_skew_safe_no_python(spark):
+    """Passage extraction's "occurs >= 2" must be a partial-aggregated
+    groupBy on the gram hash joined back — NEVER a count window
+    partitioned by gh, which would funnel every position of one
+    boilerplate gram into a single straggler task. The gram STRING
+    never shuffles (only the 128-bit hash crosses the wire), the only
+    Window left is the per-doc island merge on doc_id, and no Python."""
     p = plan_of(spark, "dup_passage_spans")
-    assert p.count("Exchange hashpartitioning") == 2
+    assert "HashAggregate" in p  # the gh count partial-aggregates
+    for frag in p.split("Window")[1:]:
+        head = frag[:200]
+        assert "gh" not in head, f"window partitioned by gram hash: {head}"
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 

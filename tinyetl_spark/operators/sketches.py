@@ -52,7 +52,12 @@ def kmv_overlap(a: DataFrame, b: DataFrame, item: Column) -> DataFrame:
     jaccard_est = |union-bottom-k ∩ A-sketch ∩ B-sketch| / k;
     union_est = (k-1) * RANGE / kth-min of the union sketch;
     inter_est = round(jaccard_est * union_est). All arithmetic is the
-    same IEEE ops in both engines, so the oracle matches exactly."""
+    same IEEE ops in both engines, so the oracle matches exactly.
+
+    Under-full regime (union sketch holds < k hashes): the sketch IS
+    the entire distinct union, so standard KMV returns the exact
+    counts — union_est = n, inter_est = n_inter — instead of adding
+    estimator bias/variance where the truth is already in hand."""
     sa, sb = kmv_sketch(a, item), kmv_sketch(b, item)
     s = sa.union(sb).distinct().orderBy("h").limit(KMV_K).localCheckpoint()
     stats = s.agg(F.max("h").alias("_hmax"), F.count("*").alias("_n"))
@@ -63,14 +68,21 @@ def kmv_overlap(a: DataFrame, b: DataFrame, item: Column) -> DataFrame:
     )
     jac = F.col("_ni") / F.col("_n")
     union_est = (F.col("_n") - 1) * F.lit(float(MAX60)) / F.col("_hmax")
+    full = F.col("_n") >= F.lit(KMV_K)
     return (
         stats.join(F.broadcast(inter))
         .select(
             F.col("_n").cast("bigint").alias("k"),
             F.col("_ni").cast("bigint").alias("n_inter"),
             floor_round(jac, 6).alias("jaccard_est"),
-            F.floor(union_est + F.lit(0.5)).cast("bigint").alias("union_est"),
-            F.floor(jac * union_est + F.lit(0.5)).cast("bigint").alias("inter_est"),
+            F.when(full, F.floor(union_est + F.lit(0.5)))
+            .otherwise(F.col("_n"))
+            .cast("bigint")
+            .alias("union_est"),
+            F.when(full, F.floor(jac * union_est + F.lit(0.5)))
+            .otherwise(F.col("_ni"))
+            .cast("bigint")
+            .alias("inter_est"),
         )
     )
 
@@ -120,8 +132,10 @@ def corpus_overlap_kmv_sql(
     SELECT CAST(n AS BIGINT) AS k,
            CAST(ni AS BIGINT) AS n_inter,
            {floor_round_sql(jac, 6)} AS jaccard_est,
-           CAST(floor({union_est} + 0.5) AS BIGINT) AS union_est,
-           CAST(floor(({jac}) * ({union_est}) + 0.5) AS BIGINT) AS inter_est
+           CAST(CASE WHEN n >= {k} THEN floor({union_est} + 0.5)
+                ELSE n END AS BIGINT) AS union_est,
+           CAST(CASE WHEN n >= {k} THEN floor(({jac}) * ({union_est}) + 0.5)
+                ELSE ni END AS BIGINT) AS inter_est
     FROM st, it
     """
 

@@ -1657,15 +1657,20 @@ def dup_passage_spans(
     per merged span: (doc_id, span_start, span_end, span_words,
     n_dup_grams), word positions 1-based inclusive.
 
-    Scale shape: positions are carried as (doc_id, pos, gram-hash64) so
-    the wide gram strings never shuffle; "occurs >= 2 times" is a count
-    window over the gram hash (ONE shuffle on gh, no self-join); the
-    surviving duplicated positions — sized by the duplicated text, not
-    the corpus — regroup once per doc_id for the gaps-and-islands merge
-    (lag + running sum, then the span groupBy reuses the same doc_id
-    partitioning). Same-length intervals sorted by start merge iff
-    next_start <= prev_start + n, so one lag suffices — no running-max
-    end is needed."""
+    Scale shape: positions are carried as (doc_id, pos, gram-hash) so
+    the wide gram strings never shuffle; the gram identity is the full
+    128-bit md5 (hash128_col — dedup.py's convention for identity keys;
+    60 bits false-merges at ~1.5e9 grams, and a web crawl has more);
+    "occurs >= 2 times" is a groupBy(gh).count() + equi-join back, NOT
+    a count window: the groupBy partial-aggregates map-side so a
+    boilerplate gram repeated 10M times costs one combined row per
+    task, where a window would funnel every position of that gram into
+    a single straggler task. The surviving duplicated positions —
+    sized by the duplicated text, not the corpus — regroup once per
+    doc_id for the gaps-and-islands merge (lag + running sum, then the
+    span groupBy reuses the same doc_id partitioning). Same-length
+    intervals sorted by start merge iff next_start <= prev_start + n,
+    so one lag suffices — no running-max end is needed."""
     from pyspark.sql import Window
 
     ws = df.select(F.col(id_col), words_col(text_col).alias("_ws")).filter(
@@ -1673,12 +1678,9 @@ def dup_passage_spans(
     )
     pg = ws.select(
         F.col(id_col), F.posexplode(_shingle_col("_ws", n)).alias("_p", "_g")
-    ).select(F.col(id_col), (F.col("_p") + 1).alias("pos"), hash64_col("_g").alias("gh"))
-    dup = (
-        pg.withColumn("_c", F.count("*").over(Window.partitionBy("gh")))
-        .filter(F.col("_c") >= 2)
-        .select(id_col, "pos")
-    )
+    ).select(F.col(id_col), (F.col("_p") + 1).alias("pos"), hash128_col("_g").alias("gh"))
+    repeated = pg.groupBy("gh").agg(F.count("*").alias("_c")).filter(F.col("_c") >= 2)
+    dup = pg.join(repeated.select("gh"), "gh").select(id_col, "pos")
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     flagged = dup.withColumn(
         "_new",
@@ -1716,11 +1718,9 @@ def dup_passage_spans_sql(
              unnest(range(1, len(arr) - {n} + 2)) AS pos,
              unnest(list_transform(range(1, len(arr) - {n} + 2), i -> {gram})) AS s
       FROM ws),
-    pg AS (SELECT {id_col}, pos, {hash64_sql('s')} AS gh FROM g),
-    dup AS (
-      SELECT {id_col}, pos FROM (
-        SELECT {id_col}, pos, count(*) OVER (PARTITION BY gh) AS c FROM pg)
-      WHERE c >= 2),
+    pg AS (SELECT {id_col}, pos, {hash128_sql('s')} AS gh FROM g),
+    rep AS (SELECT gh FROM pg GROUP BY gh HAVING count(*) >= 2),
+    dup AS (SELECT pg.{id_col}, pos FROM pg JOIN rep USING (gh)),
     fl AS (
       SELECT {id_col}, pos,
              CASE WHEN pos <= coalesce(lag(pos) OVER w, {-2 * n}) + {n}

@@ -114,6 +114,125 @@ def bpe_pair_counts_sql(
     """
 
 
+def _bpe_iter_sql(k: int) -> str:
+    """One unrolled training iteration for the DuckDB twin: pick the
+    top pair t{k} from symbol table s{k-1}, then apply it greedily.
+
+    Greedy left-to-right merge in set-based SQL: a position i matches
+    when (s[i], s[i+1]) = (a, b); overlapping matches only happen in
+    runs of one repeated symbol (requires a = b), and the greedy fold
+    resolves a run by taking the 1st, 3rd, 5th... match — i.e. within
+    each maximal island of CONSECUTIVE match positions, keep the
+    even-offset ones. Island id = i - cumulative-match-count (constant
+    exactly along consecutive matches); taken = even offset from the
+    island head; position i+1 after a taken match is consumed."""
+    prev = f"s{k - 1}"
+    A, B = f"(SELECT lsym FROM t{k})", f"(SELECT rsym FROM t{k})"
+    return f"""
+    p{k} AS (
+      SELECT s[i] AS lsym, s[i + 1] AS rsym, CAST(sum(wcount) AS BIGINT) AS total
+      FROM (SELECT wcount, s, unnest(range(1, len(s))) AS i FROM {prev})
+      GROUP BY 1, 2),
+    t{k} AS MATERIALIZED (SELECT lsym, rsym, total FROM p{k} WHERE total >= 2
+             ORDER BY total DESC, lsym ASC, rsym ASC LIMIT 1),
+    e{k} AS (
+      SELECT word, wcount, s, unnest(range(1, len(s) + 1)) AS i FROM {prev}),
+    m{k} AS (
+      SELECT word, wcount, i, s[i] AS sym,
+             coalesce(i < len(s) AND s[i] = {A} AND s[i + 1] = {B}, FALSE) AS m
+      FROM e{k}),
+    i{k} AS (
+      SELECT *, CASE WHEN m THEN i - (count(*) FILTER (WHERE m)
+                       OVER (PARTITION BY word ORDER BY i)) END AS isl
+      FROM m{k}),
+    k{k} AS (
+      SELECT word, wcount, i, sym, m,
+             coalesce(m AND (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0,
+                      FALSE) AS taken
+      FROM i{k}),
+    g{k} AS (
+      SELECT word, wcount, i, taken,
+             coalesce(lag(taken) OVER (PARTITION BY word ORDER BY i), FALSE)
+               AS consumed,
+             CASE WHEN taken THEN {A} || {B} ELSE sym END AS osym
+      FROM k{k}),
+    s{k} AS MATERIALIZED (
+      SELECT word, max(wcount) AS wcount,
+             list(osym ORDER BY i) FILTER (WHERE NOT consumed) AS s
+      FROM g{k} GROUP BY word)"""
+
+
+def _bpe_train_ctes(
+    table: str, text_col: str, n_merges: int
+) -> str:
+    """The shared WITH-clause body: word dictionary, char-level symbol
+    init s0, and ``n_merges`` unrolled iterations s1..sN / t1..tN."""
+    w = words_sql(text_col)
+    head = f"""
+    wf AS MATERIALIZED (
+      SELECT w AS word, count(*) AS wcount
+      FROM (SELECT unnest({w}) AS w FROM {table}) WHERE w <> '' GROUP BY w),
+    s0 AS MATERIALIZED (
+      SELECT word, wcount,
+             list_append(list_transform(range(1, length(word) + 1),
+                                        i -> substr(word, i, 1)), '{BPE_END}') AS s
+      FROM wf)"""
+    return head + "," + ",".join(_bpe_iter_sql(k) for k in range(1, n_merges + 1))
+
+
+def bpe_train_sql(
+    table: str = "documents", text_col: str = "text", n_merges: int = BPE_MERGES
+) -> str:
+    """DuckDB twin of :func:`bpe_train` — the greedy training loop
+    unrolled into ``n_merges`` CTE blocks (iterative, so there is no
+    single-pass relational form; unrolling keeps it driver-checkable).
+    An iteration whose best pair falls under total 2 yields an empty
+    t{{k}}, every later iteration stays empty, and the UNION simply
+    returns fewer rows — same early-stop as the Spark loop."""
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, lsym, rsym, total FROM t{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_bpe_train_ctes(table, text_col, n_merges)}
+    SELECT * FROM ({unions}) ORDER BY rank
+    """
+
+
+def bpe_train_encode_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = BPE_MERGES,
+) -> str:
+    """DuckDB twin of the train-then-encode path: the final symbol
+    table s{{n}} IS the encode dictionary — explode document words,
+    join word -> merged symbols, reassemble in document order. Tokens
+    project as a space-joined string (driver-comparable scalar); docs
+    whose words are all empty keep a row with n_tokens = 0."""
+    w = words_sql(text_col)
+    return f"""
+    WITH {_bpe_train_ctes(table, text_col, n_merges)},
+    dw AS (
+      SELECT {id_col},
+             unnest(range(1, len(w) + 1)) AS pos,
+             unnest(w) AS word
+      FROM (SELECT {id_col}, {w} AS w FROM {table})),
+    enc AS (
+      SELECT dw.{id_col}, pos, s
+      FROM dw JOIN s{n_merges} USING (word) WHERE word <> ''),
+    agg AS (
+      SELECT {id_col},
+             CAST(sum(len(s)) AS BIGINT) AS n_tokens,
+             array_to_string(flatten(list(s ORDER BY pos)), ' ') AS tokens
+      FROM enc GROUP BY {id_col})
+    SELECT d.{id_col},
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(a.tokens, '') AS tokens
+    FROM {table} d LEFT JOIN agg a USING ({id_col})
+    """
+
+
 def _apply_merge(s: Column, a: str, b: str) -> Column:
     """Greedy left-to-right merge of adjacent (a, b) into a+b — an
     in-row fold; literals go through F.lit, never string-interpolated
@@ -251,14 +370,17 @@ def bpe_train_encode(
             lambda e: e["s"],
         )
     )
+    grouped = joined.groupBy(id_col).agg(toks.alias("tokens"))
+    # left-join back so all-empty documents keep a row with n_tokens=0
+    # — the same output contract as bpe_encode (the inner join above
+    # silently dropped them before)
+    empty = F.expr("CAST(array() AS array<string>)")
     return (
-        joined.groupBy(id_col)
-        .agg(
-            toks.alias("tokens"),
-        )
+        df.select(id_col)
+        .join(grouped, id_col, "left")
         .select(
             F.col(id_col),
-            F.size("tokens").cast("bigint").alias("n_tokens"),
-            F.col("tokens"),
+            F.coalesce(F.size("tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("tokens"), empty).alias("tokens"),
         )
     )

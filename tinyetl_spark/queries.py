@@ -2119,12 +2119,13 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer.bpe_pair_counts(load(spark, sf_dir, "documents"))
 
 
-@_q("bpe_train_merges")
+@_q("bpe_train_merges", tokenizer.bpe_train_sql())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full greedy BPE training (12 merges) — iterative, so no single
-    SQL twin; pinned instead by tests/test_operators.py's pure-Python
-    reference comparison. Per iteration only the winning pair row
-    crosses the driver."""
+    """Full greedy BPE training (12 merges). Per iteration only the
+    winning pair row crosses the driver. The DuckDB twin unrolls the
+    iterative loop into 12 CTE blocks (exact greedy-merge semantics
+    via island-parity windows); the pure-Python reference comparison
+    in tests/test_operators.py pins the algorithm independently."""
     return tokenizer.bpe_train(load(spark, sf_dir, "documents"))
 
 
@@ -2137,15 +2138,19 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.corpus_overlap_kmv(load(spark, sf_dir, "documents"))
 
 
-@_q("bpe_encode_docs")
+@_q("bpe_encode_docs", tokenizer.bpe_train_encode_sql())
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end tokenizer path: train 12 BPE merges on the
-    corpus, then encode every document with them. The encode is pure
-    in-row codegen (merges folded in as literals); only the 12-row
-    merge table crosses the driver. Iterative training has no single
-    SQL twin — semantics pinned by the pure-Python reference
-    comparison in tests/test_operators.py."""
-    return tokenizer.bpe_train_encode(load(spark, sf_dir, "documents"))
+    corpus, then encode every document through the trained DICTIONARY
+    JOIN (each distinct word's merge folds ran once during training;
+    encode = explode words -> equi-join word->symbols -> regroup in
+    document order — see bpe_train_encode). Tokens project as a
+    space-joined string (driver-comparable scalar columns); the
+    DuckDB twin unrolls the same 12 training iterations."""
+    enc = tokenizer.bpe_train_encode(load(spark, sf_dir, "documents"))
+    return enc.select(
+        "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
+    )
 
 
 @_q("source_overlap_matrix", sketches.source_overlap_matrix_sql())
