@@ -514,3 +514,25 @@ def test_bpe_encode_is_dictionary_join_no_python(spark):
     assert "Scan ExistingRDD" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_all_registered_queries_emit_scalar_columns(spark):
+    """Driver-comparability contract: the correctness driver
+    canonicalizes results by sorting rows in pandas, which dies on
+    unhashable cells — so every registered query must project
+    array/map/struct values as scalars (comma-joined strings, exploded
+    columns). pq_encode_vectors (round 5) and multimodal_byte_histogram
+    were the two that slipped through; this pins all 167."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = {}
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF_DIR)
+        off = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if off:
+            bad[name] = off
+    assert not bad, f"nested-typed driver columns: {bad}"

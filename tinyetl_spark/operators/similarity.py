@@ -639,6 +639,20 @@ def quantize_int8_sql(
     """
 
 
+def quantize_int8_codes_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """quantize_int8_sql with q flattened to a comma-joined string —
+    the driver-comparable projection (pandas canonicalizer cannot
+    hash list cells)."""
+    return f"""
+    SELECT {id_col}, array_to_string(q, ',') AS q, scale
+    FROM ({quantize_int8_sql(table, vec_col, id_col)})
+    """
+
+
 def batch_topk(
     df: DataFrame,
     k: int = 5,

@@ -2595,12 +2595,19 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_norms(load(spark, sf_dir, "embeddings"))
 
 
-@_q("embedding_quantize", similarity.quantize_int8_sql())
+@_q("embedding_quantize", similarity.quantize_int8_codes_sql())
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding corpus — the 4×
     memory/IO shrink a 100 TB ANN index needs. floor(x*s+0.5), not
-    round() (HALF_UP decimal vs binary divergence between engines)."""
-    return similarity.quantize_int8(load(spark, sf_dir, "embeddings"))
+    round() (HALF_UP decimal vs binary divergence between engines).
+    Codes project as a comma-joined string (driver-comparable scalar
+    columns); quantize_int8 keeps the array form for internal use."""
+    enc = similarity.quantize_int8(load(spark, sf_dir, "embeddings"))
+    return enc.select(
+        "vec_id",
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q"),
+        "scale",
+    )
 
 
 @_q("ann_brute_topk", similarity.brute_topk_sql(query_id=0, k=10))
@@ -3058,7 +3065,7 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE strlen(text) = length(text) AND length(text) > 0
     )
     SELECT doc_id,
-           [{bins}] AS hist
+           array_to_string([{bins}], ',') AS hist
     FROM chars GROUP BY doc_id
     """.replace(
         "{bins}",
@@ -3083,7 +3090,12 @@ def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.octet_length("text") == F.length("text")) & (F.length("text") > 0))
         .select("doc_id", F.col("text").cast("binary").alias("payload"))
     )
-    return multimodal.byte_histogram(d)
+    # hist projects as a comma-joined string: the driver's canonicalizer
+    # sorts rows in pandas and cannot hash list cells (same contract as
+    # pq_encode_vectors); byte_histogram keeps the array form
+    return multimodal.byte_histogram(d).select(
+        "doc_id", F.concat_ws(",", F.col("hist").cast("array<string>")).alias("hist")
+    )
 
 
 _RAG_DIM = 8  # hash-embedding dims for the ingest pipeline query
