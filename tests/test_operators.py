@@ -990,6 +990,64 @@ def test_bpe_encode_matches_python_reference(spark):
     check()
 
 
+def test_bpe_encode_batch_equals_literal_fold(spark):
+    """The production Pandas-UDF encoder must be byte-equal to the
+    literal-fold bpe_encode on a trained merge table — random corpora
+    plus the empty/whitespace edge docs."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.tokenizer import bpe_encode, bpe_encode_batch, bpe_train
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=5)
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(st.lists(word, min_size=0, max_size=6), min_size=1, max_size=6))
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges = [
+            (r["lsym"], r["rsym"]) for r in bpe_train(df, n_merges=5).collect()
+        ]
+        fold = {
+            r.doc_id: (r.n_tokens, list(r.tokens))
+            for r in bpe_encode(df, merges).collect()
+        }
+        batch = {
+            r.doc_id: (r.n_tokens, list(r.tokens))
+            for r in bpe_encode_batch(df, merges).collect()
+        }
+        assert batch == fold
+
+    check()
+
+
+def test_bpe_encode_batch_large_vocab_on_corpus(spark):
+    """Production-size check the fold can't reach: train 60 merges on
+    the documents table, encode with the batch encoder, and require
+    byte-equality with the dictionary-join encode (both derive from
+    the same trained table, so all three forms must agree)."""
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators.tokenizer import bpe_encode_batch, bpe_train, bpe_train_encode
+    from tinyetl_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")
+    merges = [
+        (r["lsym"], r["rsym"]) for r in bpe_train(docs, n_merges=60).collect()
+    ]
+    assert len(merges) == 60
+    batch = {
+        r.doc_id: (r.n_tokens, tuple(r.tokens))
+        for r in bpe_encode_batch(docs, merges).collect()
+    }
+    joined = {
+        r.doc_id: (r.n_tokens, tuple(r.tokens))
+        for r in bpe_train_encode(docs, n_merges=60).collect()
+    }
+    assert batch == joined
+
+
 def test_bpe_train_encode_keeps_empty_docs(spark):
     """A document whose words are all empty must come back with
     n_tokens=0 and tokens=[] from BOTH encode forms (the join form

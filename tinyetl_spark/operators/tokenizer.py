@@ -339,6 +339,81 @@ def bpe_encode(
     )
 
 
+def bpe_encode_batch(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production-vocabulary encoder: Arrow-batched ``mapInPandas``
+    sized for 32k-merge tables, byte-equal to :func:`bpe_encode`.
+
+    Why not the literal-fold form: ``bpe_encode`` folds every merge
+    into the expression tree, so plan size grows with the vocabulary
+    and past a few hundred merges codegen falls over. Here the merge
+    table ships once per executor as a rank dict, and each word is
+    encoded with the classic min-rank loop (repeatedly merge the
+    lowest-ranked adjacent pair — equivalent to applying merges in
+    learned order for any well-formed table, because a merge's operand
+    symbols can only be produced by EARLIER-ranked merges), cost
+    independent of vocabulary size. A per-batch word cache makes the
+    effective unit of work the batch's DISTINCT words — the same
+    dictionary-style saving as bpe_train_encode, without a join.
+
+    Scale shape: zero shuffle (pure map), Arrow batch transfer, merge
+    dict is O(vocab) bytes per executor. Use for encoding NEW text
+    with a frozen production tokenizer; `bpe_train_encode` remains the
+    cheapest path when encoding the training corpus itself."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = f"{id_col} long, n_tokens long, tokens array<string>"
+    spark_words = words_col(text_col)
+    src = df.select(F.col(id_col), spark_words.alias("_ws"))
+
+    def _encode_batches(batches):
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            s = list(w) + [BPE_END]
+            while len(s) >= 2:
+                best_rank, best_pair = None, None
+                for i in range(len(s) - 1):
+                    r = ranks.get((s[i], s[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, (s[i], s[i + 1])
+                if best_pair is None:
+                    break
+                a, b = best_pair
+                out: list[str] = []
+                for x in s:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                s = out
+            cache[w] = s
+            return s
+
+        for batch in batches:
+            toks = [
+                [t for w in ws if w for t in enc_word(w)]
+                for ws in batch["_ws"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "n_tokens": [len(t) for t in toks],
+                    "tokens": toks,
+                }
+            )
+
+    return src.mapInPandas(_encode_batches, schema=out_schema)
+
+
 def bpe_train_encode(
     df: DataFrame,
     text_col: str = "text",

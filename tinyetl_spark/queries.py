@@ -2153,6 +2153,23 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("bpe_encode_batch_docs", tokenizer.bpe_train_encode_sql())
+def bpe_encode_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-vocabulary encode path: train 12 merges, then
+    encode through the Arrow-batched Pandas-UDF encoder (rank-dict
+    min-rank loop, per-batch word cache — sized for 32k merges where
+    the literal fold's expression tree falls over). Must be byte-equal
+    to bpe_encode_docs, so it shares that oracle."""
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r["lsym"], r["rsym"]) for r in tokenizer.bpe_train(docs).collect()
+    ]
+    enc = tokenizer.bpe_encode_batch(docs, merges)
+    return enc.select(
+        "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
+    )
+
+
 @_q("source_overlap_matrix", sketches.source_overlap_matrix_sql())
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise KMV overlap estimates between every pair of corpus
