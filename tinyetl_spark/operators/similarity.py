@@ -1764,6 +1764,28 @@ def rpq_rerank_topk_sql(
 
 # ------------------------------------------------- semantic dedup
 
+def _auto_semdedup_centroids(
+    df: DataFrame, vec_col: str, id_col: str, max_cell_size: int
+) -> list[list[float]]:
+    """Corpus-sized quantizer choice for SemDeDup: seeded literal
+    centroids while the corpus fits them at <= max_cell_size/8 mean
+    occupancy (oracle-parity regime — the DuckDB twin embeds the same
+    literals), else ceil(n / (max_cell_size/8)) trained centroids so
+    growth can't trip the hard cell guard everywhere at once."""
+    seeded = _ivf_seeded_centroids()
+    target_per_cell = max(1, max_cell_size // 8)
+    n = df.count()
+    if n <= len(seeded) * target_per_cell:
+        return seeded
+    k = -(-n // target_per_cell)
+    # sample must dominate k (>=8 training points per centroid) —
+    # still driver-bounded: at 100M vectors k≈390k would call for the
+    # distributed kmeans_fit instead, which callers can pass in
+    return train_ivf_centroids(
+        df, vec_col, id_col, n_centroids=k, sample=max(2048, 8 * k)
+    )
+
+
 def semantic_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,
@@ -1786,12 +1808,19 @@ def semantic_dup_pairs(
     seeded literal centroids so both engines share the quantizer.
     Cells above ``max_cell_size`` are dropped outright, the same
     skew/boilerplate guard as every other pairwise op here — a dropped
-    cell is the signal that the quantizer is too coarse for the corpus
-    (at 10x the test corpus the 8 seeded cells all trip the guard;
-    training 8x more cells restores near-linear wall clock, measured in
-    the README SCALING table)."""
-    cents = centroids or _ivf_seeded_centroids()
+    cell is the signal that the quantizer is too coarse for the corpus.
+
+    With ``centroids=None`` the quantizer AUTO-SCALES: while the corpus
+    fits the seeded cells at <= ``target_per_cell`` mean occupancy the
+    shared seeded literals are used (so the DuckDB oracle can embed the
+    identical quantizer), and beyond that ceil(n / target_per_cell)
+    centroids are trained on a deterministic driver-side sample —
+    corpus growth can no longer silently trip the guard in every cell
+    and zero the output (the round-5 sf1 failure mode; the guard stays
+    as a hard backstop against individual hot cells)."""
     from pyspark.sql import Window
+
+    cents = centroids or _auto_semdedup_centroids(df, vec_col, id_col, max_cell_size)
 
     base = ivf_assign(df.select(F.col(id_col), F.col(vec_col)), vec_col, cents)
     base = base.withColumn(
