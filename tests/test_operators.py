@@ -1168,3 +1168,40 @@ def test_semdedup_auto_scales_cells(spark):
     # end-to-end with no override: must run and produce a sane pair set
     pairs = semantic_dup_pairs(big, threshold=0.99)
     assert pairs.count() >= 0
+
+
+def test_decode_image_pil_contract_without_pil():
+    """The lazy PIL hook: when pillow is absent, decode_image_pil must
+    raise the documented NotImplementedError (naming the dependency),
+    never ImportError; the BMP/WAV pure-struct paths stay available."""
+    import pytest as _pytest
+
+    from tinyetl_spark.operators import multimodal as mm
+
+    if mm._pil_image_module() is not None:
+        _pytest.skip("pillow installed — covered by the live PIL test")
+    with _pytest.raises(NotImplementedError, match="pillow"):
+        mm.decode_image_pil(b"\x89PNG\r\n\x1a\n rest")
+
+
+def test_decode_media_pil_live(spark):
+    """Exercised only where pillow exists: a generated PNG flows
+    through decode_media's codec branch with correct dims/channels."""
+    import pytest as _pytest
+
+    from tinyetl_spark.operators import multimodal as mm
+
+    Image = mm._pil_image_module()
+    if Image is None:
+        _pytest.skip("pillow not installed in this environment")
+    import io as _io
+
+    im = Image.new("RGB", (6, 3), (10, 20, 30))
+    buf = _io.BytesIO()
+    im.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    row = mm.decode_media(df).collect()[0]
+    assert (row.fmt, row.width, row.height, row.n_channels) == ("png", 6, 3, 3)
+    assert abs(row.mean_value - 20.0) < 1e-6

@@ -464,18 +464,65 @@ def decimate_media(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
+def _pil_image_module():
+    """Lazy PIL hook: returns PIL.Image or None. Import happens inside
+    the executor task (never at module import) so environments without
+    PIL pay nothing and lose nothing but the codec formats."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image_pil(b: bytes) -> dict:
+    """Codec decode via PIL (JPEG/PNG/...): same stat dict as
+    decode_bmp — fmt, dims, channels, mean pixel value over all bands.
+    Raises NotImplementedError when PIL is absent; the pure-struct
+    BMP/WAV decoders never take this path."""
+    Image = _pil_image_module()
+    if Image is None:
+        raise NotImplementedError(
+            "codec formats (jpeg/png/...) need PIL — pip install pillow; "
+            "BMP/WAV decode stays pure-Python and works everywhere"
+        )
+    import io as _io
+
+    with Image.open(_io.BytesIO(b)) as im:
+        px = list(im.getdata())
+        n = len(px)
+        if n and isinstance(px[0], tuple):
+            n_channels = len(px[0])
+            total = sum(sum(p) for p in px)
+            mean = total / (n * n_channels) if n else 0.0
+        else:
+            n_channels = 1
+            mean = (sum(px) / n) if n else 0.0
+        return {
+            "fmt": (im.format or "img").lower(),
+            "width": int(im.width),
+            "height": int(im.height),
+            "n_channels": n_channels,
+            "sample_rate": None,
+            "n_samples": None,
+            "mean_value": round(mean, 6),
+        }
+
+
 def decode_media(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Dispatching REAL decode for container-free formats — BMP
-    (uncompressed) and WAV (PCM) parse with nothing but ``struct``;
-    codec formats (JPEG/PNG/MP3/MP4) still raise NotImplementedError
-    until PIL/librosa/av exist in the environment, with the same
-    mapInPandas shape either way (this supersedes the all-stub
-    ``decode_stub`` contract for the formats that never needed a codec
-    in the first place)."""
+    (uncompressed) and WAV (PCM) parse with nothing but ``struct``.
+    JPEG/PNG route through the lazy PIL hook (``decode_image_pil``)
+    when pillow is installed; without it (and for MP3/MP4, which would
+    need librosa/av) the task raises NotImplementedError with the
+    integration contract — same mapInPandas shape either way (this
+    supersedes the all-stub ``decode_stub`` contract for the formats
+    that never needed a codec in the first place)."""
     schema = (
         f"{id_col} long, fmt string, width int, height int, n_channels int, "
         f"sample_rate int, n_samples long, mean_value double"
@@ -492,9 +539,11 @@ def decode_media(
                     d = decode_bmp(b)
                 elif b[:4] == b"RIFF":
                     d = decode_wav(b)
+                elif b[:3] == b"\xff\xd8\xff" or b[:8] == b"\x89PNG\r\n\x1a\n":
+                    d = decode_image_pil(b)
                 else:
                     raise NotImplementedError(
-                        "codec formats (jpeg/png/mp3/...) need PIL/librosa/av"
+                        "audio/video codec formats (mp3/mp4/...) need librosa/av"
                     )
                 rows.append({id_col: int(i), **d})
             yield pd.DataFrame(rows)
