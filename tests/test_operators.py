@@ -1205,3 +1205,24 @@ def test_decode_media_pil_live(spark):
     row = mm.decode_media(df).collect()[0]
     assert (row.fmt, row.width, row.height, row.n_channels) == ("png", 6, 3, 3)
     assert abs(row.mean_value - 20.0) < 1e-6
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Semantic pin for DSIR: pool documents written in the target's
+    vocabulary must outscore documents from a disjoint vocabulary."""
+    from tinyetl_spark.operators.dsir import dsir_scores, dsir_select
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta") for i in range(1000, 1010)],
+        "doc_id long, text string",
+    )
+    pool_rows = [(i, "alpha beta gamma delta") for i in range(0, 10)] + [
+        (i, "xray yankee zulu quebec") for i in range(10, 20)
+    ]
+    pool = spark.createDataFrame(pool_rows, "doc_id long, text string")
+    scores = {r.doc_id: r.score for r in dsir_scores(target, pool).collect()}
+    assert min(scores[i] for i in range(0, 10)) > max(
+        scores[i] for i in range(10, 20)
+    )
+    kept = {r.doc_id for r in dsir_select(target, pool, keep_pct=50).collect()}
+    assert kept == set(range(0, 10))

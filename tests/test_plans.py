@@ -536,3 +536,18 @@ def test_all_registered_queries_emit_scalar_columns(spark):
         if off:
             bad[name] = off
     assert not bad, f"nested-typed driver columns: {bad}"
+
+
+def test_dsir_select_broadcast_model_takeordered_no_python(spark):
+    """DSIR: the 4096-row log-ratio model must BROADCAST back into the
+    pool's feature stream (the pool is never shuffled for the join),
+    selection must be a TakeOrdered (no global sort of the pool), and
+    no Python anywhere. The single SortMergeJoin allowed is the
+    bucket-model full-outer (<= 4096 rows a side — Spark's broadcast
+    hash join does not support full outer), which is bounded by the
+    feature space, not the corpus."""
+    p = plan_of(spark, "dsir_select_docs")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("SortMergeJoin") <= 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

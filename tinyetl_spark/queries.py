@@ -22,6 +22,7 @@ from tinyetl_spark.functions.dates import FORMATS, parse_date_multi, parse_date_
 from tinyetl_spark.functions.hashing import hash64_col, hash64_sql
 from tinyetl_spark.operators import (
     dedup,
+    dsir,
     fuzzy,
     multimodal,
     relational,
@@ -2151,6 +2152,20 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
     )
+
+
+@_q("dsir_select_docs", dsir.dsir_select_sql())
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): fit hashed unigram+bigram
+    bucket models on the held-out target slice (doc_id % 97 == 0, the
+    decontam convention) and the raw pool, broadcast the 4096-row
+    log-ratio model back, keep the top 25% of the pool by mean
+    importance weight. One scan per side + one doc_id shuffle; the
+    selection is a TakeOrdered, never a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("doc_id") % 97 == 0)
+    pool = docs.filter(F.col("doc_id") % 97 != 0)
+    return dsir.dsir_select(tgt, pool)
 
 
 @_q("bpe_encode_batch_docs", tokenizer.bpe_train_encode_sql())
