@@ -1226,3 +1226,32 @@ def test_dsir_prefers_target_like_docs(spark):
     )
     kept = {r.doc_id for r in dsir_select(target, pool, keep_pct=50).collect()}
     assert kept == set(range(0, 10))
+
+
+def test_unimax_water_filling_invariants(spark):
+    """UniMax allocation invariants on a constructed skew: the total
+    equals min(budget, sum of caps), capped languages form a prefix of
+    the cap-ascending order, and no language exceeds its epoch cap."""
+    from tinyetl_spark.operators.text import unimax_mix
+
+    rows = []
+    did = 0
+    for lang, n_docs, words in [("aa", 2, 5), ("bb", 4, 50), ("cc", 2, 500)]:
+        for _ in range(n_docs):
+            rows.append((did, lang, " ".join("w%d" % i for i in range(words))))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # caps: aa=20, bb=400, cc=2000; budget forces cc to the water level
+    out = {
+        r.lang: r
+        for r in unimax_mix(
+            df, budget_tokens=1000, max_epochs=2, text_col="text"
+        ).collect()
+    }
+    assert out["aa"].alloc_tokens == 20.0 and out["aa"].epochs == 2.0
+    assert out["bb"].alloc_tokens == 400.0 and out["bb"].epochs == 2.0
+    assert abs(out["cc"].alloc_tokens - 580.0) < 1e-9  # 1000 - 20 - 400
+    assert sum(r.alloc_tokens for r in out.values()) == 1000.0
+    # budget above total capacity: everyone capped, total = sum caps
+    out2 = unimax_mix(df, budget_tokens=10**6, max_epochs=2).collect()
+    assert all(r.alloc_tokens == float(r.cap_tokens) for r in out2)

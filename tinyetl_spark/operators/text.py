@@ -1224,6 +1224,129 @@ def temperature_mix_sql(
     """
 
 
+def unimax_mix(
+    df: DataFrame,
+    strata_col: str = "lang",
+    budget_tokens: int = 45000,
+    max_epochs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining", public ICLR method): spread a total
+    token budget as UNIFORMLY as possible across languages, but never
+    take more than ``max_epochs`` passes over any language's data —
+    the fairness-first alternative to temperature sampling (no
+    head-language flooding, no tail over-epoching).
+
+    This is exactly water-filling with per-language cap
+    c_l = n_tokens_l * max_epochs: languages with c_l <= τ get their
+    cap, the rest get the water level τ, where τ makes the total hit
+    the budget. Closed form over the cap-ascending order: language i
+    is capped iff S_{i-1} + c_i * (k - i + 1) <= B (monotone, so a
+    prefix), τ = (B - S_m) / (k - m) for the m capped languages.
+
+    Scale shape: ONE map-side-combined groupBy collapses the corpus to
+    |languages| rows; every window below runs on that tiny table (the
+    unpartitioned windows are |languages|-sized by construction — the
+    corpus itself is never windowed). Output: (lang, n_tokens,
+    cap_tokens, alloc_tokens, epochs) sorted by lang, allocations
+    floor_round(6) doubles — pure IEEE, engine-equal."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(strata_col), F.size(words_col(text_col)).alias("_t"))
+        .groupBy(strata_col)
+        .agg(F.sum("_t").cast("bigint").alias("n_tokens"))
+        .select(
+            strata_col,
+            "n_tokens",
+            (F.col("n_tokens") * max_epochs).cast("bigint").alias("cap_tokens"),
+        )
+    )
+    w_ord = Window.orderBy(F.asc("cap_tokens"), F.asc(strata_col))
+    w_all = Window.partitionBy()
+    staged = (
+        counts.withColumn("_i", F.row_number().over(w_ord))
+        .withColumn(
+            "_s", F.sum("cap_tokens").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("_k", F.count("*").over(w_all))
+        .withColumn(
+            "_capped",
+            (F.col("_s") - F.col("cap_tokens"))
+            + F.col("cap_tokens") * (F.col("_k") - F.col("_i") + 1)
+            <= F.lit(budget_tokens),
+        )
+    )
+    staged = staged.withColumn(
+        "_m", F.sum(F.col("_capped").cast("int")).over(w_all)
+    ).withColumn(
+        "_sm",
+        F.coalesce(
+            F.sum(F.when(F.col("_capped"), F.col("cap_tokens"))).over(w_all), F.lit(0)
+        ),
+    )
+    # greatest(.., 1): when every language is capped the tau branch is
+    # never taken, but the denominator must still be division-safe
+    tau = (F.lit(float(budget_tokens)) - F.col("_sm").cast("double")) / (
+        F.greatest(F.col("_k") - F.col("_m"), F.lit(1))
+    ).cast("double")
+    alloc = F.when(F.col("_capped"), F.col("cap_tokens").cast("double")).otherwise(tau)
+    return (
+        staged.select(
+            strata_col,
+            "n_tokens",
+            "cap_tokens",
+            floor_round(alloc, 6).alias("alloc_tokens"),
+            floor_round(alloc / F.col("n_tokens").cast("double"), 6).alias("epochs"),
+        )
+        .orderBy(strata_col)
+    )
+
+
+def unimax_mix_sql(
+    table: str = "documents",
+    strata_col: str = "lang",
+    budget_tokens: int = 45000,
+    max_epochs: int = 2,
+    text_col: str = "text",
+) -> str:
+    w = words_sql(text_col)
+    return f"""
+    WITH counts AS (
+      SELECT {strata_col},
+             CAST(sum(len({w})) AS BIGINT) AS n_tokens,
+             CAST(sum(len({w})) * {max_epochs} AS BIGINT) AS cap_tokens
+      FROM {table} GROUP BY {strata_col}),
+    staged AS (
+      SELECT *,
+             row_number() OVER ord AS i,
+             sum(cap_tokens) OVER (ord ROWS UNBOUNDED PRECEDING) AS s,
+             count(*) OVER () AS k
+      FROM counts WINDOW ord AS (ORDER BY cap_tokens ASC, {strata_col} ASC)),
+    flagged AS (
+      SELECT *,
+             (s - cap_tokens) + cap_tokens * (k - i + 1) <= {budget_tokens} AS capped
+      FROM staged),
+    solved AS (
+      SELECT *,
+             sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS m,
+             coalesce(sum(CASE WHEN capped THEN cap_tokens END) OVER (), 0) AS sm
+      FROM flagged),
+    alloc AS (
+      SELECT {strata_col}, n_tokens, cap_tokens,
+             CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+                  ELSE ({budget_tokens} - CAST(sm AS DOUBLE))
+                       / CAST(greatest(k - m, 1) AS DOUBLE) END AS a
+      FROM solved)
+    SELECT {strata_col}, n_tokens, cap_tokens,
+           {floor_round_sql('a', 6)} AS alloc_tokens,
+           {floor_round_sql('a / CAST(n_tokens AS DOUBLE)', 6)} AS epochs
+    FROM alloc ORDER BY {strata_col}
+    """
+
+
 # ----------------------------------------- winnowing decontamination
 
 def winnow_decontam(

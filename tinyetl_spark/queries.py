@@ -2922,6 +2922,16 @@ def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("unimax_mix_langs", text.unimax_mix_sql())
+def unimax_mix_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation — the fairness-first
+    alternative to temperature sampling: water-filling a 45k-token
+    budget across languages with a 2-epoch per-language cap (closed
+    form over the cap-ascending prefix, computed on the |languages|-row
+    aggregate only)."""
+    return text.unimax_mix(load(spark, sf_dir, "documents"))
+
+
 @_q(
     "epoch_order_manifest",
     " UNION ALL ".join(
