@@ -41,26 +41,34 @@ DSIR_BUCKETS = 4096     # hashed-feature space (10k-100k in the paper)
 DSIR_KEEP_PCT = 25      # pool fraction the selection query keeps
 
 
-def _feature_array(text_col: str) -> Column:
-    """In-row feature assembly: bucket ids of every unigram and bigram
-    of the lower-cased text — one array, exploded once by the caller.
-    Empty-word artifacts (blank docs split to ['']) are filtered before
-    hashing so they don't occupy a bucket."""
-    ws = F.filter(
-        words_col(F.lower(F.col(text_col))), lambda w: F.length(w) > 0
+def _features(df: DataFrame, text_col: str, keep: tuple[str, ...] = ()) -> DataFrame:
+    """One row per feature occurrence: (*keep, b) — bucket ids of every
+    unigram and bigram of the lower-cased text. The word array
+    materializes in its OWN projection before any lambda references it:
+    an expression referenced inside a HOF lambda re-evaluates per
+    element (the repo's documented re-evaluation trap — the inlined
+    form re-split every document once per bigram position, ~14x
+    slower), a bound column reference does not. Empty-word artifacts
+    (blank docs split to ['']) are filtered before hashing."""
+    cols = [F.col(c) for c in keep]
+    staged = df.select(
+        *cols,
+        F.filter(
+            words_col(F.lower(F.col(text_col))), lambda w: F.length(w) > 0
+        ).alias("_ws"),
     )
-    uni = F.transform(ws, lambda w: hash64_col(w) % DSIR_BUCKETS)
+    uni = F.transform(F.col("_ws"), lambda w: hash64_col(w) % DSIR_BUCKETS)
     big = F.when(
-        F.size(ws) >= 2,
+        F.size("_ws") >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
+            F.sequence(F.lit(1), F.size("_ws") - 1),
             lambda i: hash64_col(
-                F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1))
+                F.concat_ws(" ", F.element_at("_ws", i), F.element_at("_ws", i + 1))
             )
             % DSIR_BUCKETS,
         ),
     ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
-    return F.concat(uni, big)
+    return staged.select(*cols, F.explode(F.concat(uni, big)).alias("b"))
 
 
 def _feature_array_sql(text_col: str) -> str:
@@ -78,11 +86,7 @@ def _feature_array_sql(text_col: str) -> str:
 def _bucket_counts(df: DataFrame, text_col: str) -> DataFrame:
     """(b, cnt): hashed-feature occurrence counts — at most
     DSIR_BUCKETS rows after ONE map-side-combined shuffle."""
-    return (
-        df.select(F.explode(_feature_array(text_col)).alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").alias("cnt"))
-    )
+    return _features(df, text_col).groupBy("b").agg(F.count("*").alias("cnt"))
 
 
 def dsir_weights(
@@ -132,9 +136,7 @@ def dsir_scores(
     — the paper normalizes comparably). Model broadcast; the pool
     shuffles once on doc_id."""
     model = dsir_weights(target, raw, text_col)
-    feats = raw.select(
-        F.col(id_col), F.explode(_feature_array(text_col)).alias("b")
-    )
+    feats = _features(raw, text_col, keep=(id_col,))
     return (
         feats.join(F.broadcast(model), "b")
         .select(F.col(id_col), F.col("lam").cast("decimal(38,9)").alias("_lam"))
