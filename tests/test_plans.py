@@ -551,3 +551,22 @@ def test_dsir_select_broadcast_model_takeordered_no_python(spark):
     assert "BroadcastHashJoin" in p
     assert p.count("SortMergeJoin") <= 1
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q5_broadcasts_all_dims_single_agg_shuffle(spark):
+    """TPC-H Q5 chain: every dimension (orders-filtered, customer,
+    supplier, nation, region) must broadcast — lineitem never shuffles
+    for a join — leaving exactly the one aggregation exchange."""
+    p = plan_of(spark, "q5_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q14_zero_shuffle_scalar_ratio(spark):
+    """TPC-H Q14: the month filter pushes to the scan, part broadcasts,
+    and the single-row ratio needs no hash exchange at all."""
+    p = plan_of(spark, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 0
