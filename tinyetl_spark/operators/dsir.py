@@ -100,8 +100,12 @@ def dsir_weights(
     9dp rounding is the only float step. Buckets absent from BOTH
     sides contribute nothing (their smoothed ratio is a constant that
     cancels in ranking)."""
-    ct = _bucket_counts(target, text_col)
-    cr = _bucket_counts(raw, text_col)
+    # checkpoint the count tables BEFORE the totals collect: each is
+    # <= DSIR_BUCKETS rows by construction, and without the cut both
+    # the totals job and the final scoring plan would re-run the
+    # corpus-sized feature scans (3 scans of the pool -> 1)
+    ct = _bucket_counts(target, text_col).localCheckpoint()
+    cr = _bucket_counts(raw, text_col).localCheckpoint()
     t_tot = int(ct.agg(F.sum("cnt")).collect()[0][0] or 0)
     r_tot = int(cr.agg(F.sum("cnt")).collect()[0][0] or 0)
     tn = float(t_tot) + 0.5 * DSIR_BUCKETS
