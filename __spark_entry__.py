@@ -56,7 +56,7 @@ _PRIORITY = [
     "corpus_overlap_kmv", "source_overlap_matrix", "fuzzy_join_phrases",
     # ---- slot 50 boundary: the rest lead round 7's window ----
     "dsir_select_docs", "bpe_encode_batch_docs", "unimax_mix_langs",
-    "q5_local_supplier_volume", "q14_promo_revenue",
+    "quality_classifier_docs", "q5_local_supplier_volume", "q14_promo_revenue",
     "corpus_overlap_exact", "corpus_diff", "pagerank_dups",
     "cluster_best_survivor", "training_mix", "partitioned_scan_prune",
     "epoch_order_manifest", "embedding_quantize",

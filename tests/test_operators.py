@@ -1255,3 +1255,19 @@ def test_unimax_water_filling_invariants(spark):
     # budget above total capacity: everyone capped, total = sum caps
     out2 = unimax_mix(df, budget_tokens=10**6, max_epochs=2).collect()
     assert all(r.alloc_tokens == float(r.cap_tokens) for r in out2)
+
+
+def test_quality_classifier_learns_above_base_rate(spark):
+    """The trained classifier must beat the majority-class baseline on
+    its training labels — the weak-supervision distillation working at
+    all — and every |score| must be finite and bounded."""
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators.classifier import quality_classifier_scores
+    from tinyetl_spark.queries import load
+
+    rows = quality_classifier_scores(load(spark, SF_DIR, "documents")).collect()
+    n = len(rows)
+    base = max(sum(r.y for r in rows), n - sum(r.y for r in rows)) / n
+    acc = sum(1 for r in rows if r.pred == r.y) / n
+    assert acc > base + 0.05, (acc, base)
+    assert all(abs(r.score) < 1e6 for r in rows)

@@ -570,3 +570,12 @@ def test_q14_zero_shuffle_scalar_ratio(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_quality_classifier_broadcast_model_no_python(spark):
+    """Each GD iteration must broadcast the 257-row model/margin tables
+    back into the feature stream (never reshuffle it for a join), and
+    the whole loop is JVM-side — no Python anywhere."""
+    p = plan_of(spark, "quality_classifier_docs")
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

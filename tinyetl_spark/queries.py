@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from tinyetl_spark.functions.dates import FORMATS, parse_date_multi, parse_date_multi_sql
 from tinyetl_spark.functions.hashing import hash64_col, hash64_sql
 from tinyetl_spark.operators import (
+    classifier,
     dedup,
     dsir,
     fuzzy,
@@ -2245,6 +2246,18 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
     )
+
+
+@_q("quality_classifier_docs", classifier.quality_classifier_sql())
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (the RefinedWeb/FineWeb pattern):
+    Gopher rules weak-label the corpus, 10 full-batch GD steps train a
+    hashed bag-of-words logistic model (integer micro-unit weights so
+    the iterative float algorithm has an exact DuckDB twin), and the
+    model scores every document. Per iteration: margins per doc with
+    the 257-row model broadcast, gradients map-side combined into 257
+    rows — the corpus is never reshuffled."""
+    return classifier.quality_classifier_scores(load(spark, sf_dir, "documents"))
 
 
 @_q("dsir_select_docs", dsir.dsir_select_sql())
