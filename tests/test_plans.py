@@ -579,3 +579,23 @@ def test_quality_classifier_broadcast_model_no_python(spark):
     p = plan_of(spark, "quality_classifier_docs")
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_inference_batches_no_global_window(spark):
+    """The corpus rank must be two-phase (range-bucketed local windows
+    + broadcast offsets) — no unpartitioned single-reducer window, no
+    Python."""
+    p = plan_of(spark, "inference_batches_docs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    for frag in p.split("Window")[1:]:
+        head = frag[:250]
+        assert "_b" in head, f"window not partitioned by range bucket: {head}"
+
+
+def test_vocab_coverage_bounded_slice(spark):
+    """The coverage windows run on the bounded TakeOrdered top-k slice,
+    never the full vocabulary: the plan must show the limit feeding the
+    rank window."""
+    p = plan_of(spark, "vocab_coverage_curve")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -1700,6 +1700,189 @@ def quality_budget_select_sql(
     """
 
 
+# ------------------------------------- tokenizer vocabulary coverage
+
+VOCAB_KS = (64, 512, 4096)
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", ks: tuple[int, ...] = VOCAB_KS
+) -> DataFrame:
+    """Tokenizer-planning audit: what fraction of corpus token
+    occurrences does a top-k word vocabulary cover? One row per k:
+    (k, distinct_words, covered_tokens, total_tokens, coverage) — the
+    curve that decides vocabulary size before a BPE train.
+
+    Scale shape: ONE corpus explode to the word-frequency table; the
+    top-max(k) slice is a TakeOrdered (bounded, deterministic ties:
+    count desc, word asc); the coverage windows run on that bounded
+    slice only. Totals are two scalar aggregates."""
+    from pyspark.sql import Window
+
+    kmax = max(ks)
+    freq = (
+        df.select(
+            F.explode(words_col(F.lower(F.col(text_col)))).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    totals = freq.agg(
+        F.count("*").alias("dw"), F.sum("cnt").alias("tt")
+    ).collect()[0]
+    dw, tt = int(totals["dw"]), int(totals["tt"] or 1)
+    top = freq.orderBy(F.desc("cnt"), F.asc("w")).limit(kmax)
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = top.withColumn("_r", F.row_number().over(w_rank))
+    ks_df = df.sparkSession.createDataFrame([(k,) for k in sorted(ks)], "k long")
+    return (
+        ranked.join(F.broadcast(ks_df), F.col("_r") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("cnt").cast("bigint").alias("covered_tokens"))
+        .select(
+            "k",
+            F.lit(dw).cast("bigint").alias("distinct_words"),
+            "covered_tokens",
+            F.lit(tt).cast("bigint").alias("total_tokens"),
+            floor_round(
+                F.col("covered_tokens").cast("double") / F.lit(float(tt)), 6
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+def vocab_coverage_sql(
+    table: str = "documents", text_col: str = "text", ks: tuple[int, ...] = VOCAB_KS
+) -> str:
+    w = words_sql(f"lower({text_col})")
+    ks_rows = ", ".join(f"({k})" for k in sorted(ks))
+    return f"""
+    WITH freq AS (
+      SELECT w, count(*) AS cnt
+      FROM (SELECT unnest({w}) AS w FROM {table}) WHERE w <> '' GROUP BY w),
+    tot AS (SELECT count(*) AS dw, sum(cnt) AS tt FROM freq),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS r FROM freq),
+    ks(k) AS (VALUES {ks_rows})
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(t.dw AS BIGINT) AS distinct_words,
+           CAST(sum(cnt) AS BIGINT) AS covered_tokens,
+           CAST(t.tt AS BIGINT) AS total_tokens,
+           {floor_round_sql('CAST(sum(cnt) AS DOUBLE) / CAST(t.tt AS DOUBLE)', 6)} AS coverage
+    FROM ranked JOIN ks ON r <= k CROSS JOIN tot t
+    GROUP BY k, t.dw, t.tt ORDER BY k
+    """
+
+
+# ------------------------------------- length-bucketed inference batches
+
+INFER_BATCH_SIZE = 32
+
+
+def inference_batches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = INFER_BATCH_SIZE,
+) -> DataFrame:
+    """Length-bucketed batching for inference/scoring runs: order
+    documents by token count descending (id asc ties), cut into fixed-
+    size batches, report per-batch padding stats — (batch_id, n_docs,
+    max_tokens, sum_tokens, pad_frac). Like-length docs batch together,
+    so padding-to-max waste stays low; the output is the plan an
+    inference scheduler consumes.
+
+    The global rank is two-phase like quality_budget_select:
+    approxQuantile range buckets rank locally in parallel, a broadcast
+    offset table lifts local ranks to global — no single-reducer
+    window over the corpus. The per-batch aggregation reuses the same
+    keyed shuffle."""
+    from pyspark.sql import Window
+
+    buckets = 32
+    base = (
+        df.select(
+            F.col(id_col), F.size(words_col(text_col)).cast("bigint").alias("n_tokens")
+        )
+        .localCheckpoint(eager=False)
+    )
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(base.approxQuantile("n_tokens", qs, 0.001)))
+    if bounds:
+        barr = F.array(*[F.lit(float(v)) for v in bounds])
+        bucket = F.size(
+            F.filter(barr, lambda v: F.col("n_tokens").cast("double") <= v)
+        )
+    else:
+        bucket = F.lit(0)
+    keyed = base.withColumn("_b", bucket)
+    w_local = Window.partitionBy("_b").orderBy(F.desc("n_tokens"), F.asc(id_col))
+    counts = {
+        r["_b"]: r["c"]
+        for r in keyed.groupBy("_b").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for bk in range(len(bounds) + 1):
+        offsets.append((bk, acc))
+        acc += counts.get(bk, 0)
+    off_df = df.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    ranked = keyed.withColumn("_lr", F.row_number().over(w_local)).join(
+        F.broadcast(off_df), "_b"
+    )
+    batch = F.floor((F.col("_off") + F.col("_lr") - 1) / batch_size).cast("bigint")
+    return (
+        ranked.select(F.col("n_tokens"), batch.alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            floor_round(
+                F.lit(1.0)
+                - F.col("sum_tokens").cast("double")
+                / (F.col("max_tokens") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("pad_frac"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+def inference_batches_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = INFER_BATCH_SIZE,
+) -> str:
+    w = words_sql(text_col)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, CAST(len({w}) AS BIGINT) AS n_tokens FROM {table}),
+    ranked AS (
+      SELECT n_tokens,
+             CAST(floor((row_number() OVER (ORDER BY n_tokens DESC, {id_col} ASC) - 1)
+                  / {batch_size}) AS BIGINT) AS batch_id
+      FROM toks)
+    SELECT batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           {floor_round_sql(
+               '1.0 - CAST(sum(n_tokens) AS DOUBLE)'
+               ' / CAST(max(n_tokens) * count(*) AS DOUBLE)', 6)} AS pad_frac
+    FROM ranked GROUP BY batch_id ORDER BY batch_id
+    """
+
+
 # ------------------------------------- duplicate n-gram fraction
 
 DUP_NGRAM_N = 3

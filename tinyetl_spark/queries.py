@@ -2248,6 +2248,23 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("vocab_coverage_curve", text.vocab_coverage_sql())
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-planning audit: corpus token coverage of top-64/512/
+    4096 word vocabularies — one corpus explode, bounded TakeOrdered
+    slice, coverage windows on that slice only."""
+    return text.vocab_coverage(load(spark, sf_dir, "documents"))
+
+
+@_q("inference_batches_docs", text.inference_batches_sql())
+def inference_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching: rank docs by token count
+    (two-phase, no single-reducer window), cut into 32-doc batches,
+    report per-batch padding waste — the schedule an inference/scoring
+    run consumes."""
+    return text.inference_batches(load(spark, sf_dir, "documents"))
+
+
 @_q("quality_classifier_docs", classifier.quality_classifier_sql())
 def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier (the RefinedWeb/FineWeb pattern):
