@@ -57,7 +57,7 @@ _PRIORITY = [
     # ---- slot 50 boundary: the rest lead round 7's window ----
     "dsir_select_docs", "bpe_encode_batch_docs", "unimax_mix_langs",
     "quality_classifier_docs", "q5_local_supplier_volume", "q14_promo_revenue",
-    "vocab_coverage_curve", "inference_batches_docs",
+    "vocab_coverage_curve", "inference_batches_docs", "streaming_classifier_scores",
     "corpus_overlap_exact", "corpus_diff", "pagerank_dups",
     "cluster_best_survivor", "training_mix", "partitioned_scan_prune",
     "epoch_order_manifest", "embedding_quantize",

@@ -161,6 +161,44 @@ def quality_classifier_scores(
     )
 
 
+def score_with_frozen_model(
+    df: DataFrame,
+    weights: list[int],
+    bias_w: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a FROZEN model entirely in-row: the 256
+    bucket weights fold in as an array literal indexed per word, so
+    scoring is stateless codegen at scan speed — works unchanged on a
+    batch table or inside Structured Streaming (no join, no state).
+    ``weights[b]`` are integer micro-units; margins are exact BIGINT
+    sums, byte-equal to the training-side scorer."""
+    w_arr = F.expr(
+        "CAST(array(" + ",".join(str(int(v)) for v in weights) + ") AS array<bigint>)"
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.filter(
+            words_col(F.lower(F.col(text_col))), lambda w: F.length(w) > 0
+        ).alias("_wsl"),
+    )
+    buckets = F.transform(F.col("_wsl"), lambda w: hash64_col(w) % BUCKETS)
+    staged = staged.select(F.col(id_col), F.col(text_col), buckets.alias("_bk"))
+    mu = F.aggregate(
+        F.col("_bk"),
+        F.lit(int(bias_w)).cast("bigint"),
+        lambda acc, b: acc + F.element_at(w_arr, b.cast("int") + 1),
+    )
+    staged = staged.select(F.col(id_col), F.col(text_col), mu.alias("_mu"))
+    return staged.select(
+        F.col(id_col),
+        floor_round(F.col("_mu").cast("double") / F.lit(float(_U)), 6).alias("score"),
+        (F.col("_mu") > 0).cast("bigint").alias("pred"),
+    )
+
+
 def _iter_sql(k: int, id_col: str) -> str:
     """One unrolled GD iteration for the DuckDB twin."""
     prev = f"w{k - 1}"

@@ -4105,6 +4105,31 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_classifier_scores",
+    f"SELECT doc_id, score, pred FROM ({classifier.quality_classifier_sql()})",
+)
+def streaming_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model serving ON THE STREAM: train the quality classifier in
+    batch, freeze the 257 weights into an in-row literal array, and
+    score documents as they arrive — stateless codegen (no join, no
+    state store), the shape of an ingest-time quality gate backed by a
+    trained model. Byte-equal to the batch scorer, so it shares that
+    oracle."""
+    from tinyetl_spark import streaming
+
+    docs = load(spark, sf_dir, "documents")
+    w, _, _ = classifier.train_quality_classifier(docs)
+    wmap = {int(r["b"]): int(r["w"]) for r in w.collect()}  # 257 rows, bounded
+    weights = [wmap.get(b, 0) for b in range(classifier.BUCKETS)]
+    bias_w = wmap.get(classifier.BIAS_B, 0)
+    stage = _stage_table_symlink(sf_dir, "documents")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    scored = classifier.score_with_frozen_model(stream, weights, bias_w)
+    return streaming.run_bounded(scored, spark, mode="append", state_partitions=None)
+
+
+@_q(
     "streaming_sessions",
     """
     WITH marked AS (
