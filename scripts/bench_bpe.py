@@ -15,7 +15,11 @@ Usage: python scripts/bench_bpe.py [SF01_DIR] [SF1_DIR]
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 from collections import Counter
 

@@ -6,7 +6,11 @@ README scale tables. Usage: python scripts/bench_round6_sf1.py
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 from tinyetl_spark.queries import QUERIES
