@@ -135,13 +135,16 @@ def quality_classifier_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     iters: int = ITERS,
+    trained: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Train on the corpus's Gopher weak labels, then score every
     document with the trained model: (doc_id, y, score, pred) with
     score the 6dp margin and pred the thresholded label. The
     interesting rows are where pred disagrees with y — the classifier
-    generalizing past the rules' hard thresholds."""
-    w, feats, labels = train_quality_classifier(df, text_col, id_col, iters)
+    generalizing past the rules' hard thresholds. Pass ``trained``
+    (the train_quality_classifier triple) to score with a model that
+    already exists — the frozen-tokenizer pattern."""
+    w, feats, labels = trained or train_quality_classifier(df, text_col, id_col, iters)
     margins = (
         feats.join(F.broadcast(w), "b")
         .groupBy(id_col)

@@ -2265,6 +2265,20 @@ def inference_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.inference_batches(load(spark, sf_dir, "documents"))
 
 
+_CLASSIFIER_CACHE: dict[str, tuple] = {}
+
+
+def _trained_classifier(spark: SparkSession, sf_dir: str) -> tuple:
+    """Train-once memo (checkpointed weight/feature/label tables are
+    session-valid): the batch scorer and the streaming server share
+    one trained model per corpus, like a production model registry."""
+    if sf_dir not in _CLASSIFIER_CACHE:
+        _CLASSIFIER_CACHE[sf_dir] = classifier.train_quality_classifier(
+            load(spark, sf_dir, "documents")
+        )
+    return _CLASSIFIER_CACHE[sf_dir]
+
+
 @_q("quality_classifier_docs", classifier.quality_classifier_sql())
 def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained quality classifier (the RefinedWeb/FineWeb pattern):
@@ -2274,7 +2288,10 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     model scores every document. Per iteration: margins per doc with
     the 257-row model broadcast, gradients map-side combined into 257
     rows — the corpus is never reshuffled."""
-    return classifier.quality_classifier_scores(load(spark, sf_dir, "documents"))
+    return classifier.quality_classifier_scores(
+        load(spark, sf_dir, "documents"),
+        trained=_trained_classifier(spark, sf_dir),
+    )
 
 
 @_q("dsir_select_docs", dsir.dsir_select_sql())
@@ -4117,8 +4134,7 @@ def streaming_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     from tinyetl_spark import streaming
 
-    docs = load(spark, sf_dir, "documents")
-    w, _, _ = classifier.train_quality_classifier(docs)
+    w, _, _ = _trained_classifier(spark, sf_dir)
     wmap = {int(r["b"]): int(r["w"]) for r in w.collect()}  # 257 rows, bounded
     weights = [wmap.get(b, 0) for b in range(classifier.BUCKETS)]
     bias_w = wmap.get(classifier.BIAS_B, 0)
