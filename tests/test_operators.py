@@ -1271,3 +1271,31 @@ def test_quality_classifier_learns_above_base_rate(spark):
     acc = sum(1 for r in rows if r.pred == r.y) / n
     assert acc > base + 0.05, (acc, base)
     assert all(abs(r.score) < 1e6 for r in rows)
+
+
+def test_unimax_single_language_and_empty_docs(spark):
+    """One language only: it gets min(budget, cap). Blank docs count
+    their (single empty-split) token like the SQL twin does."""
+    from tinyetl_spark.operators.text import unimax_mix
+
+    df = spark.createDataFrame(
+        [(0, "en", "a b c"), (1, "en", "d e")], "doc_id long, lang string, text string"
+    )
+    row = unimax_mix(df, budget_tokens=100, max_epochs=3).collect()
+    assert len(row) == 1 and row[0].alloc_tokens == 15.0  # cap 5*3 under budget
+    row2 = unimax_mix(df, budget_tokens=7, max_epochs=3).collect()
+    assert row2[0].alloc_tokens == 7.0  # water level below the cap
+
+
+def test_dsir_empty_target_slice(spark):
+    """An empty target corpus must not crash the model fit: every
+    bucket's target count smooths to 0.5 and scores stay finite."""
+    from tinyetl_spark.operators.dsir import dsir_scores
+
+    target = spark.createDataFrame([], "doc_id long, text string")
+    pool = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(6)], "doc_id long, text string"
+    )
+    rows = dsir_scores(target, pool).collect()
+    assert len(rows) == 6
+    assert all(abs(r.score) < 1e6 for r in rows)
