@@ -1299,3 +1299,28 @@ def test_dsir_empty_target_slice(spark):
     rows = dsir_scores(target, pool).collect()
     assert len(rows) == 6
     assert all(abs(r.score) < 1e6 for r in rows)
+
+
+def test_remove_dup_passages_cuts_all_occurrences(spark):
+    """Cross-doc duplicated passage: every occurrence is cut (Lee et
+    al. ExactSubstr tooling behavior); unique docs pass through
+    verbatim; a fully-duplicated doc comes back empty, not NULL."""
+    from tinyetl_spark.operators.text import remove_dup_passages
+
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (0, f"aa bb {shared} cc"),
+            (1, f"dd {shared} ee ff"),
+            (2, "gg hh ii jj kk ll mm"),
+            (3, shared),
+            (4, shared),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_dup_passages(df, n=5).collect()}
+    assert got[0].clean_text == "aa bb cc" and got[0].n_removed == 5
+    assert got[1].clean_text == "dd ee ff"
+    assert got[2].clean_text == "gg hh ii jj kk ll mm" and got[2].n_removed == 0
+    assert got[3].clean_text == "" and got[3].n_removed == 5
+    assert got[4].clean_text == ""

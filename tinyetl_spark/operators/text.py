@@ -2046,6 +2046,89 @@ def dup_passage_spans_sql(
     """
 
 
+def remove_dup_passages(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = PASSAGE_N
+) -> DataFrame:
+    """The cleanup step consuming :func:`dup_passage_spans`: CUT every
+    duplicated span's words out of the text (the ExactSubstr behavior
+    of Lee et al.'s public deduplicate-text-datasets tooling — every
+    occurrence goes, which their ablations show is as good as keeping
+    one) and rebuild each document from the surviving words in order.
+    Output: (doc_id, n_words, n_removed, clean_text) for EVERY doc.
+
+    Scale shape: the spans table — sized by duplicated text, not the
+    corpus — groups to per-doc span lists (bounded by doc length) and
+    joins back once on doc_id; the keep/rebuild is in-row HOFs over
+    the word array. Docs with no spans pass through on the left join."""
+    spans = (
+        dup_passage_spans(df, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+        )
+    )
+    staged = df.select(F.col(id_col), words_col(text_col).alias("_wsr")).join(
+        spans, id_col, "left"
+    )
+    empty_spans = F.expr(
+        "CAST(array() AS array<struct<span_start:bigint,span_end:bigint>>)"
+    )
+    staged = staged.select(
+        F.col(id_col), F.col("_wsr"), F.coalesce("_spans", empty_spans).alias("_sp")
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_wsr")),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.exists(
+                    F.col("_sp"),
+                    lambda s: (s["span_start"] <= i) & (i <= s["span_end"]),
+                ).alias("cut"),
+            ),
+        ),
+        lambda e: ~e["cut"],
+    )
+    staged = staged.select(F.col(id_col), F.col("_wsr"), kept.alias("_keep"))
+    words_out = F.transform(F.col("_keep"), lambda e: F.element_at("_wsr", e["i"]))
+    return staged.select(
+        F.col(id_col),
+        F.size("_wsr").cast("bigint").alias("n_words"),
+        (F.size("_wsr") - F.size("_keep")).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", words_out).alias("clean_text"),
+    ).orderBy(id_col)
+
+
+def remove_dup_passages_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id", n: int = PASSAGE_N
+) -> str:
+    w = words_sql(text_col)
+    return f"""
+    WITH spans AS ({dup_passage_spans_sql(table, text_col, id_col, n)}),
+    sp AS (
+      SELECT {id_col},
+             list({{'s': span_start, 'e': span_end}}) AS spans
+      FROM spans GROUP BY {id_col}),
+    staged AS (
+      SELECT d.{id_col}, {w} AS arr, coalesce(sp.spans, []) AS spans
+      FROM {table} d LEFT JOIN sp ON d.{id_col} = sp.{id_col}),
+    kept AS (
+      SELECT {id_col}, arr,
+             list_filter(range(1, len(arr) + 1),
+                 i -> len(list_filter(spans, u -> u.s <= i AND i <= u.e)) = 0)
+               AS keep_pos
+      FROM staged)
+    SELECT {id_col},
+           CAST(len(arr) AS BIGINT) AS n_words,
+           CAST(len(arr) - len(keep_pos) AS BIGINT) AS n_removed,
+           -- DuckDB's array_to_string returns NULL on an empty list;
+           -- Spark's concat_ws returns '' — coalesce to the '' contract
+           coalesce(array_to_string(list_transform(keep_pos, i -> arr[i]), ' '), '')
+             AS clean_text
+    FROM kept ORDER BY {id_col}
+    """
+
+
 # ------------------------------------------------- line-level dedup
 
 # RefinedWeb / CCNet drop individual LINES that repeat across many

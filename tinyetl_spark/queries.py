@@ -2248,6 +2248,14 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("remove_dup_passages_docs", text.remove_dup_passages_sql())
+def remove_dup_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al cleanup step: cut every duplicated passage span
+    out of the text and rebuild each doc from the surviving words —
+    span table joined back once on doc_id, rebuild in-row."""
+    return text.remove_dup_passages(load(spark, sf_dir, "documents"))
+
+
 @_q("vocab_coverage_curve", text.vocab_coverage_sql())
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-planning audit: corpus token coverage of top-64/512/
