@@ -1324,3 +1324,18 @@ def test_remove_dup_passages_cuts_all_occurrences(spark):
     assert got[2].clean_text == "gg hh ii jj kk ll mm" and got[2].n_removed == 0
     assert got[3].clean_text == "" and got[3].n_removed == 5
     assert got[4].clean_text == ""
+
+
+def test_count_min_overcounts_but_never_undercounts(spark):
+    """CM invariant under forced collisions (1000 keys into width 32):
+    every estimate >= the exact count, and the sketch table is exactly
+    depth x width rows at most."""
+    from tinyetl_spark.operators.sketches import count_min_heavy_hitters, count_min_table
+
+    df = spark.range(5000).selectExpr("concat('k', id % 1000) AS user_id")
+    rows = count_min_heavy_hitters(df, "user_id", depth=4, width=32, topk=10).collect()
+    assert len(rows) == 10
+    assert all(r.cm_est >= r.exact for r in rows)
+    assert any(r.overcount > 0 for r in rows)  # collisions must show
+    sk = count_min_table(df, F.col("user_id"), depth=4, width=32)
+    assert sk.count() <= 4 * 32

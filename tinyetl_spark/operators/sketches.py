@@ -196,6 +196,113 @@ def corpus_overlap_exact_sql(
     """
 
 
+CM_DEPTH = 4      # hash rows
+CM_WIDTH = 1024   # counters per row
+CM_TOPK = 20      # heavy hitters audited by the registered query
+
+
+def _cm_hash(k: Column, i: Column) -> Column:
+    """Row-seeded hash: md5(key || US || row-index) — the seed is a
+    COLUMN here (one explode covers all rows), so it concatenates
+    in-expression instead of using hash64_col's literal seed."""
+    return hash64_col(F.concat(k, F.lit("\x1f"), i.cast("string")))
+
+
+def _cm_hash_sql(key_expr: str) -> str:
+    return hash64_sql(f"(CAST({key_expr} AS VARCHAR) || chr(31) || CAST(i AS VARCHAR))")
+
+
+def count_min_table(df: DataFrame, key: Column, depth: int = CM_DEPTH, width: int = CM_WIDTH) -> DataFrame:
+    """The Count-Min sketch (Cormode & Muthukrishnan 2005) as a
+    relational table: (row i, slot, counter) — each item increments
+    one counter per hash row. ONE map-side-combined groupBy builds it;
+    the result is depth x width rows no matter how large the stream,
+    and two sketches merge by adding counters (the distributed-
+    monoid property that makes it a streaming/ingest-time structure).
+    All-integer arithmetic: oracle-exact, not just statistically
+    close."""
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
+        key.cast("string").alias("_k"),
+    ).select("i", (_cm_hash(F.col("_k"), F.col("i")) % width).alias("slot"))
+    return rows.groupBy("i", "slot").agg(F.count("*").cast("bigint").alias("c"))
+
+
+def count_min_heavy_hitters(
+    df: DataFrame,
+    key_col: str = "user_id",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    topk: int = CM_TOPK,
+) -> DataFrame:
+    """Heavy-hitter audit: the CM estimate (min over hash rows of the
+    key's counter) against the exact count for the exact top-k keys —
+    (key, exact, cm_est, overcount). CM guarantees cm_est >= exact
+    with bounded overcount; the registered query makes that bound an
+    oracle-checked number.
+
+    Scale shape: the sketch is one grouped scan into depth x width
+    rows; the exact top-k is a TakeOrdered; the estimate join touches
+    topk x depth sketch rows only."""
+    sk = count_min_table(df, F.col(key_col), depth, width).localCheckpoint()
+    top = (
+        df.groupBy(key_col)
+        .agg(F.count("*").cast("bigint").alias("exact"))
+        .orderBy(F.desc("exact"), F.asc(key_col))
+        .limit(topk)
+    )
+    probes = top.select(
+        key_col,
+        "exact",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("i"),
+    ).select(
+        key_col,
+        "exact",
+        "i",
+        (_cm_hash(F.col(key_col).cast("string"), F.col("i")) % width).alias("slot"),
+    )
+    return (
+        probes.join(F.broadcast(sk), ["i", "slot"])
+        .groupBy(key_col, "exact")
+        .agg(F.min("c").cast("bigint").alias("cm_est"))
+        .select(
+            key_col,
+            "exact",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("exact"), F.asc(key_col))
+    )
+
+
+def count_min_heavy_hitters_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    topk: int = CM_TOPK,
+) -> str:
+    h = _cm_hash_sql(key_col)
+    return f"""
+    WITH sk AS (
+      SELECT i, {h} % {width} AS slot,
+             CAST(count(*) AS BIGINT) AS c
+      FROM {table}, range({depth}) t(i) GROUP BY 1, 2),
+    top AS (
+      SELECT {key_col}, CAST(count(*) AS BIGINT) AS exact
+      FROM {table} GROUP BY 1 ORDER BY exact DESC, {key_col} ASC LIMIT {topk}),
+    probes AS (
+      SELECT {key_col}, exact, i, {h} % {width} AS slot
+      FROM top, range({depth}) t(i))
+    SELECT p.{key_col}, p.exact,
+           CAST(min(s.c) AS BIGINT) AS cm_est,
+           CAST(min(s.c) - p.exact AS BIGINT) AS overcount
+    FROM probes p JOIN sk s USING (i, slot)
+    GROUP BY p.{key_col}, p.exact
+    ORDER BY p.exact DESC, p.{key_col} ASC
+    """
+
+
 def kmv_sketch_by(df: DataFrame, group_col: str, item: Column, k: int = KMV_K) -> DataFrame:
     """Bottom-k distinct hashes PER GROUP in one pass: (group, h). A
     window row_number over (group, hash) replaces N separate top-k

@@ -2248,6 +2248,15 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("count_min_heavy_hitters", sketches.count_min_heavy_hitters_sql())
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter audit over the event stream's user key:
+    the 4x1024 counter table (one grouped scan, mergeable monoid —
+    the ingest-time structure) probed for the exact top-20 keys,
+    reporting estimate vs truth. All-integer, oracle-exact."""
+    return sketches.count_min_heavy_hitters(load(spark, sf_dir, "events"))
+
+
 @_q("remove_dup_passages_docs", text.remove_dup_passages_sql())
 def remove_dup_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Lee-et-al cleanup step: cut every duplicated passage span
