@@ -1339,3 +1339,128 @@ def test_count_min_overcounts_but_never_undercounts(spark):
     assert any(r.overcount > 0 for r in rows)  # collisions must show
     sk = count_min_table(df, F.col("user_id"), depth=4, width=32)
     assert sk.count() <= 4 * 32
+
+
+def test_unimax_matches_sequential_waterfill_random(spark):
+    """Independent pin for the closed-form water-filling: the
+    sequential greedy (sorted ascending, each language takes
+    min(cap, remaining/|remaining|)) is the textbook equivalent — the
+    closed form must reproduce it on random corpora."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.text import unimax_mix
+
+    lang_sizes = st.dictionaries(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        st.integers(1, 30),
+        min_size=1,
+        max_size=5,
+    )
+
+    def brute(caps, budget):
+        out, rem, krem = {}, float(budget), len(caps)
+        for name, c in sorted(caps.items(), key=lambda kv: (kv[1], kv[0])):
+            a = min(float(c), rem / krem)
+            out[name] = a
+            rem -= a
+            krem -= 1
+        return out
+
+    @settings(max_examples=5, deadline=None)
+    @given(lang_sizes, st.integers(5, 400))
+    def check(sizes, budget):
+        rows, did = [], 0
+        for lang, n_words in sizes.items():
+            rows.append((did, lang, " ".join("w%d" % i for i in range(n_words))))
+            did += 1
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {
+            r.lang: r.alloc_tokens
+            for r in unimax_mix(df, budget_tokens=budget, max_epochs=2).collect()
+        }
+        want = brute({k: 2 * v for k, v in sizes.items()}, budget)
+        assert set(got) == set(want)
+        for lang in got:
+            assert abs(got[lang] - want[lang]) < 1e-6, (lang, got, want)
+
+    check()
+
+
+def test_inference_batches_matches_python_brute(spark):
+    """Independent pin for the two-phase rank: batch stats must equal
+    a single-threaded sort-and-slice on random corpora (including
+    heavy token-count ties, where the doc_id tiebreak decides)."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.text import inference_batches
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.integers(1, 6), min_size=1, max_size=40), st.integers(2, 7))
+    def check(word_counts, bsz):
+        rows = [
+            (i, " ".join("w%d" % j for j in range(c)))
+            for i, c in enumerate(word_counts)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.batch_id: (r.n_docs, r.max_tokens, r.sum_tokens)
+            for r in inference_batches(df, batch_size=bsz).collect()
+        }
+        order = sorted(range(len(word_counts)), key=lambda i: (-word_counts[i], i))
+        want = {}
+        for rank, i in enumerate(order):
+            b = rank // bsz
+            n, m, s = want.get(b, (0, 0, 0))
+            want[b] = (n + 1, max(m, word_counts[i]), s + word_counts[i])
+        assert got == want
+
+    check()
+
+
+def test_dsir_scores_match_python_reference(spark):
+    """Independent pin for DSIR: a pure-Python reimplementation of the
+    hashed-feature model (same md5 bucket hash, same add-half
+    smoothing, same mean) must agree with the Spark scores to 1e-6."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from tinyetl_spark.operators.dsir import DSIR_BUCKETS, dsir_scores
+
+    def bucket(w):
+        salted = w
+        return int(hashlib.md5(salted.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    def feats(text):
+        ws = [w for w in text.lower().strip().split() if w]
+        out = [bucket(w) for w in ws]
+        out += [bucket(f"{a} {b}") for a, b in zip(ws, ws[1:])]
+        return out
+
+    tgt_texts = ["alpha beta gamma", "beta gamma delta", "alpha beta"]
+    pool_texts = ["alpha beta zz", "qq rr ss", "gamma delta beta", "mm nn"]
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(tgt_texts)], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pool_texts)], "doc_id long, text string"
+    )
+    ct, cr = Counter(), Counter()
+    for t in tgt_texts:
+        ct.update(feats(t))
+    for t in pool_texts:
+        cr.update(feats(t))
+    tn = sum(ct.values()) + 0.5 * DSIR_BUCKETS
+    rn = sum(cr.values()) + 0.5 * DSIR_BUCKETS
+    want = {}
+    for i, t in enumerate(pool_texts):
+        fs = feats(t)
+        lams = [
+            round(math.log(((ct[b] + 0.5) / tn) / ((cr[b] + 0.5) / rn)), 9)
+            for b in fs
+        ]
+        want[i] = sum(lams) / len(lams)
+    got = {r.doc_id: r.score for r in dsir_scores(target, pool).collect()}
+    assert set(got) == set(want)
+    for i in got:
+        assert abs(got[i] - want[i]) < 1e-6, (i, got[i], want[i])
