@@ -1464,3 +1464,31 @@ def test_dsir_scores_match_python_reference(spark):
     assert set(got) == set(want)
     for i in got:
         assert abs(got[i] - want[i]) < 1e-6, (i, got[i], want[i])
+
+
+def test_trigram_search_matches_brute_force_random(spark):
+    """Index-accelerated search must find exactly the docs (and
+    occurrence counts) a straight scan finds — random corpora with the
+    needle injected at random positions, including repeats and docs
+    shorter than a trigram."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.text import trigram_search
+
+    needle = "xyq"
+    filler = st.text(alphabet="ab ", min_size=0, max_size=12)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.tuples(filler, st.integers(0, 3)), min_size=1, max_size=10))
+    def check(docs):
+        rows = []
+        for i, (fill, reps) in enumerate(docs):
+            rows.append((i, fill + (" " + needle) * reps))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.n_hits for r in trigram_search(df, needle).collect()}
+        want = {
+            i: t.lower().count(needle) for i, t in rows if needle in t.lower()
+        }
+        assert got == want
+
+    check()

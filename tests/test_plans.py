@@ -599,3 +599,13 @@ def test_vocab_coverage_bounded_slice(spark):
     p = plan_of(spark, "vocab_coverage_curve")
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_trigram_search_uses_staged_index(spark):
+    """The search must consume the STAGED posting-list parquet (a
+    second FileScan besides the corpus) and broadcast the needle's
+    trigram list — never a nested-loop join, never Python."""
+    p = plan_of(spark, "trigram_search_docs")
+    assert "trigram_index" in p  # staged index path appears in the scan
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -1700,6 +1700,104 @@ def quality_budget_select_sql(
     """
 
 
+# ------------------------------------- trigram-indexed substring search
+
+SEARCH_NEEDLE = "merge slow"  # the registered query's literal
+
+
+def trigram_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-trigram posting list: (doc_id, tg) distinct — the
+    classic exact-substring index (Google Code Search's public design:
+    Cox 2012, "Regular Expression Matching with a Trigram Index").
+    Built with one explode + distinct; at scale it stages to parquet
+    bucketed by tg at ingest, and every search is posting-list joins
+    instead of a corpus text scan."""
+    staged = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t"))
+    tgs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("_t") - 2, F.lit(0))),
+        lambda i: F.substring(F.col("_t"), i, F.lit(3)),
+    )
+    return (
+        staged.filter(F.length("_t") >= 3)
+        .select(F.col(id_col), F.explode(tgs).alias("tg"))
+        .distinct()
+    )
+
+
+def trigram_index_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    return f"""
+    SELECT DISTINCT {id_col}, substr(t, i, 3) AS tg
+    FROM (SELECT {id_col}, lower({text_col}) AS t FROM {table}
+          WHERE length(lower({text_col})) >= 3),
+         LATERAL (SELECT unnest(range(1, length(t) - 1)) AS i) u
+    """
+
+
+def trigram_search(
+    df: DataFrame,
+    needle: str = SEARCH_NEEDLE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Index-accelerated exact substring search: candidate docs carry
+    EVERY trigram of the needle (posting-list equi-join + having
+    count = |needle trigrams|), then only candidates pay the verify
+    ``contains`` — grep over 100 TB without a full text scan. Output:
+    (doc_id, n_hits) with the occurrence count per matching doc.
+    Needles under 3 chars degrade to the scan filter (documented —
+    the index can't prune them)."""
+    nd = needle.lower()
+    base = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t"))
+    n_hits = F.floor(
+        (F.length("_t") - F.length(F.replace(F.col("_t"), F.lit(nd), F.lit(""))))
+        / F.length(F.lit(nd))
+    ).cast("bigint")
+    if len(nd) < 3:
+        return (
+            base.filter(F.col("_t").contains(nd))
+            .select(F.col(id_col), n_hits.alias("n_hits"))
+            .orderBy(id_col)
+        )
+    tgs = sorted({nd[i : i + 3] for i in range(len(nd) - 2)})
+    idx = index if index is not None else trigram_index(df, text_col, id_col)
+    needles = df.sparkSession.createDataFrame([(t,) for t in tgs], "tg string")
+    cands = (
+        idx.join(F.broadcast(needles), "tg")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") == len(tgs))
+        .select(id_col)
+    )
+    return (
+        base.join(cands, id_col)
+        .filter(F.col("_t").contains(nd))
+        .select(F.col(id_col), n_hits.alias("n_hits"))
+        .orderBy(id_col)
+    )
+
+
+def trigram_search_sql(
+    table: str = "documents",
+    needle: str = SEARCH_NEEDLE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    nd = needle.lower().replace("'", "''")
+    return f"""
+    WITH base AS (SELECT {id_col}, lower({text_col}) AS t FROM {table})
+    SELECT {id_col},
+           CAST(floor((length(t) - length(replace(t, '{nd}', '')))
+                / length('{nd}')) AS BIGINT) AS n_hits
+    FROM base WHERE contains(t, '{nd}')
+    ORDER BY {id_col}
+    """
+
+
 # ------------------------------------- tokenizer vocabulary coverage
 
 VOCAB_KS = (64, 512, 4096)

@@ -2248,6 +2248,24 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("trigram_search_docs", text.trigram_search_sql())
+def trigram_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated exact substring search (the Code Search
+    trigram design): the STAGED posting-list index prunes to docs
+    carrying every needle trigram, and only candidates pay the verify
+    contains() — grep over the corpus without a full text scan. The
+    oracle is the straight scan, so the index path must lose nothing."""
+    docs = load(spark, sf_dir, "documents")
+    idx = _stage_once_df(
+        spark,
+        sf_dir,
+        "trigram_index",
+        text.trigram_index_sql(),
+        lambda: text.trigram_index(docs),
+    )
+    return text.trigram_search(docs, index=idx)
+
+
 @_q("count_min_heavy_hitters", sketches.count_min_heavy_hitters_sql())
 def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy-hitter audit over the event stream's user key:
