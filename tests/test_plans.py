@@ -609,3 +609,13 @@ def test_trigram_search_uses_staged_index(spark):
     assert "trigram_index" in p  # staged index path appears in the scan
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_profile_lineitem_single_pass_expand(spark):
+    """The 11-column profile must be ONE aggregation pass over one
+    FileScan (Spark's Expand handles the multi-column distincts), a
+    stack unpivot, and no Python — never a per-column job fan-out."""
+    p = plan_of(spark, "profile_lineitem")
+    assert p.count("FileScan") == 1
+    assert "Expand" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

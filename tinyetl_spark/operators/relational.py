@@ -232,3 +232,92 @@ def sessionize(
         F.date_format(F.min(ts), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max(ts), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
     )
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Column profile — the ANALYZE-style data card every transfer tool
+    publishes: one row per column with (column, dtype, n_rows, n_nulls,
+    n_distinct, min_val, max_val). All statistics are exact and
+    engine-safe: counts are integers; min/max render as strings only
+    for types whose text form is identical across engines (integers,
+    strings, timestamps via date_format) and stay NULL for floating
+    columns, where double-to-string formatting is engine-specific.
+
+    Scale shape: ONE aggregation pass produces every statistic as a
+    wide single row (Spark plans the multi-column count-distincts via
+    one Expand over the scan), then a stack() unpivot emits the per-
+    column rows — no per-column jobs, no collect."""
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    stringable = (
+        ByteType, ShortType, IntegerType, LongType, StringType,
+    )
+    aggs, stack_parts = [], []
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        if isinstance(f.dataType, stringable):
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
+        elif isinstance(f.dataType, (TimestampType, TimestampNTZType, DateType)):
+            mn = F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss")
+        else:
+            mn = F.lit(None).cast("string")
+            mx = F.lit(None).cast("string")
+        aggs.append(mn.alias(f"_mn_{c}"))
+        aggs.append(mx.alias(f"_mx_{c}"))
+        stack_parts.append(
+            f"'{c}', '{f.dataType.simpleString()}', _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}"
+        )
+    wide = df.agg(F.count(F.lit(1)).alias("_rows"), *aggs)
+    stacked = wide.selectExpr(
+        "_rows",
+        f"stack({len(stack_parts)}, {', '.join(stack_parts)}) "
+        "AS (column, dtype, n_notnull, n_distinct, min_val, max_val)",
+    )
+    return stacked.select(
+        F.col("column"),
+        F.col("dtype"),
+        F.col("_rows").cast("bigint").alias("n_rows"),
+        (F.col("_rows") - F.col("n_notnull")).cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    ).orderBy("column")
+
+
+def profile_table_sql(table: str, columns: list[tuple[str, str]]) -> str:
+    """DuckDB twin: ``columns`` is [(name, kind)] with kind one of
+    'str' (min/max as text), 'ts' (strftime), 'skip' (floating —
+    min/max NULL). Spark dtype names are emitted by the caller so the
+    dtype column matches."""
+    selects = []
+    for name, kind, spark_dtype in columns:
+        if kind == "str":
+            mn = f"CAST(min({name}) AS VARCHAR)"
+            mx = f"CAST(max({name}) AS VARCHAR)"
+        elif kind == "ts":
+            mn = f"strftime(min({name}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({name}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = "CAST(NULL AS VARCHAR)"
+            mx = "CAST(NULL AS VARCHAR)"
+        selects.append(f"""
+    SELECT '{name}' AS "column", '{spark_dtype}' AS dtype,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({name}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+           {mn} AS min_val, {mx} AS max_val
+    FROM {table}""")
+    return " UNION ALL ".join(selects) + ' ORDER BY "column"'

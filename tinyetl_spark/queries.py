@@ -2248,6 +2248,33 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINEITEM_PROFILE_COLS = [
+    ("l_orderkey", "str", "bigint"),
+    ("l_partkey", "str", "bigint"),
+    ("l_suppkey", "str", "bigint"),
+    ("l_linenumber", "str", "int"),
+    ("l_quantity", "skip", "double"),
+    ("l_extendedprice", "skip", "double"),
+    ("l_discount", "skip", "double"),
+    ("l_tax", "skip", "double"),
+    ("l_returnflag", "str", "string"),
+    ("l_linestatus", "str", "string"),
+    ("l_shipdate", "ts", "timestamp_ntz"),
+]
+
+
+@_q(
+    "profile_lineitem",
+    relational.profile_table_sql("lineitem", _LINEITEM_PROFILE_COLS),
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the fact table: exact null and
+    distinct counts plus engine-safe min/max per column, produced in
+    one aggregation pass (Expand for the multi-column distincts) and a
+    stack() unpivot — no per-column jobs, nothing collected."""
+    return relational.profile_table(load(spark, sf_dir, "lineitem"))
+
+
 @_q("trigram_search_docs", text.trigram_search_sql())
 def trigram_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-accelerated exact substring search (the Code Search
