@@ -58,7 +58,7 @@ _PRIORITY = [
     "dsir_select_docs", "bpe_encode_batch_docs", "unimax_mix_langs",
     "quality_classifier_docs", "q5_local_supplier_volume", "q14_promo_revenue",
     "vocab_coverage_curve", "inference_batches_docs", "streaming_classifier_scores",
-    "remove_dup_passages_docs", "count_min_heavy_hitters", "trigram_search_docs", "profile_lineitem",
+    "remove_dup_passages_docs", "count_min_heavy_hitters", "trigram_search_docs", "profile_lineitem", "streaming_count_min",
     "corpus_overlap_exact", "corpus_diff", "pagerank_dups",
     "cluster_best_survivor", "training_mix", "partitioned_scan_prune",
     "epoch_order_manifest", "embedding_quantize",

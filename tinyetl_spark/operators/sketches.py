@@ -234,6 +234,7 @@ def count_min_heavy_hitters(
     depth: int = CM_DEPTH,
     width: int = CM_WIDTH,
     topk: int = CM_TOPK,
+    sketch: DataFrame | None = None,
 ) -> DataFrame:
     """Heavy-hitter audit: the CM estimate (min over hash rows of the
     key's counter) against the exact count for the exact top-k keys —
@@ -243,8 +244,14 @@ def count_min_heavy_hitters(
 
     Scale shape: the sketch is one grouped scan into depth x width
     rows; the exact top-k is a TakeOrdered; the estimate join touches
-    topk x depth sketch rows only."""
-    sk = count_min_table(df, F.col(key_col), depth, width).localCheckpoint()
+    topk x depth sketch rows only. Pass ``sketch`` (a count_min_table
+    result, e.g. merged from streaming micro-batches) to probe an
+    index that already exists."""
+    sk = (
+        sketch
+        if sketch is not None
+        else count_min_table(df, F.col(key_col), depth, width).localCheckpoint()
+    )
     top = (
         df.groupBy(key_col)
         .agg(F.count("*").cast("bigint").alias("exact"))

@@ -4154,6 +4154,49 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("streaming_count_min", sketches.count_min_heavy_hitters_sql())
+def streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min monoid exercised LIVE: each micro-batch of the
+    event stream builds its own partial sketch (foreachBatch appends
+    the depth x width partial to parquet under a checkpoint —
+    exactly-once, replay-safe), the running sketch is the SUM of the
+    partials, and the probe of that merged sketch must be byte-equal
+    to the batch sketch's — which is exactly why CM works as an
+    ingest-time structure. Shares the batch oracle."""
+    from tinyetl_spark.operators.sketches import count_min_table
+
+    stage = _stage_table_symlink(sf_dir, "events")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .select("user_id")
+    )
+    sink = _roundtrip_dir(sf_dir, "cm_stream_sketch_v1")
+    ckpt = f"{sink}.checkpoint"
+
+    def merge(batch_df, _bid):
+        count_min_table(batch_df, F.col("user_id")).write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(sink)
+        .groupBy("i", "slot")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    return sketches.count_min_heavy_hitters(
+        load(spark, sf_dir, "events"), sketch=merged
+    )
+
+
 @_q(
     "streaming_quality_filter",
     f"""
