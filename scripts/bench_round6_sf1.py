@@ -27,6 +27,11 @@ NEW = [
     "bpe_encode_batch_docs",
     "q5_local_supplier_volume",
     "q14_promo_revenue",
+    "remove_dup_passages_docs",
+    "trigram_search_docs",
+    "count_min_heavy_hitters",
+    "streaming_count_min",
+    "profile_lineitem",
 ]
 
 

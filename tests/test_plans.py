@@ -611,11 +611,13 @@ def test_trigram_search_uses_staged_index(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_profile_lineitem_single_pass_expand(spark):
-    """The 11-column profile must be ONE aggregation pass over one
-    FileScan (Spark's Expand handles the multi-column distincts), a
-    stack unpivot, and no Python — never a per-column job fan-out."""
+def test_profile_lineitem_two_pass_no_expand(spark):
+    """The 11-column profile is exactly TWO scan passes (plain min/max
+    aggregation + one stack-unpivot distinct count) — never the N-way
+    count-distinct Expand (grouping-set aggregation over rows x N,
+    measured ~10x slower) and never per-column job fan-out or Python."""
     p = plan_of(spark, "profile_lineitem")
-    assert p.count("FileScan") == 1
-    assert "Expand" in p
+    assert p.count("FileScan") == 2
+    assert "Expand" not in p
+    assert "Generate" in p  # the stack unpivot
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
