@@ -34,7 +34,7 @@ _PRIORITY = [
     "unigram_logprob_docs", "pq_encode_vectors", "bigram_logprob_docs",
     # io roundtrips / CLI / engine surfaces (never driver-checked)
     "csv_roundtrip", "csv_roundtrip_events", "json_roundtrip",
-    "avro_roundtrip", "sqlite_roundtrip", "duckdb_roundtrip",
+    "avro_roundtrip", "orc_roundtrip", "sqlite_roundtrip", "duckdb_roundtrip",
     "jdbc_roundtrip", "cli_job_roundtrip", "transform_date_string",
     # multimodal transforms beyond the r5-green decode pair
     "multimodal_meta", "multimodal_dedup", "multimodal_byte_histogram",

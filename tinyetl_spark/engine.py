@@ -55,6 +55,8 @@ def read_source(spark: SparkSession, loc: Location, infer: bool = True) -> DataF
         return fio.read_parquet(spark, loc.path)
     if loc.kind == "avro":
         return fio.read_avro(spark, loc.path)
+    if loc.kind == "orc":
+        return fio.read_orc(spark, loc.path)
     if loc.kind == "sqlite":
         return sio.read_table(spark, loc.path, loc.table_name)
     if loc.kind == "duckdb":
@@ -130,7 +132,7 @@ def supports_append(loc: Location) -> bool:
     matching that also keeps policy and behavior agreed for single-file
     avro, whose writer rewrites the file whole. Single-file JSON merges;
     embedded/server DBs append natively."""
-    return loc.kind not in ("csv", "parquet", "avro")
+    return loc.kind not in ("csv", "parquet", "avro", "orc")
 
 
 def write_target(df: DataFrame, loc: Location, append: bool) -> int | None:
@@ -145,6 +147,8 @@ def write_target(df: DataFrame, loc: Location, append: bool) -> int | None:
         fio.write_parquet(df, loc.path, mode="append" if append else "overwrite")
     elif loc.kind == "avro":
         return fio.write_avro(df, loc.path, mode="append" if append else "overwrite")
+    elif loc.kind == "orc":
+        fio.write_orc(df, loc.path, mode="append" if append else "overwrite")
     elif loc.kind == "sqlite":
         return sio.write_table(df, loc.path, loc.table_name, truncate=not append)
     elif loc.kind == "duckdb":

@@ -348,6 +348,42 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (beyond the reference's format set — Spark-native
+    columnar read, predicate pushdown and column pruning included)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink, same single-file/directory contract as parquet:
+    directory targets write distributed; a ``*.orc`` file target
+    coalesces to one part and moves it into place (append = read
+    existing + union, like the single-file parquet path)."""
+    if not is_single_file(path, "orc"):
+        df.write.mode(mode).orc(path)
+        return
+    tmp = tempfile.mkdtemp(prefix="tinyetl_orc_")
+    try:
+        df.coalesce(1).write.mode("overwrite").orc(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.orc"))[0]
+        if mode == "append" and os.path.exists(path):
+            spark = df.sparkSession
+            merged = spark.read.orc(path).unionByName(
+                spark.read.orc(part), allowMissingColumns=True
+            )
+            tmp2 = tempfile.mkdtemp(prefix="tinyetl_orc2_")
+            try:
+                merged.coalesce(1).write.mode("overwrite").orc(tmp2)
+                part2 = glob.glob(os.path.join(tmp2, "part-*.orc"))[0]
+                shutil.copyfile(part2, path)
+            finally:
+                shutil.rmtree(tmp2, ignore_errors=True)
+        else:
+            shutil.copyfile(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _json_ready(df: DataFrame) -> DataFrame:
     """Timestamps → RFC3339 strings so JSON output matches the
     reference's date representation (json.rs:153-175)."""

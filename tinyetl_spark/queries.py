@@ -3598,6 +3598,38 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "orc_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_date
+    FROM orders
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → single-file ORC (a format beyond the reference's set,
+    Spark-native columnar) → read-back through the same engine
+    transfer path. Hash-matching the ORIGINAL table proves the ORC
+    write+read pair is lossless including timestamps."""
+    import os
+
+    from tinyetl_spark.engine import transfer
+
+    out = _roundtrip_dir(sf_dir, "orders.orc")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    transfer(spark, f"{sf_dir}/orders.parquet", out, truncate=True)
+    from tinyetl_spark.io.files import read_orc
+
+    back = read_orc(spark, out)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_date"),
+    )
+
+
+@_q(
     "csv_roundtrip_events",
     """
     SELECT event_id, user_id, event_type,

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-FILE_KINDS = {"csv", "json", "parquet", "avro"}
+FILE_KINDS = {"csv", "json", "parquet", "avro", "orc"}
 EMBEDDED_DB_KINDS = {"sqlite", "duckdb"}
 SERVER_DB_KINDS = {"postgres", "mysql", "mssql", "odbc", "snowflake", "derby"}
 TRANSPORT_KINDS = {"http", "ssh"}
@@ -32,6 +32,7 @@ _EXT_TO_KIND = {
     ".ndjson": "json",
     ".parquet": "parquet",
     ".avro": "avro",
+    ".orc": "orc",
     ".db": "sqlite",
     ".sqlite": "sqlite",
     ".sqlite3": "sqlite",
@@ -165,7 +166,7 @@ def _from_path(
         # configuration error.
         raise UnsupportedUriError(
             f"Unsupported source/target type: {raw}. Supported formats: file.csv, "
-            f"file.json, file.parquet, file.avro, file.db#table, file.duckdb#table, "
+            f"file.json, file.parquet, file.avro, file.orc, file.db#table, file.duckdb#table, "
             f"plus scheme-based DB/transport URLs (pass format_hint/--source-type "
             f"for extensionless paths)"
         )
