@@ -54,7 +54,9 @@ _PRIORITY = [
     # tokenizer / sketches / fuzzy (oracle twins landed this round)
     "bpe_pair_counts", "bpe_train_merges", "bpe_encode_docs",
     "corpus_overlap_kmv", "source_overlap_matrix", "fuzzy_join_phrases",
-    # ---- slot 50 boundary: the rest lead round 7's window ----
+    # ---- slot-50 boundary falls just above (orc_roundtrip's
+    # insertion pushed fuzzy_join_phrases to slot 51); everything
+    # from here leads round 7's window ----
     "dsir_select_docs", "bpe_encode_batch_docs", "unimax_mix_langs",
     "quality_classifier_docs", "q5_local_supplier_volume", "q14_promo_revenue",
     "vocab_coverage_curve", "inference_batches_docs", "streaming_classifier_scores",
