@@ -1029,7 +1029,12 @@ def test_bpe_encode_batch_large_vocab_on_corpus(spark):
     byte-equality with the dictionary-join encode (both derive from
     the same trained table, so all three forms must agree)."""
     from tests.conftest import SF_DIR
-    from tinyetl_spark.operators.tokenizer import bpe_encode_batch, bpe_train, bpe_train_encode
+    from tinyetl_spark.operators.tokenizer import (
+        bpe_encode_batch,
+        bpe_train,
+        bpe_train_encode,
+        merge_table_is_order_safe,
+    )
     from tinyetl_spark.queries import load
 
     docs = load(spark, SF_DIR, "documents")
@@ -1037,6 +1042,10 @@ def test_bpe_encode_batch_large_vocab_on_corpus(spark):
         (r["lsym"], r["rsym"]) for r in bpe_train(docs, n_merges=60).collect()
     ]
     assert len(merges) == 60
+    # Guard the equivalence precondition the encoders rely on: a trained
+    # table must be order-safe (distinct outputs, operands produced at
+    # lower rank) or min-rank and in-order could silently diverge.
+    assert merge_table_is_order_safe(merges)
     batch = {
         r.doc_id: (r.n_tokens, tuple(r.tokens))
         for r in bpe_encode_batch(docs, merges).collect()
@@ -1046,6 +1055,33 @@ def test_bpe_encode_batch_large_vocab_on_corpus(spark):
         for r in bpe_train_encode(docs, n_merges=60).collect()
     }
     assert batch == joined
+
+
+def test_merge_table_order_safety_detects_divergent_tables(spark):
+    """The checker must flag exactly the tables where min-rank and
+    in-order can disagree — colliding outputs that later feed an
+    earlier merge's operand — and the flagged table must actually
+    diverge, proving the guard is load-bearing."""
+    from tinyetl_spark.operators.tokenizer import (
+        bpe_encode,
+        bpe_encode_batch,
+        merge_table_is_order_safe,
+    )
+
+    # rank0 wants ("ab","c") but "ab" is only minted by rank1: in-order
+    # applies rank0 before "ab" exists; min-rank revisits it after.
+    bad = [("ab", "c"), ("a", "b")]
+    assert not merge_table_is_order_safe(bad)
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    fold = bpe_encode(df, bad).collect()[0]
+    batch = bpe_encode_batch(df, bad).collect()[0]
+    assert list(fold.tokens) != list(batch.tokens)  # the documented divergence
+
+    good = [("a", "b"), ("ab", "c")]
+    assert merge_table_is_order_safe(good)
+    fold_g = bpe_encode(df, good).collect()[0]
+    batch_g = bpe_encode_batch(df, good).collect()[0]
+    assert list(fold_g.tokens) == list(batch_g.tokens)
 
 
 def test_bpe_train_encode_keeps_empty_docs(spark):

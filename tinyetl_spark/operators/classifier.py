@@ -113,11 +113,20 @@ def train_quality_classifier(
             .agg(F.sum(F.col("x") * F.col("w")).alias("_mu"))
             .select(F.col(id_col), _p_int(F.col("_mu")).alias("p"))
         )
+        # Each term is up to ~1e9 (micro-units) per token occurrence, so a
+        # hot bucket with >~9e9 occurrences would silently wrap a BIGINT
+        # sum in Spark (non-ANSI) while DuckDB promotes to HUGEINT.
+        # Summing in decimal(38,0) matches the HUGEINT promotion up to
+        # 1e38 — ~1e29 token occurrences per bucket, far past any corpus.
         grad = (
             feats.join(F.broadcast(margins), id_col)
             .join(F.broadcast(labels), id_col)
             .groupBy("b")
-            .agg(F.sum(F.col("x") * (F.col("p") - F.col("y") * _U)).alias("g"))
+            .agg(
+                F.sum(
+                    (F.col("x") * (F.col("p") - F.col("y") * _U)).cast("decimal(38,0)")
+                ).alias("g")
+            )
         )
         step = F.floor(
             F.lit(LR) * F.col("g").cast("double") / F.lit(float(n)) + F.lit(0.5)

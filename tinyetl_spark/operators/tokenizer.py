@@ -339,6 +339,26 @@ def bpe_encode(
     )
 
 
+def merge_table_is_order_safe(merges: list[tuple[str, str]]) -> bool:
+    """Sufficient condition for in-order fold == min-rank loop: all
+    merge outputs are distinct strings AND every operand that is some
+    merge's output is produced at a strictly lower rank. Then a merge
+    can never create a fresh occurrence of an earlier-ranked pair, so
+    the single-pass in-order fold and the min-rank loop visit the same
+    merge sites. Tables trained by :func:`bpe_train` pass this; the
+    parity tests assert it before relying on cross-encoder equality."""
+    outputs = [a + b for a, b in merges]
+    if len(set(outputs)) != len(outputs):
+        return False
+    produced = {out: i for i, out in enumerate(outputs)}
+    for rank, (a, b) in enumerate(merges):
+        for operand in (a, b):
+            r = produced.get(operand)
+            if r is not None and r >= rank:
+                return False
+    return True
+
+
 def bpe_encode_batch(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -353,10 +373,20 @@ def bpe_encode_batch(
     and past a few hundred merges codegen falls over. Here the merge
     table ships once per executor as a rank dict, and each word is
     encoded with the classic min-rank loop (repeatedly merge the
-    lowest-ranked adjacent pair — equivalent to applying merges in
-    learned order for any well-formed table, because a merge's operand
-    symbols can only be produced by EARLIER-ranked merges), cost
-    independent of vocabulary size. A per-batch word cache makes the
+    lowest-ranked adjacent pair), cost independent of vocabulary size.
+
+    Equivalence caveat: min-rank matches the in-order fold encoders
+    (``bpe_encode`` / ``bpe_train_encode``) whenever no two merges
+    produce the SAME output string — then every multi-char operand has
+    a unique producing merge of strictly lower rank, so a later merge
+    can never mint a fresh occurrence of an earlier pair for min-rank
+    to pick up that the single-pass fold already passed. Tables from
+    ``bpe_train`` satisfy this (checked by
+    :func:`merge_table_is_order_safe`, asserted in the parity tests);
+    a hand-built table with colliding outputs (e.g. ``("ab","c")`` and
+    ``("a","bc")`` both yielding ``"abc"`` as a later operand) can
+    diverge — min-rank is then the semantics real tokenizers use.
+    A per-batch word cache makes the
     effective unit of work the batch's DISTINCT words — the same
     dictionary-style saving as bpe_train_encode, without a join.
 

@@ -2270,8 +2270,12 @@ _LINEITEM_PROFILE_COLS = [
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profile of the fact table: exact null and
     distinct counts plus engine-safe min/max per column, produced in
-    one aggregation pass (Expand for the multi-column distincts) and a
-    stack() unpivot — no per-column jobs, nothing collected."""
+    TWO cheap passes — a plain agg for nulls/min/max, then a stack()
+    unpivot + groupBy for the per-column distincts — deliberately
+    avoiding the multi-distinct Expand that would replicate every fact
+    row once per profiled column (shape pinned by
+    test_profile_lineitem_two_pass_no_expand). No per-column jobs,
+    nothing collected."""
     return relational.profile_table(load(spark, sf_dir, "lineitem"))
 
 
@@ -2327,18 +2331,21 @@ def inference_batches_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.inference_batches(load(spark, sf_dir, "documents"))
 
 
-_CLASSIFIER_CACHE: dict[str, tuple] = {}
+_CLASSIFIER_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _trained_classifier(spark: SparkSession, sf_dir: str) -> tuple:
-    """Train-once memo (checkpointed weight/feature/label tables are
-    session-valid): the batch scorer and the streaming server share
-    one trained model per corpus, like a production model registry."""
-    if sf_dir not in _CLASSIFIER_CACHE:
-        _CLASSIFIER_CACHE[sf_dir] = classifier.train_quality_classifier(
+    """Train-once memo: the batch scorer and the streaming server share
+    one trained model per corpus, like a production model registry.
+    localCheckpoint lifetime == SparkContext lifetime, so the cache is
+    keyed by (applicationId, sf_dir) — a rebuilt context in the same
+    process gets a fresh train instead of dead checkpoint references."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLASSIFIER_CACHE:
+        _CLASSIFIER_CACHE[key] = classifier.train_quality_classifier(
             load(spark, sf_dir, "documents")
         )
-    return _CLASSIFIER_CACHE[sf_dir]
+    return _CLASSIFIER_CACHE[key]
 
 
 @_q("quality_classifier_docs", classifier.quality_classifier_sql())
@@ -4189,9 +4196,12 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("streaming_count_min", sketches.count_min_heavy_hitters_sql())
 def streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Count-Min monoid exercised LIVE: each micro-batch of the
-    event stream builds its own partial sketch (foreachBatch appends
-    the depth x width partial to parquet under a checkpoint —
-    exactly-once, replay-safe), the running sketch is the SUM of the
+    event stream builds its own partial sketch and OVERWRITES its own
+    batch-id partition (sink/batch_id=<bid>) — foreachBatch is only
+    at-least-once for non-idempotent sinks, so a replayed batch must
+    replace its earlier partial rather than append a second copy.
+    With that idempotent write the checkpoint+overwrite pair is
+    effectively exactly-once; the running sketch is the SUM of the
     partials, and the probe of that merged sketch must be byte-equal
     to the batch sketch's — which is exactly why CM works as an
     ingest-time structure. Shares the batch oracle."""
@@ -4208,8 +4218,12 @@ def streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = _roundtrip_dir(sf_dir, "cm_stream_sketch_v1")
     ckpt = f"{sink}.checkpoint"
 
-    def merge(batch_df, _bid):
-        count_min_table(batch_df, F.col("user_id")).write.mode("append").parquet(sink)
+    def merge(batch_df, bid):
+        # Idempotent on batch id: a replay overwrites its own partition
+        # instead of appending a duplicate partial sketch.
+        count_min_table(batch_df, F.col("user_id")).write.mode("overwrite").parquet(
+            f"{sink}/batch_id={int(bid)}"
+        )
 
     q = (
         stream.writeStream.foreachBatch(merge)
