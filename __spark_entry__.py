@@ -21,50 +21,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver samples the FIRST 50 entries of queries() in
-# dict order. Rounds 1-5 put driver-green rows on the relational/
-# transform tier and the ANN/dedup/streaming extension tier (106 of
-# 167 queries ever green). Round 6's window is aimed at the largest
-# NEVER-driver-checked block: the two round-5 red rows re-validated
-# first, then the roundtrip/CLI tier, multimodal transforms, the
-# text-analysis/training-prep tail, events analytics, and the
-# BPE/KMV/fuzzy tier (all of which now have oracle twins). The 11
-# entries after slot 50 lead round 7's window.
+# dict order. Rounds 1-6 put driver-green rows on 155 distinct
+# queries. Round 7's window: the 27 never-driver-checked queries
+# first (the round-6 window tail: TPC-H q5/q14, text/maintenance/
+# recall tiers, the two round-6 streaming/classifier additions), then
+# this round's new queries (the TPC-H expansion pack and the new
+# scale operators), then re-validations of rows whose code changed
+# this round.
 _PRIORITY = [
-    # round-5 red rows, fixed this round — validate first
-    "unigram_logprob_docs", "pq_encode_vectors", "bigram_logprob_docs",
-    # io roundtrips / CLI / engine surfaces (never driver-checked)
-    "csv_roundtrip", "csv_roundtrip_events", "json_roundtrip",
-    "avro_roundtrip", "orc_roundtrip", "sqlite_roundtrip", "duckdb_roundtrip",
-    "jdbc_roundtrip", "cli_job_roundtrip", "transform_date_string",
-    # multimodal transforms beyond the r5-green decode pair
-    "multimodal_meta", "multimodal_dedup", "multimodal_byte_histogram",
-    "multimodal_frame_sample", "multimodal_thumbnail",
-    "multimodal_resize_bmp", "multimodal_decimate_wav",
-    # text analysis / training-data prep tail
-    "bm25_top_terms", "bm25_search_docs", "char_entropy_docs",
-    "chunk_documents", "repetition_stats", "gopher_quality_docs",
-    "dup_ngram_frac_docs", "dup_passage_spans", "line_dedup_docs",
-    "epoch_shuffle_docs", "pack_sequences_docs", "quality_budget_select",
-    "hash_sample_docs", "stratified_sample_docs", "pii_redact_docs",
-    "winnow_fingerprints", "corpus_stats_report", "decontam_report",
-    # events analytics
-    "ohlc_bars_events", "funnel_conversion", "cohort_retention",
-    "event_outliers", "hot_keys_audit", "fk_violations_audit",
-    "streaming_quality_filter",
-    # tokenizer / sketches / fuzzy (oracle twins landed this round)
-    "bpe_pair_counts", "bpe_train_merges", "bpe_encode_docs",
-    "corpus_overlap_kmv", "source_overlap_matrix", "fuzzy_join_phrases",
-    # ---- slot-50 boundary falls just above (orc_roundtrip's
-    # insertion pushed fuzzy_join_phrases to slot 51); everything
-    # from here leads round 7's window ----
-    "dsir_select_docs", "bpe_encode_batch_docs", "unimax_mix_langs",
-    "quality_classifier_docs", "q5_local_supplier_volume", "q14_promo_revenue",
-    "vocab_coverage_curve", "inference_batches_docs", "streaming_classifier_scores",
-    "remove_dup_passages_docs", "count_min_heavy_hitters", "trigram_search_docs", "profile_lineitem", "streaming_count_min",
-    "corpus_overlap_exact", "corpus_diff", "pagerank_dups",
-    "cluster_best_survivor", "training_mix", "partitioned_scan_prune",
-    "epoch_order_manifest", "embedding_quantize",
-    "ann_recall_lsh", "ann_recall_pq", "ann_recall_ivf_pq", "ann_recall_rerank",
+    # --- never driver-checked (27) ---
+    "q5_local_supplier_volume", "q14_promo_revenue", "corpus_diff",
+    "fuzzy_join_phrases", "profile_lineitem", "trigram_search_docs",
+    "count_min_heavy_hitters", "remove_dup_passages_docs",
+    "vocab_coverage_curve", "inference_batches_docs",
+    "quality_classifier_docs", "dsir_select_docs", "bpe_encode_batch_docs",
+    "corpus_overlap_exact", "training_mix", "partitioned_scan_prune",
+    "pagerank_dups", "cluster_best_survivor", "embedding_quantize",
+    "ann_recall_lsh", "ann_recall_pq", "ann_recall_ivf_pq",
+    "ann_recall_rerank", "unimax_mix_langs", "epoch_order_manifest",
+    "streaming_count_min", "streaming_classifier_scores",
+    # --- new this round: TPC-H expansion pack (11) ---
+    "q2_min_cost_supplier", "q4_priority_check", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q16_supplier_variety", "q18_large_orders", "q19_disjunctive_revenue",
+    "q21_waiting_supplier", "q22_idle_customers",
+    # --- new this round: scale operators (inserted as they land) ---
+    "bloom_semi_join_orders", "hll_distinct_users", "scd2_customer_history",
+    # --- re-validation: last green in r5, code untouched since ---
+    "ann_recall_rpq", "ann_recall_rpq_rerank", "semantic_dup_pairs",
+    "semantic_dedup_survivors", "curation_pipeline", "near_dup_ngram",
+    "fuzzy_decontam", "minhash_candidates", "dedup_clusters",
     # previously driver-green tiers follow in registry order
 ]
 

@@ -621,3 +621,70 @@ def test_profile_lineitem_two_pass_no_expand(spark):
     assert "Expand" not in p
     assert "Generate" in p  # the stack unpivot
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q6_pure_pushdown_no_join_no_hash_shuffle(spark):
+    """TPC-H Q6 is the canonical scan-efficiency probe: all four
+    predicates must reach the parquet scan, there is no join at all,
+    and the single-row aggregate needs no hash exchange."""
+    p = plan_of(spark, "q6_forecast_revenue")
+    pushed = p.split("PushedFilters:")[1][:240]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_q7_broadcasts_all_seven_dims_single_agg_shuffle(spark):
+    """TPC-H Q7 bloc chain: supplier, both nation/region arms, orders,
+    and customer all broadcast — lineitem never shuffles for a join —
+    leaving exactly the group-by exchange."""
+    p = plan_of(spark, "q7_volume_shipping")
+    assert p.count("BroadcastHashJoin") == 7
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """The NOT IN supplier exclusion must compile to a broadcast LEFT
+    ANTI join against the tiny negative-balance list, never a
+    sort-merge or nested-loop anti."""
+    p = plan_of(spark, "q16_supplier_variety")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q18_having_keys_broadcast_semi_takeordered(spark):
+    """TPC-H Q18: the HAVING-subquery survivors broadcast back as a
+    LEFT SEMI (the fact table is never widened by the self-join) and
+    the LIMIT is a TakeOrderedAndProject, not a global sort."""
+    p = plan_of(spark, "q18_large_orders")
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q19_disjunction_single_scan_no_hash_shuffle(spark):
+    """TPC-H Q19's OR-of-ANDs: one lineitem scan, part broadcast, the
+    disjunction in codegen — no hash exchange for the scalar agg."""
+    p = plan_of(spark, "q19_disjunctive_revenue")
+    assert p.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_q21_folded_exists_no_rescans_no_cartesian(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is folded into ONE per-order
+    aggregate — lineitem appears at most twice (flagged lines + the
+    per-order counts), never four times, and nothing goes nested-loop."""
+    p = plan_of(spark, "q21_waiting_supplier")
+    assert p.count("FileScan") <= 4  # lineitem x2 + orders + supplier
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q22_cross_mult_scalar_broadcast_anti(spark):
+    """Q22's above-average test must stay a 1-row broadcast (cross
+    multiply in decimals, no per-row mean recompute) and the
+    no-recent-orders test a broadcast anti join."""
+    p = plan_of(spark, "q22_idle_customers")
+    assert "LeftAnti" in p
+    assert "SortMergeJoin" not in p

@@ -491,6 +491,515 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT p_partkey, p_brand, p_type, l_suppkey,
+             min(l_extendedprice) AS offer
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 15
+      GROUP BY p_partkey, p_brand, p_type, l_suppkey),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                   ORDER BY offer, l_suppkey) AS rn
+      FROM offers)
+    SELECT r.p_partkey, r.p_brand, s.s_name, r.offer AS min_price
+    FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rn = 1 ORDER BY r.p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier, adapted — no partsupp table
+    in this schema, so a supplier's offer for a part is its cheapest
+    lineitem price): the correlated min-subquery becomes a per-part
+    window rank over exact decimals, ties broken on suppkey so both
+    engines pick the same supplier. Plan: part filter pushes to its
+    scan and broadcasts; one (partkey, suppkey) agg shuffle; the rank
+    window repartitions only the tiny offers table."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & F.col("p_size").between(1, 15)
+    )
+    s = load(spark, sf_dir, "supplier")
+    offers = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_brand", "p_type", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("offer"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("offer"), F.asc("l_suppkey"))
+    return (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_name", F.col("offer").alias("min_price"))
+        .orderBy("p_partkey")
+    )
+
+
+@_q(
+    "q4_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking, EXISTS adapted to the
+    returned-line flag — no commit/receipt dates in this schema): the
+    EXISTS compiles to a LEFT SEMI join, so lineitem contributes at
+    most one match per order and is never widened; the date filter
+    pushes to the orders scan; final agg is 5 groups."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the pure-pushdown query —
+    every predicate reaches the parquet scan (PushedFilters shows all
+    four), no join, no shuffle beyond the single partial-agg exchange
+    of one row per partition. The canonical scan-efficiency probe."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@_q(
+    "q7_volume_shipping",
+    """
+    SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+       OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+    GROUP BY supp_region, cust_region, l_year
+    ORDER BY supp_region, cust_region, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two trading blocs,
+    lifted from nation pairs to region pairs so the slice stays dense
+    on the synthetic data): the disjunctive bloc constraint filters
+    AFTER both dimension chains resolve — all six dimension joins
+    broadcast, lineitem never shuffles for a join, and the only wide
+    exchange is the 2x|years| group-by."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    r1 = r.select(
+        F.col("r_regionkey").alias("r1_key"), F.col("r_name").alias("supp_region")
+    )
+    r2 = r.select(
+        F.col("r_regionkey").alias("r2_key"), F.col("r_name").alias("cust_region")
+    )
+    j = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r1), F.col("n1_rkey") == F.col("r1_key"))
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r2), F.col("n2_rkey") == F.col("r2_key"))
+        .filter(
+            ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+            | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+@_q(
+    "q8_market_share",
+    f"""
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS vol,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND p_type = 'STANDARD')
+    SELECT o_year,
+           floor(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                               ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS mkt_share
+    FROM base GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_5's share of
+    STANDARD-part revenue sold into ASIA, by order year. Same
+    broadcast-everything star chain as q7; numerator and denominator
+    are exact decimal sums so the only float is the final ratio,
+    rounded with the repo's half-up floor convention."""
+    from tinyetl_spark.operators.text import floor_round
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    vol = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_rkey") == F.col("r_regionkey"))
+    )
+    nat5 = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(dec(F.lit(0)))
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            floor_round(
+                F.sum(nat5).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_q(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                    - CAST(p_retailprice * l_quantity * 0.05 AS DECIMAL(38,6)))
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, o_year
+    ORDER BY 1 ASC, 2 DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit, supply cost proxied as 5%
+    of retail price per unit — no partsupp table here): profit per
+    supplier nation per order year over parts matching a name
+    substring. The LIKE filter pushes into the part scan before its
+    broadcast; both decimal terms are exact so the sum is
+    order-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    amount = dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - dec(
+        F.col("p_retailprice") * F.col("l_quantity") * 0.05
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@_q(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier variety per part class, the NOT IN
+    exclusion adapted to negative-balance suppliers): the NOT IN
+    subquery compiles to a broadcast LEFT ANTI join against the tiny
+    excluded-supplier list, the part filter broadcasts, and the exact
+    COUNT(DISTINCT) runs as the standard two-phase distinct agg keyed
+    on the (brand, type, size) group."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, odate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): the HAVING subquery is a
+    self-aggregation of lineitem whose surviving keys (a few per 10k
+    orders) broadcast back as a semi-join — the fact table is scanned
+    twice but shuffled only once, on the orderkey agg; customers
+    broadcast; TakeOrdered caps the output."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select(F.col("l_orderkey").alias("_bigkey"))
+    )
+    return (
+        l.join(F.broadcast(big), F.col("l_orderkey") == F.col("_bigkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_totalprice",
+        )
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_q(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicates):
+    the classic OR-of-ANDs that defeats naive pushdown. Catalyst
+    extracts the common-disjunct part filter (brand IN (..) via OR
+    simplification) ahead of the broadcast join and evaluates the
+    full disjunction post-join in codegen — one scan, zero shuffles
+    besides the single-row agg."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 40)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@_q(
+    "q21_waiting_supplier",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the supplier who alone kept the order waiting,
+    'late' adapted to the returned-line flag): the EXISTS/NOT-EXISTS
+    pair over other suppliers' lines in the same order folds into ONE
+    per-order aggregate of lineitem (distinct suppliers, distinct
+    flagged suppliers) instead of two correlated re-scans — the
+    sole-guilty-supplier predicate then reads off those counts. One
+    orderkey shuffle; dimension joins broadcast."""
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_nsupp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_nflag"),
+    )
+    # no distinct: the oracle counts every flagged LINE of the guilty
+    # supplier, matching TPC-H's per-l1-row semantics
+    flagged = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        flagged.join(per_order, "l_orderkey")
+        .filter((F.col("_nsupp") >= 2) & (F.col("_nflag") == 1))
+        .join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@_q(
+    "q22_idle_customers",
+    """
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS tot,
+             count(*) AS n
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c_acctbal AS DECIMAL(38,6)) * n > tot
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (well-funded customers gone idle — every
+    synthetic customer has SOME order, so 'no orders at all' becomes
+    'no orders since 1999'): the above-average test avoids the
+    engine-dependent double mean entirely by cross-multiplying exact
+    decimals (acctbal * n > total), the scalar aggregate broadcasts as
+    a 1-row cross join, and the NOT EXISTS is a broadcast anti join of
+    the date-filtered orders keys."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    pos = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(dec("c_acctbal")).cast("decimal(38,6)").alias("tot"),
+            F.count("*").alias("n"),
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(dec("c_acctbal") * F.col("n") > F.col("tot"))
+        .join(F.broadcast(o), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_q(
     "window_rank_stats",
     """
     SELECT o_orderkey, o_orderstatus,
