@@ -1528,3 +1528,56 @@ def test_trigram_search_matches_brute_force_random(spark):
         assert got == want
 
     check()
+
+
+def test_hll_registers_merge_monoid(spark):
+    """HLL's operational claim: sketch shards independently, merge by
+    MAX per bucket, and the merged estimate equals the single-pass
+    estimate over the union — the property that lets 1000 executors
+    sketch 100 TB without ever co-shuffling the raw keys."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators.sketches import hll_estimate, hll_registers
+    from tinyetl_spark.queries import load
+
+    e = load(spark, SF_DIR, "events")
+    whole = hll_estimate(hll_registers(e, F.col("user_id"))).collect()[0]
+    a = hll_registers(e.filter(F.col("event_id") % 2 == 0), F.col("user_id"))
+    b = hll_registers(e.filter(F.col("event_id") % 2 == 1), F.col("user_id"))
+    merged_regs = (
+        a.unionByName(b).groupBy("bucket").agg(F.max("mx").cast("int").alias("mx"))
+    )
+    merged = hll_estimate(merged_regs).collect()[0]
+    assert merged["hll_est"] == whole["hll_est"]
+    assert merged["v_zero"] == whole["v_zero"]
+
+
+def test_bloom_filter_prunes_without_losing_matches(spark):
+    """The reduction contract: every true match survives the bloom
+    pre-filter (no false negatives), and the false-positive overhead
+    stays near the design rate (<< the pruned mass)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators.relational import bloom_build, bloom_filtered
+    from tinyetl_spark.queries import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    hi = (
+        load(spark, SF_DIR, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select("o_orderkey")
+        .distinct()
+    )
+    words = bloom_build(hi, F.col("o_orderkey"))
+    survivors = bloom_filtered(li, "l_orderkey", words)
+    n_total = li.count()
+    n_surv = survivors.count()
+    n_true = li.join(hi, li.l_orderkey == hi.o_orderkey, "left_semi").count()
+    assert n_surv >= n_true  # no false negatives, ever
+    # pruning is real: survivors are a small fraction of the fact table
+    assert n_surv < 0.5 * n_total
+    # false positives bounded: (surv - true) over the non-matching mass
+    fp_rate = (n_surv - n_true) / max(1, n_total - n_true)
+    assert fp_rate < 0.05

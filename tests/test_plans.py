@@ -688,3 +688,31 @@ def test_q22_cross_mult_scalar_broadcast_anti(spark):
     p = plan_of(spark, "q22_idle_customers")
     assert "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_bloom_semi_join_probe_is_codegen_no_python(spark):
+    """The bloom probe must run inside the fact scan's codegen — the
+    packed words as an array literal with shift/mask bit tests, no
+    Python, no sort-merge join, and the exact pass a broadcast semi."""
+    p = plan_of(spark, "bloom_semi_join_orders")
+    assert "xxhash64" in p and "shiftright" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_hll_distinct_single_register_aggregation(spark):
+    """HLL registers must build in one map-side-combined groupBy (no
+    Python, no window) and the estimate math stays in codegen."""
+    p = plan_of(spark, "hll_distinct_users")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+
+
+def test_scd2_single_shuffle_single_window(spark):
+    """SCD2 must be union -> ONE key exchange -> ONE window pass
+    (lead + row_number share the spec) — never a self-join."""
+    p = plan_of(spark, "scd2_customer_history")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 1
+    assert "Join" not in p

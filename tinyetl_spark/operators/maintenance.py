@@ -144,3 +144,66 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def scd2_history(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    value_col: str,
+    ts_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension type 2: fold a base snapshot plus a
+    change stream into versioned validity intervals — each key's value
+    timeline becomes rows (key, version, value, valid_from, valid_to,
+    is_current), the warehouse pattern for keeping history instead of
+    overwriting (the type-1 path is :func:`upsert_snapshot`).
+
+    Inputs share columns (key, value_col, ts_col, seq_col); ``seq_col``
+    breaks same-timestamp ties deterministically (give base rows a
+    sentinel below any change's). Scale shape: one union (free), ONE
+    shuffle on the key, and a single window pass computing lead() and
+    row_number() together — no self-join, no per-version scans;
+    partition width = versions per key, never corpus size.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    u = base.select(key, value_col, ts_col, seq_col).unionByName(
+        changes.select(key, value_col, ts_col, seq_col)
+    )
+    w = Window.partitionBy(key).orderBy(F.asc(ts_col), F.asc(seq_col))
+    return u.select(
+        F.col(key),
+        F.row_number().over(w).alias("version"),
+        F.col(value_col),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(F.lead(ts_col).over(w), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to"
+        ),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )
+
+
+def scd2_history_sql(
+    base_select: str,
+    changes_select: str,
+    key: str,
+    value_col: str,
+    ts_col: str,
+    seq_col: str,
+) -> str:
+    """DuckDB twin of :func:`scd2_history` over two SELECT fragments
+    producing the same (key, value, ts, seq) shape."""
+    return f"""
+    WITH u AS ({base_select} UNION ALL {changes_select})
+    SELECT {key},
+           row_number() OVER w AS version,
+           {value_col},
+           strftime({ts_col}, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(lead({ts_col}) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           lead({ts_col}) OVER w IS NULL AS is_current
+    FROM u
+    WINDOW w AS (PARTITION BY {key} ORDER BY {ts_col} ASC, {seq_col} ASC)
+    """

@@ -338,3 +338,101 @@ def profile_table_sql(table: str, columns: list[tuple[str, str]]) -> str:
            {mn} AS min_val, {mx} AS max_val
     FROM {table}""")
     return " UNION ALL ".join(selects) + ' ORDER BY "column"'
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter semi-join reduction
+# ---------------------------------------------------------------------
+
+BLOOM_M = 1 << 17  # filter bits (2048 longs = 16 KiB per filter)
+BLOOM_K = 3        # probes per key
+
+
+def bloom_build(keys: DataFrame, key: F.Column, m: int = BLOOM_M, k: int = BLOOM_K) -> list[int]:
+    """Build a Bloom filter over a key column as m/64 packed longs.
+
+    One aggregation job on the (already filtered, small) key side:
+    explode k probe indexes, set bit hash_i(key) mod m, bit_or-combine
+    per 64-bit word — the collect is bounded at m/64 rows (2048 longs,
+    16 KiB) REGARDLESS of key count, which is the entire point: the
+    reduction ships as a constant, not as a key list. xxhash64 is fine
+    here (Spark-side only — the filter is transparent to results, so
+    the oracle never needs to reproduce it)."""
+    probes = keys.select(
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        key.cast("string").alias("_k"),
+    ).select(
+        F.pmod(F.xxhash64(F.col("i"), F.col("_k")), F.lit(m)).alias("p")
+    )
+    words = (
+        probes.select(
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    packed = [0] * (m // 64)
+    for r in words:
+        packed[int(r["w"])] = int(r["bits"])
+    return packed
+
+
+def bloom_filtered(
+    df: DataFrame,
+    key_col: str,
+    words: list[int],
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Keep only rows whose key MAY be in the filter, entirely in
+    codegen: the packed words fold in as an array literal (like the PQ
+    codebooks), each probe is element_at + variable shift + mask — no
+    join, no Python, no shuffle on the big side. May pass false
+    positives (callers follow with an exact join); never drops a true
+    match. Variable-distance shifts aren't reachable through the
+    pyspark helpers, so probes land in named temp columns and the bit
+    test is an F.expr over them."""
+    arr = F.array(*[F.lit(w).cast("bigint") for w in words])
+    out = df.withColumn("_bf", arr)
+    cond = F.lit(True)
+    for i in range(k):
+        out = out.withColumn(
+            f"_bfp{i}",
+            F.pmod(F.xxhash64(F.lit(i), F.col(key_col).cast("string")), F.lit(m)),
+        )
+        cond = cond & F.expr(
+            f"(shiftright(element_at(_bf, CAST(shiftright(_bfp{i}, 6) AS INT) + 1),"
+            f" CAST(_bfp{i} % 64 AS INT)) & 1) = 1"
+        )
+    return out.filter(cond).drop("_bf", *[f"_bfp{i}" for i in range(k)])
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Semi-join reduction: reduce ``big`` to probable matches of
+    ``small``'s keys BEFORE any join machinery touches it, then make
+    the result exact with a LEFT SEMI join on the survivors only.
+
+    Scale shape: this is the pattern that beats both standard joins at
+    100 TB when the filtered key side is mid-sized — too big to be a
+    cheap broadcast hash map of raw keys, far too small to justify
+    shuffling the fact table. The Bloom filter is a CONSTANT-size
+    (m/64 longs) summary of any number of keys: the fact scan drops
+    ~(1-fp) of non-matching rows inside whole-stage codegen, so the
+    exact semi join only ever sees true matches plus the fp fraction."""
+    keys = small.select(F.col(small_key)).distinct()
+    words = bloom_build(keys, F.col(small_key), m, k)
+    reduced = bloom_filtered(big, big_key, words, m, k)
+    return reduced.join(
+        F.broadcast(keys.withColumnRenamed(small_key, "_bsk")),
+        F.col(big_key) == F.col("_bsk"),
+        "left_semi",
+    )

@@ -427,3 +427,137 @@ def source_overlap_matrix_sql(
     FROM r WHERE rn <= {k}
     GROUP BY src_a, src_b
     """
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog with an EXACT oracle twin
+# ---------------------------------------------------------------------
+
+HLL_M = 256        # registers (b = 8 bucket bits)
+_HLL_SCALE = 53    # registers sum in integers scaled by 2^53 (see below)
+# alpha_m * m^2 * 2^scale, precomputed once so both engines divide the
+# SAME double literal by the same exact integer — no libm anywhere
+_HLL_NUM = 0.7213 / (1 + 1.079 / HLL_M) * 2.0 ** (_HLL_SCALE + 16)
+
+
+def hll_registers(df: DataFrame, key: Column, group_col: str | None = None) -> DataFrame:
+    """The HLL register table (Flajolet et al. 2007): bucket = low 8
+    hash bits, rho = leading-zero rank of the remaining 52 bits
+    (computed portably as 53 - length(bin(w)) — both engines print
+    minimal binary), one row per non-zero register with its max rho.
+
+    This is the mergeable form: registers of two streams merge by
+    MAX(mx) per bucket — the monoid that makes HLL an ingest-time /
+    shard-then-combine structure. One map-side-combined groupBy; the
+    table is at most m rows per group no matter the stream size."""
+    h = hash64_col(key.cast("string"))
+    w = F.shiftright(h, 8)
+    rho = F.when(w == 0, F.lit(_HLL_SCALE)).otherwise(
+        F.lit(_HLL_SCALE) - F.length(F.bin(w))
+    )
+    keys = [group_col] if group_col else []
+    return (
+        df.select(*keys, (h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").cast("int").alias("mx"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Raw HLL estimate from a register table, deterministically:
+    every 2^-mx term is held as the exact integer 2^(53-mx), summed in
+    BIGINT (max 256 * 2^53 = 2^61 — no overflow, no float fold-order),
+    zero registers contribute 2^53 each; the ONLY float op is the
+    final single division of two exact values, so Spark and DuckDB
+    produce bit-identical estimates. Raw estimator only (no
+    small-range linear-counting branch — that needs ln(), which is
+    libm- and engine-dependent); v_zero is emitted so a consumer can
+    see when the raw regime doesn't hold."""
+    keys = [group_col] if group_col else []
+    per = regs.groupBy(*keys).agg(
+        # pyspark's shiftleft() helper takes only a literal shift;
+        # the SQL form accepts a column expression
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE} - mx)"))
+        .cast("bigint")
+        .alias("_s_present"),
+        F.count("*").cast("bigint").alias("_n_present"),
+    )
+    v_zero = (F.lit(HLL_M) - F.col("_n_present")).cast("bigint")
+    sum_scaled = F.col("_s_present") + v_zero * F.lit(1 << _HLL_SCALE).cast("bigint")
+    est = F.lit(_HLL_NUM) / sum_scaled.cast("double")
+    return per.select(
+        *keys,
+        v_zero.alias("v_zero"),
+        floor_round(est, 4).alias("hll_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """Registered-query surface: per-group raw HLL estimate next to
+    the exact distinct count and the 3-sigma acceptance bool
+    (rsd = 1.04/sqrt(256) ~ 6.5%). Unlike approx_count_distinct
+    (engine-private HLL++ sketch, only a tolerance bool can be
+    checked), this estimate itself is hash-checked against DuckDB.
+
+    Scale shape: registers are one map-side-combined groupBy into
+    <= m rows per group; the exact count (for the audit column) is the
+    only corpus-sized distinct — drop it in production and the
+    operator is a pure sketch."""
+    exact = (
+        df.groupBy(group_col)
+        .agg(F.count_distinct(key_col).cast("bigint").alias("exact_distinct"))
+    )
+    est = hll_estimate(hll_registers(df, F.col(key_col), group_col), group_col)
+    return (
+        exact.join(est, group_col)
+        .select(
+            group_col,
+            "exact_distinct",
+            "hll_est",
+            "v_zero",
+            (
+                F.abs(F.col("hll_est") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= F.lit(0.195)
+            ).alias("within_3sigma"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def hll_distinct_sql(
+    table: str = "events", key_col: str = "user_id", group_col: str = "event_type"
+) -> str:
+    h = hash64_sql(f"CAST({key_col} AS VARCHAR)")
+    scale = _HLL_SCALE
+    return f"""
+    WITH regs AS (
+      SELECT {group_col}, h % {HLL_M} AS bucket,
+             CAST(max(CASE WHEN (h >> 8) = 0 THEN {scale}
+                           ELSE {scale} - length(bin(h >> 8)) END) AS INT) AS mx
+      FROM (SELECT {group_col}, {h} AS h FROM {table})
+      GROUP BY 1, 2),
+    per AS (
+      SELECT {group_col},
+             CAST(sum(1::BIGINT << ({scale} - mx)) AS BIGINT) AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present
+      FROM regs GROUP BY 1),
+    est AS (
+      SELECT {group_col},
+             CAST({HLL_M} - n_present AS BIGINT) AS v_zero,
+             {floor_round_sql(
+                 f"{_HLL_NUM!r} / CAST(s_present + ({HLL_M} - n_present) * (1::BIGINT << {scale}) AS DOUBLE)",
+                 4,
+             )} AS hll_est
+      FROM per),
+    ex AS (
+      SELECT {group_col}, CAST(count(DISTINCT {key_col}) AS BIGINT) AS exact_distinct
+      FROM {table} GROUP BY 1)
+    SELECT ex.{group_col}, ex.exact_distinct, est.hll_est, est.v_zero,
+           abs(est.hll_est - ex.exact_distinct) / ex.exact_distinct <= 0.195
+             AS within_3sigma
+    FROM ex JOIN est USING ({group_col})
+    ORDER BY ex.{group_col}
+    """

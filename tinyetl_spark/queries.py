@@ -2815,6 +2815,102 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.count_min_heavy_hitters(load(spark, sf_dir, "events"))
 
 
+_SCD2_BASE = (
+    "SELECT c_custkey, c_acctbal AS bal, "
+    "TIMESTAMP '1994-01-01 00:00:00' AS vf, CAST(-1 AS BIGINT) AS seq "
+    "FROM customer"
+)
+_SCD2_CHANGES = (
+    "SELECT o_custkey AS c_custkey, o_totalprice AS bal, "
+    "o_orderdate AS vf, o_orderkey AS seq FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'"
+)
+
+
+def _scd2_sql() -> str:
+    from tinyetl_spark.operators.maintenance import scd2_history_sql
+
+    return (
+        scd2_history_sql(_SCD2_BASE, _SCD2_CHANGES, "c_custkey", "bal", "vf", "seq")
+        + " ORDER BY c_custkey, version"
+    )
+
+
+@_q("scd2_customer_history", _scd2_sql())
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (the keep-history counterpart of
+    upsert_documents' type-1 MERGE): the customer snapshot is the
+    opening version and each 1999+ order arrives as a balance change
+    event; the operator folds snapshot+changes into validity intervals
+    (version, valid_from, valid_to, is_current) with one key shuffle
+    and a single window pass — no self-join, no per-version scans."""
+    from tinyetl_spark.operators import maintenance
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    )
+    base = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1994-01-01 00:00:00").cast("timestamp").alias("vf"),
+        F.lit(-1).cast("bigint").alias("seq"),
+    )
+    changes = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").alias("bal"),
+        F.col("o_orderdate").alias("vf"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    return maintenance.scd2_history(
+        base, changes, "c_custkey", "bal", "vf", "seq"
+    ).orderBy("c_custkey", "version")
+
+
+@_q(
+    "bloom_semi_join_orders",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > 450000)
+    """,
+)
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: lineitems of high-value
+    orders, with the ~10% surviving orderkey set summarized as a
+    16 KiB bit array folded into the fact scan's codegen — the fact
+    table is reduced BEFORE any join machinery sees it, then a LEFT
+    SEMI join on the survivors makes the result exact (the filter is
+    transparent: false positives die in the join, false negatives
+    can't exist). The oracle is the plain IN-subquery semantics."""
+    li = load(spark, sf_dir, "lineitem")
+    hi = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    kept = relational.bloom_semi_join(
+        li, hi.select("o_orderkey"), "l_orderkey", "o_orderkey"
+    )
+    return kept.agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@_q("hll_distinct_users", sketches.hll_distinct_sql())
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type — unlike
+    approx_count_distinct (engine-private sketch, only a tolerance
+    bool is checkable), this HLL is built from the portable hash64, so
+    the ESTIMATE ITSELF hash-matches DuckDB: registers as a map-side-
+    combined groupBy (<= 256 rows/group), the 2^-rho harmonic sum held
+    as exact scaled integers, one final division. The register table
+    is the mergeable monoid (max per bucket) — shard, sketch, merge."""
+    return sketches.hll_distinct(load(spark, sf_dir, "events"), "user_id", "event_type")
+
+
 @_q("remove_dup_passages_docs", text.remove_dup_passages_sql())
 def remove_dup_passages_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Lee-et-al cleanup step: cut every duplicated passage span
