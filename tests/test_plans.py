@@ -716,3 +716,12 @@ def test_scd2_single_shuffle_single_window(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("Window") == 1
     assert "Join" not in p
+
+
+def test_rollup_cascade_raw_touched_once(spark):
+    """The cascade's contract: ONE FileScan of raw events (each higher
+    resolution aggregates the level below, not the raw table) and one
+    exchange per level at most."""
+    p = plan_of(spark, "rollup_cascade_events")
+    assert p.count("FileScan") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -2815,6 +2815,66 @@ def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.count_min_heavy_hitters(load(spark, sf_dir, "events"))
 
 
+@_q(
+    "rollup_cascade_events",
+    """
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def rollup_cascade_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: raw events roll
+    to minute bars, minute bars REAGGREGATE to hour bars, hour bars to
+    day bars — the pattern that keeps a 100 TB event store queryable
+    (raw data is touched exactly once; each higher resolution reads
+    only the level below, thousands of times smaller). The oracle
+    computes day bars DIRECTLY from raw events, so the hash match
+    proves the rollup algebra (decimal sum-of-sums, count-of-counts,
+    min-of-mins, max-of-maxes) is lossless, not approximately right."""
+    e = load(spark, sf_dir, "events")
+    minute = (
+        e.groupBy("event_type", F.date_trunc("minute", F.col("ts")).alias("m"))
+        .agg(
+            F.sum(dec("value")).alias("s"),
+            F.count("*").alias("c"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+    )
+    hour = (
+        minute.groupBy("event_type", F.date_trunc("hour", F.col("m")).alias("h"))
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("c").alias("c"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return (
+        hour.groupBy("event_type", F.date_trunc("day", F.col("h")).alias("d"))
+        .agg(
+            F.sum("s").cast("double").alias("total_value"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "total_value",
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 _SCD2_BASE = (
     "SELECT c_custkey, c_acctbal AS bal, "
     "TIMESTAMP '1994-01-01 00:00:00' AS vf, CAST(-1 AS BIGINT) AS seq "
