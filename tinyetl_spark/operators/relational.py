@@ -387,26 +387,23 @@ def bloom_filtered(
     k: int = BLOOM_K,
 ) -> DataFrame:
     """Keep only rows whose key MAY be in the filter, entirely in
-    codegen: the packed words fold in as an array literal (like the PQ
-    codebooks), each probe is element_at + variable shift + mask — no
-    join, no Python, no shuffle on the big side. May pass false
-    positives (callers follow with an exact join); never drops a true
-    match. Variable-distance shifts aren't reachable through the
-    pyspark helpers, so probes land in named temp columns and the bit
-    test is an F.expr over them."""
-    arr = F.array(*[F.lit(w).cast("bigint") for w in words])
-    out = df.withColumn("_bf", arr)
-    cond = F.lit(True)
+    codegen: the packed words fold in as ONE array literal inside a
+    single F.expr (2048 F.lit columns would cost thousands of py4j
+    round-trips at plan-build time — measured ~4 s of driver wall;
+    the parsed-once SQL text costs milliseconds, and ConstantFolding
+    collapses the all-literal array to a Literal before execution).
+    Each probe is element_at + variable shift + mask — no join, no
+    Python, no shuffle on the big side. May pass false positives
+    (callers follow with an exact join); never drops a true match."""
+    arr_sql = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    conds = []
     for i in range(k):
-        out = out.withColumn(
-            f"_bfp{i}",
-            F.pmod(F.xxhash64(F.lit(i), F.col(key_col).cast("string")), F.lit(m)),
+        p = f"pmod(xxhash64({i}, CAST(`{key_col}` AS STRING)), {m})"
+        conds.append(
+            f"(shiftright(element_at({arr_sql}, CAST(shiftright({p}, 6) AS INT) + 1),"
+            f" CAST({p} % 64 AS INT)) & 1) = 1"
         )
-        cond = cond & F.expr(
-            f"(shiftright(element_at(_bf, CAST(shiftright(_bfp{i}, 6) AS INT) + 1),"
-            f" CAST(_bfp{i} % 64 AS INT)) & 1) = 1"
-        )
-    return out.filter(cond).drop("_bf", *[f"_bfp{i}" for i in range(k)])
+    return df.filter(F.expr(" AND ".join(conds)))
 
 
 def bloom_semi_join(
