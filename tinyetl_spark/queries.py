@@ -2757,6 +2757,69 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "tokenizer_fertility",
+    f"""
+    WITH enc AS ({tokenizer.bpe_train_encode_sql()}),
+    base AS (
+      SELECT doc_id, lang,
+             list_filter({text.words_sql("text")}, x -> length(x) > 0) AS w
+      FROM documents)
+    SELECT b.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(e.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(b.w)) AS BIGINT) AS total_words,
+           {text.floor_round_sql(
+               "CAST(SUM(e.n_tokens) AS DOUBLE) / CAST(SUM(len(b.w)) AS DOUBLE)",
+               6)} AS fertility,
+           {text.floor_round_sql(
+               "CAST(SUM(list_sum(list_transform(b.w, x -> length(x)))) AS DOUBLE)"
+               " / CAST(SUM(e.n_tokens) AS DOUBLE)", 6)} AS chars_per_token
+    FROM base b JOIN enc e USING (doc_id)
+    GROUP BY b.lang ORDER BY b.lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit (tokens/word and chars/token per
+    language): the number multilingual pipelines watch because a
+    tokenizer trained on the dominant language silently taxes the
+    others — high fertility means more sequence positions per word of
+    that language, i.e. less effective context and higher training
+    cost. Composes the trained-dictionary encode (corpus scanned once)
+    with a 5-group rollup; ratios divide exact BIGINT sums."""
+    from tinyetl_spark.operators.text import floor_round
+
+    docs = load(spark, sf_dir, "documents")
+    enc = tokenizer.bpe_train_encode(docs)
+    words = F.filter(text.words_col("text"), lambda x: F.length(x) > 0)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).cast("bigint").alias("_nw"),
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("_nc"),
+    )
+    return (
+        base.join(enc.select("doc_id", "n_tokens"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("_nw").cast("bigint").alias("total_words"),
+            floor_round(
+                F.sum("n_tokens").cast("double") / F.sum("_nw").cast("double"), 6
+            ).alias("fertility"),
+            floor_round(
+                F.sum("_nc").cast("double") / F.sum("n_tokens").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 _LINEITEM_PROFILE_COLS = [
     ("l_orderkey", "str", "bigint"),
     ("l_partkey", "str", "bigint"),
@@ -3865,6 +3928,67 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     words hit the 0.5/N floor — the branch a web-scale vocab always
     exercises). Low scorers are the perplexity-filter drop tail."""
     return text.unigram_logprob(load(spark, sf_dir, "documents"), top_vocab=16)
+
+
+@_q(
+    "perplexity_buckets",
+    f"""
+    WITH scored AS ({text.unigram_logprob_sql(top_vocab=16)}),
+    tiled AS (
+      SELECT d.source, s.avg_logprob, s.n_words,
+             ntile(3) OVER (PARTITION BY d.source
+                            ORDER BY s.avg_logprob DESC, s.doc_id ASC) AS t
+      FROM scored s JOIN documents d USING (doc_id))
+    SELECT source,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           {text.floor_round_sql(
+               "CAST(SUM(CAST(avg_logprob AS DECIMAL(38,6))) AS DOUBLE)"
+               " / CAST(count(*) AS DOUBLE)", 6)} AS mean_logprob
+    FROM tiled GROUP BY source, t ORDER BY source, t
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail split (Wenzek et al. 2020): score
+    every document with the corpus-fit LM, then ntile(3) WITHIN each
+    source so every source contributes its own best third — the
+    trick that keeps low-resource sources from being drowned by the
+    dominant one's score distribution. Deterministic tiling (score
+    desc, doc_id asc); per-bucket means sum exact decimals so the
+    report hashes identically. One scoring pass + one per-source
+    window + one group-by."""
+    from tinyetl_spark.operators.text import floor_round
+
+    docs = load(spark, sf_dir, "documents")
+    scored = text.unigram_logprob(docs, top_vocab=16)
+    joined = scored.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    tiled = joined.select(
+        "source", "avg_logprob", "n_words", F.ntile(3).over(w).alias("t")
+    )
+    bucket = (
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiled.groupBy("source", "t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            floor_round(
+                F.sum(F.col("avg_logprob").cast("decimal(38,6)")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("mean_logprob"),
+        )
+        .select("source", bucket.alias("bucket"), "n_docs", "total_words", "mean_logprob")
+        .orderBy("source", "t")
+    )
 
 
 from tinyetl_spark.operators.maintenance import zorder_key_sql as _zorder_key_sql
