@@ -1581,3 +1581,31 @@ def test_bloom_filter_prunes_without_losing_matches(spark):
     # false positives bounded: (surv - true) over the non-matching mass
     fp_rate = (n_surv - n_true) / max(1, n_total - n_true)
     assert fp_rate < 0.05
+
+
+def test_hist_sketch_merge_and_bounds(spark):
+    """Histogram sketch contract: shard sketches merge by adding bin
+    counts and the merged quantiles equal the single-pass ones; the
+    median estimate lands within one bin width of the exact median."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators.sketches import hist_quantiles, hist_sketch
+    from tinyetl_spark.queries import load
+
+    o = load(spark, SF_DIR, "orders")
+    lo, hi = 0.0, 500000.0
+    whole = hist_quantiles(
+        hist_sketch(o, F.col("o_totalprice"), lo, hi), [0.5, 0.9], lo, hi
+    ).collect()
+    a = hist_sketch(o.filter(F.col("o_orderkey") % 2 == 0), F.col("o_totalprice"), lo, hi)
+    b = hist_sketch(o.filter(F.col("o_orderkey") % 2 == 1), F.col("o_totalprice"), lo, hi)
+    merged_sk = a.unionByName(b).groupBy("bin").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    merged = hist_quantiles(merged_sk, [0.5, 0.9], lo, hi).collect()
+    assert [r["est"] for r in merged] == [r["est"] for r in whole]
+    exact_med = o.approxQuantile("o_totalprice", [0.5], 0.0)[0]
+    width = (hi - lo) / 512
+    est_med = [r["est"] for r in whole if r["q"] == 0.5][0]
+    assert abs(est_med - exact_med) <= width

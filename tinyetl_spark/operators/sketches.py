@@ -561,3 +561,119 @@ def hll_distinct_sql(
     FROM ex JOIN est USING ({group_col})
     ORDER BY ex.{group_col}
     """
+
+
+# ---------------------------------------------------------------------
+# Mergeable histogram quantile sketch
+# ---------------------------------------------------------------------
+
+HIST_BINS = 512
+
+
+def hist_sketch(
+    df: DataFrame, value: Column, lo: float, hi: float, bins: int = HIST_BINS
+) -> DataFrame:
+    """Equi-width histogram sketch over a known value range: one
+    map-side-combined groupBy into <= bins rows, mergeable by adding
+    counts — the fixed-memory answer to quantiles over a 100 TB column
+    (an exact quantile is a global sort; percentile_approx is an
+    engine-private digest that no oracle can reproduce). Out-of-range
+    values clamp to the edge bins."""
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((value - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return df.select(b.alias("bin")).groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch by linear
+    interpolation within the holding bin. All inputs to the float
+    interpolation are exact integers (cumulative counts) and exact
+    literals, so the estimate is engine-identical — deterministic, not
+    just statistically close. The cumulative window runs over <= bins
+    rows, never data."""
+    width = (hi - lo) / bins
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bin",
+        "c",
+        F.sum("c").over(w).cast("bigint").alias("cum"),
+    ).withColumn("cum_prev", (F.col("cum") - F.col("c")).cast("bigint"))
+    total = sketch.agg(F.sum("c").cast("bigint").alias("n"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # rank = q*n; holding bin = first bin with cum >= rank
+    cand = (
+        qdf.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(cum))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        cand.join(F.broadcast(cum), "bin")
+        .select(
+            "q",
+            floor_round(
+                F.lit(lo)
+                + (F.col("bin").cast("double") * F.lit(width))
+                + F.lit(width)
+                * (F.col("q") * F.col("n") - F.col("cum_prev").cast("double"))
+                / F.col("c").cast("double"),
+                4,
+            ).alias("est"),
+        )
+        .orderBy("q")
+    )
+    return est
+
+
+def hist_quantiles_sql(
+    table: str,
+    value_expr: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> str:
+    width = (hi - lo) / bins
+    qvals = ", ".join(f"({q!r})" for q in qs)
+    return f"""
+    WITH sk AS (
+      SELECT CAST(least(greatest(floor(({value_expr} - {lo!r}) / {width!r}), 0),
+                  {bins - 1}) AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM {table} GROUP BY 1),
+    cum AS (
+      SELECT bin, c,
+             CAST(sum(c) OVER (ORDER BY bin
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM sk),
+    cum2 AS (SELECT bin, c, cum, CAST(cum - c AS BIGINT) AS cum_prev FROM cum),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sk),
+    qs(q) AS (VALUES {qvals}),
+    cand AS (
+      SELECT q, n, min(bin) AS bin
+      FROM qs CROSS JOIN tot JOIN cum2 ON cum >= q * n
+      GROUP BY q, n)
+    SELECT cand.q,
+           {floor_round_sql(
+               f"{lo!r} + CAST(cand.bin AS DOUBLE) * {width!r} + {width!r} * "
+               "(cand.q * cand.n - CAST(cum2.cum_prev AS DOUBLE)) / CAST(cum2.c AS DOUBLE)",
+               4)} AS est
+    FROM cand JOIN cum2 USING (bin)
+    ORDER BY cand.q
+    """

@@ -2991,6 +2991,25 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "hist_quantiles_prices",
+    sketches.hist_quantiles_sql(
+        "orders", "o_totalprice", [0.5, 0.9, 0.99], 0.0, 500000.0
+    ),
+)
+def hist_quantiles_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a mergeable equi-width histogram sketch — the
+    fixed-memory alternative to a global sort (exact) or
+    percentile_approx (engine-private digest, uncheckable): one
+    map-side-combined groupBy into <= 512 bins, interpolate within the
+    holding bin. Every interpolation input is an exact integer or
+    literal, so the estimates hash-match DuckDB. Sketches of shards
+    merge by adding bin counts (pinned by the merge test)."""
+    o = load(spark, sf_dir, "orders")
+    sk = sketches.hist_sketch(o, F.col("o_totalprice"), 0.0, 500000.0)
+    return sketches.hist_quantiles(sk, [0.5, 0.9, 0.99], 0.0, 500000.0)
+
+
+@_q(
     "bloom_semi_join_orders",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_lines,
