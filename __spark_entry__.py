@@ -44,7 +44,8 @@ _PRIORITY = [
     "q2_min_cost_supplier", "q4_priority_check", "q6_forecast_revenue",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
     "q16_supplier_variety", "q18_large_orders", "q19_disjunctive_revenue",
-    "q21_waiting_supplier", "q22_idle_customers",
+    "q21_waiting_supplier", "q22_idle_customers", "q15_top_supplier",
+    "q17_small_quantity_revenue",
     # --- new this round: scale operators (inserted as they land) ---
     "bloom_semi_join_orders", "hll_distinct_users", "scd2_customer_history",
     "rollup_cascade_events", "perplexity_buckets", "tokenizer_fertility",
