@@ -20,15 +20,20 @@ from tinyetl_spark.session import get_spark
 NEW = [
     "hll_distinct_users",
     "rollup_cascade_events",
+    "hist_quantiles_prices",
     "bloom_semi_join_orders",
     "scd2_customer_history",
+    "perplexity_buckets",
+    "tokenizer_fertility",
     "q2_min_cost_supplier",
     "q4_priority_check",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
+    "q15_top_supplier",
     "q16_supplier_variety",
+    "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q21_waiting_supplier",
