@@ -5101,6 +5101,83 @@ def streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "streaming_rollup_minute",
+    """
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def streaming_rollup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollup cascade's ingest tier LIVE: each micro-batch builds
+    its own minute-bar partials and OVERWRITES its batch-id partition
+    (idempotent under foreachBatch replay, same contract as
+    streaming_count_min), the materialized minute store merges by the
+    rollup monoid (decimal sum, count, min, max), and the day bars
+    rolled up from it must hash-match the batch oracle computed
+    straight from raw events — the lambda-architecture equivalence,
+    measured instead of assumed."""
+    stream = _staged_events_stream(spark, sf_dir)
+    sink = _roundtrip_dir(sf_dir, "minute_bars_v1")
+    ckpt = f"{sink}.checkpoint"
+
+    def upsert(batch_df, bid):
+        (
+            batch_df.groupBy(
+                "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+            )
+            .agg(
+                F.sum(dec("value")).alias("s"),
+                F.count("*").cast("bigint").alias("c"),
+                F.min("value").alias("mn"),
+                F.max("value").alias("mx"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{sink}/batch_id={int(bid)}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    minute = (
+        spark.read.parquet(sink)
+        .groupBy("event_type", "m")
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("c").alias("c"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return (
+        minute.groupBy("event_type", F.date_trunc("day", F.col("m")).alias("d"))
+        .agg(
+            F.sum("s").cast("double").alias("total_value"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "total_value",
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 @_q("streaming_count_min", sketches.count_min_heavy_hitters_sql())
 def streaming_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Count-Min monoid exercised LIVE: each micro-batch of the
