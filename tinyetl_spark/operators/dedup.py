@@ -1052,3 +1052,86 @@ def tune_lsh_params(
         if best_err is None or err < best_err:
             best, best_err = (bands, rows), err
     return best
+
+
+def triangle_counts(pairs: DataFrame, topk: int = 20) -> DataFrame:
+    """Per-document triangle participation over the near-dup pair
+    graph — triangles are the densest duplicate cliques (A~B, B~C,
+    A~C all near-dups), the strongest evidence of a template or
+    boilerplate family; with CC (reach), PageRank (authority) and this
+    (clique density) the graph tier covers the three classic signals.
+
+    Algorithm: compact-forward / degree ordering. Edges orient from
+    the (degree, id)-smaller endpoint to the larger, wedges are built
+    only at each edge's LOW-rank endpoint, and a wedge closes into a
+    triangle iff its (v1, v2) leg exists as an oriented edge. Degree
+    ordering is the standard skew guard: a hub of degree d generates
+    wedges only among its HIGHER-rank neighbors, bounding wedge count
+    by O(m^1.5) overall instead of sum(d^2) — the difference between a
+    web-crawl boilerplate hub finishing and one straggler task
+    squaring it. Joins shuffle on node ids; the degree table is tiny
+    and broadcasts."""
+    e = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    deg = (
+        e.select(F.col("x").alias("n"))
+        .unionAll(e.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    ed = e.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
+    fwd = F.when(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+        F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+    ).otherwise(F.struct(F.col("y").alias("u"), F.col("x").alias("v")))
+    o = ed.select(fwd.alias("_e")).select("_e.u", "_e.v")
+    # rank of v within u's out-neighbors: (deg, id) tuple order again,
+    # so each unordered wedge is generated exactly once
+    ov = o.join(F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v")
+    w1 = ov.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    w2 = ov.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = w1.join(w2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    per_doc = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("doc_id"))
+        .limit(topk)
+    )
+    return per_doc
+
+
+def triangle_counts_sql(pairs_sql: str, topk: int = 20) -> str:
+    """DuckDB twin of :func:`triangle_counts` over a pair-producing
+    SELECT (id_a, id_b, ...)."""
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs_sql}),
+    e AS MATERIALIZED (SELECT id_a AS x, id_b AS y FROM pairs),
+    deg AS MATERIALIZED (
+      SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e)
+      GROUP BY n),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.x ELSE e.y END AS u,
+             CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.y ELSE e.x END AS v
+      FROM e JOIN deg dx ON dx.n = e.x JOIN deg dy ON dy.n = e.y),
+    ov AS MATERIALIZED (SELECT o.u, o.v, deg.d AS dv FROM o JOIN deg ON deg.n = o.v),
+    wedges AS (
+      SELECT a.u, a.v AS v1, b.v AS v2
+      FROM ov a JOIN ov b ON a.u = b.u
+      WHERE (a.dv, a.v) < (b.dv, b.v)),
+    tri AS (
+      SELECT w.u, w.v1, w.v2
+      FROM wedges w JOIN o ON o.u = w.v1 AND o.v = w.v2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT u AS doc_id FROM tri UNION ALL
+          SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri)
+    GROUP BY doc_id ORDER BY n_triangles DESC, doc_id ASC LIMIT {topk}
+    """

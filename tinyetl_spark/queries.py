@@ -3623,6 +3623,21 @@ def pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.pagerank(_materialized_simhash_pairs(spark, sf_dir, docs))
 
 
+@_q(
+    "triangle_count_dups",
+    dedup.triangle_counts_sql(dedup.simhash_near_dups_sql(max_hamming=8)),
+)
+def triangle_count_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation over the near-dup pair graph (the
+    densest-clique signal, completing the graph tier next to CC and
+    PageRank): compact-forward with degree ordering, so a boilerplate
+    hub generates wedges only among its higher-rank neighbors —
+    O(m^1.5) wedge bound instead of a straggler squaring the hub's
+    degree. Consumes the STAGED pair table."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.triangle_counts(_materialized_simhash_pairs(spark, sf_dir, docs))
+
+
 @_q("dedup_clusters", _CC_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS (cluster_id = min reachable
