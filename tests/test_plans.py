@@ -725,3 +725,30 @@ def test_rollup_cascade_raw_touched_once(spark):
     p = plan_of(spark, "rollup_cascade_events")
     assert p.count("FileScan") == 1
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_triangle_count_no_cartesian_no_python(spark):
+    """Triangle counting must stay equi-join shaped (wedge + closure
+    joins on node ids) — no nested-loop/cartesian blowup, no Python,
+    and the staged pair table feeds it (no simhash recompute)."""
+    p = plan_of(spark, "triangle_count_dups")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "simhash_pairs" in p  # staged parquet path
+
+
+def test_perplexity_buckets_single_source_window(spark):
+    """The CCNet tiling is ONE ntile window per source over the scored
+    table — no Python, no extra corpus scans beyond the LM pass."""
+    p = plan_of(spark, "perplexity_buckets")
+    assert p.count("Window") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_hist_quantiles_window_on_bins_only(spark):
+    """The cumulative window runs over the <=512-bin sketch — the raw
+    orders table must appear exactly once per consumer branch and
+    never under the window's sort."""
+    p = plan_of(spark, "hist_quantiles_prices")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" in p
