@@ -50,6 +50,7 @@ _PRIORITY = [
     "bloom_semi_join_orders", "hll_distinct_users", "scd2_customer_history",
     "rollup_cascade_events", "perplexity_buckets", "tokenizer_fertility",
     "hist_quantiles_prices", "streaming_rollup_minute", "triangle_count_dups",
+    "margin_mine_pairs",
     # --- re-validation: last green in r5, code untouched since ---
     "ann_recall_rpq", "ann_recall_rpq_rerank", "semantic_dup_pairs",
     "semantic_dedup_survivors", "curation_pipeline", "near_dup_ngram",

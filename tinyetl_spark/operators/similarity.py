@@ -1879,3 +1879,112 @@ def semantic_dedup_survivors(
         F.col("doc_id").alias(id_col)
     )
     return df.select(id_col).join(drop, id_col, "left_anti").orderBy(id_col)
+
+
+# ---------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk 2019)
+# ---------------------------------------------------------------------
+
+MARGIN_K = 8          # neighborhood size for the margin denominator
+MARGIN_EVERY = 23     # deterministic source-side sample stride
+
+
+def margin_mine(
+    df: DataFrame,
+    src_label: int = 0,
+    tgt_label: int = 1,
+    k: int = MARGIN_K,
+    every: int = MARGIN_EVERY,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Margin-scored cross-group nearest neighbors — the LASER/CCMatrix
+    bitext-mining criterion (Artetxe & Schwenk 2019): a candidate pair
+    is kept not for raw cosine but for how much it stands OUT of its
+    neighborhood, margin = best / mean(top-k), which suppresses hubs
+    that are merely close to everything.
+
+    Scale shape: the sampled query side broadcasts (every-th source
+    vector — the batch framing of an offline mining job) and the
+    target side is scanned once; per-query top-k is a bounded window.
+    The mean in the denominator sums exact decimals so the margin is
+    engine-identical."""
+    from tinyetl_spark.operators.text import floor_round
+
+    src = df.filter(
+        (F.col(label_col) == src_label) & (F.col(id_col) % every == 0)
+    ).select(F.col(id_col).alias("src_id"), _vec(vec_col).alias("qv"))
+    tgt = df.filter(F.col(label_col) == tgt_label).select(
+        F.col(id_col).alias("tgt_id"), _vec(vec_col).alias("tv")
+    )
+    scored = tgt.crossJoin(F.broadcast(src)).select(
+        "src_id",
+        "tgt_id",
+        F.round(cosine_col(F.col("tv"), F.col("qv")), 6).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("tgt_id"))
+    top = scored.select(
+        "src_id", "tgt_id", "cosine", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= k)
+    denom = top.groupBy("src_id").agg(
+        (
+            F.sum(F.col("cosine").cast("decimal(38,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("_mean_k")
+    )
+    return (
+        top.filter(F.col("rn") == 1)
+        .join(denom, "src_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cosine",
+            floor_round(F.col("cosine") / F.col("_mean_k"), 6).alias("margin"),
+        )
+        .orderBy("src_id")
+    )
+
+
+def margin_mine_sql(
+    table: str = "embeddings",
+    src_label: int = 0,
+    tgt_label: int = 1,
+    k: int = MARGIN_K,
+    every: int = MARGIN_EVERY,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    from tinyetl_spark.operators.text import floor_round_sql
+
+    tv = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH scored AS MATERIALIZED (
+      SELECT q.{id_col} AS src_id, t.{id_col} AS tgt_id,
+             round({cosine_sql(tv, qv)}, 6) AS cosine
+      FROM {table} t
+      CROSS JOIN (SELECT {id_col}, {vec_col} FROM {table}
+                  WHERE {label_col} = {src_label}
+                    AND {id_col} % {every} = 0) q
+      WHERE t.{label_col} = {tgt_label}),
+    top AS MATERIALIZED (
+      SELECT src_id, tgt_id, cosine,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY cosine DESC, tgt_id ASC) AS rn
+      FROM scored),
+    kept AS (SELECT * FROM top WHERE rn <= {k}),
+    denom AS (
+      SELECT src_id,
+             CAST(sum(CAST(cosine AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_k
+      FROM kept GROUP BY src_id)
+    SELECT k.src_id, k.tgt_id, k.cosine,
+           {floor_round_sql("k.cosine / d.mean_k", 6)} AS margin
+    FROM kept k JOIN denom d USING (src_id)
+    WHERE k.rn = 1
+    ORDER BY k.src_id
+    """

@@ -4175,6 +4175,18 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.batch_topk(load(spark, sf_dir, "embeddings"), k=5, every=101)
 
 
+@_q("margin_mine_pairs", similarity.margin_mine_sql())
+def margin_mine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (the LASER/CCMatrix criterion,
+    Artetxe & Schwenk 2019): sampled label-0 vectors query the label-1
+    side; a pair is kept by margin = best / mean(top-8) — how much the
+    match stands OUT of its neighborhood — which suppresses hub
+    vectors that are merely close to everything. Query batch
+    broadcasts, target scanned once, margin denominator sums exact
+    decimals."""
+    return similarity.margin_mine(load(spark, sf_dir, "embeddings"))
+
+
 @_q("embedding_near_dups", similarity.cosine_near_dups_sql(threshold=0.3))
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH-bucket blocked cosine pairs (threshold chosen so the
