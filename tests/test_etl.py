@@ -418,3 +418,16 @@ def test_orc_roundtrip_single_file_append_and_dir(spark, tmp_path):
     ddir = str(tmp_path / "region_orc_dir")
     write_orc(spark.read.parquet(src), ddir)
     assert spark.read.orc(ddir).count() == 5
+
+
+def test_driver_priority_names_all_registered():
+    """Every _PRIORITY entry must name a registered query — a typo
+    would silently burn one of the driver's 50 correctness slots (the
+    _ordered helper drops unknown names without complaint)."""
+    import __spark_entry__ as entry
+    from tinyetl_spark.queries import QUERIES
+
+    unknown = [n for n in entry._PRIORITY if n not in QUERIES]
+    assert unknown == [], f"_PRIORITY names not in QUERIES: {unknown}"
+    # and the window head is exactly the never-checked + new tiers
+    assert len(entry._PRIORITY) >= 50
