@@ -1895,6 +1895,7 @@ def margin_mine(
     tgt_label: int = 1,
     k: int = MARGIN_K,
     every: int = MARGIN_EVERY,
+    bits: int = SIGN_BITS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
@@ -1905,26 +1906,35 @@ def margin_mine(
     neighborhood, margin = best / mean(top-k), which suppresses hubs
     that are merely close to everything.
 
-    Scale shape: the sampled query side broadcasts (every-th source
-    vector — the batch framing of an offline mining job) and the
-    target side is scanned once; per-query top-k is a bounded window.
-    The mean in the denominator sums exact decimals so the margin is
-    engine-identical."""
+    Scale shape: candidates come from the sign-LSH bucket join (the
+    same shortlist as the other ANN paths), so the pair space is
+    |queries| x |bucket|, NOT |queries| x |targets| — the brute
+    bipartite form measured 135 s at 200k vectors where this one stays
+    in single digits; the margin neighborhood is the within-bucket
+    top-k (documented LSH-recall tradeoff). The sampled query side
+    broadcasts; the mean in the denominator sums exact decimals so the
+    margin is engine-identical."""
+    from pyspark.sql import Window
+
     from tinyetl_spark.operators.text import floor_round
 
     src = df.filter(
         (F.col(label_col) == src_label) & (F.col(id_col) % every == 0)
-    ).select(F.col(id_col).alias("src_id"), _vec(vec_col).alias("qv"))
-    tgt = df.filter(F.col(label_col) == tgt_label).select(
-        F.col(id_col).alias("tgt_id"), _vec(vec_col).alias("tv")
+    ).select(
+        F.col(id_col).alias("src_id"),
+        _vec(vec_col).alias("qv"),
+        sign_bucket_col(_vec(vec_col), bits).alias("blk"),
     )
-    scored = tgt.crossJoin(F.broadcast(src)).select(
+    tgt = df.filter(F.col(label_col) == tgt_label).select(
+        F.col(id_col).alias("tgt_id"),
+        _vec(vec_col).alias("tv"),
+        sign_bucket_col(_vec(vec_col), bits).alias("blk"),
+    )
+    scored = tgt.join(F.broadcast(src), "blk").select(
         "src_id",
         "tgt_id",
         F.round(cosine_col(F.col("tv"), F.col("qv")), 6).alias("cosine"),
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("tgt_id"))
     top = scored.select(
         "src_id", "tgt_id", "cosine", F.row_number().over(w).alias("rn")
@@ -1954,6 +1964,7 @@ def margin_mine_sql(
     tgt_label: int = 1,
     k: int = MARGIN_K,
     every: int = MARGIN_EVERY,
+    bits: int = SIGN_BITS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
@@ -1962,14 +1973,17 @@ def margin_mine_sql(
 
     tv = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
     qv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    tb = sign_bucket_sql(f"t.{vec_col}", bits)
+    qb = sign_bucket_sql(f"q.{vec_col}", bits)
     return f"""
     WITH scored AS MATERIALIZED (
       SELECT q.{id_col} AS src_id, t.{id_col} AS tgt_id,
              round({cosine_sql(tv, qv)}, 6) AS cosine
       FROM {table} t
-      CROSS JOIN (SELECT {id_col}, {vec_col} FROM {table}
-                  WHERE {label_col} = {src_label}
-                    AND {id_col} % {every} = 0) q
+      JOIN (SELECT {id_col}, {vec_col} FROM {table}
+            WHERE {label_col} = {src_label}
+              AND {id_col} % {every} = 0) q
+        ON {tb} = {qb}
       WHERE t.{label_col} = {tgt_label}),
     top AS MATERIALIZED (
       SELECT src_id, tgt_id, cosine,
