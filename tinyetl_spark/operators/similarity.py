@@ -1947,7 +1947,7 @@ def margin_mine(
     )
     return (
         top.filter(F.col("rn") == 1)
-        .join(denom, "src_id")
+        .join(F.broadcast(denom), "src_id")  # |sampled queries| rows
         .select(
             "src_id",
             "tgt_id",
