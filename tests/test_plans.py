@@ -737,11 +737,16 @@ def test_triangle_count_no_cartesian_no_python(spark):
     assert "simhash_pairs" in p  # staged parquet path
 
 
-def test_perplexity_buckets_single_source_window(spark):
-    """The CCNet tiling is ONE ntile window per source over the scored
-    table — no Python, no extra corpus scans beyond the LM pass."""
+def test_perplexity_buckets_two_phase_no_source_window(spark):
+    """The CCNet tiling must use the two-phase rank: the single window
+    partitions on (source, score-bin) — never on source alone, which
+    would funnel a dominant source through one task — and ntile is
+    closed-form off the lifted rank (no ntile operator in the plan)."""
     p = plan_of(spark, "perplexity_buckets")
     assert p.count("Window") == 1
+    assert "ntile" not in p
+    seg = p.split("Window")[1][:200]
+    assert "_b" in seg  # local-rank window keyed by the score bin too
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 

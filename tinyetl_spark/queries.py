@@ -4089,20 +4089,82 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document with the corpus-fit LM, then ntile(3) WITHIN each
     source so every source contributes its own best third — the
     trick that keeps low-resource sources from being drowned by the
-    dominant one's score distribution. Deterministic tiling (score
-    desc, doc_id asc); per-bucket means sum exact decimals so the
-    report hashes identically. One scoring pass + one per-source
-    window + one group-by."""
+    dominant one's score distribution.
+
+    A naive ``ntile() OVER (PARTITION BY source)`` funnels each
+    source's whole slice through ONE window task — the straggler mode
+    at web scale, where a dominant source is most of the corpus. The
+    per-source rank is therefore computed two-phase (the
+    epoch_shuffle / quality_budget pattern): per-source
+    percentile_approx boundaries split each source into ordered score
+    bins (boundary VALUES only affect balance — equal scores always
+    share a bin, so correctness never depends on the approximation),
+    bins rank locally in parallel, and a driver-built offset table
+    (sources x bins rows) lifts local ranks to per-source global ones;
+    ntile(3) is then the closed-form floor((rank-1)*3/n)+1. Tiling
+    stays deterministic (score desc, doc_id asc); per-bucket means sum
+    exact decimals so the report hashes identically."""
     from tinyetl_spark.operators.text import floor_round
 
     docs = load(spark, sf_dir, "documents")
-    scored = text.unigram_logprob(docs, top_vocab=16)
-    joined = scored.join(docs.select("doc_id", "source"), "doc_id")
-    w = Window.partitionBy("source").orderBy(
+    scored = (
+        text.unigram_logprob(docs, top_vocab=16)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "avg_logprob", "n_words")
+        .localCheckpoint(eager=False)  # feeds boundary job, count job, plan
+    )
+    n_bins = 8
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bnd_rows = (
+        scored.groupBy("source")
+        .agg(F.percentile_approx("avg_logprob", qs, 100).alias("bs"))
+        .collect()
+    )
+    bounds = {r["source"]: sorted(set(float(v) for v in r["bs"])) for r in bnd_rows}
+    bnd_df = spark.createDataFrame(
+        [(s, v) for s, vs in bounds.items() for v in vs] or [("__none__", 0.0)],
+        "source string, bv double",
+    )
+    barr = (
+        bnd_df.groupBy("source").agg(F.sort_array(F.collect_list("bv")).alias("barr"))
+    )
+    # descending walk: bin 0 = highest scores => count bounds >= score
+    keyed = scored.join(F.broadcast(barr), "source", "left").withColumn(
+        "_b",
+        F.when(
+            F.col("barr").isNotNull(),
+            F.size(F.filter(F.col("barr"), lambda v: F.col("avg_logprob") <= v)),
+        ).otherwise(F.lit(0)),
+    )
+    w_local = Window.partitionBy("source", "_b").orderBy(
         F.desc("avg_logprob"), F.asc("doc_id")
     )
-    tiled = joined.select(
-        "source", "avg_logprob", "n_words", F.ntile(3).over(w).alias("t")
+    local = keyed.withColumn("_r", F.row_number().over(w_local))
+    counts = {
+        (r["source"], r["_b"]): r["c"]
+        for r in keyed.groupBy("source", "_b").agg(F.count("*").alias("c")).collect()
+    }
+    offs, ns = [], {}
+    for s in sorted({k[0] for k in counts}):
+        acc = 0
+        for b in sorted({k[1] for k in counts if k[0] == s}):
+            offs.append((s, b, acc))
+            acc += counts[(s, b)]
+        ns[s] = acc
+    off_df = spark.createDataFrame(offs, "source string, _b int, _off long")
+    n_df = spark.createDataFrame(list(ns.items()), "source string, _n long")
+    ranked = (
+        local.join(F.broadcast(off_df), ["source", "_b"])
+        .join(F.broadcast(n_df), "source")
+        .withColumn("_rank", F.col("_off") + F.col("_r"))
+    )
+    tiled = ranked.select(
+        "source",
+        "avg_logprob",
+        "n_words",
+        (F.floor((F.col("_rank") - 1) * 3 / F.col("_n")) + 1)
+        .cast("int")
+        .alias("t"),
     )
     bucket = (
         F.when(F.col("t") == 1, "head")
