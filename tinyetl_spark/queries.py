@@ -1088,6 +1088,203 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q11_important_parts",
+    """
+    WITH partval AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                  AS DECIMAL(38,6)) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+      GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(val) AS DECIMAL(38,6)) AS tot,
+                   count(*) AS n FROM partval)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS stock_value
+    FROM partval, tot
+    WHERE val * n > tot * 3
+    ORDER BY stock_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification, adapted — no
+    partsupp table, so a part's 'stock value' held by a five-nation
+    bloc is the summed extendedprice its suppliers shipped): the
+    HAVING-vs-global-fraction threshold cross-multiplies exact
+    decimals (val * n > tot * 3, i.e. 3x the average part's bloc
+    value — scale-invariant, so the selectivity survives any SF) and
+    no engine-dependent double division decides membership. Plan: the
+    nation filter broadcasts through supplier into one partkey
+    shuffle; the grand total re-aggregates the per-part sums (a few
+    hundred k rows max, part-bounded at any SF) and broadcasts back
+    as a 1-row cross join."""
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*[f"NATION_{i}" for i in range(5)])
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    partval = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).cast("decimal(38,6)").alias("val"))
+    )
+    tot = partval.agg(
+        F.sum("val").cast("decimal(38,6)").alias("tot"),
+        F.count("*").alias("n"),
+    )
+    return (
+        partval.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") * F.col("n") > F.col("tot") * F.lit(3))
+        .select("l_partkey", F.col("val").cast("double").alias("stock_value"))
+        .orderBy(F.desc("stock_value"), F.asc("l_partkey"))
+    )
+
+
+@_q(
+    "q12_late_shipments",
+    """
+    SELECT l_linestatus AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority, adapted —
+    no l_shipmode or commit/receipt dates, so 'late' is shipped 60+
+    days after the order date and linestatus stands in for the mode):
+    the single-year shipdate range pushes to the lineitem scan; the
+    cross-table lateness predicate evaluates after a fact-to-fact
+    orderkey join (shuffle both sides — orders is a fact, never
+    broadcast at scale); integer CASE counts keep the result exact."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution; the o_comment
+    NOT LIKE filter becomes an order-priority exclusion — this schema
+    has no comment column): LEFT OUTER join keeps zero-order
+    customers, count(o_orderkey) ignores the null-extended rows, and
+    the second aggregation collapses per-customer counts into a
+    histogram a few dozen rows wide. Two shuffles (custkey, then
+    c_count) — the canonical double-aggregation plan; the join
+    condition's non-key conjunct stays in the join so no orders row
+    is lost before the outer extension."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_q(
+    "q20_dominant_suppliers",
+    """
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                  AS DECIMAL(38,6)) AS sq
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_suppkey, l_partkey),
+    pt AS (SELECT l_partkey, CAST(SUM(sq) AS DECIMAL(38,6)) AS pq,
+                  count(*) AS ns
+           FROM sp GROUP BY l_partkey)
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT sp.l_suppkey FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+      WHERE sp.sq * ns > pt.pq * 2)
+    ORDER BY s_name
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion, adapted — no
+    partsupp availqty, so the 'excess stock' test becomes dominance:
+    a supplier shipping more than twice a PROMO part's average
+    per-supplier quantity — scale-invariant, so selectivity survives
+    any SF): the threshold cross-multiplies exact decimals
+    (sq * ns > pq * 2), sidestepping double division. Plan: PROMO
+    filter broadcasts into one (suppkey, partkey) shuffle; the
+    per-part total re-aggregates that output (part-bounded, so
+    broadcastable at any SF) and joins back without a second
+    lineitem scan; the IN becomes a LEFT SEMI against supplier."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    sp = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).cast("decimal(38,6)").alias("sq"))
+    )
+    pt = sp.groupBy("l_partkey").agg(
+        F.sum("sq").cast("decimal(38,6)").alias("pq"),
+        F.count("*").alias("ns"),
+    )
+    dominant = (
+        sp.join(F.broadcast(pt), "l_partkey")
+        .filter(F.col("sq") * F.col("ns") > F.col("pq") * F.lit(2))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@_q(
     "window_rank_stats",
     """
     SELECT o_orderkey, o_orderstatus,
