@@ -40,17 +40,24 @@ _PRIORITY = [
     "ann_recall_lsh", "ann_recall_pq", "ann_recall_ivf_pq",
     "ann_recall_rerank", "unimax_mix_langs", "epoch_order_manifest",
     "streaming_count_min", "streaming_classifier_scores",
-    # --- new this round: TPC-H expansion pack (11) ---
-    "q2_min_cost_supplier", "q4_priority_check", "q6_forecast_revenue",
+    # --- new this round: TPC-H expansion pack (13 of 17; the four
+    # pure-integer-count shapes below the window matched the oracle
+    # locally at sf0.01 — the driver's exact scale — so their deferral
+    # to round 8 carries ~zero divergence risk) ---
+    "q2_min_cost_supplier", "q6_forecast_revenue",
     "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q16_supplier_variety", "q18_large_orders", "q19_disjunctive_revenue",
+    "q11_important_parts", "q18_large_orders", "q19_disjunctive_revenue",
     "q21_waiting_supplier", "q22_idle_customers", "q15_top_supplier",
-    "q17_small_quantity_revenue",
+    "q17_small_quantity_revenue", "q20_dominant_suppliers",
     # --- new this round: scale operators (inserted as they land) ---
     "bloom_semi_join_orders", "hll_distinct_users", "scd2_customer_history",
     "rollup_cascade_events", "perplexity_buckets", "tokenizer_fertility",
     "hist_quantiles_prices", "streaming_rollup_minute", "triangle_count_dups",
     "margin_mine_pairs",
+    # --- deferred to round 8: integer-exact TPC-H shapes, local
+    # sf0.01 oracle green this round ---
+    "q4_priority_check", "q12_late_shipments", "q13_customer_distribution",
+    "q16_supplier_variety",
     # --- re-validation: last green in r5, code untouched since ---
     "ann_recall_rpq", "ann_recall_rpq_rerank", "semantic_dup_pairs",
     "semantic_dedup_survivors", "curation_pipeline", "near_dup_ngram",
