@@ -690,6 +690,52 @@ def test_q22_cross_mult_scalar_broadcast_anti(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_q11_reuses_partval_exchange_at_runtime(spark):
+    """Q11's grand total re-aggregates the per-part sums: the printed
+    initial plan shows the subtree twice, but AQE must collapse it to
+    ONE ReusedExchange at runtime so the lineitem scan + bloc join +
+    partial agg run once; the 1-row threshold joins back broadcast."""
+    df = QUERIES["q11_important_parts"](spark, SF_DIR)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q12_pushes_year_filter_no_cartesian(spark):
+    """Q12's single-year shipdate range must reach the lineitem scan;
+    the cross-table lateness predicate stays a post-join filter, never
+    a nested-loop condition."""
+    p = plan_of(spark, "q12_late_shipments")
+    pushed = p.split("PushedFilters:")[1][:200]
+    assert "l_shipdate" in pushed
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("FileScan") == 2
+
+
+def test_q13_left_join_double_aggregation(spark):
+    """Q13 is the canonical double-aggregation: a LEFT outer join that
+    keeps zero-order customers, then exactly two hash aggregations
+    (custkey, then c_count) — no extra exchanges, no inner-join
+    downgrade of the outer side."""
+    p = plan_of(spark, "q13_customer_distribution")
+    assert "LeftOuter" in p
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in p
+
+
+def test_q20_semi_join_no_second_lineitem_scan(spark):
+    """Q20's per-part total re-aggregates the (suppkey, partkey) sums
+    and joins back broadcast — lineitem is scanned for the sums only
+    (twice in the printed plan, collapsed by AQE reuse at runtime,
+    never a third time for the supplier filter), and the IN compiles
+    to a LEFT SEMI."""
+    p = plan_of(spark, "q20_dominant_suppliers")
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_bloom_semi_join_probe_is_codegen_no_python(spark):
     """The bloom probe must run inside the fact scan's codegen — the
     packed words as an array literal with shift/mask bit tests, no
