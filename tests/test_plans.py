@@ -803,3 +803,17 @@ def test_hist_quantiles_window_on_bins_only(spark):
     p = plan_of(spark, "hist_quantiles_prices")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Window" in p
+
+
+def test_priority_sample_single_scan_no_shuffle(spark):
+    """Priority sampling must read the corpus exactly once, reduce it
+    via TakeOrderedAndProject (per-partition top-(k+1) heaps — never a
+    full Sort or a hash/range shuffle of the corpus), and keep the
+    priority expression in codegen. The tau window is legal only
+    because it sits above the 101-row limit."""
+    p = plan_of(spark, "priority_sample_docs")
+    assert p.count("FileScan") == 1
+    assert p.count("TakeOrderedAndProject") == 1
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

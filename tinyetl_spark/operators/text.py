@@ -12,7 +12,7 @@ training-data-pipeline extensions required by the north star.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from tinyetl_spark.functions.hashing import hash64_col, hash64_sql, hash128_col, hash128_sql
@@ -358,6 +358,104 @@ def hash_sample_sql(
 ) -> str:
     keyed = hash64_sql(f"CAST({id_col} AS VARCHAR)", seed=salt)
     return f"SELECT * FROM {table} WHERE {keyed} % {buckets} < {pct}"
+
+
+# hash64 values lie in [0, 2^60); (h + 1) / 2^60 is a uniform in (0, 1]
+_PRI_POW2_60 = float(1 << 60)
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "psample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield, Lund & Thorup 2007, "Priority sampling for estimation of
+    arbitrary subset sums"): each row gets priority q = w / u with
+    u ~ Uniform(0, 1]; the k largest-priority rows are the sample, and
+    tau — the (k+1)-th priority (0 when n <= k) — gives the unbiased
+    per-row estimator w_hat = max(w, tau): E[sum of w_hat over sampled
+    members of S] = sum of w over S for ANY subset S. The length-biased
+    complement to hash_sample's uniform selection — long documents
+    (more training tokens) are proportionally more likely to be kept.
+
+    Deterministic and engine-portable: u = (hash64(id, salt) + 1)/2^60,
+    and q = w / u uses only IEEE-correctly-rounded double ops (int cast,
+    add, two divides — no RNG, no transcendentals), so Spark and DuckDB
+    produce BIT-IDENTICAL priorities and the oracle hash-matches without
+    any defensive rounding; min/greatest over identical doubles are
+    order-free.
+
+    Plan shape at 100 TB: the priority is a codegen expression beside
+    the scan; orderBy(q).limit(k+1) compiles to TakeOrderedAndProject
+    (per-partition top-(k+1) heaps, then a (k+1)-row merge — the corpus
+    is scanned ONCE and never sorted or shuffled); tau and the final
+    top-k cut are windows over the surviving k+1 rows, so the
+    single-partition window is bounded by construction."""
+    h = hash64_col(F.col(id_col).cast("string"), seed=salt)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(_PRI_POW2_60)
+    w = F.length(text_col).cast("bigint")
+    pri = df.select(
+        F.col(id_col),
+        w.alias("weight"),
+        (w.cast("double") / u).alias("_q"),
+    )
+    sel = pri.orderBy(F.desc("_q"), F.asc(id_col)).limit(k + 1)
+    order = Window.orderBy(F.desc("_q"), F.asc(id_col))
+    everything = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = sel.select(
+        id_col,
+        "weight",
+        "_q",
+        F.row_number().over(order).alias("_rn"),
+    )
+    # tau = the (k+1)-th priority; absent (n <= k) it is 0 and every
+    # sampled row keeps its own weight
+    with_tau = ranked.select(
+        id_col,
+        "weight",
+        "_rn",
+        F.coalesce(
+            F.max(F.when(F.col("_rn") == k + 1, F.col("_q"))).over(everything),
+            F.lit(0.0),
+        ).alias("_tau"),
+    )
+    return with_tau.filter(F.col("_rn") <= k).select(
+        id_col,
+        "weight",
+        F.greatest(F.col("weight").cast("double"), F.col("_tau")).alias("w_hat"),
+    )
+
+
+def priority_sample_sql(
+    table: str = "documents",
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "psample",
+) -> str:
+    h = hash64_sql(f"CAST({id_col} AS VARCHAR)", seed=salt)
+    return f"""
+    WITH pri AS (
+      SELECT {id_col},
+             CAST(length({text_col}) AS BIGINT) AS weight,
+             CAST(length({text_col}) AS DOUBLE)
+               / ((CAST({h} AS DOUBLE) + 1.0) / {_PRI_POW2_60!r}) AS q
+      FROM {table}),
+    sel AS (
+      SELECT * FROM pri ORDER BY q DESC, {id_col} ASC LIMIT {k + 1}),
+    tau AS (
+      SELECT CASE WHEN COUNT(*) > {k} THEN MIN(q) ELSE 0.0 END AS tau
+      FROM sel)
+    SELECT {id_col}, weight,
+           greatest(CAST(weight AS DOUBLE), tau) AS w_hat
+    FROM (SELECT * FROM sel ORDER BY q DESC, {id_col} ASC LIMIT {k})
+    CROSS JOIN tau
+    """
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

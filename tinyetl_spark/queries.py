@@ -3509,6 +3509,16 @@ def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hash_sample(load(spark, sf_dir, "documents"), pct=10)
 
 
+@_q("priority_sample_docs", text.priority_sample_sql(k=100))
+def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (length-biased) sampling without replacement via
+    priority sampling (Duffield–Lund–Thorup): deterministic hash-derived
+    uniforms, q = w/u priorities, top-k by TakeOrderedAndProject, and
+    the tau-threshold estimator w_hat = max(w, tau) that keeps any
+    subset-sum of weights unbiased. The corpus is never shuffled."""
+    return text.priority_sample(load(spark, sf_dir, "documents"), k=100)
+
+
 @_q("winnow_fingerprints", text.winnow_fingerprints_sql())
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing: rolling k-gram hash sequence → sliding-window
