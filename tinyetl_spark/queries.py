@@ -4771,9 +4771,15 @@ def multimodal_decimate_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _roundtrip_dir(sf_dir: str, name: str) -> str:
     import hashlib
+    import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # pid in the key: the embedded-Derby roundtrip holds a JVM-wide
+    # boot lock on its database directory, so two concurrent processes
+    # (driver correctness gate + a local pytest/bench run) sharing an
+    # sf_dir-only key would collide with XSDB6. Within one process the
+    # dir is stable, keeping re-runs idempotent via truncate semantics.
+    tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:8]
     return f"{tempfile.gettempdir()}/tinyetl_rt_{tag}/{name}"
 
 
