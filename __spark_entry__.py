@@ -58,6 +58,9 @@ _PRIORITY = [
     # sf0.01 oracle green this round ---
     "q4_priority_check", "q12_late_shipments", "q13_customer_distribution",
     "q16_supplier_variety",
+    # deferred to round 8: bit-identical (IEEE-exact double) oracle
+    # verified locally at sf0.001 AND sf0.01 this round
+    "priority_sample_docs",
     # --- re-validation: last green in r5, code untouched since ---
     "ann_recall_rpq", "ann_recall_rpq_rerank", "semantic_dup_pairs",
     "semantic_dedup_survivors", "curation_pipeline", "near_dup_ngram",

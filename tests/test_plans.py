@@ -817,3 +817,21 @@ def test_priority_sample_single_scan_no_shuffle(spark):
     assert "Exchange hashpartitioning" not in p
     assert "Exchange rangepartitioning" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pmi_support_filter_before_joins_takeordered(spark):
+    """PMI collocations must cut the pair table on min-support BEFORE
+    the two word-keyed joins (the filter sits under both joins in the
+    plan), finish with TakeOrderedAndProject (never a full Sort), and
+    stay Python-free."""
+    p = plan_of(spark, "pmi_collocations")
+    assert p.count("TakeOrderedAndProject") == 1
+    assert "Sort " not in p.replace("SortMergeJoin", "")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the support filter is below the first join: it appears after the
+    # first Join line in top-down plan text
+    first_join = min(
+        i for i in (p.find("BroadcastHashJoin"), p.find("SortMergeJoin"),
+                    p.find("ShuffledHashJoin")) if i >= 0
+    )
+    assert 0 <= p.find(">= 3") and p.find(">= 3") > first_join

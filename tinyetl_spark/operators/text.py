@@ -1242,6 +1242,104 @@ def bigram_logprob_sql(
     """
 
 
+# ---------------------------------------------- PMI collocations
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    k: int = 200,
+) -> DataFrame:
+    """Collocation mining via pointwise mutual information over
+    adjacent word pairs (Church & Hanks 1990): PMI = ln(p(w1,w2) /
+    (p(w1)p(w2))) ranks pairs that co-occur far above chance — the
+    standard corpus-analytics pass for multi-word expressions, and a
+    tokenizer-merge sanity signal (high-PMI pairs are what BPE should
+    learn first).
+
+    Shape at scale: one explode→groupBy each for the unigram and the
+    adjacent-pair tables (both map-side combined); corpus totals are
+    scalar aggregates (bounded driver traffic); the ``min_count``
+    support filter shrinks the pair table BEFORE the two word-keyed
+    hash joins against the unigram counts, and the final cut is
+    TakeOrderedAndProject — the corpus is never sorted. Probabilities
+    divide as IEEE doubles (bit-exact on both engines); only the final
+    ln rounds at 9dp, the repo's libm convention."""
+    ws = words_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), ws.alias("_ws"))
+    uni = (
+        base.select(F.explode("_ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_words = int(uni.agg(F.sum("c")).collect()[0][0] or 1)
+    pairs = (
+        base.filter(F.size("_ws") >= 2)
+        .select(
+            F.col("_ws"),
+            F.explode(F.sequence(F.lit(1), F.size("_ws") - 1)).alias("i"),
+        )
+        .select(
+            F.element_at("_ws", F.col("i")).alias("w1"),
+            F.element_at("_ws", F.col("i") + 1).alias("w2"),
+        )
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    n_pairs = int(big.agg(F.sum("c12")).collect()[0][0] or 1)
+    cand = big.filter(F.col("c12") >= min_count)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    p12 = F.col("c12") / F.lit(float(n_pairs))
+    p1 = F.col("c1") / F.lit(float(n_words))
+    p2 = F.col("c2") / F.lit(float(n_words))
+    return (
+        cand.join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(F.log(p12 / (p1 * p2)), 9).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def pmi_collocations_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    k: int = 200,
+) -> str:
+    ws = words_sql(f"lower({text_col})")
+    return f"""
+    WITH base AS (SELECT {id_col}, {ws} AS arr FROM {table}),
+    uni AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(arr) AS w FROM base) GROUP BY w),
+    nw AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+    pos AS (
+      SELECT arr, unnest(range(1, len(arr))) AS i
+      FROM base WHERE len(arr) >= 2),
+    big AS (
+      SELECT arr[i] AS w1, arr[i+1] AS w2, count(*) AS c12
+      FROM pos GROUP BY 1, 2),
+    np AS (SELECT CAST(sum(c12) AS DOUBLE) AS p FROM big),
+    cand AS (SELECT * FROM big WHERE c12 >= {min_count})
+    SELECT cand.w1, cand.w2, CAST(cand.c12 AS BIGINT) AS c12,
+           round(ln((cand.c12 / np.p)
+                    / ((u1.c / nw.n) * (u2.c / nw.n))), 9) AS pmi
+    FROM cand
+    JOIN uni u1 ON cand.w1 = u1.w
+    JOIN uni u2 ON cand.w2 = u2.w
+    CROSS JOIN nw CROSS JOIN np
+    ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {k}
+    """
+
+
 # ---------------------------------------------- temperature mixing
 
 def temperature_mix(

@@ -3509,6 +3509,14 @@ def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hash_sample(load(spark, sf_dir, "documents"), pct=10)
 
 
+@_q("pmi_collocations", text.pmi_collocations_sql(min_count=3, k=200))
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI over adjacent word pairs — support
+    filter before the word-keyed joins, TakeOrdered top-k, corpus
+    totals as scalar aggregates. Church & Hanks 1990 semantics."""
+    return text.pmi_collocations(load(spark, sf_dir, "documents"), min_count=3, k=200)
+
+
 @_q("priority_sample_docs", text.priority_sample_sql(k=100))
 def priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted (length-biased) sampling without replacement via
