@@ -58,9 +58,10 @@ _PRIORITY = [
     # sf0.01 oracle green this round ---
     "q4_priority_check", "q12_late_shipments", "q13_customer_distribution",
     "q16_supplier_variety",
-    # deferred to round 8: bit-identical (IEEE-exact double) oracle
-    # verified locally at sf0.001 AND sf0.01 this round
-    "priority_sample_docs",
+    # deferred to round 8: oracle verified locally at sf0.001 AND
+    # sf0.01 this round (priority_sample is IEEE-bit-identical; pmi
+    # follows the 9dp libm convention)
+    "priority_sample_docs", "pmi_collocations",
     # --- re-validation: last green in r5, code untouched since ---
     "ann_recall_rpq", "ann_recall_rpq_rerank", "semantic_dup_pairs",
     "semantic_dedup_survivors", "curation_pipeline", "near_dup_ngram",
