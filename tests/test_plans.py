@@ -835,3 +835,29 @@ def test_pmi_support_filter_before_joins_takeordered(spark):
                     p.find("ShuffledHashJoin")) if i >= 0
     )
     assert 0 <= p.find(">= 3") and p.find(">= 3") > first_join
+
+
+def test_ql_search_filter_before_shuffle_takeordered(spark):
+    """Query-likelihood retrieval must filter the term stream to the
+    query's terms before any aggregation shuffle, keep corpus stats as
+    broadcasts/scalars, stay Python-free, and reduce through one
+    TakeOrderedAndProject."""
+    p = plan_of(spark, "ql_search_docs")
+    assert p.count("TakeOrderedAndProject") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p  # query-term and corpus-count joins
+
+
+def test_hybrid_rrf_windows_bounded_by_pool_limits(spark):
+    """RRF fusion: each retriever reduces the corpus via its own
+    TakeOrderedAndProject before any ranking window runs, so both
+    single-partition windows operate on 50-row pools; the fused cut is
+    a third TakeOrdered. No Python anywhere."""
+    p = plan_of(spark, "hybrid_search_docs")
+    assert p.count("TakeOrderedAndProject") == 3
+    assert p.count("Window") == 2
+    # windows sit ABOVE the retriever TakeOrdereds in top-down text
+    first_window = p.find("Window")
+    assert first_window >= 0
+    assert p.find("TakeOrderedAndProject", first_window) > first_window
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -1812,6 +1812,210 @@ def bm25_search_sql(
     """
 
 
+QL_MU = 2000.0  # Dirichlet smoothing mass (Zhai & Lafferty 2001 default)
+
+
+def ql_search(
+    df: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 15,
+    mu: float = QL_MU,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    Croft 1998; Zhai & Lafferty 2001) — the language-modeling scoring
+    family, BM25's classic rival: score(d) = sum_t log(1 + tf_td /
+    (mu·p(t|C))) + |q|·log(mu / (dl + mu)), over documents matching at
+    least one query term (posting-list candidate generation, the
+    standard practical scope).
+
+    Scale shape mirrors bm25_search: the exploded term stream filters
+    to the query's terms BEFORE the (doc, term) groupBy, corpus term
+    counts are a |query|-row broadcast, total corpus tokens is a scalar
+    aggregate, and the top-k is TakeOrderedAndProject. Per-term logs
+    round at 9dp and sum as DECIMAL(38,9) (order-free, engine-equal);
+    everything before each log is IEEE-exact double arithmetic."""
+    qlen = len(query_terms)
+    base = df.select(
+        F.col(id_col), words_col(text_col).alias("_ws")
+    ).select(
+        F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
+    ).localCheckpoint(eager=False)
+    n_tokens = int(
+        base.agg(F.sum("dl").alias("t")).collect()[0]["t"] or 1
+    )
+    qdf = base.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    )
+    exploded = base.select(
+        F.col(id_col), F.col("dl"), F.explode("_ws").alias("term")
+    ).join(F.broadcast(qdf), "term")
+    ct = exploded.groupBy("term").agg(F.count("*").alias("ct"))
+    tf = exploded.groupBy(id_col, "term", "dl").agg(F.count("*").alias("tf"))
+    # matched-term part: ln(1 + tf / (mu * (ct / N))) at 9dp, decimal sum
+    term_lp = F.round(
+        F.log(
+            F.lit(1.0)
+            + F.col("tf").cast("double")
+            / (F.lit(mu) * (F.col("ct").cast("double") / F.lit(float(n_tokens))))
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    # doc-length part: |q| * ln(mu / (dl + mu)), also 9dp decimal
+    dl_lp = F.round(
+        F.lit(float(qlen)) * F.log(F.lit(mu) / (F.col("dl").cast("double") + F.lit(mu))),
+        9,
+    ).cast("decimal(38,9)")
+    scored = (
+        tf.join(F.broadcast(ct), "term")
+        .select(F.col(id_col), F.col("dl"), term_lp.alias("_lp"))
+        .groupBy(id_col, "dl")
+        .agg(F.sum("_lp").alias("_s"), F.count("*").cast("bigint").alias("n_matched"))
+        .select(
+            F.col(id_col),
+            # add at (29,9): a (38,9)+(38,9) add would overflow Spark's
+            # 38-digit cap and silently trim the scale to 8, diverging
+            # from DuckDB's 9-digit result by the last digit
+            # exact decimal add, emitted as DOUBLE (the repo's dsum
+            # convention — DuckDB's pandas bridge maps wide decimals to
+            # float64 anyway, and the exact-decimal → double cast is
+            # deterministic on both engines)
+            (
+                F.col("_s").cast("decimal(29,9)") + dl_lp.cast("decimal(29,9)")
+            ).cast("double").alias("score"),
+            "n_matched",
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
+
+
+def ql_search_sql(
+    table: str = "documents",
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 15,
+    mu: float = QL_MU,
+) -> str:
+    w = words_sql(text_col)
+    qlist = ", ".join(f"('{t}')" for t in query_terms)
+    qlen = len(query_terms)
+    return f"""
+    WITH q(term) AS (VALUES {qlist}),
+    base AS (SELECT {id_col}, {w} AS ws FROM {table}),
+    dl_t AS (SELECT {id_col}, len(ws) AS dl FROM base),
+    n AS (SELECT CAST(sum(dl) AS DOUBLE) AS n FROM dl_t),
+    exploded AS (
+      SELECT e.{id_col}, dl_t.dl, e.term
+      FROM (SELECT {id_col}, unnest(ws) AS term FROM base) e
+      JOIN q USING (term)
+      JOIN dl_t USING ({id_col})),
+    ct AS (SELECT term, count(*) AS ct FROM exploded GROUP BY 1),
+    tf AS (
+      SELECT {id_col}, term, dl, count(*) AS tf
+      FROM exploded GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT tf.{id_col},
+             CAST(CAST(sum(CAST(round(ln(1.0 + tf.tf
+                        / ({mu!r} * (ct.ct / n.n))), 9) AS DECIMAL(38,9)))
+                       AS DECIMAL(29,9))
+                  + CAST(round({float(qlen)!r} * ln({mu!r} / (tf.dl + {mu!r})), 9)
+                         AS DECIMAL(29,9))
+                  AS DOUBLE) AS score,
+             CAST(count(*) AS BIGINT) AS n_matched
+      FROM tf JOIN ct USING (term) CROSS JOIN n
+      GROUP BY tf.{id_col}, tf.dl)
+    SELECT * FROM scored ORDER BY score DESC, {id_col} ASC LIMIT {top_k}
+    """
+
+
+RRF_K = 60  # Cormack, Clarke & Buettcher 2009 constant
+
+
+def hybrid_search_rrf(
+    df: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pool_k: int = 50,
+    top_k: int = 15,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009): run BM25 and Dirichlet query-likelihood for the
+    same query, convert each list to ranks, fuse with
+    rrf = sum over systems of 1/(RRF_K + rank), return the fused top-k.
+    The fusion needs only RANKS — 1/(60+r) on integer ranks is exact
+    IEEE arithmetic, so the fused scores are bit-identical across
+    engines regardless of how each retriever rounds its raw scores.
+
+    Scale shape: each retriever already reduces the corpus through its
+    own TakeOrderedAndProject; ranking windows and the full-outer fuse
+    join run on two pool_k-row lists — bounded by construction."""
+    b = bm25_search(df, query_terms, text_col, id_col, top_k=pool_k)
+    ql = ql_search(df, query_terms, text_col, id_col, top_k=pool_k)
+    rb = b.select(
+        F.col(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc(id_col)))
+        .alias("bm25_rank"),
+    )
+    rq = ql.select(
+        F.col(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc(id_col)))
+        .alias("ql_rank"),
+    )
+    fused = rb.join(rq, id_col, "full_outer").select(
+        F.col(id_col),
+        F.coalesce("bm25_rank", F.lit(0)).cast("int").alias("bm25_rank"),
+        F.coalesce("ql_rank", F.lit(0)).cast("int").alias("ql_rank"),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("bm25_rank").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("ql_rank").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(top_k)
+
+
+def hybrid_search_rrf_sql(
+    table: str = "documents",
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pool_k: int = 50,
+    top_k: int = 15,
+) -> str:
+    bm25 = bm25_search_sql(table, query_terms, text_col, id_col, top_k=pool_k)
+    ql = ql_search_sql(table, query_terms, text_col, id_col, top_k=pool_k)
+    return f"""
+    WITH rb AS (
+      SELECT {id_col},
+             CAST(row_number() OVER (ORDER BY score DESC, {id_col} ASC) AS INT)
+               AS bm25_rank
+      FROM ({bm25})),
+    rq AS (
+      SELECT {id_col},
+             CAST(row_number() OVER (ORDER BY score DESC, {id_col} ASC) AS INT)
+               AS ql_rank
+      FROM ({ql}))
+    SELECT coalesce(rb.{id_col}, rq.{id_col}) AS {id_col},
+           CAST(coalesce(rb.bm25_rank, 0) AS INT) AS bm25_rank,
+           CAST(coalesce(rq.ql_rank, 0) AS INT) AS ql_rank,
+           coalesce(1.0 / ({float(RRF_K)!r} + CAST(rb.bm25_rank AS DOUBLE)), 0.0)
+             + coalesce(1.0 / ({float(RRF_K)!r} + CAST(rq.ql_rank AS DOUBLE)), 0.0)
+             AS rrf_score
+    FROM rb FULL OUTER JOIN rq ON rb.{id_col} = rq.{id_col}
+    ORDER BY rrf_score DESC, {id_col} ASC LIMIT {top_k}
+    """
+
+
 # --------------------------------------- quality-ordered token budget
 
 QUALITY_BUDGET_TOKENS = 10_000

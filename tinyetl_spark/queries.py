@@ -2641,6 +2641,24 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_search(load(spark, sf_dir, "documents"))
 
 
+@_q("ql_search_docs", text.ql_search_sql())
+def ql_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood retrieval (Ponte–Croft / Zhai–
+    Lafferty) — the language-modeling rival to BM25, same
+    filter-before-shuffle posting-list shape, decimal-summed 9dp
+    logs, TakeOrdered top-k."""
+    return text.ql_search(load(spark, sf_dir, "documents"))
+
+
+@_q("hybrid_search_docs", text.hybrid_search_rrf_sql())
+def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 + query-likelihood fused by reciprocal-
+    rank fusion (Cormack et al. 2009). Fusion runs on two 50-row rank
+    lists — integer ranks make the fused scores bit-identical across
+    engines no matter how each retriever rounds raw scores."""
+    return text.hybrid_search_rrf(load(spark, sf_dir, "documents"))
+
+
 @_q("quality_budget_select", text.quality_budget_select_sql())
 def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget data selection: keep the highest-quality documents
