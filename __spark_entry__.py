@@ -59,9 +59,10 @@ _PRIORITY = [
     "q4_priority_check", "q12_late_shipments", "q13_customer_distribution",
     "q16_supplier_variety",
     # deferred to round 8: oracle verified locally at sf0.001 AND
-    # sf0.01 this round (priority_sample is IEEE-bit-identical; pmi
-    # follows the 9dp libm convention)
-    "priority_sample_docs", "pmi_collocations",
+    # sf0.01 this round (priority_sample and the RRF fusion are
+    # IEEE-bit-identical; pmi/ql follow the 9dp libm convention)
+    "priority_sample_docs", "pmi_collocations", "ql_search_docs",
+    "hybrid_search_docs",
     # --- re-validation: last green in r5, code untouched since ---
     "ann_recall_rpq", "ann_recall_rpq_rerank", "semantic_dup_pairs",
     "semantic_dedup_survivors", "curation_pipeline", "near_dup_ngram",
