@@ -861,3 +861,15 @@ def test_hybrid_rrf_windows_bounded_by_pool_limits(spark):
     assert first_window >= 0
     assert p.find("TakeOrderedAndProject", first_window) > first_window
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_retrieval_ndcg_pools_before_windows_no_python(spark):
+    """The nDCG harness evaluates three retrievers: every ranking
+    window must sit above a TakeOrdered pool (8 windows, 8 TakeOrdered
+    reductions — nothing windows the corpus), with no Python and no
+    cartesian product; the discount table joins as a broadcast."""
+    p = plan_of(spark, "retrieval_ndcg")
+    assert p.count("TakeOrderedAndProject") == 8
+    assert p.count("Window") == 8
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p

@@ -12,6 +12,8 @@ training-data-pipeline extensions required by the north star.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1927,6 +1929,163 @@ def ql_search_sql(
       FROM tf JOIN ct USING (term) CROSS JOIN n
       GROUP BY tf.{id_col}, tf.dl)
     SELECT * FROM scored ORDER BY score DESC, {id_col} ASC LIMIT {top_k}
+    """
+
+
+# nDCG position discounts in integer micro-units: round(1e9 / log2(i+1))
+# computed ONCE in Python and injected into both engines as a literal
+# table, so the discounted gains sum as exact integers (order-free,
+# engine-equal) — same trick as the classifier's micro-unit weights.
+NDCG_K = 10
+NDCG_DISCOUNTS: tuple[int, ...] = tuple(
+    round(1e9 / math.log2(i + 1)) for i in range(1, NDCG_K + 1)
+)
+
+
+def retrieval_ndcg(
+    df: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retrieval-quality harness: nDCG@10 for the three registered
+    retrievers (BM25, Dirichlet QL, RRF hybrid) against a deterministic
+    graded-relevance label — rel(doc) = number of DISTINCT query terms
+    the document contains (0–|q|), the standard pseudo-label when no
+    human judgments exist. The retrieval twin of the ann_recall_* tier.
+
+    Engine-exactness: position discounts are integer micro-units (see
+    NDCG_DISCOUNTS), so DCG/IDCG are exact integer sums; the only float
+    op is the final dcg/idcg double division (IEEE-exact). Scale shape:
+    each retriever reduces the corpus through its own TakeOrdered pool;
+    the relevance table carries only docs matching ≥1 query term; all
+    ranking windows and joins run on ≤10-row lists."""
+    spark = df.sparkSession
+    disc_df = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(NDCG_DISCOUNTS)], "pos int, disc long"
+    )
+    qdf = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    # graded label: TOTAL query-term occurrences capped at 10 — finer
+    # than distinct-term count (which saturates on a synthetic corpus
+    # where most matching docs carry all |q| terms, collapsing every
+    # system to nDCG=1 and telling the harness nothing)
+    rel = (
+        df.select(F.col(id_col), F.explode(words_col(text_col)).alias("term"))
+        .join(F.broadcast(qdf), "term")
+        .groupBy(id_col)
+        .agg(F.least(F.count("*"), F.lit(10)).cast("long").alias("rel"))
+    )
+    # ideal gain: top-10 docs by rel desc (id asc) — defines IDCG
+    ideal = (
+        rel.orderBy(F.desc("rel"), F.asc(id_col))
+        .limit(NDCG_K)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("rel"), F.asc(id_col)))
+            .alias("pos"),
+            "rel",
+        )
+    )
+    idcg = ideal.join(F.broadcast(disc_df), "pos").agg(
+        F.sum(F.col("disc") * F.col("rel")).cast("long").alias("idcg")
+    )
+
+    def dcg_of(ranked: DataFrame, order_cols: list) -> DataFrame:
+        top = ranked.orderBy(*order_cols).limit(NDCG_K)
+        pos = top.select(
+            F.col(id_col),
+            F.row_number().over(Window.orderBy(*order_cols)).alias("pos"),
+        )
+        return (
+            pos.join(rel, id_col, "left")
+            .join(F.broadcast(disc_df), "pos")
+            .agg(
+                F.sum(F.col("disc") * F.coalesce(F.col("rel"), F.lit(0)))
+                .cast("long")
+                .alias("dcg")
+            )
+        )
+
+    systems = {
+        "bm25": dcg_of(
+            bm25_search(df, query_terms, text_col, id_col, top_k=NDCG_K),
+            [F.desc("score"), F.asc(id_col)],
+        ),
+        "hybrid_rrf": dcg_of(
+            hybrid_search_rrf(df, query_terms, text_col, id_col, top_k=NDCG_K),
+            [F.desc("rrf_score"), F.asc(id_col)],
+        ),
+        "ql": dcg_of(
+            ql_search(df, query_terms, text_col, id_col, top_k=NDCG_K),
+            [F.desc("score"), F.asc(id_col)],
+        ),
+    }
+    out = None
+    for name, d in systems.items():
+        row = d.crossJoin(idcg).select(
+            F.lit(name).alias("system"),
+            F.col("dcg"),
+            F.col("idcg"),
+            (F.col("dcg").cast("double") / F.col("idcg").cast("double")).alias(
+                "ndcg"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("system")
+
+
+def retrieval_ndcg_sql(
+    table: str = "documents",
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    w = words_sql(text_col)
+    qlist = ", ".join(f"('{t}')" for t in query_terms)
+    dlist = ", ".join(f"({i + 1}, {d})" for i, d in enumerate(NDCG_DISCOUNTS))
+    bm25 = bm25_search_sql(table, query_terms, text_col, id_col, top_k=NDCG_K)
+    ql = ql_search_sql(table, query_terms, text_col, id_col, top_k=NDCG_K)
+    rrf = hybrid_search_rrf_sql(table, query_terms, text_col, id_col, top_k=NDCG_K)
+    return f"""
+    WITH q(term) AS (VALUES {qlist}),
+    disc(pos, disc) AS (VALUES {dlist}),
+    rel AS (
+      SELECT {id_col}, CAST(least(count(*), 10) AS BIGINT) AS rel
+      FROM (SELECT {id_col}, unnest({w}) AS term FROM {table}) e
+      JOIN q USING (term)
+      GROUP BY {id_col}),
+    ideal AS (
+      SELECT row_number() OVER (ORDER BY rel DESC, {id_col} ASC) AS pos, rel
+      FROM (SELECT * FROM rel ORDER BY rel DESC, {id_col} ASC LIMIT {NDCG_K})),
+    idcg AS (
+      SELECT CAST(sum(disc.disc * ideal.rel) AS BIGINT) AS idcg
+      FROM ideal JOIN disc USING (pos)),
+    bm25_pos AS (
+      SELECT {id_col},
+             row_number() OVER (ORDER BY score DESC, {id_col} ASC) AS pos
+      FROM ({bm25})),
+    ql_pos AS (
+      SELECT {id_col},
+             row_number() OVER (ORDER BY score DESC, {id_col} ASC) AS pos
+      FROM ({ql})),
+    rrf_pos AS (
+      SELECT {id_col},
+             row_number() OVER (ORDER BY rrf_score DESC, {id_col} ASC) AS pos
+      FROM ({rrf})),
+    dcgs AS (
+      SELECT 'bm25' AS system,
+             CAST(sum(disc.disc * coalesce(rel.rel, 0)) AS BIGINT) AS dcg
+      FROM bm25_pos JOIN disc USING (pos) LEFT JOIN rel USING ({id_col})
+      UNION ALL
+      SELECT 'ql', CAST(sum(disc.disc * coalesce(rel.rel, 0)) AS BIGINT)
+      FROM ql_pos JOIN disc USING (pos) LEFT JOIN rel USING ({id_col})
+      UNION ALL
+      SELECT 'hybrid_rrf', CAST(sum(disc.disc * coalesce(rel.rel, 0)) AS BIGINT)
+      FROM rrf_pos JOIN disc USING (pos) LEFT JOIN rel USING ({id_col}))
+    SELECT system, dcg, idcg.idcg AS idcg,
+           CAST(dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE) AS ndcg
+    FROM dcgs CROSS JOIN idcg
+    ORDER BY system
     """
 
 

@@ -2659,6 +2659,15 @@ def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hybrid_search_rrf(load(spark, sf_dir, "documents"))
 
 
+@_q("retrieval_ndcg", text.retrieval_ndcg_sql())
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 harness for the three retrievers (BM25 / QL / RRF
+    hybrid) against deterministic graded relevance — the retrieval twin
+    of the ann_recall_* quality tier. Integer micro-unit discounts make
+    DCG/IDCG exact; the only float op is the final division."""
+    return text.retrieval_ndcg(load(spark, sf_dir, "documents"))
+
+
 @_q("quality_budget_select", text.quality_budget_select_sql())
 def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget data selection: keep the highest-quality documents
