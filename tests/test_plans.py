@@ -873,3 +873,7 @@ def test_retrieval_ndcg_pools_before_windows_no_python(spark):
     assert p.count("Window") == 8
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+    # the ONLY sort-merge join is hybrid's internal full-outer of two
+    # 50-row rank lists; the relevance joins must broadcast the 10-row
+    # side, never shuffle the relevance table
+    assert p.count("SortMergeJoin") == 1

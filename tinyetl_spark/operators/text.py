@@ -1996,13 +1996,18 @@ def retrieval_ndcg(
             F.col(id_col),
             F.row_number().over(Window.orderBy(*order_cols)).alias("pos"),
         )
+        # inner join with the 10-row list BROADCAST (a left join would
+        # plan as a sort-merge that shuffles the relevance table; a doc
+        # with no relevance row contributes 0 to DCG either way, so the
+        # inner join is value-identical — coalesce covers the all-miss
+        # sum-over-zero-rows edge)
         return (
-            pos.join(rel, id_col, "left")
+            rel.join(F.broadcast(pos), id_col)
             .join(F.broadcast(disc_df), "pos")
             .agg(
-                F.sum(F.col("disc") * F.coalesce(F.col("rel"), F.lit(0)))
-                .cast("long")
-                .alias("dcg")
+                F.coalesce(
+                    F.sum(F.col("disc") * F.col("rel")).cast("long"), F.lit(0)
+                ).alias("dcg")
             )
         )
 
