@@ -877,3 +877,16 @@ def test_retrieval_ndcg_pools_before_windows_no_python(spark):
     # 50-row rank lists; the relevance joins must broadcast the 10-row
     # side, never shuffle the relevance table
     assert p.count("SortMergeJoin") == 1
+
+
+def test_vocab_growth_one_word_shuffle_window_on_prefixes(spark):
+    """The Heaps'-law curve must reduce the corpus through word-keyed
+    and prefix-keyed aggregations (map-side combined) before any
+    window: exactly one window (the cumulative sums over the 8-row
+    prefix table) and no Python."""
+    p = plan_of(spark, "vocab_growth_curve")
+    assert p.count("Window") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the window's sort input is the 8-row prefix join, not the corpus:
+    # no range-partition (global sort) exchange anywhere
+    assert "Exchange rangepartitioning" not in p

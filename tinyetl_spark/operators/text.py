@@ -2439,6 +2439,118 @@ def vocab_coverage_sql(
     """
 
 
+# log-spaced corpus prefixes (by doc_id) for the Heaps'-law curve;
+# thresholds past the corpus end still emit a row (the full-corpus
+# totals), so the output shape is stable at every scale factor
+VOCAB_GROWTH_PREFIXES: tuple[int, ...] = (50, 100, 200, 400, 800, 1600, 3200, 6400)
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefixes: tuple[int, ...] = VOCAB_GROWTH_PREFIXES,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth audit: distinct-word count and
+    total token count at log-spaced corpus prefixes (docs with id <
+    threshold) — the companion to vocab_coverage: coverage asks "how
+    big a vocab for THIS corpus", growth asks "how fast does the vocab
+    keep growing as the corpus scales", i.e. whether a planned
+    vocabulary will saturate or be outgrown at 100 TB.
+
+    Scale shape: ONE corpus explode feeds a word-keyed groupBy that
+    keeps each word's FIRST document (min id — map-side combined);
+    bucketing words by the smallest prefix containing that first
+    occurrence reduces everything to |prefixes| rows, and the
+    cumulative sums run on that ≤8-row table. Per-doc token counts
+    bucket the same way. All integers — exact on both engines."""
+    ps = sorted(prefixes)
+    spark = df.sparkSession
+    pref_df = spark.createDataFrame([(p,) for p in ps], "prefix_docs long")
+    first = (
+        df.select(F.col(id_col), F.explode(words_col(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.min(id_col).alias("_first"))
+    )
+
+    def smallest_prefix(col: str) -> F.Column:
+        expr = F.lit(None).cast("long")
+        for p in reversed(ps):
+            expr = F.when(F.col(col) < p, F.lit(p)).otherwise(expr)
+        return expr
+
+    new_words = (
+        first.select(smallest_prefix("_first").alias("prefix_docs"))
+        .where(F.col("prefix_docs").isNotNull())
+        .groupBy("prefix_docs")
+        .agg(F.count("*").alias("_nw"))
+    )
+    new_tokens = (
+        df.select(
+            smallest_prefix(id_col).alias("prefix_docs"),
+            F.size(words_col(F.lower(F.col(text_col)))).cast("long").alias("_nt"),
+        )
+        .where(F.col("prefix_docs").isNotNull())
+        .groupBy("prefix_docs")
+        .agg(F.sum("_nt").alias("_tt"), F.count("*").alias("_nd"))
+    )
+    run = (
+        Window.orderBy("prefix_docs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pref_df.join(new_words, "prefix_docs", "left")
+        .join(new_tokens, "prefix_docs", "left")
+        .select(
+            "prefix_docs",
+            F.sum(F.coalesce(F.col("_nd"), F.lit(0))).over(run).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_nw"), F.lit(0))).over(run).cast("long").alias("vocab_size"),
+            F.sum(F.coalesce(F.col("_tt"), F.lit(0))).over(run).cast("long").alias("n_tokens"),
+        )
+        .orderBy("prefix_docs")
+    )
+
+
+def vocab_growth_curve_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefixes: tuple[int, ...] = VOCAB_GROWTH_PREFIXES,
+) -> str:
+    ps = sorted(prefixes)
+    w = words_sql(f"lower({text_col})")
+    plist = ", ".join(f"({p})" for p in ps)
+
+    def case_of(col: str) -> str:
+        clauses = " ".join(f"WHEN {col} < {p} THEN {p}" for p in ps)
+        return f"CASE {clauses} ELSE NULL END"
+
+    return f"""
+    WITH pref(prefix_docs) AS (VALUES {plist}),
+    first AS (
+      SELECT w, min({id_col}) AS fdoc
+      FROM (SELECT {id_col}, unnest({w}) AS w FROM {table}) e
+      GROUP BY w),
+    new_words AS (
+      SELECT {case_of('fdoc')} AS prefix_docs, count(*) AS nw
+      FROM first WHERE {case_of('fdoc')} IS NOT NULL GROUP BY 1),
+    new_tokens AS (
+      SELECT {case_of(id_col)} AS prefix_docs,
+             sum(len({w})) AS tt, count(*) AS nd
+      FROM {table} WHERE {case_of(id_col)} IS NOT NULL GROUP BY 1)
+    SELECT CAST(pref.prefix_docs AS BIGINT) AS prefix_docs,
+           CAST(sum(coalesce(nd, 0)) OVER win AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(nw, 0)) OVER win AS BIGINT) AS vocab_size,
+           CAST(sum(coalesce(tt, 0)) OVER win AS BIGINT) AS n_tokens
+    FROM pref
+    LEFT JOIN new_words USING (prefix_docs)
+    LEFT JOIN new_tokens USING (prefix_docs)
+    WINDOW win AS (ORDER BY pref.prefix_docs
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY prefix_docs
+    """
+
+
 # ------------------------------------- length-bucketed inference batches
 
 INFER_BATCH_SIZE = 32

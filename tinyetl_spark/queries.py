@@ -2659,6 +2659,14 @@ def hybrid_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hybrid_search_rrf(load(spark, sf_dir, "documents"))
 
 
+@_q("vocab_growth_curve", text.vocab_growth_curve_sql())
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth at log-spaced corpus prefixes —
+    one word-keyed shuffle keeps each word's first document; cumulative
+    sums run on the 8-row prefix table. All-integer, exact oracle."""
+    return text.vocab_growth_curve(load(spark, sf_dir, "documents"))
+
+
 @_q("retrieval_ndcg", text.retrieval_ndcg_sql())
 def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG@10 harness for the three retrievers (BM25 / QL / RRF
