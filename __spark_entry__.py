@@ -59,10 +59,12 @@ _PRIORITY = [
     "q4_priority_check", "q12_late_shipments", "q13_customer_distribution",
     "q16_supplier_variety",
     # deferred to round 8: oracle verified locally at sf0.001 AND
-    # sf0.01 this round (priority_sample and the RRF fusion are
-    # IEEE-bit-identical; pmi/ql follow the 9dp libm convention)
+    # sf0.01 this round — retrieval/sampling/corpus-analytics additions
+    # (priority_sample, RRF fusion, and the all-integer nDCG/Heaps
+    # curves are IEEE-bit-identical; pmi/ql follow the 9dp libm
+    # convention; all five rounding-sensitive ones also swept at sf0.1)
     "priority_sample_docs", "pmi_collocations", "ql_search_docs",
-    "hybrid_search_docs",
+    "hybrid_search_docs", "retrieval_ndcg", "vocab_growth_curve",
     # --- re-validation: last green in r5, code untouched since ---
     "ann_recall_rpq", "ann_recall_rpq_rerank", "semantic_dup_pairs",
     "semantic_dedup_survivors", "curation_pipeline", "near_dup_ngram",
