@@ -869,7 +869,9 @@ def test_retrieval_ndcg_pools_before_windows_no_python(spark):
     reductions — nothing windows the corpus), with no Python and no
     cartesian product; the discount table joins as a broadcast."""
     p = plan_of(spark, "retrieval_ndcg")
-    assert p.count("TakeOrderedAndProject") == 8
+    # 6, not 8: each retriever's 50-row pool is computed once and
+    # shared (checkpointed) between fusion and per-system scoring
+    assert p.count("TakeOrderedAndProject") == 6
     assert p.count("Window") == 8
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p

@@ -1957,9 +1957,12 @@ def retrieval_ndcg(
     Engine-exactness: position discounts are integer micro-units (see
     NDCG_DISCOUNTS), so DCG/IDCG are exact integer sums; the only float
     op is the final dcg/idcg double division (IEEE-exact). Scale shape:
-    each retriever reduces the corpus through its own TakeOrdered pool;
-    the relevance table carries only docs matching ≥1 query term; all
-    ranking windows and joins run on ≤10-row lists."""
+    each retriever runs its corpus pass ONCE — the 50-row pools are
+    lazily checkpointed and shared between the RRF fusion and the
+    per-system scoring (top-10 is a prefix of the same deterministic
+    ordering), as is the relevance table (bounded by docs matching ≥1
+    query term; at petabyte scale stage it to parquet instead); all
+    ranking windows and joins run on bounded lists."""
     spark = df.sparkSession
     disc_df = spark.createDataFrame(
         [(i + 1, d) for i, d in enumerate(NDCG_DISCOUNTS)], "pos int, disc long"
@@ -1974,6 +1977,7 @@ def retrieval_ndcg(
         .join(F.broadcast(qdf), "term")
         .groupBy(id_col)
         .agg(F.least(F.count("*"), F.lit(10)).cast("long").alias("rel"))
+        .localCheckpoint(eager=False)  # scored once, read by 3 dcgs + idcg
     )
     # ideal gain: top-10 docs by rel desc (id asc) — defines IDCG
     ideal = (
@@ -2011,19 +2015,25 @@ def retrieval_ndcg(
             )
         )
 
+    # one corpus pass per retriever: the 50-row pools feed BOTH the
+    # fusion and the per-system top-10 (a prefix of the same
+    # deterministic ordering), pinned by a lazy checkpoint
+    b50 = bm25_search(df, query_terms, text_col, id_col, top_k=50).localCheckpoint(
+        eager=False
+    )
+    q50 = ql_search(df, query_terms, text_col, id_col, top_k=50).localCheckpoint(
+        eager=False
+    )
     systems = {
-        "bm25": dcg_of(
-            bm25_search(df, query_terms, text_col, id_col, top_k=NDCG_K),
-            [F.desc("score"), F.asc(id_col)],
-        ),
+        "bm25": dcg_of(b50, [F.desc("score"), F.asc(id_col)]),
         "hybrid_rrf": dcg_of(
-            hybrid_search_rrf(df, query_terms, text_col, id_col, top_k=NDCG_K),
+            hybrid_search_rrf(
+                df, query_terms, text_col, id_col,
+                top_k=NDCG_K, pools=(b50, q50),
+            ),
             [F.desc("rrf_score"), F.asc(id_col)],
         ),
-        "ql": dcg_of(
-            ql_search(df, query_terms, text_col, id_col, top_k=NDCG_K),
-            [F.desc("score"), F.asc(id_col)],
-        ),
+        "ql": dcg_of(q50, [F.desc("score"), F.asc(id_col)]),
     }
     out = None
     for name, d in systems.items():
@@ -2104,6 +2114,7 @@ def hybrid_search_rrf(
     id_col: str = "doc_id",
     pool_k: int = 50,
     top_k: int = 15,
+    pools: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
     Buettcher 2009): run BM25 and Dirichlet query-likelihood for the
@@ -2115,9 +2126,15 @@ def hybrid_search_rrf(
 
     Scale shape: each retriever already reduces the corpus through its
     own TakeOrderedAndProject; ranking windows and the full-outer fuse
-    join run on two pool_k-row lists — bounded by construction."""
-    b = bm25_search(df, query_terms, text_col, id_col, top_k=pool_k)
-    ql = ql_search(df, query_terms, text_col, id_col, top_k=pool_k)
+    join run on two pool_k-row lists — bounded by construction. Pass
+    ``pools=(bm25_pool, ql_pool)`` to fuse precomputed pool lists
+    instead of re-running the retrievers (the nDCG harness shares one
+    pool per retriever across fusion and scoring)."""
+    if pools is not None:
+        b, ql = pools
+    else:
+        b = bm25_search(df, query_terms, text_col, id_col, top_k=pool_k)
+        ql = ql_search(df, query_terms, text_col, id_col, top_k=pool_k)
     rb = b.select(
         F.col(id_col),
         F.row_number()
