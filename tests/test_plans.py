@@ -892,3 +892,13 @@ def test_vocab_growth_one_word_shuffle_window_on_prefixes(spark):
     # the window's sort input is the 8-row prefix join, not the corpus:
     # no range-partition (global sort) exchange anywhere
     assert "Exchange rangepartitioning" not in p
+
+
+def test_dedup_recall_audit_bounded_bruteforce_no_python(spark):
+    """The dedup quality audit: the only nested-loop joins are the
+    intentional cap-bounded brute-force pair join and the 1-row metric
+    cross joins; no Python anywhere."""
+    p = plan_of(spark, "dedup_recall_audit")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in p

@@ -299,6 +299,133 @@ def minhash_jaccard_sql(
     return ctes + jaccard_verify_sql("cand", table, text_col, id_col, threshold)
 
 
+DEDUP_AUDIT_CAP = 300  # docs in the brute-force ground-truth slice
+
+
+def dedup_recall_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = DEDUP_AUDIT_CAP,
+    threshold: float = 0.3,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Quality audit of the minhash-LSH candidate generator — the dedup
+    twin of the ann_recall_* tier: on a deterministic capped slice
+    (id < cap), compute brute-force ground truth (ALL O(cap²) pairs
+    with exact word-set Jaccard ≥ threshold), intersect with the LSH
+    candidates, and report candidate precision and truth recall. This
+    is the number that justifies the band/permutation configuration
+    before a 100 TB dedup run.
+
+    The ground truth lives in the SAME similarity space the LSH
+    targets — distinct 3-word-shingle sets (word-set Jaccard would
+    measure a different, far less discriminative quantity and misread
+    the generator). The brute-force pair join is intentionally
+    quadratic IN THE SLICE (cap² pairs, one inequality nested-loop
+    join) — the cap is the audit's cost knob and the corpus itself is
+    touched only by the slice filter at the scan. Counts are exact
+    integers; the two ratios are single IEEE double divisions."""
+    sl = df.filter(F.col(id_col) < cap)
+    wsets = (
+        sl.select(F.col(id_col).alias("jid"), _word_hashes_col(text_col).alias("hw"))
+        .select("jid", F.array_distinct(_shingle_hashes_from("hw")).alias("ws"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = wsets.alias("a"), wsets.alias("b")
+    jacc = F.round(
+        F.size(F.array_intersect("a.ws", "b.ws"))
+        / F.size(F.array_union("a.ws", "b.ws")).cast("double"),
+        6,
+    )
+    truth = (
+        a.join(b, F.col("a.jid") < F.col("b.jid"))
+        .select(
+            F.col("a.jid").alias("id_a"),
+            F.col("b.jid").alias("id_b"),
+            jacc.alias("j"),
+        )
+        .filter(F.col("j") >= threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = minhash_candidates(
+        sl, text_col, id_col, num_perm, bands, max_bucket_size
+    ).localCheckpoint(eager=False)
+    n_true = truth.agg(F.count("*").cast("long").alias("true_pairs"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("cand_pairs"))
+    n_hit = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count("*").cast("long").alias("hit_pairs")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            F.lit(cap).cast("long").alias("cap"),
+            "true_pairs",
+            "cand_pairs",
+            "hit_pairs",
+            F.when(
+                F.col("cand_pairs") > 0,
+                F.col("hit_pairs").cast("double") / F.col("cand_pairs").cast("double"),
+            ).otherwise(F.lit(1.0)).alias("precision"),
+            F.when(
+                F.col("true_pairs") > 0,
+                F.col("hit_pairs").cast("double") / F.col("true_pairs").cast("double"),
+            ).otherwise(F.lit(1.0)).alias("recall"),
+        )
+    )
+
+
+def dedup_recall_audit_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = DEDUP_AUDIT_CAP,
+    threshold: float = 0.3,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    max_bucket_size: int = 64,
+) -> str:
+    w = words_sql(text_col)
+    cand_ctes = _minhash_candidates_ctes(
+        "slice_docs", text_col, id_col, num_perm, bands, max_bucket_size
+    )
+    # splice the candidate CTE chain into this query's WITH block
+    cand_ctes = cand_ctes.replace("WITH sig_t AS", ", sig_t AS", 1)
+    return f"""
+    WITH slice_docs AS (SELECT * FROM {table} WHERE {id_col} < {cap})
+    {cand_ctes},
+    wsets AS (
+      SELECT jid, list_distinct(hb) AS ws
+      FROM (SELECT jid, {_shingle_hashes_sql(text_col)} AS hb
+            FROM (SELECT {id_col} AS jid,
+                         list_transform({w}, x -> {hash64_sql('x')}) AS hw
+                  FROM slice_docs))),
+    truth AS (
+      SELECT a.jid AS id_a, b.jid AS id_b
+      FROM wsets a JOIN wsets b ON a.jid < b.jid
+      WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.ws, b.ws))), 6)
+            >= {threshold}),
+    n_true AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth),
+    n_cand AS (SELECT CAST(count(*) AS BIGINT) AS cand_pairs FROM cand),
+    n_hit AS (
+      SELECT CAST(count(*) AS BIGINT) AS hit_pairs
+      FROM cand JOIN truth USING (id_a, id_b))
+    SELECT CAST({cap} AS BIGINT) AS cap, true_pairs, cand_pairs, hit_pairs,
+           CASE WHEN cand_pairs > 0
+                THEN CAST(hit_pairs AS DOUBLE) / CAST(cand_pairs AS DOUBLE)
+                ELSE 1.0 END AS precision,
+           CASE WHEN true_pairs > 0
+                THEN CAST(hit_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE)
+                ELSE 1.0 END AS recall
+    FROM n_true CROSS JOIN n_cand CROSS JOIN n_hit
+    """
+
+
 # --------------------------------------------------- char n-gram jaccard
 
 NGRAM_K = 5  # character n-gram width

@@ -3672,6 +3672,15 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidates(load(spark, sf_dir, "documents"))
 
 
+@_q("dedup_recall_audit", dedup.dedup_recall_audit_sql())
+def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the minhash-LSH candidate generator against
+    brute-force exact-Jaccard ground truth on a deterministic 300-doc
+    slice — the dedup twin of the ann_recall_* quality tier; the number
+    that justifies the band configuration before a 100 TB dedup run."""
+    return dedup.dedup_recall_audit(load(spark, sf_dir, "documents"))
+
+
 def _stage_once(
     spark: SparkSession,
     sf_dir: str,
