@@ -65,6 +65,7 @@ _PRIORITY = [
     # convention; all five rounding-sensitive ones also swept at sf0.1)
     "priority_sample_docs", "pmi_collocations", "ql_search_docs",
     "hybrid_search_docs", "retrieval_ndcg", "vocab_growth_curve",
+    "dedup_recall_audit",
     # --- re-validation: last green in r5, code untouched since ---
     "ann_recall_rpq", "ann_recall_rpq_rerank", "semantic_dup_pairs",
     "semantic_dedup_survivors", "curation_pipeline", "near_dup_ngram",
