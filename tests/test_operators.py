@@ -1609,3 +1609,23 @@ def test_hist_sketch_merge_and_bounds(spark):
     width = (hi - lo) / 512
     est_med = [r["est"] for r in whole if r["q"] == 0.5][0]
     assert abs(est_med - exact_med) <= width
+
+
+def test_margin_mine_nonvacuous_and_margin_math(spark):
+    """The registered margin_mine constants MUST produce pairs on the
+    testdata at every tested scale — a 0-row green is vacuous (the
+    round-7 verdict caught exactly that with the old stride=23). Also
+    pins the margin arithmetic: rank-1 is the neighborhood max, so the
+    mean of the top-k is <= best — whenever best and the mean are both
+    positive the ratio margin must be >= 1."""
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators.similarity import margin_mine
+    from tinyetl_spark.queries import load
+
+    rows = margin_mine(load(spark, SF_DIR, "embeddings")).collect()
+    assert len(rows) >= 20, f"vacuous: only {len(rows)} mined pairs at {SF_DIR}"
+    for r in rows:
+        # margin>0 with best>0 implies mean>0; mean<=best forces >=1
+        # (1e-6 slack: margin is floor_round-ed to 6dp)
+        if r["cosine"] > 0 and r["margin"] > 0:
+            assert r["margin"] >= 1.0 - 1e-6, r

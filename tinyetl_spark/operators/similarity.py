@@ -1886,7 +1886,13 @@ def semantic_dedup_survivors(
 # ---------------------------------------------------------------------
 
 MARGIN_K = 8          # neighborhood size for the margin denominator
-MARGIN_EVERY = 23     # deterministic source-side sample stride
+# Deterministic source-side sample stride / LSH bits for the REGISTERED
+# query. Chosen so the sf0.01 testdata (500 vectors, ~50 per label)
+# yields a few dozen pairs — the repo standard is that a 0-row green is
+# vacuous (see embedding_near_dups). At production scale pass a larger
+# stride / more bits explicitly; both are plain parameters.
+MARGIN_EVERY = 2
+MARGIN_BITS = 4       # 16 coarse buckets (SIGN_BITS=6 starves sf0.01)
 
 
 def margin_mine(
@@ -1895,7 +1901,7 @@ def margin_mine(
     tgt_label: int = 1,
     k: int = MARGIN_K,
     every: int = MARGIN_EVERY,
-    bits: int = SIGN_BITS,
+    bits: int = MARGIN_BITS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
@@ -1913,7 +1919,15 @@ def margin_mine(
     in single digits; the margin neighborhood is the within-bucket
     top-k (documented LSH-recall tradeoff). The sampled query side
     broadcasts; the mean in the denominator sums exact decimals so the
-    margin is engine-identical."""
+    margin is engine-identical.
+
+    Simplification vs the cited paper: this is the FORWARD-only margin
+    (the denominator averages only the source->target neighborhood,
+    and that mean includes the rank-1 candidate itself), not the
+    paper's symmetric ratio that also averages the backward
+    target->source top-k. Target-side hubs are therefore suppressed
+    more weakly than the full criterion; the forward form keeps the
+    plan one bucket join + one window instead of two of each."""
     from pyspark.sql import Window
 
     from tinyetl_spark.operators.text import floor_round
@@ -1964,7 +1978,7 @@ def margin_mine_sql(
     tgt_label: int = 1,
     k: int = MARGIN_K,
     every: int = MARGIN_EVERY,
-    bits: int = SIGN_BITS,
+    bits: int = MARGIN_BITS,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
