@@ -854,8 +854,11 @@ def test_hybrid_rrf_windows_bounded_by_pool_limits(spark):
     single-partition windows operate on 50-row pools; the fused cut is
     a third TakeOrdered. No Python anywhere."""
     p = plan_of(spark, "hybrid_search_docs")
-    assert p.count("TakeOrderedAndProject") == 3
-    assert p.count("Window") == 2
+    # bounds, not exact counts (round-7 ADVICE): >=3 keeps every pool
+    # and the fused cut reducing via TakeOrdered; <=2 keeps any
+    # corpus-scale window from sneaking in beside the two rank windows
+    assert p.count("TakeOrderedAndProject") >= 3
+    assert p.count("Window") <= 2
     # windows sit ABOVE the retriever TakeOrdereds in top-down text
     first_window = p.find("Window")
     assert first_window >= 0
@@ -869,16 +872,18 @@ def test_retrieval_ndcg_pools_before_windows_no_python(spark):
     reductions — nothing windows the corpus), with no Python and no
     cartesian product; the discount table joins as a broadcast."""
     p = plan_of(spark, "retrieval_ndcg")
-    # 6, not 8: each retriever's 50-row pool is computed once and
-    # shared (checkpointed) between fusion and per-system scoring
-    assert p.count("TakeOrderedAndProject") == 6
-    assert p.count("Window") == 8
+    # bounds, not exact counts (round-7 ADVICE; was ==6/==8/==1, which
+    # is brittle against Spark/AQE/broadcast-threshold changes): at
+    # least one pool reduction per retriever; no window beyond the 8
+    # rank/cumulation windows (a corpus-scale window would add one)
+    assert p.count("TakeOrderedAndProject") >= 3
+    assert p.count("Window") <= 8
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
-    # the ONLY sort-merge join is hybrid's internal full-outer of two
-    # 50-row rank lists; the relevance joins must broadcast the 10-row
+    # at most one sort-merge join (hybrid's internal full-outer of two
+    # 50-row rank lists); the relevance joins must broadcast the 10-row
     # side, never shuffle the relevance table
-    assert p.count("SortMergeJoin") == 1
+    assert p.count("SortMergeJoin") <= 1
 
 
 def test_vocab_growth_one_word_shuffle_window_on_prefixes(spark):

@@ -251,14 +251,19 @@ def _minhash_candidates_ctes(
     bands: int = BANDS,
     max_bucket_size: int = 64,
 ) -> str:
-    """Shared CTE block ending in a ``cand(id_a, id_b)`` relation.
+    """Shared CTE chain ending in a ``cand(id_a, id_b)`` relation.
+
+    Returns the chain WITHOUT a leading ``WITH`` so callers compose it
+    structurally — ``f"WITH {ctes} ..."`` to start a query or
+    ``f"WITH other AS (...), {ctes}"`` to append after their own CTEs
+    (no textual splicing of the keyword; round-7 ADVICE).
 
     Pair expansion inside a bucket uses the same list-comprehension
     shape as the Spark side (nested list_transform + filter a<b)."""
     sig = minhash_signatures_sql(table, text_col, id_col, num_perm)
     bands_sql = lsh_bands_sql("sig_t", id_col, num_perm, bands)
     return f"""
-    WITH sig_t AS ({sig}),
+    sig_t AS ({sig}),
     bands_t AS ({bands_sql}),
     buckets AS (
       SELECT band_idx, band_hash, list({id_col}) AS ids
@@ -282,7 +287,7 @@ def minhash_candidates_sql(
     max_bucket_size: int = 64,
 ) -> str:
     ctes = _minhash_candidates_ctes(table, text_col, id_col, num_perm, bands, max_bucket_size)
-    return f"{ctes}\n    SELECT id_a, id_b FROM cand"
+    return f"WITH {ctes}\n    SELECT id_a, id_b FROM cand"
 
 
 def minhash_jaccard_sql(
@@ -296,7 +301,7 @@ def minhash_jaccard_sql(
 ) -> str:
     """Full pipeline oracle: LSH candidates → exact Jaccard filter."""
     ctes = _minhash_candidates_ctes(table, text_col, id_col, num_perm, bands, max_bucket_size)
-    return ctes + jaccard_verify_sql("cand", table, text_col, id_col, threshold)
+    return f"WITH {ctes}" + jaccard_verify_sql("cand", table, text_col, id_col, threshold)
 
 
 DEDUP_AUDIT_CAP = 300  # docs in the brute-force ground-truth slice
@@ -393,10 +398,8 @@ def dedup_recall_audit_sql(
     cand_ctes = _minhash_candidates_ctes(
         "slice_docs", text_col, id_col, num_perm, bands, max_bucket_size
     )
-    # splice the candidate CTE chain into this query's WITH block
-    cand_ctes = cand_ctes.replace("WITH sig_t AS", ", sig_t AS", 1)
     return f"""
-    WITH slice_docs AS (SELECT * FROM {table} WHERE {id_col} < {cap})
+    WITH slice_docs AS (SELECT * FROM {table} WHERE {id_col} < {cap}),
     {cand_ctes},
     wsets AS (
       SELECT jid, list_distinct(hb) AS ws
@@ -524,7 +527,7 @@ def ngram_jaccard_sql(
     """Full-pipeline oracle: minhash-LSH candidates → char-ngram verify."""
     ctes = _minhash_candidates_ctes(table, text_col, id_col, num_perm, bands, max_bucket_size)
     g = char_ngrams_sql(text_col, k)
-    return f"""{ctes}
+    return f"""WITH {ctes}
     , gsets AS (SELECT {id_col} AS jid, {g} AS gs FROM {table})
     SELECT c.id_a, c.id_b,
            round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)

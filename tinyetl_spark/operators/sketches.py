@@ -650,10 +650,17 @@ def hist_quantiles_sql(
     bins: int = HIST_BINS,
 ) -> str:
     width = (hi - lo) / bins
-    qvals = ", ".join(f"({q!r})" for q in qs)
+    # Every fractional literal is CAST(... AS DOUBLE): a bare repr
+    # would be typed DECIMAL by DuckDB, making the `cum >= q * n` rank
+    # test exact-decimal there but IEEE-double in Spark — parity held
+    # only by rounding luck (round-7 ADVICE). The cast forces both
+    # engines through the identical double arithmetic.
+    qvals = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in qs)
+    lo_d = f"CAST({lo!r} AS DOUBLE)"
+    width_d = f"CAST({width!r} AS DOUBLE)"
     return f"""
     WITH sk AS (
-      SELECT CAST(least(greatest(floor(({value_expr} - {lo!r}) / {width!r}), 0),
+      SELECT CAST(least(greatest(floor(({value_expr} - {lo_d}) / {width_d}), 0),
                   {bins - 1}) AS INT) AS bin,
              CAST(count(*) AS BIGINT) AS c
       FROM {table} GROUP BY 1),
@@ -671,7 +678,7 @@ def hist_quantiles_sql(
       GROUP BY q, n)
     SELECT cand.q,
            {floor_round_sql(
-               f"{lo!r} + CAST(cand.bin AS DOUBLE) * {width!r} + {width!r} * "
+               f"{lo_d} + CAST(cand.bin AS DOUBLE) * {width_d} + {width_d} * "
                "(cand.q * cand.n - CAST(cum2.cum_prev AS DOUBLE)) / CAST(cum2.c AS DOUBLE)",
                4)} AS est
     FROM cand JOIN cum2 USING (bin)

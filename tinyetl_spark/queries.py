@@ -4832,7 +4832,32 @@ def _roundtrip_dir(sf_dir: str, name: str) -> str:
     # sf_dir-only key would collide with XSDB6. Within one process the
     # dir is stable, keeping re-runs idempotent via truncate semantics.
     tag = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:8]
-    return f"{tempfile.gettempdir()}/tinyetl_rt_{tag}/{name}"
+    root = f"{tempfile.gettempdir()}/tinyetl_rt_{tag}"
+    _register_rt_cleanup(root)
+    return f"{root}/{name}"
+
+
+_RT_CLEANUP_ROOTS: set[str] = set()
+
+
+def _register_rt_cleanup(root: str) -> None:
+    """Remove this process's pid-keyed roundtrip/checkpoint dirs at
+    exit so abandoned sink + streaming state doesn't accumulate in
+    /tmp across runs (round-7 ADVICE). atexit, not eager delete:
+    within the process the dirs must persist so bench best-of-2 reps
+    and repeated pytest cases stay idempotent."""
+    import atexit
+    import shutil
+
+    if root in _RT_CLEANUP_ROOTS:
+        return
+    if not _RT_CLEANUP_ROOTS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(r, ignore_errors=True) for r in _RT_CLEANUP_ROOTS
+            ]
+        )
+    _RT_CLEANUP_ROOTS.add(root)
 
 
 @_q(
