@@ -21,14 +21,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver samples the FIRST 50 entries of queries() in
-# dict order. Rounds 1-6 put driver-green rows on 155 distinct
-# queries. Round 7's window: the 27 never-driver-checked queries
-# first (the round-6 window tail: TPC-H q5/q14, text/maintenance/
-# recall tiers, the two round-6 streaming/classifier additions), then
-# this round's new queries (the TPC-H expansion pack and the new
-# scale operators), then re-validations of rows whose code changed
-# this round.
+# dict order. Rounds 1-7 put driver-green rows on 205 of 216 distinct
+# queries. Round 8's window: (a) the 11 never-driver-checked queries
+# (4 TPC-H integer shapes + the retrieval/sampling/corpus-analytics
+# tier, all locally oracle-verified at sf0.001 AND the driver's
+# sf0.01), (b) the 5 queries whose SQL or constants changed this
+# round (margin_mine's non-vacuity fix, hist_quantiles' double-cast
+# literals, the minhash CTE-composition refactor), then (c) 34
+# re-validations of the OLDEST green rows (r1-r4 vintage — their last
+# driver check predates four rounds of refactoring), oldest first.
 _PRIORITY = [
+    # --- (a) never driver-checked (11) ---
+    "q4_priority_check", "q16_supplier_variety", "q12_late_shipments",
+    "q13_customer_distribution", "ql_search_docs", "hybrid_search_docs",
+    "vocab_growth_curve", "retrieval_ndcg", "pmi_collocations",
+    "priority_sample_docs", "dedup_recall_audit",
+    # --- (b) code/SQL changed in round 8 (5) ---
+    "margin_mine_pairs", "hist_quantiles_prices", "minhash_candidates",
+    "near_dup_jaccard", "near_dup_ngram",
+    # --- (c) oldest-vintage re-validation (34: r1, r2, r3, then r4) ---
+    "embedding_norms", "lang_id", "text_quality", "tfidf_top_terms",
+    "token_stats", "dedup_exact", "doc_fingerprint", "above_avg_balance",
+    "anti_join_customers", "approx_distinct_users",
+    "approx_percentile_prices", "asof_purchase_view", "asof_tolerance",
+    "bucketed_join_orders", "cube_status_priority",
+    "cust_order_distribution", "date_multiformat", "events_tumbling",
+    "exists_high_qty_orders", "explode_doc_words",
+    "full_outer_nation_counts", "grouping_sets_lineitem",
+    "hopping_window_events", "json_extract_events", "listagg_nations",
+    "mktsegment_stats", "part_brand_stats", "percentile_prices",
+    "pivot_priority_status", "q10_returned_revenue", "q1_pricing_summary",
+    "q3_shipping_priority", "range_pairs_events", "revenue_by_nation",
+    # --- below the 50-cut: the round-7 window order is preserved so a
+    # larger sample still hits recent material first ---
     # --- never driver-checked (27) ---
     "q5_local_supplier_volume", "q14_promo_revenue", "corpus_diff",
     "fuzzy_join_phrases", "profile_lineitem", "trigram_search_docs",
