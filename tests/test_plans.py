@@ -702,6 +702,20 @@ def test_q11_reuses_partval_exchange_at_runtime(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_q4_exists_is_semi_join_date_pushed(spark):
+    """Q4's EXISTS must compile to a LEFT SEMI join (lineitem never
+    widens orders — at most one match per order), with the quarter
+    date range pushed to the orders scan and the returnflag filter
+    pushed to the lineitem scan."""
+    p = plan_of(spark, "q4_priority_check")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    pushed = p.split("PushedFilters:")
+    assert len(pushed) >= 3  # both scans carry pushed predicates
+    assert any("o_orderdate" in seg[:250] for seg in pushed[1:])
+    assert any("l_returnflag" in seg[:250] for seg in pushed[1:])
+
+
 def test_q12_pushes_year_filter_no_cartesian(spark):
     """Q12's single-year shipdate range must reach the lineitem scan;
     the cross-table lateness predicate stays a post-join filter, never
