@@ -12,23 +12,39 @@ Protocol (driver contract):
 Method: each query's DataFrame is fully executed with a `noop` format
 write — every row is computed on the executors, nothing is collected to
 the driver (a `count()` would let Catalyst prune work; noop does not).
-One warm-up action runs first so JVM/codegen startup is not billed to
-the first query.
+
+Sharded execution (round-8 fix for the r6->r7 47% no-code-diff drift):
+compiling 200+ distinct plans in ONE JVM piles codegen/JIT/GC pressure
+onto whatever queries happen to run late — the r7 driver bench ran a
+near-uniform 1.23x slower than a same-day local run of identical code,
+and the per-query spread grew with registry size. The parent process
+now splits the sorted query list into shards of <=SHARD_SIZE and runs
+each shard in a FRESH JVM subprocess (its own warm-up action off the
+clock), so a query's timing depends on its shard-local neighborhood
+(<=60 plans, the size the best-of-2 method was calibrated on in r5),
+not on its global alphabetical position in an ever-growing registry.
+JVM startup is paid per shard but never billed to any query.
 
 Baseline framing (BASELINE.md): the reference publishes rows/sec for
 transfer-shaped workloads (headline 180k rows/s). `transfer_rows_per_sec`
 reports our equivalent: rows of `transform_inline` (a full
 scan→transform→materialize pass over lineitem) divided by its wall time.
+The transfer headline keeps its r5 protocol inside its shard: 3 early
+reps while the shard JVM is quiet, best-of-2 in the loop, 3 steady-state
+reps at shard end, min across all phases.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SHARD_SIZE = 60  # max distinct plans one measuring JVM compiles
 
 
 def _sf_from_dir(path: str) -> float:
@@ -39,13 +55,8 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
-def main() -> None:
-    # The driver parses stdout (last 2000 chars) — route EVERYTHING any
-    # query or library might print to stderr; only the final JSON line
-    # goes to the real stdout.
-    real_stdout = sys.stdout
-    sys.stdout = sys.stderr
-
+def _run_shard(names: list[str]) -> dict:
+    """Time one shard of queries in THIS process's (fresh) JVM."""
     from tinyetl_spark.queries import QUERIES
     from tinyetl_spark.session import get_spark
 
@@ -55,15 +66,14 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").write.format("noop").mode("overwrite").save()
 
     # EARLY transfer reps: the headline metric measured while the JVM
-    # code cache is quiet (3 reps), before 140+ distinct plans pile
-    # JIT/GC pressure on it. Merged (min) with the per-suite reps and
-    # the end-of-suite steady-state pass below — the spread between
-    # these phases was the r3->r4 "29% regression" that had no code
-    # diff; min across phases is the number a dedicated cluster job
-    # sees and is stable round-over-round.
+    # code cache is quiet, before this shard's plans add JIT/GC
+    # pressure. Merged (min) with the loop reps and the end-of-shard
+    # steady-state pass — the spread between phases was the r3->r4
+    # "29% regression" that had no code diff; min across phases is the
+    # number a dedicated cluster job sees and is stable round-to-round.
     early_transfer = None
-    _tfn = QUERIES.get("transform_inline")
-    if _tfn is not None:
+    if "transform_inline" in names:
+        _tfn = QUERIES["transform_inline"]
         for _rep in range(3):
             try:
                 t0 = time.perf_counter()
@@ -75,12 +85,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     reps_detail: dict[str, list[float]] = {}
-    rows: dict[str, int] = {}
     failures: dict[str, str] = {}
-    # best-of-2: with ~60 distinct plans in one JVM, first executions
-    # absorb codegen+JIT warm-up more or less at random — the min is
-    # the steady-state number a long-running cluster job would see.
-    for name, fn in sorted(QUERIES.items()):
+    # best-of-2: first executions absorb codegen warm-up more or less
+    # at random — the min is the steady-state number a long-running
+    # cluster job would see.
+    for name in names:
+        fn = QUERIES.get(name)
+        if fn is None:  # registry changed under a running bench
+            failures[name] = "KeyError: not in this process's registry"
+            continue
         best = None
         for _rep in range(2):
             try:
@@ -97,21 +110,17 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — a broken query must not kill the bench
                 failures[name] = f"{type(exc).__name__}: {exc}"[:200]
                 print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
-                # a query that failed ANY rep is broken, not slow — keep
-                # it out of timings/total so the headline only counts
+                # a query that failed ANY rep is broken, not slow —
+                # keep it out of timings so the headline only counts
                 # queries that ran clean (it still shows in `failures`)
                 best = None
                 break
         if best is not None:
             timings[name] = round(best, 4)
 
-    # Steady-state pass for the HEADLINE transfer metric: re-measure
-    # transform_inline with 3 extra reps now that the JVM is fully warm
-    # and take the min across all reps. Measured mid-suite its number
-    # swung ±30% round-to-round with zero code diff (r3->r4) purely from
-    # where JIT/GC pressure happened to land; a cold-start first slot is
-    # just as wrong (measured 0.70s cold vs 0.44s hot). The min over
-    # warm reps is the number a long-running cluster job sees.
+    # Steady-state pass for the HEADLINE transfer metric (see module
+    # docstring). Measured mid-suite its number swung ±30% with zero
+    # code diff; min over warm reps is the stable number.
     if "transform_inline" in timings:
         fn = QUERIES["transform_inline"]
         if early_transfer is not None:
@@ -125,8 +134,96 @@ def main() -> None:
                 timings["transform_inline"] = round(
                     min(timings["transform_inline"], time.perf_counter() - t0), 4
                 )
-            except Exception:  # noqa: BLE001 — keep the rep-1 number
+            except Exception:  # noqa: BLE001 — keep the loop number
                 break
+
+    spark.stop()
+    return {"timings": timings, "reps": reps_detail, "failures": failures}
+
+
+def _child_main(in_path: str, out_path: str) -> None:
+    """Shard subprocess: run the EXPLICIT query list from in_path in
+    this fresh JVM and write the partial result JSON to out_path. The
+    parent passes names, not slice indices — the registry is re-imported
+    here, and an index slice would silently shift if the registry
+    changed between parent start and child start (e.g. a concurrent
+    edit of queries.py mid-bench: observed as 213/216 queries timed)."""
+    sys.stdout = sys.stderr  # children must not pollute the stdout line
+    with open(in_path) as f:
+        names = json.load(f)
+    res = _run_shard(names)
+    with open(out_path, "w") as f:
+        json.dump(res, f)
+
+
+def main() -> None:
+    # The driver parses stdout (last 2000 chars) — route EVERYTHING any
+    # query or library might print to stderr; only the final JSON line
+    # goes to the real stdout.
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+
+    # bad data dir must exit 1 (PATH_NOT_FOUND), exactly like the old
+    # single-process flow where the warm-up read threw out of main()
+    if not os.path.exists(os.path.join(SF_DIR, "region.parquet")):
+        print(f"bench: PATH_NOT_FOUND: {SF_DIR}/region.parquet", file=sys.stderr)
+        sys.exit(1)
+
+    from tinyetl_spark.queries import QUERIES  # no JVM yet — just the registry
+
+    names = sorted(QUERIES)
+    shards = [
+        (i, min(i + SHARD_SIZE, len(names))) for i in range(0, len(names), SHARD_SIZE)
+    ]
+
+    timings: dict[str, float] = {}
+    reps_detail: dict[str, list[float]] = {}
+    rows: dict[str, int] = {}
+    failures: dict[str, str] = {}
+    shard_meta: list[dict] = []
+    for start, end in shards:
+        t0 = time.perf_counter()
+        with tempfile.NamedTemporaryFile("r", suffix=".json", delete=False) as tf:
+            out_path = tf.name
+        in_path = out_path + ".in"
+        with open(in_path, "w") as f:
+            json.dump(names[start:end], f)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--shard",
+                 in_path, out_path],
+                stdout=sys.stderr,
+                stderr=sys.stderr,
+                timeout=3600,
+                check=False,
+            )
+            if proc.returncode != 0:
+                # a crashed shard JVM marks its queries failed, not lost
+                for n in names[start:end]:
+                    failures.setdefault(n, f"shard exited {proc.returncode}")
+                continue
+            with open(out_path) as f:
+                res = json.load(f)
+        except (subprocess.TimeoutExpired, OSError, json.JSONDecodeError) as exc:
+            for n in names[start:end]:
+                failures.setdefault(n, f"shard error: {type(exc).__name__}")
+            continue
+        finally:
+            for p in (out_path, in_path):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+        timings.update(res["timings"])
+        reps_detail.update(res["reps"])
+        failures.update(res["failures"])
+        shard_meta.append(
+            {
+                "queries": [start, end],
+                "wall_s": round(time.perf_counter() - t0, 1),
+                "timed_s": round(sum(res["timings"].values()), 1),
+            }
+        )
 
     total = round(sum(timings.values()), 4)
 
@@ -151,6 +248,7 @@ def main() -> None:
         "transfer_rows_per_sec": transfer_rps,
         "baseline_rows_per_sec": 180_000,
         "failures": failures,
+        "shards": len(shard_meta),
     }
     # Full per-query detail goes to a sidecar file; the driver's stdout
     # capture keeps only the LAST 2000 chars, so the single stdout line
@@ -162,7 +260,8 @@ def main() -> None:
         with open(detail_path, "w") as f:
             # per-rep wall times let a drift audit separate JIT/GC
             # noise (rep spread) from real regressions (min moved)
-            json.dump(dict(out, reps=reps_detail), f, indent=1, sort_keys=True)
+            json.dump(dict(out, reps=reps_detail, shard_meta=shard_meta), f,
+                      indent=1, sort_keys=True)
     except OSError:
         detail_path = None
     line = dict(out, detail_file="BENCH_DETAIL.json" if detail_path else None)
@@ -178,8 +277,10 @@ def main() -> None:
             break
     sys.stdout = real_stdout
     print(s)
-    spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--shard":
+        _child_main(sys.argv[2], sys.argv[3])
+    else:
+        main()
