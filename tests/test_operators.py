@@ -1629,3 +1629,72 @@ def test_margin_mine_nonvacuous_and_margin_math(spark):
         # (1e-6 slack: margin is floor_round-ed to 6dp)
         if r["cosine"] > 0 and r["margin"] > 0:
             assert r["margin"] >= 1.0 - 1e-6, r
+
+
+def test_ngram_diversity_exact_ratios(spark):
+    # src A: "a a b" -> unigrams 3 total / 2 distinct; bigrams
+    # ("a a", "a b") -> 2 total / 2 distinct. src B: "x x x" ->
+    # 3/1 and bigrams ("x x", "x x") -> 2/1 (the degeneracy signal).
+    df = spark.createDataFrame(
+        [(1, "a a b", "A"), (2, "x x x", "B")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in text.ngram_diversity(df).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["total_1"], a["distinct_1"], a["d1"]) == (3, 2, round(2 / 3, 9))
+    assert (a["total_2"], a["distinct_2"], a["d2"]) == (2, 2, 1.0)
+    assert (b["total_1"], b["distinct_1"], b["d1"]) == (3, 1, round(1 / 3, 9))
+    assert (b["total_2"], b["distinct_2"], b["d2"]) == (2, 1, 0.5)
+
+
+def test_zipf_slope_two_point_exact(spark):
+    # freq halves when rank doubles -> slope exactly -1: counts (4, 2)
+    # at ranks (1, 2) give slope = ln(2/4)/ln(2) = -1.
+    df = spark.createDataFrame(
+        [(1, "a a a a b b", "S")], "doc_id long, text string, source string"
+    )
+    rows = text.zipf_slope(df, top_r=2).collect()
+    assert len(rows) == 1 and rows[0]["n_ranks"] == 2
+    assert abs(rows[0]["zipf_slope"] - (-1.0)) < 1e-8
+
+
+def test_ngram_containment_subset_vs_jaccard(spark):
+    # Doc 2 embeds doc 1 verbatim inside much longer text: Jaccard is
+    # small (union dominated by doc 2) but containment from the short
+    # side is 1.0 — the case this operator exists to catch.
+    short = "alpha beta gamma delta"
+    long = ("zero one two three four five six seven eight nine "
+            + short + " ten eleven twelve thirteen fourteen fifteen")
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = dedup.ngram_containment(df, cands, threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["cont_a_in_b"] == 1.0  # every 5-gram of the short doc is in the long one
+    assert r["cont_b_in_a"] < 0.5
+    # Jaccard on the same pair stays below the containment threshold
+    jac = dedup.ngram_jaccard(df, cands, threshold=0.0).collect()[0]
+    assert jac["ngram_jaccard"] < 0.5
+
+
+def test_hard_negatives_shape_and_exclusion(spark):
+    """On the registered constants the miner must be non-vacuous at
+    the test scale and structurally sound: ranks are 1..k per query,
+    scores non-increasing, and every row is below the positive
+    threshold (a positive leaking into the negatives is a training-
+    data bug, not a ranking nit)."""
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.queries import load
+
+    rows = text.hard_negatives_bm25(load(spark, SF_DIR, "documents")).collect()
+    assert len(rows) >= 10, f"vacuous: only {len(rows)} hard negatives at {SF_DIR}"
+    by_q: dict = {}
+    for r in rows:
+        assert r["rel"] < text.HN_POS_MIN
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, lst in by_q.items():
+        assert [r["rank"] for r in lst] == list(range(1, len(lst) + 1))
+        scores = [r["score"] for r in lst]
+        assert scores == sorted(scores, reverse=True)

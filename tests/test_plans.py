@@ -921,3 +921,59 @@ def test_dedup_recall_audit_bounded_bruteforce_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 2
     assert "CartesianProduct" not in p
+
+
+def test_ngram_diversity_two_agg_passes_no_window(spark):
+    """Distinct-n diversity is pure map-side-combined aggregation:
+    no window, no Python, no cartesian; the per-group distinct runs as
+    Spark's partial-distinct expand/agg, never a corpus sort."""
+    p = plan_of(spark, "ngram_diversity_sources")
+    assert "Window" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the only global sort is the final orderBy of the 20-row result
+    assert p.count("Exchange rangepartitioning") <= 1
+
+
+def test_zipf_slope_group_keyed_window_no_global_sort(spark):
+    """The Zipf fit ranks word counts inside a (group)-keyed window —
+    bounded per-group state — and must never globally sort the corpus
+    or call Python; the 20-row final fit is plain aggregation."""
+    p = plan_of(spark, "zipf_slope_sources")
+    assert p.count("Window [") == 1
+    # Spark pushes the rank limit below the shuffle: only the top-64
+    # rows per group survive the map side (the bounded-state claim)
+    assert "WindowGroupLimit" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # group-keyed rank: the window's exchange is hashpartitioning on
+    # the group; the only rangepartitioning is the final orderBy of
+    # the 20-row fit table, never a global sort of word counts
+    assert p.count("Exchange rangepartitioning") <= 1
+
+
+def test_containment_dups_reuses_staged_candidates_no_python(spark):
+    """Containment verify must consume the STAGED candidate parquet
+    (same table the jaccard verify reads — no signature recompute) and
+    keep the k-gram explosion JVM-side."""
+    p = plan_of(spark, "containment_dups")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # verify joins are equi-joins on candidate ids, never nested-loop
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hard_negatives_batched_single_corpus_pass(spark):
+    """Batched BM25 hard-negative mining: ONE corpus scan fans out to
+    all queries via a broadcast (qid, term) map; document frequencies
+    broadcast; the per-query top-k is a qid-keyed window, never a
+    global sort of the corpus."""
+    p = plan_of(spark, "hard_negatives_bm25")
+    assert p.count("Window [") == 1
+    # rank-limit pushdown: at most top_k negative rows per query
+    # survive the map side of the window shuffle
+    assert "WindowGroupLimit" in p
+    assert p.count("BroadcastHashJoin") >= 2  # query map + df_t joins
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the only global sort is the final orderBy of the <=30-row output
+    assert p.count("Exchange rangepartitioning") <= 1

@@ -540,6 +540,87 @@ def ngram_jaccard_sql(
     """
 
 
+
+def ngram_containment(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = NGRAM_K,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Asymmetric character n-gram CONTAINMENT on candidate pairs
+    (Broder 1997, "On the resemblance and containment of documents"):
+    C(A,B) = |S(A) ∩ S(B)| / |S(A)|. Jaccard misses the quote/subset
+    case — a short doc fully embedded in a long one has tiny Jaccard
+    (union is dominated by the long doc) but containment ≈ 1 from the
+    short side — which is exactly the boilerplate-inclusion /
+    quoted-reuse duplication a training-data pipeline must catch.
+    Emits a pair when EITHER direction clears ``threshold``; reports
+    both directions so the caller can see which side is the subset.
+
+    Same verify shape as ``ngram_jaccard``: LSH candidates bound the
+    pair set, involved docs are semi-joined before the k-gram
+    explosion, and the gram sets materialize once per involved doc.
+    Each containment is one IEEE division of exact set sizes (round 6,
+    engine-exact)."""
+    if stage_path is not None:
+        candidates = _stage(candidates, stage_path, "containment_candidates")
+    ids = _candidate_ids(candidates)
+    gsets = _stage(
+        df.join(ids, df[id_col] == ids._cid, "left_semi")
+        .select(F.col(id_col).alias("jid"), norm_text_col(text_col).alias("_nt"))
+        .select("jid", _char_ngrams_from("_nt", k).alias("gs")),
+        stage_path,
+        "containment_sets",
+    )
+    inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
+    j = (
+        candidates.join(
+            gsets.withColumnRenamed("jid", "id_a").withColumnRenamed("gs", "gs_a"), "id_a"
+        )
+        .join(gsets.withColumnRenamed("jid", "id_b").withColumnRenamed("gs", "gs_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.size("gs_a"), 6).alias("cont_a_in_b"),
+            F.round(inter / F.size("gs_b"), 6).alias("cont_b_in_a"),
+        )
+    )
+    return j.filter(
+        F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold
+    ).select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
+
+
+def ngram_containment_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = NGRAM_K,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    max_bucket_size: int = 64,
+) -> str:
+    """Full-pipeline oracle: minhash-LSH candidates → containment verify."""
+    ctes = _minhash_candidates_ctes(table, text_col, id_col, num_perm, bands, max_bucket_size)
+    g = char_ngrams_sql(text_col, k)
+    return f"""WITH {ctes}
+    , gsets AS (SELECT {id_col} AS jid, {g} AS gs FROM {table})
+    SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM (
+      SELECT c.id_a, c.id_b,
+             round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+                   / len(ga.gs), 6) AS cont_a_in_b,
+             round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+                   / len(gb.gs), 6) AS cont_b_in_a
+      FROM cand c
+      JOIN gsets ga ON ga.jid = c.id_a
+      JOIN gsets gb ON gb.jid = c.id_b)
+    WHERE greatest(cont_a_in_b, cont_b_in_a) >= {threshold}
+    """
+
+
 # ----------------------------------------------------- jaccard (verify)
 
 def _stage(df: DataFrame, stage_path: str | None, name: str) -> DataFrame:

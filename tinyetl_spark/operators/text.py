@@ -3047,3 +3047,325 @@ def shingle_stream(
     cols = [F.col(c) for c in keep]
     ws = df.select(*cols, words_col(text_col).alias("_ws")).filter(F.size("_ws") >= k)
     return ws.select(*cols, F.explode(_shingle_col("_ws", k)).alias("s"))
+
+
+# ------------------------------------------- corpus diversity (distinct-n)
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Distinct-n diversity per group (Li et al. 2016, "A
+    Diversity-Promoting Objective Function for Neural Conversation
+    Models"): distinct_n = |unique n-grams| / |total n-grams| for
+    n = 1, 2 — the standard degeneracy/diversity QC for generated or
+    scraped corpora (a crawler stuck in a template farm, or a model
+    collapsing to repeated phrases, drives distinct-2 toward 0).
+
+    Scale shape: two explode→groupBy passes (unigrams, adjacent
+    bigrams), each map-side combined; the distinct count is Spark's
+    two-level partial-distinct aggregate keyed on (group, gram) — no
+    corpus-wide state, no window. The ratios are single IEEE divisions
+    of exact bigints rounded at 9dp (engine-exact by construction).
+    """
+    ws = words_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(group_col).alias("grp"), ws.alias("_ws"))
+    uni = base.select("grp", F.explode("_ws").alias("g"))
+    big = base.filter(F.size("_ws") >= 2).select(
+        "grp",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_ws) - 1),"
+                " i -> concat(element_at(_ws, i), ' ', element_at(_ws, i + 1)))"
+            )
+        ).alias("g"),
+    )
+
+    def _stats(grams: DataFrame, n: int) -> DataFrame:
+        return grams.groupBy("grp").agg(
+            F.count("*").cast("bigint").alias(f"total_{n}"),
+            F.countDistinct("g").cast("bigint").alias(f"distinct_{n}"),
+        )
+
+    s1, s2 = _stats(uni, 1), _stats(big, 2)
+    return (
+        s1.join(s2, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "total_1",
+            "distinct_1",
+            F.round(F.col("distinct_1") / F.col("total_1").cast("double"), 9).alias("d1"),
+            "total_2",
+            "distinct_2",
+            F.round(F.col("distinct_2") / F.col("total_2").cast("double"), 9).alias("d2"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def ngram_diversity_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> str:
+    w = words_sql(f"lower({text_col})")
+    return f"""
+    WITH base AS (SELECT {group_col} AS grp, {w} AS ws FROM {table}),
+    uni AS (SELECT grp, unnest(ws) AS g FROM base),
+    big AS (
+      SELECT grp, ws[i] || ' ' || ws[i + 1] AS g
+      FROM (SELECT grp, ws, unnest(range(1, len(ws))) AS i
+            FROM base WHERE len(ws) >= 2)),
+    s1 AS (SELECT grp, CAST(count(*) AS BIGINT) AS total_1,
+                  CAST(count(DISTINCT g) AS BIGINT) AS distinct_1
+           FROM uni GROUP BY grp),
+    s2 AS (SELECT grp, CAST(count(*) AS BIGINT) AS total_2,
+                  CAST(count(DISTINCT g) AS BIGINT) AS distinct_2
+           FROM big GROUP BY grp)
+    SELECT s1.grp AS {group_col}, total_1, distinct_1,
+           round(distinct_1 / CAST(total_1 AS DOUBLE), 9) AS d1,
+           total_2, distinct_2,
+           round(distinct_2 / CAST(total_2 AS DOUBLE), 9) AS d2
+    FROM s1 JOIN s2 USING (grp)
+    ORDER BY {group_col}
+    """
+
+
+# ------------------------------------------------- Zipf rank-frequency fit
+
+ZIPF_TOP_R = 64  # ranks fitted per group (bounded window state)
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_r: int = ZIPF_TOP_R,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group: least-squares slope of
+    ln(freq) against ln(rank) over the top-``top_r`` word frequencies
+    (Zipf 1949; natural language sits near slope −1). A corpus whose
+    slope drifts far from −1 is a red flag for template spam (too
+    flat: every word equally common) or degenerate repetition (too
+    steep) — a one-row-per-source fingerprint used alongside the
+    Heaps'-law vocab growth curve.
+
+    Engine-exactness: ln(rank) and ln(freq) are libm calls on exact
+    integers, rounded at 9dp (the repo's libm convention); each
+    regression term (x, y, xy, x²) is then cast to DECIMAL(29,9) and
+    summed EXACTLY (order-free), and the closed-form slope divides the
+    decimal sums as doubles (cast exact at these magnitudes), rounded
+    at 9dp. No cross-engine double accumulation anywhere.
+
+    Scale shape: one explode→groupBy word count (map-side combined),
+    then a per-group top-R via row_number over a (group)-keyed window
+    — bounded state per group — and a final per-group aggregate of
+    ≤top_r rows. The corpus is never globally sorted.
+    """
+    ws = words_col(F.lower(F.col(text_col)))
+    counts = (
+        df.select(F.col(group_col).alias("grp"), ws.alias("_ws"))
+        .select("grp", F.explode("_ws").alias("w"))
+        .groupBy("grp", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    win = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("w"))
+    ranked = counts.select(
+        "grp", "c", F.row_number().over(win).alias("r")
+    ).filter(F.col("r") <= top_r)
+    x = F.round(F.log(F.col("r").cast("double")), 9)
+    y = F.round(F.log(F.col("c").cast("double")), 9)
+    terms = ranked.select(
+        "grp",
+        x.cast("decimal(29,9)").alias("_x"),
+        y.cast("decimal(29,9)").alias("_y"),
+        F.round(x * y, 9).cast("decimal(29,9)").alias("_xy"),
+        F.round(x * x, 9).cast("decimal(29,9)").alias("_xx"),
+    )
+    agg = terms.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_ranks"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum("_xy").alias("sxy"),
+        F.sum("_xx").alias("sxx"),
+    )
+    n = F.col("n_ranks").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_ranks",
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9).alias("zipf_slope"),
+    ).orderBy(group_col)
+
+
+def zipf_slope_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "source",
+    top_r: int = ZIPF_TOP_R,
+) -> str:
+    w = words_sql(f"lower({text_col})")
+    return f"""
+    WITH counts AS (
+      SELECT grp, w, count(*) AS c
+      FROM (SELECT {group_col} AS grp, unnest({w}) AS w FROM {table})
+      GROUP BY grp, w),
+    ranked AS (
+      SELECT grp, c,
+             row_number() OVER (PARTITION BY grp ORDER BY c DESC, w ASC) AS r
+      FROM counts),
+    terms AS (
+      SELECT grp,
+             CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(29,9)) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(29,9)) AS y,
+             CAST(round(round(ln(CAST(r AS DOUBLE)), 9)
+                        * round(ln(CAST(c AS DOUBLE)), 9), 9)
+                  AS DECIMAL(29,9)) AS xy,
+             CAST(round(round(ln(CAST(r AS DOUBLE)), 9)
+                        * round(ln(CAST(r AS DOUBLE)), 9), 9)
+                  AS DECIMAL(29,9)) AS xx
+      FROM ranked WHERE r <= {top_r}),
+    agg AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_ranks,
+             sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx
+      FROM terms GROUP BY grp)
+    SELECT grp AS {group_col}, n_ranks,
+           round((n_ranks * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n_ranks * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS zipf_slope
+    FROM agg
+    ORDER BY {group_col}
+    """
+
+
+# ------------------------------------------- BM25 hard-negative mining
+
+HN_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("q_exec", ("spark", "join", "window")),
+    ("q_phys", ("hash", "merge", "sort")),
+    ("q_flow", ("stream", "batch", "data")),
+)
+HN_POS_MIN = 4  # total query-term hits >= this ==> positive (not a negative)
+HN_K = 10       # hard negatives kept per query
+
+
+def hard_negatives_bm25(
+    df: DataFrame,
+    queries: tuple[tuple[str, tuple[str, ...]], ...] = HN_QUERIES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pos_min: int = HN_POS_MIN,
+    top_k: int = HN_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Hard-negative mining for retriever/reranker training (Karpukhin
+    et al. 2020, DPR): for each training query, the top BM25-scored
+    documents that are NOT positives are the "hard negatives" — lexically
+    plausible yet wrong, the examples that teach a dense retriever the
+    most. Positives use the same deterministic pseudo-label as the nDCG
+    harness: total query-term occurrences >= ``pos_min``.
+
+    Scale shape — a BATCHED extension of ``bm25_search``: ONE corpus
+    pass scores every (query, doc) pair at once. The exploded term
+    stream is filtered to the union of all query vocabularies BEFORE
+    the shuffle (the broadcast (qid, term) map fans each matched term
+    out to its queries), document frequencies are corpus-level and
+    broadcast, and the per-query top-k is a bounded row_number window
+    over only the query-matched NEGATIVE rows — the corpus is scanned
+    once and never globally sorted, however many queries are batched.
+    """
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms], "qid string, term string"
+    )
+    base = df.select(
+        F.col(id_col), words_col(text_col).alias("_ws")
+    ).select(
+        F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
+    ).localCheckpoint(eager=False)  # feeds the scalar stats AND the scored plan
+    n_docs = base.count() or 1
+    avgdl = base.agg((F.sum("dl") / F.count("*")).alias("a")).collect()[0]["a"] or 1.0
+    matched = (
+        base.select(F.col(id_col), F.col("dl"), F.explode("_ws").alias("term"))
+        .join(F.broadcast(qdf), "term")
+    )
+    tf = matched.groupBy("qid", id_col, "term", "dl").agg(F.count("*").alias("tf"))
+    # df_t is corpus-level (per term, not per query): dedup the qid fanout
+    dft = (
+        tf.select("term", id_col).distinct()
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df_t"))
+    )
+    idf = F.log((F.lit(float(n_docs)) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0)
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .groupBy("qid", id_col)
+        .agg(
+            F.round(F.sum(idf * F.col("tf") * (k1 + 1.0) / norm), 6).alias("score"),
+            F.sum("tf").cast("bigint").alias("rel"),
+        )
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.filter(F.col("rel") < pos_min)
+        .select("qid", F.row_number().over(win).alias("rank"), F.col(id_col), "score", "rel")
+        .filter(F.col("rank") <= top_k)
+        .orderBy("qid", "rank")
+    )
+
+
+def hard_negatives_bm25_sql(
+    table: str = "documents",
+    queries: tuple[tuple[str, tuple[str, ...]], ...] = HN_QUERIES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pos_min: int = HN_POS_MIN,
+    top_k: int = HN_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    w = words_sql(text_col)
+    qlist = ", ".join(f"('{qid}', '{t}')" for qid, terms in queries for t in terms)
+    return f"""
+    WITH q(qid, term) AS (VALUES {qlist}),
+    base AS (SELECT {id_col}, {w} AS ws FROM {table}),
+    dl_t AS (SELECT {id_col}, len(ws) AS dl FROM base),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     count(*) AS n_docs FROM dl_t),
+    matched AS (
+      SELECT q.qid, e.{id_col}, dl_t.dl, e.term
+      FROM (SELECT {id_col}, unnest(ws) AS term FROM base) e
+      JOIN q USING (term)
+      JOIN dl_t USING ({id_col})),
+    tf AS (
+      SELECT qid, {id_col}, term, dl, count(*) AS tf
+      FROM matched GROUP BY 1, 2, 3, 4),
+    dft AS (
+      SELECT term, count(DISTINCT {id_col}) AS df_t
+      FROM (SELECT DISTINCT term, {id_col} FROM tf) GROUP BY 1),
+    scored AS (
+      SELECT tf.qid, tf.{id_col},
+             round(sum(ln((CAST(stats.n_docs AS DOUBLE) - dft.df_t + 0.5)
+                          / (dft.df_t + 0.5) + 1.0)
+                       * tf.tf * ({k1} + 1.0)
+                       / (tf.tf + {k1} * (1.0 - {b} + {b} * tf.dl / stats.avgdl))),
+                   6) AS score,
+             CAST(sum(tf.tf) AS BIGINT) AS rel
+      FROM tf CROSS JOIN stats
+      JOIN dft USING (term)
+      GROUP BY 1, 2),
+    negs AS (
+      SELECT qid,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, {id_col} ASC) AS rank,
+             {id_col}, score, rel
+      FROM scored WHERE rel < {pos_min})
+    SELECT qid, CAST(rank AS INT) AS rank, {id_col}, score, rel
+    FROM negs WHERE rank <= {top_k}
+    ORDER BY qid, rank
+    """

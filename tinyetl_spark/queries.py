@@ -2676,6 +2676,34 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.retrieval_ndcg(load(spark, sf_dir, "documents"))
 
 
+@_q("hard_negatives_bm25", text.hard_negatives_bm25_sql())
+def hard_negatives_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al. 2020): per
+    training query, the top BM25-scored documents that are NOT
+    positives. Batched — one corpus pass scores all queries at once
+    (term stream pre-filtered to the query vocabulary union, document
+    frequencies broadcast, per-query top-k a bounded window)."""
+    return text.hard_negatives_bm25(load(spark, sf_dir, "documents"))
+
+
+@_q("ngram_diversity_sources", text.ngram_diversity_sql())
+def ngram_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/distinct-2 diversity per source (Li et al. 2016) —
+    the degeneracy QC for scraped or generated corpora. Two map-side
+    combined explode→groupBy passes; ratios are single IEEE divisions
+    of exact bigints."""
+    return text.ngram_diversity(load(spark, sf_dir, "documents"))
+
+
+@_q("zipf_slope_sources", text.zipf_slope_sql())
+def zipf_slope_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency log-log slope per source over the top-64
+    word frequencies — natural text sits near −1; template spam and
+    degenerate repetition drift away. Exact decimal sums of 9dp libm
+    terms keep the least-squares fit engine-identical."""
+    return text.zipf_slope(load(spark, sf_dir, "documents"))
+
+
 @_q("quality_budget_select", text.quality_budget_select_sql())
 def quality_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget data selection: keep the highest-quality documents
@@ -3771,6 +3799,17 @@ def near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     cands = _materialized_candidates(spark, sf_dir, docs)
     return dedup.ngram_jaccard(docs, cands, threshold=0.2)
+
+
+@_q("containment_dups", dedup.ngram_containment_sql(threshold=0.3))
+def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric char-5-gram containment verify over the same staged
+    minhash-LSH candidates (Broder 1997): catches the quote/subset
+    duplication Jaccard misses — a short doc embedded in a long one
+    has near-zero Jaccard but containment ≈ 1 from the short side."""
+    docs = load(spark, sf_dir, "documents")
+    cands = _materialized_candidates(spark, sf_dir, docs)
+    return dedup.ngram_containment(docs, cands, threshold=0.3)
 
 
 @_q(
