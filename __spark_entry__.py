@@ -27,12 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # tier, all locally oracle-verified at sf0.001 AND the driver's
 # sf0.01), (b) the 5 queries whose SQL or constants changed this
 # round (margin_mine's non-vacuity fix, hist_quantiles' double-cast
-# literals, the minhash CTE-composition refactor), (b2) the 4 queries
+# literals, the minhash CTE-composition refactor), (b2) the 5 queries
 # ADDED in round 8 (hard-negative mining, containment dedup,
-# distinct-n diversity, Zipf slope — each oracle-matched locally at
-# sf0.001/0.01/0.1 before registration), then (c) 30 re-validations
-# of the OLDEST green rows (r1-r4 vintage — their last driver check
-# predates four rounds of refactoring), oldest first.
+# distinct-n diversity, Zipf slope, RM3 expansion — each oracle-matched
+# locally at sf0.001/0.01/0.1 before registration), then (c) 29
+# re-validations of the OLDEST green rows (r1-r4 vintage — their last
+# driver check predates four rounds of refactoring), oldest first.
 _PRIORITY = [
     # --- (a) never driver-checked (11) ---
     "q4_priority_check", "q16_supplier_variety", "q12_late_shipments",
@@ -46,7 +46,8 @@ _PRIORITY = [
     # sf0.01 (the driver's scale) AND sf0.1 before registration ---
     "hard_negatives_bm25", "containment_dups",
     "ngram_diversity_sources", "zipf_slope_sources",
-    # --- (c) oldest-vintage re-validation (30: r1, r2, r3, then r4) ---
+    "rm3_expanded_search",
+    # --- (c) oldest-vintage re-validation (29: r1, r2, r3, then r4) ---
     "embedding_norms", "lang_id", "text_quality", "tfidf_top_terms",
     "token_stats", "dedup_exact", "doc_fingerprint", "above_avg_balance",
     "anti_join_customers", "approx_distinct_users",
@@ -57,12 +58,12 @@ _PRIORITY = [
     "full_outer_nation_counts", "grouping_sets_lineitem",
     "hopping_window_events", "json_extract_events", "listagg_nations",
     "mktsegment_stats", "part_brand_stats", "percentile_prices",
-    "pivot_priority_status", "q10_returned_revenue",
+    "pivot_priority_status",
     # --- below the 50-cut: the round-7 window order is preserved so a
-    # larger sample still hits recent material first (the 4 oldest-
+    # larger sample still hits recent material first (the 5 oldest-
     # vintage re-validations displaced by the b2 additions lead) ---
-    "q1_pricing_summary", "q3_shipping_priority", "range_pairs_events",
-    "revenue_by_nation",
+    "q10_returned_revenue", "q1_pricing_summary", "q3_shipping_priority",
+    "range_pairs_events", "revenue_by_nation",
     # --- never driver-checked (27) ---
     "q5_local_supplier_volume", "q14_promo_revenue", "corpus_diff",
     "fuzzy_join_phrases", "profile_lineitem", "trigram_search_docs",

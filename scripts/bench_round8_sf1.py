@@ -23,6 +23,7 @@ NEW = [
     "containment_dups",
     "ngram_diversity_sources",
     "zipf_slope_sources",
+    "rm3_expanded_search",
 ]
 
 

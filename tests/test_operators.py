@@ -1698,3 +1698,31 @@ def test_hard_negatives_shape_and_exclusion(spark):
         assert [r["rank"] for r in lst] == list(range(1, len(lst) + 1))
         scores = [r["score"] for r in lst]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_rm3_expansion_recovers_vocabulary_mismatch(spark):
+    """The defining RM3 behavior: a document sharing the TOPIC's
+    vocabulary but none of the original query terms is retrievable
+    after expansion (score > 0) — impossible for plain BM25, which
+    never scores a doc with zero matched query terms."""
+    # corpus: docs 1-3 pair the query term "spark" with "shuffle";
+    # doc 4 has ONLY "shuffle" (the vocabulary-mismatch target);
+    # doc 5 is unrelated noise.
+    rows = [
+        (1, "spark shuffle spark shuffle tune"),
+        (2, "spark shuffle executor"),
+        (3, "spark shuffle partition"),
+        (4, "shuffle shuffle shuffle tuning guide"),
+        (5, "completely unrelated prose here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.rm3_expand_search(
+        df, query_terms=("spark",), top_k=5, fb_docs=3, fb_terms=3
+    ).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert 4 in by_id, f"expansion failed to reach the mismatch doc: {got}"
+    assert by_id[4]["score"] > 0
+    assert 5 not in by_id  # noise shares no expanded term
+    # docs carrying BOTH original and expansion terms outrank the
+    # expansion-only doc (lambda=0.5 keeps the original query dominant)
+    assert by_id[1]["score"] > by_id[4]["score"]

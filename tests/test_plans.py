@@ -977,3 +977,19 @@ def test_hard_negatives_batched_single_corpus_pass(spark):
     assert "CartesianProduct" not in p
     # the only global sort is the final orderBy of the <=30-row output
     assert p.count("Exchange rangepartitioning") <= 1
+
+
+def test_rm3_second_pass_broadcasts_model_no_python(spark):
+    """RM3's weighted second pass (the feedback pool and expansion
+    model sit behind lazy checkpoints, so the final plan shows only
+    this pass): the expanded-term table must join as a BROADCAST into
+    the pruned posting stream (never a shuffle of the corpus against a
+    13-row table), the final cut is a TakeOrdered, and nothing is
+    Python, cartesian, or a global sort."""
+    p = plan_of(spark, "rm3_expanded_search")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("TakeOrderedAndProject") >= 1  # final cut
+    assert p.count("BroadcastHashJoin") >= 1  # expansion model join
+    assert "SortMergeJoin" not in p
+    assert "Exchange rangepartitioning" not in p

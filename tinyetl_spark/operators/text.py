@@ -3369,3 +3369,213 @@ def hard_negatives_bm25_sql(
     FROM negs WHERE rank <= {top_k}
     ORDER BY qid, rank
     """
+
+
+# --------------------------------- RM3 pseudo-relevance-feedback expansion
+
+RM3_FB_DOCS = 10     # feedback pool size (first-pass top-k)
+RM3_FB_TERMS = 10    # expansion terms kept from the relevance model
+RM3_LAM_NUM = 1      # original-query interpolation weight, as the exact
+RM3_LAM_DEN = 2      # rational lam = NUM/DEN (0.5 — the RM3 default)
+_NANO = 1_000_000_000.0
+
+
+def rm3_expand_search(
+    df: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 15,
+    fb_docs: int = RM3_FB_DOCS,
+    fb_terms: int = RM3_FB_TERMS,
+    lam_num: int = RM3_LAM_NUM,
+    lam_den: int = RM3_LAM_DEN,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft 2001; the RM3
+    interpolation of Abdul-Jaleel et al. 2004): run BM25 once, build a
+    relevance model from the top ``fb_docs`` documents — P(w|R) =
+    mean_d tf_wd/|d| with uniform feedback-document weights (the
+    uniform-P(d|q) simplification, stated here explicitly; the full
+    model weights docs by their first-pass likelihood) — keep the top
+    ``fb_terms`` expansion terms, interpolate with the original query
+    (weight ``lam_num/lam_den`` on the original terms' uniform 1/|q|
+    mass), and re-score the corpus with the weighted expanded query.
+    The classic fix for vocabulary mismatch: the second pass finds
+    documents that share the TOPIC's vocabulary, not just the query's
+    literal terms.
+
+    Scale shape: the feedback pool is the existing bounded BM25 top-k
+    (TakeOrderedAndProject); the relevance model is built from ONLY
+    those ``fb_docs`` documents (a broadcast-semi-joined slice) and is
+    itself a <= fb_terms+|q|-row broadcast; the second corpus pass is
+    the same filter-before-shuffle posting shape as ``bm25_search``,
+    just with a weighted term table. Two corpus passes total, both
+    pruned to matched terms before any shuffle.
+
+    Engine-exactness: the whole model lives in INTEGER nanounits (the
+    NDCG-discount trick) — P(w|d) quantizes to floor-round nanos, the
+    relevance model and the lam-interpolation are exact bigint sums
+    (lam is the rational lam_num/lam_den, so interpolation is integer
+    multiplication), and the only floats are the per-term
+    w * ln(1 + tf/dl) products, floor-rounded to nano ints and summed
+    exactly; the final score divides the nano sum by 1e9 once.
+    """
+    spark = df.sparkSession
+    pq_nano = round(_NANO / len(query_terms))
+    w_den = float(lam_den * fb_docs) * _NANO  # weight-unit denominator
+    # ---- pass 1: BM25 feedback pool (bounded, deterministic) ----
+    pool = bm25_search(
+        df, query_terms, text_col, id_col, top_k=fb_docs, k1=k1, b=b
+    ).select(F.col(id_col).alias("_fb_id")).localCheckpoint(eager=False)
+    # ---- relevance model over the feedback slice only ----
+    fb = (
+        df.join(pool, df[id_col] == pool._fb_id, "left_semi")
+        .select(F.col(id_col), words_col(text_col).alias("_ws"))
+        .select(F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl"))
+    )
+    # P(w|d) in nanos: floor((tf/dl)*1e9 + 0.5) — pure IEEE, bit-equal
+    p_units = F.floor(
+        (F.col("tf") / F.col("dl").cast("double")) * F.lit(_NANO) + F.lit(0.5)
+    ).cast("bigint")
+    pwd = (
+        fb.select(F.col(id_col), F.col("dl"), F.explode("_ws").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count("*").alias("tf"))
+        .select("term", p_units.alias("_p"))
+    )
+    # uniform doc weights: the fb_docs division folds into w_den below,
+    # so the model stays an exact bigint sum (docs missing a term add 0)
+    rel_model = (
+        pwd.groupBy("term")
+        .agg(F.sum("_p").alias("pwr_units"))
+        .orderBy(F.desc("pwr_units"), F.asc("term"))
+        .limit(fb_terms)
+    )
+    # ---- RM3 interpolation, exact in integer weight units of 1/w_den:
+    # lam*pq = lam_num*pq_nano*fb_docs / w_den;
+    # (1-lam)*P(w|R) = (lam_den-lam_num)*pwr_units / w_den
+    orig = spark.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    ).select("term", F.lit(int(pq_nano * fb_docs * lam_num)).alias("pq_units"))
+    expanded = (
+        rel_model.join(orig, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("pq_units"), F.lit(0))
+                + F.lit(lam_den - lam_num)
+                * F.coalesce(F.col("pwr_units"), F.lit(0))
+            ).cast("bigint").alias("w_units"),
+        )
+        .filter(F.col("w_units") > 0)
+        .localCheckpoint(eager=False)  # <= fb_terms+|q| rows, read once
+    )
+    # ---- pass 2: weighted QL-style scoring with the expanded query ----
+    base = df.select(
+        F.col(id_col), words_col(text_col).alias("_ws")
+    ).select(F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl"))
+    matched = (
+        base.select(F.col(id_col), F.col("dl"), F.explode("_ws").alias("term"))
+        .join(F.broadcast(expanded), "term")
+    )
+    tf = matched.groupBy(id_col, "term", "dl", "w_units").agg(
+        F.count("*").alias("tf")
+    )
+    # per-term contribution w * ln(1 + tf/dl), floor-rounded to nanos:
+    # every input double is bit-identical across engines (exact-int
+    # casts, IEEE division, libm ln), so the floor is too
+    w_dbl = F.col("w_units").cast("double") / F.lit(w_den)
+    contrib_nanos = F.floor(
+        w_dbl
+        * F.round(F.log(F.lit(1.0) + F.col("tf") / F.col("dl").cast("double")), 9)
+        * F.lit(_NANO)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        tf.select(F.col(id_col), contrib_nanos.alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            (F.sum("_c").cast("double") / F.lit(_NANO)).alias("score"),
+            F.count("*").cast("bigint").alias("n_matched"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(top_k)
+
+
+def rm3_expand_search_sql(
+    table: str = "documents",
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 15,
+    fb_docs: int = RM3_FB_DOCS,
+    fb_terms: int = RM3_FB_TERMS,
+    lam_num: int = RM3_LAM_NUM,
+    lam_den: int = RM3_LAM_DEN,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    w = words_sql(text_col)
+    qlist = ", ".join(f"('{t}')" for t in query_terms)
+    pq_units = int(round(_NANO / len(query_terms)) * fb_docs * lam_num)
+    w_den = float(lam_den * fb_docs) * _NANO
+    return f"""
+    WITH q(term) AS (VALUES {qlist}),
+    base AS (SELECT {id_col}, {w} AS ws FROM {table}),
+    dl_t AS (SELECT {id_col}, len(ws) AS dl FROM base),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     count(*) AS n_docs FROM dl_t),
+    exploded AS (SELECT {id_col}, unnest(ws) AS term FROM base),
+    tf1 AS (
+      SELECT e.{id_col}, e.term, dl_t.dl, count(*) AS tf
+      FROM exploded e JOIN q USING (term) JOIN dl_t USING ({id_col})
+      GROUP BY 1, 2, 3),
+    dft AS (SELECT term, count(DISTINCT {id_col}) AS df_t FROM tf1 GROUP BY 1),
+    pool AS (
+      SELECT tf1.{id_col},
+             round(sum(ln((CAST(stats.n_docs AS DOUBLE) - dft.df_t + 0.5)
+                          / (dft.df_t + 0.5) + 1.0)
+                       * tf1.tf * ({k1} + 1.0)
+                       / (tf1.tf + {k1} * (1.0 - {b} + {b} * tf1.dl / stats.avgdl))),
+                   6) AS score
+      FROM tf1 CROSS JOIN stats JOIN dft USING (term)
+      GROUP BY tf1.{id_col}
+      ORDER BY score DESC, {id_col} ASC LIMIT {fb_docs}),
+    fb_tf AS (
+      SELECT e.{id_col}, e.term, dl_t.dl, count(*) AS tf
+      FROM exploded e
+      JOIN pool USING ({id_col})
+      JOIN dl_t USING ({id_col})
+      GROUP BY 1, 2, 3),
+    rel_model AS (
+      SELECT term,
+             sum(CAST(floor((tf / CAST(dl AS DOUBLE)) * {_NANO!r} + 0.5)
+                      AS BIGINT)) AS pwr_units
+      FROM fb_tf GROUP BY term
+      ORDER BY pwr_units DESC, term ASC LIMIT {fb_terms}),
+    orig AS (SELECT term, CAST({pq_units} AS BIGINT) AS pq_units FROM q),
+    expanded AS (
+      SELECT coalesce(r.term, o.term) AS term,
+             CAST(coalesce(o.pq_units, 0)
+                  + {lam_den - lam_num} * coalesce(r.pwr_units, 0)
+                  AS BIGINT) AS w_units
+      FROM rel_model r FULL OUTER JOIN orig o ON r.term = o.term),
+    expanded_pos AS (SELECT * FROM expanded WHERE w_units > 0),
+    tf2 AS (
+      SELECT e.{id_col}, e.term, dl_t.dl, x.w_units, count(*) AS tf
+      FROM exploded e
+      JOIN expanded_pos x USING (term)
+      JOIN dl_t USING ({id_col})
+      GROUP BY 1, 2, 3, 4),
+    scored AS (
+      SELECT {id_col},
+             CAST(sum(CAST(floor((CAST(w_units AS DOUBLE) / {w_den!r})
+                                 * round(ln(1.0 + tf / CAST(dl AS DOUBLE)), 9)
+                                 * {_NANO!r} + 0.5) AS BIGINT))
+                  AS DOUBLE) / {_NANO!r} AS score,
+             CAST(count(*) AS BIGINT) AS n_matched
+      FROM tf2 GROUP BY {id_col})
+    SELECT * FROM scored ORDER BY score DESC, {id_col} ASC LIMIT {top_k}
+    """

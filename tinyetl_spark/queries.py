@@ -2676,6 +2676,17 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.retrieval_ndcg(load(spark, sf_dir, "documents"))
 
 
+@_q("rm3_expanded_search", text.rm3_expand_search_sql())
+def rm3_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance-feedback retrieval (Lavrenko & Croft 2001;
+    Abdul-Jaleel et al. 2004): BM25 first pass → relevance model from
+    the top-10 pool → top-10 expansion terms interpolated with the
+    original query → weighted second pass. Both corpus passes prune to
+    matched terms before any shuffle; the relevance model is built
+    from the bounded pool slice and broadcasts at ≤13 rows."""
+    return text.rm3_expand_search(load(spark, sf_dir, "documents"))
+
+
 @_q("hard_negatives_bm25", text.hard_negatives_bm25_sql())
 def hard_negatives_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPR-style hard-negative mining (Karpukhin et al. 2020): per
