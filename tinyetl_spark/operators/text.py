@@ -1733,6 +1733,7 @@ def bm25_search(
     top_k: int = 15,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Full-corpus BM25 retrieval for a fixed query: score every
     document by the sum of its matched-term BM25 contributions, return
@@ -1743,13 +1744,18 @@ def bm25_search(
     terms before the (doc, term) groupBy — the shuffle carries only
     query-matched rows, not the corpus inverted index — the per-term
     document frequencies are a |query|-row broadcast, and the top-k is
-    a TakeOrderedAndProject, never a full sort."""
+    a TakeOrderedAndProject, never a full sort.
+
+    ``base``: optionally a PRE-TOKENIZED (id_col, _ws, dl) frame
+    (already checkpoint-pinned) — multi-pass callers (RM3) tokenize the
+    corpus once and share it across passes instead of re-splitting."""
     terms = F.array(*[F.lit(t) for t in query_terms])
-    base = df.select(
-        F.col(id_col), words_col(text_col).alias("_ws")
-    ).select(
-        F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
-    ).localCheckpoint(eager=False)  # feeds the avgdl scalar job AND the scored plan
+    if base is None:
+        base = df.select(
+            F.col(id_col), words_col(text_col).alias("_ws")
+        ).select(
+            F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
+        ).localCheckpoint(eager=False)  # feeds the avgdl scalar job AND the scored plan
     n_docs = base.count() or 1  # empty corpus: plan yields 0 rows
     stats = base.agg((F.sum("dl") / F.count("*")).alias("a")).collect()[0]["a"]
     if stats is None:
@@ -3425,16 +3431,22 @@ def rm3_expand_search(
     spark = df.sparkSession
     pq_nano = round(_NANO / len(query_terms))
     w_den = float(lam_den * fb_docs) * _NANO  # weight-unit denominator
+    # tokenize the corpus ONCE; both passes and the feedback slice read
+    # the same checkpoint-pinned (id, words, dl) frame — at corpus scale
+    # the regex split is the scan's dominant cost, and a naive RM3 pays
+    # it twice
+    base = df.select(
+        F.col(id_col), words_col(text_col).alias("_ws")
+    ).select(
+        F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
+    ).localCheckpoint(eager=False)
     # ---- pass 1: BM25 feedback pool (bounded, deterministic) ----
     pool = bm25_search(
-        df, query_terms, text_col, id_col, top_k=fb_docs, k1=k1, b=b
+        df, query_terms, text_col, id_col, top_k=fb_docs, k1=k1, b=b,
+        base=base,
     ).select(F.col(id_col).alias("_fb_id")).localCheckpoint(eager=False)
     # ---- relevance model over the feedback slice only ----
-    fb = (
-        df.join(pool, df[id_col] == pool._fb_id, "left_semi")
-        .select(F.col(id_col), words_col(text_col).alias("_ws"))
-        .select(F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl"))
-    )
+    fb = base.join(pool, base[id_col] == pool._fb_id, "left_semi")
     # P(w|d) in nanos: floor((tf/dl)*1e9 + 0.5) — pure IEEE, bit-equal
     p_units = F.floor(
         (F.col("tf") / F.col("dl").cast("double")) * F.lit(_NANO) + F.lit(0.5)
@@ -3472,10 +3484,7 @@ def rm3_expand_search(
         .filter(F.col("w_units") > 0)
         .localCheckpoint(eager=False)  # <= fb_terms+|q| rows, read once
     )
-    # ---- pass 2: weighted QL-style scoring with the expanded query ----
-    base = df.select(
-        F.col(id_col), words_col(text_col).alias("_ws")
-    ).select(F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl"))
+    # ---- pass 2: weighted rescoring over the SAME tokenized base ----
     matched = (
         base.select(F.col(id_col), F.col("dl"), F.explode("_ws").alias("term"))
         .join(F.broadcast(expanded), "term")
