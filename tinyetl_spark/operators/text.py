@@ -1830,6 +1830,7 @@ def ql_search(
     id_col: str = "doc_id",
     top_k: int = 15,
     mu: float = QL_MU,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Query-likelihood retrieval with Dirichlet smoothing (Ponte &
     Croft 1998; Zhai & Lafferty 2001) — the language-modeling scoring
@@ -1843,13 +1844,17 @@ def ql_search(
     counts are a |query|-row broadcast, total corpus tokens is a scalar
     aggregate, and the top-k is TakeOrderedAndProject. Per-term logs
     round at 9dp and sum as DECIMAL(38,9) (order-free, engine-equal);
-    everything before each log is IEEE-exact double arithmetic."""
+    everything before each log is IEEE-exact double arithmetic.
+
+    ``base``: optionally a PRE-TOKENIZED (id_col, _ws, dl) frame shared
+    by a multi-retriever caller (nDCG harness, RM3) — see bm25_search."""
     qlen = len(query_terms)
-    base = df.select(
-        F.col(id_col), words_col(text_col).alias("_ws")
-    ).select(
-        F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
-    ).localCheckpoint(eager=False)
+    if base is None:
+        base = df.select(
+            F.col(id_col), words_col(text_col).alias("_ws")
+        ).select(
+            F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
+        ).localCheckpoint(eager=False)
     n_tokens = int(
         base.agg(F.sum("dl").alias("t")).collect()[0]["t"] or 1
     )
@@ -1974,12 +1979,20 @@ def retrieval_ndcg(
         [(i + 1, d) for i, d in enumerate(NDCG_DISCOUNTS)], "pos int, disc long"
     )
     qdf = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    # tokenize the corpus ONCE: the relevance label and both retriever
+    # pools read the same checkpoint-pinned (id, words, dl) frame —
+    # three independent regex splits of the corpus collapse to one
+    shared = df.select(
+        F.col(id_col), words_col(text_col).alias("_ws")
+    ).select(
+        F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
+    ).localCheckpoint(eager=False)
     # graded label: TOTAL query-term occurrences capped at 10 — finer
     # than distinct-term count (which saturates on a synthetic corpus
     # where most matching docs carry all |q| terms, collapsing every
     # system to nDCG=1 and telling the harness nothing)
     rel = (
-        df.select(F.col(id_col), F.explode(words_col(text_col)).alias("term"))
+        shared.select(F.col(id_col), F.explode("_ws").alias("term"))
         .join(F.broadcast(qdf), "term")
         .groupBy(id_col)
         .agg(F.least(F.count("*"), F.lit(10)).cast("long").alias("rel"))
@@ -2024,12 +2037,12 @@ def retrieval_ndcg(
     # one corpus pass per retriever: the 50-row pools feed BOTH the
     # fusion and the per-system top-10 (a prefix of the same
     # deterministic ordering), pinned by a lazy checkpoint
-    b50 = bm25_search(df, query_terms, text_col, id_col, top_k=50).localCheckpoint(
-        eager=False
-    )
-    q50 = ql_search(df, query_terms, text_col, id_col, top_k=50).localCheckpoint(
-        eager=False
-    )
+    b50 = bm25_search(
+        df, query_terms, text_col, id_col, top_k=50, base=shared
+    ).localCheckpoint(eager=False)
+    q50 = ql_search(
+        df, query_terms, text_col, id_col, top_k=50, base=shared
+    ).localCheckpoint(eager=False)
     systems = {
         "bm25": dcg_of(b50, [F.desc("score"), F.asc(id_col)]),
         "hybrid_rrf": dcg_of(
@@ -2139,8 +2152,14 @@ def hybrid_search_rrf(
     if pools is not None:
         b, ql = pools
     else:
-        b = bm25_search(df, query_terms, text_col, id_col, top_k=pool_k)
-        ql = ql_search(df, query_terms, text_col, id_col, top_k=pool_k)
+        # tokenize once; both retrievers read the same pinned base
+        shared = df.select(
+            F.col(id_col), words_col(text_col).alias("_ws")
+        ).select(
+            F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
+        ).localCheckpoint(eager=False)
+        b = bm25_search(df, query_terms, text_col, id_col, top_k=pool_k, base=shared)
+        ql = ql_search(df, query_terms, text_col, id_col, top_k=pool_k, base=shared)
     rb = b.select(
         F.col(id_col),
         F.row_number()
