@@ -1726,3 +1726,14 @@ def test_rm3_expansion_recovers_vocabulary_mismatch(spark):
     # docs carrying BOTH original and expansion terms outrank the
     # expansion-only doc (lambda=0.5 keeps the original query dominant)
     assert by_id[1]["score"] > by_id[4]["score"]
+
+
+def test_zipf_slope_single_rank_group_is_null_not_nan(spark):
+    # one distinct word -> zero x-variance -> undefined fit: the guard
+    # must yield NULL (Spark's raw double 0/0 is NaN, DuckDB differs).
+    df = spark.createDataFrame(
+        [(1, "same same same", "S")], "doc_id long, text string, source string"
+    )
+    rows = text.zipf_slope(df).collect()
+    assert len(rows) == 1 and rows[0]["n_ranks"] == 1
+    assert rows[0]["zipf_slope"] is None

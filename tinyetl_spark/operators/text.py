@@ -3218,10 +3218,16 @@ def zipf_slope(
     n = F.col("n_ranks").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
     return agg.select(
         F.col("grp").alias(group_col),
         "n_ranks",
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9).alias("zipf_slope"),
+        # a single-rank group has zero x-variance: the fit is undefined
+        # — return NULL explicitly (Spark's double 0/0 is NaN, DuckDB's
+        # differs; the guard keeps both engines at NULL)
+        F.when(
+            denom != 0.0, F.round((n * sxy - sx * sy) / denom, 9)
+        ).alias("zipf_slope"),
     ).orderBy(group_col)
 
 
@@ -3257,10 +3263,13 @@ def zipf_slope_sql(
              sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx
       FROM terms GROUP BY grp)
     SELECT grp AS {group_col}, n_ranks,
-           round((n_ranks * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (n_ranks * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS zipf_slope
+           CASE WHEN (n_ranks * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0.0
+                THEN round((n_ranks * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (n_ranks * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+           END AS zipf_slope
     FROM agg
     ORDER BY {group_col}
     """
