@@ -42,7 +42,7 @@ _PRIORITY = [
     # --- (b) code/SQL changed in round 8 (5) ---
     "margin_mine_pairs", "hist_quantiles_prices", "minhash_candidates",
     "near_dup_jaccard", "near_dup_ngram",
-    # --- (b2) NEW in round 8 (4): locally oracle-verified at sf0.001,
+    # --- (b2) NEW in round 8 (5): locally oracle-verified at sf0.001,
     # sf0.01 (the driver's scale) AND sf0.1 before registration ---
     "hard_negatives_bm25", "containment_dups",
     "ngram_diversity_sources", "zipf_slope_sources",

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -204,18 +205,30 @@ def main() -> None:
         with open(in_path, "w") as f:
             json.dump(names[start:end], f)
         try:
-            proc = subprocess.run(
+            # start_new_session puts the child (and its py4j/Spark JVM
+            # grandchild) in its own process group so a timeout can kill the
+            # WHOLE group — an orphaned JVM's CPU/GC pressure would otherwise
+            # contaminate every subsequent shard's timings.
+            proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--shard",
                  in_path, out_path],
                 stdout=sys.stderr,
                 stderr=sys.stderr,
-                timeout=3600,
-                check=False,
+                start_new_session=True,
             )
-            if proc.returncode != 0:
+            try:
+                rc = proc.wait(timeout=3600)
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    proc.kill()
+                proc.wait()
+                raise
+            if rc != 0:
                 # a crashed shard JVM marks its queries failed, not lost
                 for n in names[start:end]:
-                    failures.setdefault(n, f"shard exited {proc.returncode}")
+                    failures.setdefault(n, f"shard exited {rc}")
                 continue
             with open(out_path) as f:
                 res = json.load(f)

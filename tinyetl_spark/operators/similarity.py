@@ -1886,13 +1886,15 @@ def semantic_dedup_survivors(
 # ---------------------------------------------------------------------
 
 MARGIN_K = 8          # neighborhood size for the margin denominator
-# Deterministic source-side sample stride / LSH bits for the REGISTERED
-# query. Chosen so the sf0.01 testdata (500 vectors, ~50 per label)
-# yields a few dozen pairs — the repo standard is that a 0-row green is
-# vacuous (see embedding_near_dups). At production scale pass a larger
-# stride / more bits explicitly; both are plain parameters.
-MARGIN_EVERY = 2
-MARGIN_BITS = 4       # 16 coarse buckets (SIGN_BITS=6 starves sf0.01)
+# Library defaults are SCALE-SAFE: stride 8 samples ~1/8 of the source
+# label and 6 sign bits give 64 buckets, so the broadcast query batch
+# stays a small fraction of the partition at production scale. The
+# registered sf0.01 query passes every=2 / bits=4 EXPLICITLY at its
+# registration site (queries.py) because the tiny testdata (500
+# vectors, ~50 per label) starves finer buckets — small-scale tuning
+# belongs at the call site, not in the defaults.
+MARGIN_EVERY = 8
+MARGIN_BITS = 6
 
 
 def margin_mine(

@@ -3114,8 +3114,11 @@ def ngram_diversity(
         )
 
     s1, s2 = _stats(uni, 1), _stats(big, 2)
+    # LEFT join: a group whose docs are all single-token has no bigrams but
+    # still deserves its unigram row (NULL d2) — the degenerate groups are
+    # exactly the ones this QC exists to flag.
     return (
-        s1.join(s2, "grp")
+        s1.join(s2, "grp", "left")
         .select(
             F.col("grp").alias(group_col),
             "total_1",
@@ -3152,7 +3155,7 @@ def ngram_diversity_sql(
            round(distinct_1 / CAST(total_1 AS DOUBLE), 9) AS d1,
            total_2, distinct_2,
            round(distinct_2 / CAST(total_2 AS DOUBLE), 9) AS d2
-    FROM s1 JOIN s2 USING (grp)
+    FROM s1 LEFT JOIN s2 USING (grp)
     ORDER BY {group_col}
     """
 

@@ -4546,7 +4546,7 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.batch_topk(load(spark, sf_dir, "embeddings"), k=5, every=101)
 
 
-@_q("margin_mine_pairs", similarity.margin_mine_sql())
+@_q("margin_mine_pairs", similarity.margin_mine_sql(every=2, bits=4))
 def margin_mine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (the LASER/CCMatrix criterion,
     Artetxe & Schwenk 2019): sampled label-0 vectors query the label-1
@@ -4554,8 +4554,9 @@ def margin_mine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     match stands OUT of its neighborhood — which suppresses hub
     vectors that are merely close to everything. Query batch
     broadcasts, target scanned once, margin denominator sums exact
-    decimals."""
-    return similarity.margin_mine(load(spark, sf_dir, "embeddings"))
+    decimals. every=2/bits=4 are the sf0.01 tuning (500 vectors starve
+    finer buckets); the library defaults stay scale-safe (8/6)."""
+    return similarity.margin_mine(load(spark, sf_dir, "embeddings"), every=2, bits=4)
 
 
 @_q("embedding_near_dups", similarity.cosine_near_dups_sql(threshold=0.3))
