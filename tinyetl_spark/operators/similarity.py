@@ -1762,6 +1762,264 @@ def rpq_rerank_topk_sql(
     """
 
 
+# --------------------------------------- 3-stage residual PQ (RPQ3)
+
+# A third residual stage (scale 0.05 — residual shells shrink ~0.82 →
+# ~0.68 per stage on unit-norm data, so each stage's codebook scale
+# tracks the shell it quantizes). Measured recall@10 at the SAME
+# 50-wide rerank shortlist as the 2-stage tier: 0.95 vs 0.85 — the
+# round-8 verdict's ">=0.9 at documented probe budget" target, bought
+# with quantizer quality (codes grow to 3m half-bytes) instead of a
+# wider exact-rerank budget. An OPQ-style rotation was measured too
+# and REJECTED: on these isotropic unit-norm embeddings a PCA-based
+# rotation has nothing to balance and recall DROPPED to 0.675 —
+# rotations only pay on anisotropic corpora.
+RPQ3_SCALES = (0.15, 0.08, 0.05)
+RPQ3_SEEDS = (0xC0DEB00C, 0xBADC0FFE, 0xFACEFEED)
+
+
+def _rpq3_seeded_stages(
+    m: int = PQ_M, k: int = PQ_K, dim: int = IVF_DIM
+) -> list[list[list[list[float]]]]:
+    return [
+        _pq_seeded_codebooks(m, k, dim, scale=s, seed=seed)
+        for s, seed in zip(RPQ3_SCALES, RPQ3_SEEDS)
+    ]
+
+
+def _rpqn_tabs(q: list[float], stages) -> tuple[list, dict]:
+    """N-stage ADC tables: per-stage query-to-codeword squared
+    distances plus 2<b_s, b_t> cross tables for every stage pair.
+    Σ_s dtab_s[c_s] + Σ_{s<t} cross[s,t][c_s][c_t] equals the exact
+    reconstruction distance plus a per-query constant — exact ranking,
+    no vector math in the scan."""
+    dsub = len(stages[0][0][0])
+    m = len(stages[0])
+    dtabs = [
+        [
+            [_seq_sqdist(q[j * dsub : (j + 1) * dsub], c) for c in book]
+            for j, book in enumerate(st)
+        ]
+        for st in stages
+    ]
+    crosses: dict[tuple[int, int], list] = {}
+    for s in range(len(stages)):
+        for t in range(s + 1, len(stages)):
+            crosses[(s, t)] = [
+                [
+                    [2.0 * sum(a * b for a, b in zip(b1, b2)) for b2 in stages[t][j]]
+                    for b1 in stages[s][j]
+                ]
+                for j in range(m)
+            ]
+    return dtabs, crosses
+
+
+def _rpqn_adc_topk(enc: DataFrame, tabs: tuple, k: int, id_col: str) -> DataFrame:
+    dtabs, crosses = tabs
+    m = len(dtabs[0])
+    dl = [_lit_array(d) for d in dtabs]
+    cl = [(s, t, _lit_array(c)) for (s, t), c in sorted(crosses.items())]
+    codes = F.col("codes")
+
+    def step(acc, j):
+        e = acc
+        for s, lit in enumerate(dl):
+            e = e + F.get(F.get(lit, j), F.get(codes, j + F.lit(s * m)))
+        for s, t, lit in cl:
+            e = e + F.get(
+                F.get(F.get(lit, j), F.get(codes, j + F.lit(s * m))),
+                F.get(codes, j + F.lit(t * m)),
+            )
+        return e
+
+    adc = F.aggregate(F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), step)
+    return (
+        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rpq3_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stages: list | None = None,
+    q_vec: list[float] | None = None,
+    enc: DataFrame | None = None,
+) -> DataFrame:
+    """3-stage residual-PQ ADC top-k: 3m code lookups + 3 pairwise
+    cross-term lookups per vector against inlined literal tables."""
+    st = stages or _rpq3_seeded_stages()
+    q = q_vec or _query_vec(df, query_id, vec_col, id_col)
+    if enc is None:
+        enc = rpq_encode(df, st, vec_col, id_col)
+    coded = enc.filter(F.col(id_col) != query_id)
+    return _rpqn_adc_topk(coded, _rpqn_tabs(q, st), k, id_col)
+
+
+def _rpqn_codes_sql(vec_expr: str, stages) -> tuple[str, str, str]:
+    """DuckDB twin of the N-stage rpq_encode as staged CTEs.
+
+    Returns (ctes, codes_expr, final_cte): ``rpq3_s0`` holds the
+    caller-substituted ``__RPQ_SRC__``; each stage appends its codes
+    column and rewrites the residual."""
+    dsub = len(stages[0][0][0])
+    m = len(stages[0])
+
+    def book_lit(book) -> str:
+        return "[" + ", ".join(
+            "[" + ", ".join(f"{v!r}" for v in c) + "]" for c in book
+        ) + "]"
+
+    def stage_codes(books) -> str:
+        parts = []
+        for j, book in enumerate(books):
+            sub = f"(r)[{j * dsub + 1}:{j * dsub + dsub}]"
+            dists = ", ".join(_ivf_dist_sql(sub, c) for c in book)
+            parts.append(f"(list_position([{dists}], list_min([{dists}])) - 1)")
+        return "[" + ", ".join(parts) + "]"
+
+    def resid(books, code_col) -> str:
+        parts = []
+        for j, book in enumerate(books):
+            bl = book_lit(book)
+            parts.append(
+                f"list_transform(range(1, {dsub} + 1), "
+                f"i -> r[{j * dsub} + i] - ({bl})[{code_col}[{j + 1}] + 1][i])"
+            )
+        return "flatten([" + ", ".join(parts) + "])"
+
+    ctes = [f"rpq3_s0 AS (SELECT *, {vec_expr} AS r FROM __RPQ_SRC__)"]
+    prev = "rpq3_s0"
+    code_cols = []
+    for s, books in enumerate(stages):
+        ccol = f"c{s + 1}"
+        code_cols.append(ccol)
+        ctes.append(
+            f"rpq3_c{s + 1} AS (SELECT *, {stage_codes(books)} AS {ccol} FROM {prev})"
+        )
+        prev = f"rpq3_c{s + 1}"
+        if s + 1 < len(stages):
+            ctes.append(
+                f"rpq3_r{s + 1} AS (SELECT * REPLACE ({resid(books, ccol)} AS r) FROM {prev})"
+            )
+            prev = f"rpq3_r{s + 1}"
+    return ",\n    ".join(ctes), "flatten([" + ", ".join(code_cols) + "])", prev
+
+
+def rpq3_topk_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stages: list | None = None,
+) -> str:
+    st = stages or _rpq3_seeded_stages()
+    dsub = len(st[0][0][0])
+    m = len(st[0])
+    n_st = len(st)
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    ctes, codes_expr, final = _rpqn_codes_sql("r0", st)
+    src = f"(SELECT {id_col}, {v} AS r0 FROM {table} WHERE {id_col} != {query_id})"
+    ctes = ctes.replace("__RPQ_SRC__", src)
+
+    def dtab(books):
+        rows = []
+        for j, book in enumerate(books):
+            sub = f"qvec[{j * dsub + 1}:{j * dsub + dsub}]"
+            rows.append("[" + ", ".join(_ivf_dist_sql(sub, c) for c in book) + "]")
+        return "[" + ", ".join(rows) + "]"
+
+    _, crosses = _rpqn_tabs([0.0] * (dsub * m), st)  # crosses are query-free
+    dcols = ", ".join(f"{dtab(st[s])} AS d{s + 1}" for s in range(n_st))
+    ccols = ", ".join(
+        f"{_rpq_tab_sql(c)} AS x{s + 1}{t + 1}" for (s, t), c in sorted(crosses.items())
+    )
+    # per-j sum mirrors the Spark fold's term order: dtabs stage-asc,
+    # then cross tables in (s, t) lexicographic order
+    terms = " + ".join(
+        f"t.d{s + 1}[j][e.codes[{s * m} + j] + 1]" for s in range(n_st)
+    ) + " + " + " + ".join(
+        f"t.x{s + 1}{t + 1}[j][e.codes[{s * m} + j] + 1][e.codes[{t * m} + j] + 1]"
+        for (s, t) in sorted(crosses)
+    )
+    return f"""
+    WITH qv_t AS (
+      SELECT {v} AS qvec FROM {table} WHERE {id_col} = {query_id}),
+    tabs AS (SELECT {dcols}, {ccols} FROM qv_t),
+    {ctes},
+    enc AS (SELECT {id_col}, {codes_expr} AS codes FROM {final})
+    SELECT e.{id_col},
+           round(list_sum(list_transform(range(1, {m} + 1),
+                 j -> {terms})), 6) AS adc_dist
+    FROM enc e CROSS JOIN tabs t
+    ORDER BY adc_dist ASC, e.{id_col} ASC
+    LIMIT {k}
+    """
+
+
+def rpq3_rerank_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stages: list | None = None,
+    q_vec: list[float] | None = None,
+    enc: DataFrame | None = None,
+) -> DataFrame:
+    """3-stage residual-PQ shortlist + exact cosine rerank: recall@10
+    0.95 at the same 50-wide shortlist where 2-stage RPQ measures 0.85
+    (4-probe set, sf0.01 unit-norm corpus)."""
+    q = q_vec or _query_vec(df, query_id, vec_col, id_col)
+    short = rpq3_topk(
+        df, query_id, shortlist, vec_col, id_col, stages, q_vec=q, enc=enc
+    ).select(id_col)
+    qv = _lit_array([float(x) for x in q])
+    vec = _vec(vec_col)
+    return (
+        df.join(short, id_col, "left_semi")
+        .select(F.col(id_col), F.round(cosine_col(vec, qv), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rpq3_rerank_topk_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    stages: list | None = None,
+) -> str:
+    inner = rpq3_topk_sql(table, query_id, shortlist, vec_col, id_col, stages)
+    v = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    SELECT t.{id_col}, round({cosine_sql(v, qv)}, 6) AS cosine
+    FROM {table} t,
+         (SELECT {vec_col} FROM {table} WHERE {id_col} = {query_id}) q
+    WHERE t.{id_col} IN (SELECT {id_col} FROM ({inner}) s)
+    ORDER BY cosine DESC, t.{id_col} ASC
+    LIMIT {k}
+    """
+
+
+RECALL_TIERS["rpq3_rerank"] = (
+    lambda df, q, k, qv, enc: rpq3_rerank_topk(df, q, k, q_vec=qv, enc=enc),
+    lambda table, q, k: rpq3_rerank_topk_sql(table, q, k),
+    "rpq3",
+)
+
+
 # ------------------------------------------------- semantic dedup
 
 def _auto_semdedup_centroids(
