@@ -464,6 +464,109 @@ def decimate_media(
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
+def synth_png(pixel_bytes: bytes, width: int, height: int) -> bytes:
+    """Minimal REAL PNG (pure stdlib: struct + zlib): 8-bit RGB
+    (color type 2), non-interlaced, filter 0 on every scanline. The
+    pixel array is ``pixel_bytes`` row-major RGB (exactly width*3*height
+    bytes — PNG rows carry no BMP-style stride padding)."""
+    import struct
+    import zlib
+
+    if len(pixel_bytes) != width * 3 * height:
+        raise ValueError(f"need {width * 3 * height} pixel bytes, got {len(pixel_bytes)}")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixel_bytes[r * width * 3 : (r + 1) * width * 3]
+        for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL pure-stdlib PNG decode (struct + zlib — no pillow): walk
+    the chunks, inflate the IDAT stream, reverse all five scanline
+    filters (None/Sub/Up/Average/Paeth, the full RFC 2083 set), and
+    report the same stat dict as decode_bmp. Covers 8-bit depth,
+    non-interlaced, color types 0 (gray), 2 (RGB), 4 (gray+alpha) and
+    6 (RGBA) — palette (3), 16-bit and Adam7 still raise the
+    NotImplementedError contract."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w, h, depth, ctype, interlace, idat = 8, None, None, None, None, None, []
+    while pos + 8 <= len(payload):
+        clen, cid = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + clen
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            "pure-stdlib PNG decode covers 8-bit non-interlaced gray/RGB/"
+            "gray-alpha/RGBA; palette/16-bit/Adam7 need pillow"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    bpp = channels  # bytes per pixel at depth 8
+    stride = w * bpp
+    prev = bytearray(stride)
+    total = 0
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        total += sum(line)
+        prev = line
+    count = stride * h
+    return {
+        "fmt": "png", "width": int(w), "height": int(h),
+        "n_channels": int(channels), "sample_rate": None, "n_samples": None,
+        "mean_value": round(total / count, 6) if count else 0.0,
+    }
+
+
 def _pil_image_module():
     """Lazy PIL hook: returns PIL.Image or None. Import happens inside
     the executor task (never at module import) so environments without
@@ -539,7 +642,14 @@ def decode_media(
                     d = decode_bmp(b)
                 elif b[:4] == b"RIFF":
                     d = decode_wav(b)
-                elif b[:3] == b"\xff\xd8\xff" or b[:8] == b"\x89PNG\r\n\x1a\n":
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    # pure-stdlib first; PIL only for the shapes the
+                    # stdlib path declines (palette/16-bit/Adam7)
+                    try:
+                        d = decode_png(b)
+                    except NotImplementedError:
+                        d = decode_image_pil(b)
+                elif b[:3] == b"\xff\xd8\xff":
                     d = decode_image_pil(b)
                 else:
                     raise NotImplementedError(

@@ -444,6 +444,380 @@ def bpe_encode_batch(
     return src.mapInPandas(_encode_batches, schema=out_schema)
 
 
+# ------------------------------------------ unigram LM (SentencePiece)
+#
+# Kudo 2018 ("Subword regularization") unigram-LM tokenizer, the
+# fixed-vocabulary hard-EM (Viterbi-EM) variant: seed a substring
+# vocabulary from the word dictionary, then alternate (E) Viterbi
+# segmentation of every word under the current piece costs with (M)
+# re-estimating piece costs from usage counts. Full SentencePiece
+# additionally prunes the vocabulary by likelihood loss; here the
+# vocabulary is fixed at seeding (the alphabet is never prunable
+# anyway) and the train query REPORTS usage so pruning decisions are
+# visible.
+#
+# Scale shape — identical to bpe_train: ONE corpus-sized shuffle (the
+# word-frequency groupBy, checkpointed once); every EM iteration is a
+# VOCABULARY-sized Viterbi pass + piece-count groupBy whose <=|V| rows
+# are the only thing the driver sees. Segmentation itself is an in-row
+# integer DP fold (codegen, no Python, no shuffle).
+#
+# Cross-engine exactness: piece costs are INTEGER micro-units,
+# round(1e6 * log10(total/freq)) — DP sums and comparisons are exact
+# BIGINT arithmetic, so Spark and the DuckDB twin agree bit-for-bit
+# (the only doubles are the per-piece log10 calls on identical integer
+# ratios, same libm on both engines; the classifier tier established
+# the pattern). Viterbi ties break to the LONGEST last piece via a
+# (cost, -piece_len) struct min — deterministic, and the token-list
+# field is never reached because candidate piece lengths are distinct.
+
+UNI_MAXLEN = 16      # words longer than this are excluded (DP-unroll contract)
+UNI_MAXPIECE = 4     # max piece length
+UNI_VOCAB = 32       # multi-char seed pieces kept (alphabet always kept)
+UNI_EM_ITERS = 2     # hard-EM iterations
+UNI_UNK = 10_000_000  # per-char cost of an out-of-vocabulary character
+
+
+def _micro(x: float) -> int:
+    """floor(x + 0.5) — shared rounding with the SQL twin (Python's
+    round() is banker's; DuckDB's is half-away; floor(+0.5) is the one
+    both sides can state identically)."""
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
+def _uni_word_freq(df: DataFrame, text_col: str) -> DataFrame:
+    return word_freq(df, text_col).filter(F.length("word") <= UNI_MAXLEN)
+
+
+def _uni_seed_rows(wf: DataFrame) -> list[tuple[str, int]]:
+    """Seed vocabulary (piece, freq): every substring of length
+    1..UNI_MAXPIECE weighted by word frequency; ALL single chars (the
+    alphabet — guarantees every word segments) plus the top UNI_VOCAB
+    multi-char pieces by (freq desc, piece asc). Driver-side result is
+    vocabulary-sized by construction."""
+    word = F.col("word")
+    pieces = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(UNI_MAXPIECE), F.length(word))),
+            lambda l: F.transform(
+                F.sequence(F.lit(1), F.length(word) - l + 1),
+                lambda i: word.substr(i, l),
+            ),
+        )
+    )
+    freq = (
+        wf.select(F.col("wcount"), F.explode(pieces).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcount").cast("bigint").alias("freq"))
+    )
+    alpha = freq.filter(F.length("piece") == 1)
+    multi = (
+        freq.filter(F.length("piece") > 1)
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(UNI_VOCAB)
+    )
+    return [
+        (r["piece"], int(r["freq"]))
+        for r in alpha.unionByName(multi).collect()
+    ]
+
+
+def _viterbi_toks(word, cost_map, maxpiece: int = UNI_MAXPIECE):
+    """Min-cost segmentation of ``word`` under integer piece costs —
+    an in-row DP fold: dp[i] = best (cost, toks) for the i-char
+    prefix; candidates at i are the last-piece lengths 1..maxpiece,
+    ranked by (cost asc, piece length desc). Missing pieces cost
+    UNI_UNK per char. Returns the token array."""
+    n = F.length(word)
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("cost"),
+            F.expr("CAST(array() AS array<string>)").alias("toks"),
+        )
+    )
+
+    def step(acc, i):
+        cands = F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(maxpiece), i)),
+            lambda l: F.struct(
+                (
+                    F.element_at(acc, i - l + 1)["cost"]
+                    + F.coalesce(
+                        F.element_at(cost_map, word.substr(i - l + 1, l)),
+                        (F.lit(UNI_UNK).cast("long") * l).cast("long"),
+                    )
+                ).alias("cost"),
+                (-l).cast("int").alias("negl"),
+                F.concat(
+                    F.element_at(acc, i - l + 1)["toks"],
+                    F.array(word.substr(i - l + 1, l)),
+                ).alias("toks"),
+            ),
+        )
+        best = F.array_min(cands)
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(best["cost"].alias("cost"), best["toks"].alias("toks"))
+            ),
+        )
+
+    dp = F.aggregate(F.sequence(F.lit(1), n), init, step)
+    return F.element_at(dp, -1)["toks"]
+
+
+def _cost_map_lit(costs: dict[str, int]):
+    flat = []
+    for p in sorted(costs):
+        flat.append(F.lit(p))
+        flat.append(F.lit(int(costs[p])).cast("long"))
+    return F.create_map(*flat)
+
+
+def _uni_train_state(
+    df: DataFrame, text_col: str, n_iters: int
+) -> tuple[dict[str, int], dict[str, int], DataFrame]:
+    """Shared EM loop: returns (final costs, last-E-step usage, the
+    checkpointed word-frequency table). Driver traffic per iteration is
+    one vocabulary-sized collect — same contract as bpe_train's one
+    winning row per merge."""
+    wf = _uni_word_freq(df, text_col).localCheckpoint()
+    seed = _uni_seed_rows(wf)
+    vocab = [p for p, _ in seed]
+    nv = len(vocab)
+    import math
+
+    tot = sum(f for _, f in seed)
+    costs = {p: _micro(1e6 * math.log10(tot / f)) for p, f in seed}
+    usage: dict[str, int] = {}
+    for _ in range(n_iters):
+        seg = wf.select(
+            "wcount", _viterbi_toks(F.col("word"), _cost_map_lit(costs)).alias("toks")
+        )
+        rows = (
+            seg.select(F.col("wcount"), F.explode("toks").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("wcount").cast("bigint").alias("usage"))
+            .collect()
+        )
+        usage = {r["piece"]: int(r["usage"]) for r in rows}
+        total = sum(usage.values())
+        costs = {
+            p: _micro(1e6 * math.log10((total + nv) / (usage.get(p, 0) + 1)))
+            for p in vocab
+        }
+    return costs, usage, wf
+
+
+def unigram_train(
+    df: DataFrame, text_col: str = "text", n_iters: int = UNI_EM_ITERS
+) -> DataFrame:
+    """Train the unigram-LM vocabulary; returns (piece, usage,
+    cost_micro) — usage from the final E-step, costs from the final
+    M-step — ordered by (usage desc, piece asc)."""
+    costs, usage, _ = _uni_train_state(df, text_col, n_iters)
+    rows = [
+        (p, int(usage.get(p, 0)), int(costs[p])) for p in sorted(costs)
+    ]
+    out = df.sparkSession.createDataFrame(
+        rows, "piece string, usage bigint, cost_micro bigint"
+    )
+    return out.orderBy(F.desc("usage"), F.asc("piece"))
+
+
+def unigram_train_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_iters: int = UNI_EM_ITERS,
+) -> DataFrame:
+    """Train, then Viterbi-encode the corpus under the final costs —
+    the unigram twin of bpe_train_encode, with the same dictionary-join
+    shape: each DISTINCT word segments once (vocabulary-sized DP), the
+    corpus only pays an equi-join. Words longer than UNI_MAXLEN are
+    dropped from the token stream (the SQL twin's DP-unroll contract;
+    the Spark fold itself has no such limit). Output: (doc_id,
+    n_tokens, tokens[]) with all-empty docs kept at n_tokens = 0."""
+    costs, _, wf = _uni_train_state(df, text_col, n_iters)
+    vocab_seg = wf.select(
+        "word", _viterbi_toks(F.col("word"), _cost_map_lit(costs)).alias("s")
+    )
+    words = df.select(
+        F.col(id_col), F.posexplode(words_col(text_col)).alias("_p", "word")
+    ).filter((F.length("word") > 0) & (F.length("word") <= UNI_MAXLEN))
+    joined = words.join(vocab_seg, "word").select(id_col, "_p", "s")
+    toks = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "s"))),
+            lambda e: e["s"],
+        )
+    )
+    grouped = joined.groupBy(id_col).agg(toks.alias("tokens"))
+    empty = F.expr("CAST(array() AS array<string>)")
+    return (
+        df.select(id_col)
+        .join(grouped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.size("tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("tokens"), empty).alias("tokens"),
+        )
+    )
+
+
+def _uni_viterbi_ctes(tag: str, src: str, cost_cte: str) -> str:
+    """One Viterbi pass as CTEs ending in ``useg_{tag}(word, wcount,
+    toks)``. The sequential DP unrolls as UNI_MAXLEN settled-node
+    relaxation rounds (round r relaxes only edges leaving node r-1, so
+    every candidate at a node comes from an already-FINAL predecessor —
+    this makes the incremental min provably identical to the Spark
+    fold's one-shot min, including ties: candidates at a node always
+    have distinct last-piece lengths, so (cost, negl) is a unique
+    key and the token-list field never decides)."""
+    edges = f"""
+    uedge_{tag} AS MATERIALIZED (
+      SELECT s.word, s.wcount, s.i, s.j, s.piece,
+             coalesce(c.cost, {UNI_UNK} * (s.i - s.j)) AS ecost
+      FROM (SELECT word, wcount, u.i AS i, u.j AS j,
+                   substr(word, CAST(u.j AS INT) + 1, CAST(u.i - u.j AS INT)) AS piece
+            FROM (SELECT word, wcount,
+                         unnest(flatten(list_transform(range(1, length(word) + 1),
+                           i -> list_transform(range(1, least({UNI_MAXPIECE}, i) + 1),
+                                l -> {{'i': i, 'j': i - l}})))) AS u
+                  FROM {src})) s
+      LEFT JOIN {cost_cte} c ON c.piece = s.piece),
+    udp_{tag}_0 AS (
+      SELECT word, wcount, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cost,
+             CAST(0 AS BIGINT) AS negl, CAST([] AS VARCHAR[]) AS toks
+      FROM {src})"""
+    rounds = []
+    for r in range(1, UNI_MAXLEN + 1):
+        rounds.append(f"""
+    udp_{tag}_{r} AS MATERIALIZED (
+      SELECT word, wcount, i, cost, negl, toks FROM (
+        SELECT *, row_number() OVER (PARTITION BY word, i
+                                     ORDER BY cost, negl, toks) AS rn
+        FROM (
+          SELECT word, wcount, i, cost, negl, toks FROM udp_{tag}_{r - 1}
+          UNION ALL
+          SELECT e.word, e.wcount, e.i, d.cost + e.ecost AS cost,
+                 e.j - e.i AS negl, list_append(d.toks, e.piece) AS toks
+          FROM uedge_{tag} e
+          JOIN udp_{tag}_{r - 1} d ON d.word = e.word AND d.i = e.j
+          WHERE e.j = {r - 1}
+        )) WHERE rn = 1)""")
+    seg = f"""
+    useg_{tag} AS MATERIALIZED (
+      SELECT word, wcount, toks FROM udp_{tag}_{UNI_MAXLEN}
+      WHERE i = length(word))"""
+    return edges + "," + ",".join(rounds) + "," + seg
+
+
+def _uni_train_ctes(table: str, text_col: str, n_iters: int) -> str:
+    """Shared WITH-body: word dictionary, seed vocabulary + costs, and
+    ``n_iters`` unrolled EM iterations ending in ucnt_{{T}} /
+    ucost_{{T}}."""
+    w = words_sql(text_col)
+    head = f"""
+    uwf AS MATERIALIZED (
+      SELECT w AS word, count(*) AS wcount
+      FROM (SELECT unnest({w}) AS w FROM {table})
+      WHERE w <> '' AND length(w) <= {UNI_MAXLEN} GROUP BY w),
+    useed AS (
+      SELECT piece, CAST(sum(wcount) AS BIGINT) AS freq
+      FROM (SELECT wcount,
+                   unnest(flatten(list_transform(
+                     range(1, least({UNI_MAXPIECE}, length(word)) + 1),
+                     l -> list_transform(range(1, length(word) - l + 2),
+                          i -> substr(word, CAST(i AS INT), CAST(l AS INT))))))
+                     AS piece
+            FROM uwf)
+      GROUP BY piece),
+    uvocab AS MATERIALIZED (
+      SELECT piece, freq FROM useed WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, freq FROM (
+        SELECT piece, freq FROM useed WHERE length(piece) > 1
+        ORDER BY freq DESC, piece ASC LIMIT {UNI_VOCAB})),
+    ucost_0 AS (
+      SELECT piece,
+             CAST(floor(1e6 * log10(
+               CAST((SELECT sum(freq) FROM uvocab) AS DOUBLE)
+               / CAST(freq AS DOUBLE)) + 0.5) AS BIGINT) AS cost
+      FROM uvocab)"""
+    iters = []
+    for t in range(1, n_iters + 1):
+        iters.append(_uni_viterbi_ctes(f"t{t}", "uwf", f"ucost_{t - 1}"))
+        iters.append(f"""
+    ucnt_{t} AS (
+      SELECT piece, CAST(sum(wcount) AS BIGINT) AS usage
+      FROM (SELECT wcount, unnest(toks) AS piece FROM useg_t{t})
+      GROUP BY piece),
+    ucost_{t} AS (
+      SELECT v.piece,
+             CAST(floor(1e6 * log10(
+               CAST((SELECT sum(usage) FROM ucnt_{t})
+                    + (SELECT count(*) FROM uvocab) AS DOUBLE)
+               / CAST(coalesce(c.usage, 0) + 1 AS DOUBLE)) + 0.5) AS BIGINT)
+               AS cost
+      FROM uvocab v LEFT JOIN ucnt_{t} c USING (piece))""")
+    return head + "," + ",".join(iters)
+
+
+def unigram_train_sql(
+    table: str = "documents", text_col: str = "text", n_iters: int = UNI_EM_ITERS
+) -> str:
+    """DuckDB twin of :func:`unigram_train`: seed + ``n_iters``
+    unrolled hard-EM iterations (same unroll discipline as the BPE
+    twin); integer micro-unit costs make the comparison exact."""
+    return f"""
+    WITH {_uni_train_ctes(table, text_col, n_iters)}
+    SELECT v.piece,
+           CAST(coalesce(c.usage, 0) AS BIGINT) AS usage,
+           k.cost AS cost_micro
+    FROM uvocab v
+    LEFT JOIN ucnt_{n_iters} c USING (piece)
+    JOIN ucost_{n_iters} k ON k.piece = v.piece
+    ORDER BY usage DESC, piece ASC
+    """
+
+
+def unigram_train_encode_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_iters: int = UNI_EM_ITERS,
+) -> str:
+    """DuckDB twin of :func:`unigram_train_encode`: the train CTEs plus
+    one more Viterbi pass under the final costs, joined back to the
+    documents (dictionary-join shape, tokens space-joined)."""
+    w = words_sql(text_col)
+    enc_pass = _uni_viterbi_ctes("enc", "uwf", f"ucost_{n_iters}")
+    return f"""
+    WITH {_uni_train_ctes(table, text_col, n_iters)},
+    {enc_pass},
+    dw AS (
+      SELECT {id_col},
+             unnest(range(1, len(wl) + 1)) AS pos,
+             unnest(wl) AS word
+      FROM (SELECT {id_col}, {w} AS wl FROM {table})),
+    encj AS (
+      SELECT dw.{id_col}, pos, toks
+      FROM dw JOIN useg_enc USING (word)),
+    uagg AS (
+      SELECT {id_col},
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+             array_to_string(flatten(list(toks ORDER BY pos)), ' ') AS tokens
+      FROM encj GROUP BY {id_col})
+    SELECT d.{id_col},
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(a.tokens, '') AS tokens
+    FROM {table} d LEFT JOIN uagg a USING ({id_col})
+    """
+
+
 def bpe_train_encode(
     df: DataFrame,
     text_col: str = "text",

@@ -3191,6 +3191,133 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("unigram_train_vocab", tokenizer.unigram_train_sql())
+def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer training —
+    the fixed-vocabulary hard-EM variant: seed substring vocabulary
+    from the word dictionary, then 2 Viterbi-EM iterations. Integer
+    micro-unit costs make the DuckDB twin exact. Scale shape matches
+    bpe_train_merges: ONE corpus shuffle (word freq), every iteration
+    vocabulary-sized, <=|V| rows per driver collect."""
+    return tokenizer.unigram_train(load(spark, sf_dir, "documents"))
+
+
+@_q("unigram_encode_docs", tokenizer.unigram_train_encode_sql())
+def unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the unigram-LM vocabulary, then Viterbi-encode the corpus
+    under the final costs through a dictionary join (each DISTINCT
+    word segments once; the corpus pays an equi-join — the unigram
+    twin of bpe_encode_docs). Tokens project space-joined."""
+    enc = tokenizer.unigram_train_encode(load(spark, sf_dir, "documents"))
+    return enc.select(
+        "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
+    )
+
+
+def _materialized_unigram_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "unigram_encoded",
+        tokenizer.unigram_train_encode_sql(),
+        lambda: tokenizer.unigram_train_encode(
+            load(spark, sf_dir, "documents")
+        ).select("doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")),
+    )
+
+
+@_q(
+    "tokenizer_compare",
+    f"""
+    WITH encb AS ({tokenizer.bpe_train_encode_sql()}),
+    encu AS ({tokenizer.unigram_train_encode_sql()}),
+    base AS (
+      SELECT list_filter({text.words_sql("text")}, x -> length(x) > 0) AS w
+      FROM documents),
+    tot AS (
+      SELECT CAST(SUM(len(w)) AS BIGINT) AS total_words,
+             CAST(SUM(list_sum(list_transform(w, x -> length(x)))) AS BIGINT)
+               AS total_chars
+      FROM base),
+    tb AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encb),
+    tu AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encu)
+    SELECT * FROM (
+      SELECT 'bpe' AS tokenizer, tb.total_tokens, tot.total_words,
+             {text.floor_round_sql(
+                 "CAST(tb.total_tokens AS DOUBLE) / CAST(tot.total_words AS DOUBLE)", 6)}
+               AS fertility,
+             {text.floor_round_sql(
+                 "CAST(tot.total_chars AS DOUBLE) / CAST(tb.total_tokens AS DOUBLE)", 6)}
+               AS chars_per_token
+      FROM tb, tot
+      UNION ALL
+      SELECT 'unigram' AS tokenizer, tu.total_tokens, tot.total_words,
+             {text.floor_round_sql(
+                 "CAST(tu.total_tokens AS DOUBLE) / CAST(tot.total_words AS DOUBLE)", 6)}
+               AS fertility,
+             {text.floor_round_sql(
+                 "CAST(tot.total_chars AS DOUBLE) / CAST(tu.total_tokens AS DOUBLE)", 6)}
+               AS chars_per_token
+      FROM tu, tot)
+    ORDER BY tokenizer
+    """,
+)
+def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vs unigram-LM head-to-head on the same corpus: corpus-level
+    fertility (tokens/word) and compression (word chars/token). Both
+    encodes are staged once (frozen-tokenizer pattern shared with
+    tokenizer_fertility); the comparison itself is two scalar
+    aggregates. Note BPE's token count includes its </w> markers (the
+    standard accounting) and unigram drops words over 16 chars (its
+    DP-unroll contract; none exist in the testdata)."""
+    from tinyetl_spark.operators.text import floor_round
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(text.words_col("text"), lambda x: F.length(x) > 0)
+    base = docs.select(
+        F.size(words).cast("bigint").alias("_nw"),
+        F.aggregate(
+            F.transform(words, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("_nc"),
+    )
+    tot = base.agg(
+        F.sum("_nw").cast("bigint").alias("total_words"),
+        F.sum("_nc").cast("bigint").alias("total_chars"),
+    )
+    encb = _stage_once_df(
+        spark,
+        sf_dir,
+        "bpe_encoded",
+        tokenizer.bpe_train_encode_sql(),
+        lambda: tokenizer.bpe_train_encode(docs).select(
+            "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
+        ),
+    )
+    encu = _materialized_unigram_encoded(spark, sf_dir)
+
+    def one(name: str, enc: DataFrame) -> DataFrame:
+        t = enc.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+        return t.crossJoin(F.broadcast(tot)).select(
+            F.lit(name).alias("tokenizer"),
+            "total_tokens",
+            "total_words",
+            floor_round(
+                F.col("total_tokens").cast("double")
+                / F.col("total_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            floor_round(
+                F.col("total_chars").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+
+    return one("bpe", encb).unionByName(one("unigram", encu)).orderBy("tokenizer")
+
+
 _LINEITEM_PROFILE_COLS = [
     ("l_orderkey", "str", "bigint"),
     ("l_partkey", "str", "bigint"),
@@ -4813,11 +4940,12 @@ def _synth_media_df(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
             for t in pdf["text"]:
                 b = t.encode()
                 cyc = bytes(b[i % len(b)] for i in range(96))
-                payloads.append(
-                    multimodal.synth_bmp(cyc, 8, 4)
-                    if kind == "bmp"
-                    else multimodal.synth_wav(cyc)
-                )
+                if kind == "bmp":
+                    payloads.append(multimodal.synth_bmp(cyc, 8, 4))
+                elif kind == "png":
+                    payloads.append(multimodal.synth_png(cyc, 8, 4))
+                else:
+                    payloads.append(multimodal.synth_wav(cyc))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     return d.mapInPandas(run, schema="doc_id long, payload binary")
@@ -4874,6 +5002,30 @@ def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_media(
         _synth_media_df(spark, sf_dir, "bmp"), out_w=4, out_h=2
     )
+
+
+@_q(
+    "multimodal_decode_png",
+    f"""
+    SELECT doc_id, 'png' AS fmt, 8 AS width, 4 AS height, 3 AS n_channels,
+           round(CAST(list_sum(list_transform(range(0, 96),
+                 i -> {_CYCLED_BYTE})) AS DOUBLE) / 96, 6) AS mean_value
+    FROM documents
+    WHERE strlen(text) = length(text) AND length(text) > 0
+    """,
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode with NO codec library: each doc's
+    bytes become an 8x4 RGB PNG (stdlib zlib deflate), the pure-stdlib
+    PNG decoder walks the chunks, inflates, reverses the scanline
+    filters, and the oracle recomputes the mean from the same cycled
+    bytes with no PNG anywhere. This closes the pillow gap for
+    8-bit non-interlaced PNGs (the lazy PIL hook now only backs
+    palette/16-bit/Adam7 and JPEG)."""
+    from tinyetl_spark.operators import multimodal
+
+    out = multimodal.decode_media(_synth_media_df(spark, sf_dir, "png"))
+    return out.select("doc_id", "fmt", "width", "height", "n_channels", "mean_value")
 
 
 @_q(
