@@ -979,6 +979,61 @@ def test_hard_negatives_batched_single_corpus_pass(spark):
     assert p.count("Exchange rangepartitioning") <= 1
 
 
+def test_containment_recall_audit_bounded_bruteforce_no_python(spark):
+    """The containment audit mirrors dedup_recall_audit's cost
+    contract: the only nested-loop joins are the cap-bounded
+    brute-force truth join and the 1-row metric cross joins; the union
+    candidate generator contributes only equi-joins (posting join +
+    bucket-cap semi); no Python anywhere."""
+    p = plan_of(spark, "containment_recall_audit")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 3
+    assert "CartesianProduct" not in p
+
+
+def test_unigram_encode_dictionary_join_no_python(spark):
+    """Unigram encode is the dictionary-join shape: the Viterbi DP is
+    an in-row fold (no Python, no window over the corpus), the
+    word→tokens dictionary equi-joins into the exploded corpus, and
+    nothing is cartesian. (The EM iterations run before this plan —
+    vocabulary-sized collects, like bpe_train's winning rows.)"""
+    p = plan_of(spark, "unigram_encode_docs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tokenizer_compare_staged_scalar_aggs(spark):
+    """The BPE-vs-unigram comparison reads both STAGED encode tables
+    (no re-train in this plan) and reduces them to scalar aggregates;
+    the only joins are the 1-row broadcast crosses."""
+    p = plan_of(spark, "tokenizer_compare")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2  # 1-row metric crosses
+
+
+def test_rpq3_rerank_staged_codes_takeordered_no_python(spark):
+    """3-stage RPQ rerank: the ADC shortlist scans the STAGED code
+    parquet (never re-encodes), both the shortlist and the final cut
+    are TakeOrdered reductions, the shortlist semi-joins back to the
+    float vectors, and nothing is Python."""
+    p = plan_of(spark, "ann_rpq3_rerank_topk")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("TakeOrderedAndProject") >= 2  # shortlist + final cut
+    assert "rpq3_codes" in p  # staged code table, not a re-encode
+
+
+def test_multimodal_png_arrow_batched(spark):
+    """PNG decode is DESIGNED Pandas-UDF territory (stdlib zlib per
+    payload): the plan must show the Arrow-batched evaluator, never the
+    row-at-a-time Python one."""
+    p = plan_of(spark, "multimodal_decode_png")
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_rm3_second_pass_broadcasts_model_no_python(spark):
     """RM3's weighted second pass (the feedback pool and expansion
     model sit behind lazy checkpoints, so the final plan shows only
