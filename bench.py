@@ -56,6 +56,39 @@ def _sf_from_dir(path: str) -> float:
         return -1.0
 
 
+def _sentinel(spark) -> float | None:
+    """Fixed calibration query (NOT from the registry, so it never
+    changes as the registry grows): scan+aggregate lineitem, best of 2.
+    Run at each shard's start and end, it measures HOST speed at that
+    moment — the ±25% shared-VM noise the adaptive-rep logic guards
+    against becomes a visible, quantified number, and cross-round
+    comparisons can normalize by the sentinel ratio instead of guessing
+    whether a 20% delta is code or host."""
+    from pyspark.sql import functions as F
+
+    best = None
+    for _ in range(2):
+        try:
+            t0 = time.perf_counter()
+            (
+                spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum("l_quantity"),
+                    F.avg("l_extendedprice"),
+                    F.count("*"),
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            e = time.perf_counter() - t0
+            best = e if best is None else min(best, e)
+        except Exception:  # noqa: BLE001 — calibration must never kill a shard
+            return None
+    return round(best, 4)
+
+
 def _run_shard(names: list[str]) -> dict:
     """Time one shard of queries in THIS process's (fresh) JVM."""
     from tinyetl_spark.queries import QUERIES
@@ -65,6 +98,8 @@ def _run_shard(names: list[str]) -> dict:
 
     # Warm up JVM + codegen + parquet footer cache off the clock.
     spark.read.parquet(f"{SF_DIR}/region.parquet").write.format("noop").mode("overwrite").save()
+
+    sentinel_start = _sentinel(spark)
 
     # EARLY transfer reps: the headline metric measured while the JVM
     # code cache is quiet, before this shard's plans add JIT/GC
@@ -153,8 +188,14 @@ def _run_shard(names: list[str]) -> dict:
             except Exception:  # noqa: BLE001 — keep the loop number
                 break
 
+    sentinel_end = _sentinel(spark)
     spark.stop()
-    return {"timings": timings, "reps": reps_detail, "failures": failures}
+    return {
+        "timings": timings,
+        "reps": reps_detail,
+        "failures": failures,
+        "sentinel": [sentinel_start, sentinel_end],
+    }
 
 
 def _child_main(in_path: str, out_path: str) -> None:
@@ -250,10 +291,73 @@ def main() -> None:
                 "queries": [start, end],
                 "wall_s": round(time.perf_counter() - t0, 1),
                 "timed_s": round(sum(res["timings"].values()), 1),
+                "sentinel": res.get("sentinel"),
             }
         )
 
     total = round(sum(timings.values()), 4)
+
+    # Sentinel noise estimate: the fixed calibration query ran at every
+    # shard's start AND end. The min over ALL runs is the host's best
+    # speed this run; the SPREAD uses end-of-shard values only — the
+    # start value still pays the sentinel's own codegen/JIT (measured
+    # ~2x at sf0.001), which is warm-up, not host noise, and would
+    # overstate the band.
+    sent_all = [
+        v for m in shard_meta for v in (m.get("sentinel") or []) if v is not None
+    ]
+    sent_end = [
+        (m.get("sentinel") or [None, None])[1]
+        for m in shard_meta
+        if (m.get("sentinel") or [None, None])[1] is not None
+    ]
+    sentinel_s = round(min(sent_all), 4) if sent_all else None
+    sentinel_spread = (
+        round(max(sent_end) / min(sent_end), 3) if sent_end else None
+    )
+
+    # Sentinel-normalized comparison against the most recent recorded
+    # round: median per-query ratio over the common (inlined) queries,
+    # divided by the sentinel ratio when the previous round recorded
+    # one — separates code change from host-speed change.
+    vs_prev = None
+    try:
+        import glob
+        import statistics
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        prevs = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
+        if prevs:
+            with open(prevs[-1]) as f:
+                prev = json.load(f)
+            # the driver's BENCH_r{N}.json wraps the stdout line under
+            # "parsed"; a raw bench.py line has "queries" at top level
+            if isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
+            pq = prev.get("queries") or {}
+            ratios = [
+                timings[k] / pq[k]
+                for k in timings
+                if k in pq and pq[k] > 0.05 and timings[k] > 0.05
+            ]
+            if ratios:
+                med = round(statistics.median(ratios), 3)
+                ps = prev.get("sentinel_s")
+                sratio = (
+                    round(sentinel_s / ps, 3)
+                    if (ps and sentinel_s) else None
+                )
+                vs_prev = {
+                    "prev": os.path.basename(prevs[-1]),
+                    "n_common": len(ratios),
+                    "median_ratio": med,
+                    "sentinel_ratio": sratio,
+                    "median_ratio_host_normalized": (
+                        round(med / sratio, 3) if sratio else None
+                    ),
+                }
+    except Exception:  # noqa: BLE001 — comparison is advisory, never fatal
+        vs_prev = None
 
     # rows/sec framing vs the reference's 180k rows/s transfer baseline:
     # transform_inline = scan 600k lineitem rows -> derive 4 columns ->
@@ -277,6 +381,8 @@ def main() -> None:
         "baseline_rows_per_sec": 180_000,
         "failures": failures,
         "shards": len(shard_meta),
+        "sentinel_s": sentinel_s,
+        "sentinel_spread": sentinel_spread,
     }
     # Full per-query detail goes to a sidecar file; the driver's stdout
     # capture keeps only the LAST 2000 chars, so the single stdout line
@@ -288,8 +394,10 @@ def main() -> None:
         with open(detail_path, "w") as f:
             # per-rep wall times let a drift audit separate JIT/GC
             # noise (rep spread) from real regressions (min moved)
-            json.dump(dict(out, reps=reps_detail, shard_meta=shard_meta), f,
-                      indent=1, sort_keys=True)
+            json.dump(
+                dict(out, reps=reps_detail, shard_meta=shard_meta, vs_prev=vs_prev),
+                f, indent=1, sort_keys=True,
+            )
     except OSError:
         detail_path = None
     line = dict(out, detail_file="BENCH_DETAIL.json" if detail_path else None)
