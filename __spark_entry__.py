@@ -25,22 +25,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-green at least once (cumulative 221/221). Round 9's window:
 # (a) the 1 query whose semantics changed this round (containment_dups
 # gained the asymmetric union candidate generator and a discriminative
-# 0.8 threshold — the round-8 verdict's top fix), (b) the 7 queries
+# 0.8 threshold — the round-8 verdict's top fix), (b) the 8 queries
 # ADDED in round 9 (containment recall audit, 3-stage residual-PQ
 # serving + recall rows, unigram-LM tokenizer train/encode/compare,
-# stdlib PNG decode — each oracle-matched locally at sf0.001 before
-# registration), then (c) 42 re-validations of the OLDEST driver
+# stdlib PNG decode, leakage-safe split — each oracle-matched locally
+# at sf0.001 before registration), then (c) 41 re-validations of the
+# OLDEST driver
 # greens: all 28 r4-vintage rows (their last check predates five
-# rounds of refactoring) plus the 14 most-refactored r5 rows (the
+# rounds of refactoring) plus the 13 most-refactored r5 rows (the
 # similarity/dedup tier round 8-9 touched heavily). The remaining r5
 # rows lead the below-cut order for round 10.
 _PRIORITY = [
     # --- (a) semantics changed in round 9 (1) ---
     "containment_dups",
-    # --- (b) NEW in round 9 (7) ---
+    # --- (b) NEW in round 9 (8) ---
     "containment_recall_audit", "ann_rpq3_rerank_topk",
     "ann_recall_rpq3_rerank", "unigram_train_vocab",
     "unigram_encode_docs", "tokenizer_compare", "multimodal_decode_png",
+    "leakage_safe_split_docs",
     # --- (c1) r4-vintage re-validation (28) ---
     "q10_returned_revenue", "q1_pricing_summary", "q3_shipping_priority",
     "range_pairs_events", "revenue_by_nation", "rollup_status_priority",
@@ -52,16 +54,16 @@ _PRIORITY = [
     "transform_script", "upsert_documents", "validate_events",
     "window_lag_lead", "window_rank_stats", "window_running_total",
     "window_time_range", "window_top_order_per_cust",
-    # --- (c2) most-refactored r5-vintage re-validation (14) ---
+    # --- (c2) most-refactored r5-vintage re-validation (13) ---
     "ann_recall_rpq", "ann_recall_rpq_rerank", "semantic_dup_pairs",
     "semantic_dedup_survivors", "curation_pipeline", "fuzzy_decontam",
     "minhash_signatures", "dedup_clusters", "dedup_survivors",
     "dedup_incremental", "simhash_docs", "simhash_near_dups",
-    "embedding_near_dups", "kmeans_refine_step",
+    "embedding_near_dups",
     # --- below the 50-cut: the remaining r5-vintage rows lead (round
     # 10's rotation), then the round-8 window order is preserved so a
     # larger sample still hits recent material first ---
-    "ann_batch_topk", "ann_brute_topk", "ann_indexed_topk",
+    "kmeans_refine_step", "ann_batch_topk", "ann_brute_topk", "ann_indexed_topk",
     "ann_ivf_pq_topk", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_pq_rerank_topk", "ann_pq_topk",
     "ann_recall_ivf", "ann_recall_multiprobe", "ann_rpq_rerank_topk",

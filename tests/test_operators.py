@@ -935,6 +935,108 @@ def test_kmv_overlap_underfull_returns_exact_counts(spark):
     assert abs(row["jaccard_est"] - 10 / 50) < 1e-9
 
 
+def test_unigram_train_encode_matches_python_reference(spark):
+    """Property check: distributed unigram-LM hard-EM training AND the
+    Viterbi encode equal an independent single-machine reference —
+    same seed vocabulary, same integer micro-unit costs, same DP
+    tie-breaks (cost asc, longest last piece) — on random corpora."""
+    import collections
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.tokenizer import (
+        UNI_MAXLEN,
+        UNI_MAXPIECE,
+        UNI_UNK,
+        UNI_VOCAB,
+        unigram_train,
+        unigram_train_encode,
+    )
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=8)
+    micro = lambda x: math.floor(x + 0.5)  # noqa: E731
+
+    def ref_state(texts, n_iters=2):
+        wf = collections.Counter(
+            w for t in texts for w in t.split() if w and len(w) <= UNI_MAXLEN
+        )
+        sub = collections.Counter()
+        for w, c in wf.items():
+            for ln in range(1, min(UNI_MAXPIECE, len(w)) + 1):
+                for i in range(len(w) - ln + 1):
+                    sub[w[i : i + ln]] += c
+        vocab = {p: f for p, f in sub.items() if len(p) == 1}
+        vocab.update(
+            dict(
+                sorted(
+                    ((p, f) for p, f in sub.items() if len(p) > 1),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[:UNI_VOCAB]
+            )
+        )
+        nv = len(vocab)
+        tot = sum(vocab.values())
+        costs = {p: micro(1e6 * math.log10(tot / f)) for p, f in vocab.items()}
+
+        def viterbi(w):
+            dp = [(0, [])]
+            for i in range(1, len(w) + 1):
+                cands = []
+                for ln in range(1, min(UNI_MAXPIECE, i) + 1):
+                    piece = w[i - ln : i]
+                    c = costs.get(piece, UNI_UNK * ln)
+                    cands.append((dp[i - ln][0] + c, -ln, dp[i - ln][1] + [piece]))
+                best = min(cands)
+                dp.append((best[0], best[2]))
+            return dp[-1][1]
+
+        usage = collections.Counter()
+        for _ in range(n_iters):
+            usage = collections.Counter()
+            for w, c in wf.items():
+                for p in viterbi(w):
+                    usage[p] += c
+            total = sum(usage.values())
+            costs = {
+                p: micro(1e6 * math.log10((total + nv) / (usage.get(p, 0) + 1)))
+                for p in vocab
+            }
+        rows = sorted(
+            ((p, usage.get(p, 0), costs[p]) for p in vocab),
+            key=lambda r: (-r[1], r[0]),
+        )
+        return rows, viterbi
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=5), min_size=1, max_size=6))
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        want_rows, viterbi = ref_state(texts)
+        got = [
+            tuple(r)
+            for r in unigram_train(df).toPandas().itertuples(index=False, name=None)
+        ]
+        assert got == want_rows
+        enc = {
+            r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+            for r in unigram_train_encode(df).collect()
+        }
+        for i, t in enumerate(texts):
+            toks = [
+                p
+                for w in t.split()
+                if w and len(w) <= UNI_MAXLEN
+                for p in viterbi(w)
+            ]
+            assert enc[i] == (len(toks), toks), f"doc {i}: {enc[i]} != {toks}"
+
+    check()
+
+
 def test_bpe_encode_matches_python_reference(spark):
     """bpe_encode applied after bpe_train reproduces the classic
     single-machine encode (train merges -> greedy left-to-right fold
@@ -1741,6 +1843,43 @@ def test_ngram_containment_subset_vs_jaccard(spark):
     # Jaccard on the same pair stays below the containment threshold
     jac = dedup.ngram_jaccard(df, cands, threshold=0.0).collect()[0]
     assert jac["ngram_jaccard"] < 0.5
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    """Planted verbatim copies must land in the SAME split (the
+    fingerprint key), and the id-hash alternative provably leaks on
+    the same corpus — the defensibility contrast for the operator."""
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.functions.hashing import hash64_col, hash128_col
+    from tinyetl_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    rows = {r["split"]: r for r in text.leakage_safe_split(corpus).collect()}
+    assert sum(r["n_docs"] for r in rows.values()) == corpus.count()
+    assert all(r["leaked_fingerprints"] == 0 for r in rows.values()), rows
+    # rough mass check: train holds the bulk
+    assert rows["train"]["n_docs"] > 0.8 * corpus.count()
+    # contrast: splitting by ID hash on the same corpus leaks verbatim
+    # copies across splits (deterministic on this fixed corpus)
+    b = hash64_col(F.col("doc_id").cast("string"), seed="split") % 100
+    id_split = (
+        F.when(b < 90, F.lit("train")).when(b < 95, F.lit("val")).otherwise(F.lit("test"))
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp_splits = corpus.select(
+        hash128_col(norm).alias("fp"), id_split.alias("split")
+    ).distinct()
+    leaked = (
+        fp_splits.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert leaked > 0, "id-hash split unexpectedly leak-free on planted dups"
 
 
 def test_containment_candidates_find_planted_short_in_long(spark):

@@ -614,7 +614,11 @@ def ngram_jaccard(
         stage_path,
         "ngram_sets",
     )
-    j = (
+    # numeric stats behind a barrier: without it Catalyst pushes the
+    # threshold filter into the join condition and re-inlines the
+    # intersect/union of ~300-gram arrays at every reference (4 array
+    # ops per pair instead of 2 — measured 3x the verify wall at sf1)
+    stats = _stage(
         candidates.join(
             gsets.withColumnRenamed("jid", "id_a").withColumnRenamed("gs", "gs_a"), "id_a"
         )
@@ -622,12 +626,16 @@ def ngram_jaccard(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.size(F.array_intersect("gs_a", "gs_b"))
-                / F.size(F.array_union("gs_a", "gs_b")).cast("double"),
-                6,
-            ).alias("ngram_jaccard"),
-        )
+            F.size(F.array_intersect("gs_a", "gs_b")).alias("_i"),
+            F.size(F.array_union("gs_a", "gs_b")).cast("double").alias("_u"),
+        ),
+        stage_path,
+        "ngram_stats",
+    )
+    j = stats.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("_i") / F.col("_u"), 6).alias("ngram_jaccard"),
     )
     return j.filter(F.col("ngram_jaccard") >= threshold).select("id_a", "id_b", "ngram_jaccard")
 
@@ -693,8 +701,14 @@ def ngram_containment(
         stage_path,
         "containment_sets",
     )
-    inter = F.size(F.array_intersect("gs_a", "gs_b")).cast("double")
-    j = (
+    # Evaluate the expensive set math ONCE per pair: without a barrier
+    # Catalyst pushes the threshold filter INTO the join condition and
+    # re-inlines array_intersect at every reference (2x in the pushed
+    # greatest(...) condition + 2x in the projection = 4 intersects of
+    # ~300-gram arrays per pair — measured 3x the whole verify wall at
+    # sf1). Projecting the three NUMBERS and cutting lineage leaves one
+    # intersect per pair and a ~40-byte row behind the barrier.
+    stats = _stage(
         candidates.join(
             gsets.withColumnRenamed("jid", "id_a").withColumnRenamed("gs", "gs_a"), "id_a"
         )
@@ -702,9 +716,18 @@ def ngram_containment(
         .select(
             "id_a",
             "id_b",
-            F.round(inter / F.size("gs_a"), 6).alias("cont_a_in_b"),
-            F.round(inter / F.size("gs_b"), 6).alias("cont_b_in_a"),
-        )
+            F.size(F.array_intersect("gs_a", "gs_b")).cast("double").alias("_i"),
+            F.size("gs_a").alias("_na"),
+            F.size("gs_b").alias("_nb"),
+        ),
+        stage_path,
+        "containment_stats",
+    )
+    j = stats.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("_i") / F.col("_na"), 6).alias("cont_a_in_b"),
+        F.round(F.col("_i") / F.col("_nb"), 6).alias("cont_b_in_a"),
     )
     return j.filter(
         F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold
@@ -769,6 +792,14 @@ def ngram_containment_sql(
 
 CONTAIN_MOD = 4     # shingle-universe sample: keep hashes ≡ 0 (mod 4)
 CONTAIN_PROBES = 4  # bottom-k sampled hashes probed per doc
+# a candidate pair must share min(CONTAIN_MIN_HITS, probe-side key
+# count) probe hashes: ONE shared 3-word shingle is weak evidence and
+# floods the verify with random collisions (measured 5x verify cost at
+# sf0.1); TWO cuts the collision rate quadratically while the exact
+# verbatim-containment recall guarantee is unchanged — a contained doc
+# matches on ALL its sampled keys, and the threshold adapts down to 1
+# for docs that only have one key
+CONTAIN_MIN_HITS = 2
 
 
 def _containment_keys(
@@ -797,9 +828,10 @@ def containment_candidates(
 ) -> DataFrame:
     """Asymmetric containment candidate pairs (id_a < id_b): doc X's
     bottom-``num_probes`` sampled shingle hashes probed against an
-    inverted index of every doc's sampled shingles. One bucket-keyed
-    shuffle; postings larger than ``max_bucket_size`` dropped (skew
-    cap, same knob as the Jaccard buckets)."""
+    inverted index of every doc's sampled shingles; a pair qualifies
+    when min(CONTAIN_MIN_HITS, probe-key count) probe hashes match.
+    One bucket-keyed shuffle; postings larger than ``max_bucket_size``
+    dropped (skew cap, same knob as the Jaccard buckets)."""
     # keys feed both the index and the probe sides — materialize so the
     # md5+shingle pass runs once, not once per consumer subtree
     keys = _containment_keys(df, text_col, id_col, mod).localCheckpoint(eager=False)
@@ -815,12 +847,18 @@ def containment_candidates(
     )
     probes = keys.select(
         F.col(id_col).alias("pid"),
+        F.least(F.lit(num_probes), F.size("keys")).alias("nk"),
         F.explode(F.slice(F.array_sort("keys"), 1, num_probes)).alias("h"),
     )
-    return (
+    hits = (
         probes.join(idx.join(ok, "h"), "h")
         .filter(F.col("iid") != F.col("pid"))
-        .select(
+        .groupBy("pid", "iid")
+        .agg(F.count("*").alias("nh"), F.min("nk").alias("nk"))
+        .filter(F.col("nh") >= F.least(F.lit(CONTAIN_MIN_HITS), F.col("nk")))
+    )
+    return (
+        hits.select(
             F.least("pid", "iid").alias("id_a"),
             F.greatest("pid", "iid").alias("id_b"),
         )
@@ -859,13 +897,17 @@ def _containment_candidates_ctes(
       HAVING count(*) >= 2 AND count(*) <= {max_bucket_size}),
     c_probes AS (
       SELECT {id_col} AS pid,
+             least({num_probes}, len(keys)) AS nk,
              unnest(list_slice(list_sort(keys), 1, {num_probes})) AS h
       FROM c_keys),
     ccand AS (
-      SELECT DISTINCT least(p.pid, i.iid) AS id_a, greatest(p.pid, i.iid) AS id_b
-      FROM c_probes p
-      JOIN c_ok o ON o.h = p.h
-      JOIN c_idx i ON i.h = p.h AND i.iid <> p.pid)
+      SELECT DISTINCT least(pid, iid) AS id_a, greatest(pid, iid) AS id_b
+      FROM (SELECT p.pid, i.iid, count(*) AS nh, min(p.nk) AS nk
+            FROM c_probes p
+            JOIN c_ok o ON o.h = p.h
+            JOIN c_idx i ON i.h = p.h AND i.iid <> p.pid
+            GROUP BY p.pid, i.iid)
+      WHERE nh >= least({CONTAIN_MIN_HITS}, nk))
     """
 
 
@@ -1002,18 +1044,25 @@ def jaccard_verify(
         stage_path,
         "word_sets",
     )
-    j = (
+    # numeric stats behind a barrier — same rationale as ngram_jaccard:
+    # keep the set ops at ONE evaluation per pair instead of letting the
+    # pushed threshold filter re-inline them into the join condition
+    stats = _stage(
         candidates.join(wsets.withColumnRenamed("jid", "id_a").withColumnRenamed("ws", "ws_a"), "id_a")
         .join(wsets.withColumnRenamed("jid", "id_b").withColumnRenamed("ws", "ws_b"), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.size(F.array_intersect("ws_a", "ws_b"))
-                / F.size(F.array_union("ws_a", "ws_b")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
+            F.size(F.array_intersect("ws_a", "ws_b")).alias("_i"),
+            F.size(F.array_union("ws_a", "ws_b")).cast("double").alias("_u"),
+        ),
+        stage_path,
+        "jaccard_stats",
+    )
+    j = stats.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("_i") / F.col("_u"), 6).alias("jaccard"),
     )
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 

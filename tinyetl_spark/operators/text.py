@@ -362,6 +362,112 @@ def hash_sample_sql(
     return f"SELECT * FROM {table} WHERE {keyed} % {buckets} < {pct}"
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (90, 5, 5),
+    salt: str = "split",
+) -> DataFrame:
+    """Group-leakage-safe train/val/test split: the split key is the
+    EXACT-DEDUP FINGERPRINT of the normalized text (hash128, the same
+    key ``exact_dedup`` groups on), not the row id — so every copy of
+    a duplicated document lands in the SAME split and a val/test
+    example can never be a verbatim copy of a training example (the
+    classic eval-contamination bug of id-hash splits on deduplicated-
+    in-name-only corpora). Splits are disjoint bucket ranges of a
+    salted hash of the fingerprint: deterministic on any engine or
+    partition layout.
+
+    Returns the per-split summary (split, n_docs, n_fingerprints,
+    leaked_fingerprints) ordered by split — ``leaked_fingerprints``
+    counts fingerprints that appear in MORE THAN ONE split and is 0 by
+    construction; the column exists so the guarantee is a measured
+    number in the output, not a docstring claim. (Near-dup-group
+    splitting is the same operator with the fingerprint swapped for
+    the connected-component cluster id from ``dedup_clusters``.)
+
+    Scale shape: one fingerprint projection at the scan, one
+    split-keyed aggregation, one fingerprint-keyed distinct for the
+    leak audit — two shuffles, both map-side combined, no windows."""
+    w_train, w_val, _w_test = weights
+    buckets = sum(weights)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    b = hash64_col(hash128_col(norm), seed=salt) % buckets
+    split = (
+        F.when(b < w_train, F.lit("train"))
+        .when(b < w_train + w_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assign = df.select(
+        F.col(id_col), hash128_col(norm).alias("fp"), split.alias("split")
+    )
+    summary = assign.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
+    )
+    fp_splits = assign.select("fp", "split").distinct()
+    multi = (
+        fp_splits.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("fp")
+    )
+    leak = (
+        fp_splits.join(multi, "fp")
+        .groupBy("split")
+        .agg(F.countDistinct("fp").cast("bigint").alias("leaked"))
+    )
+    return (
+        summary.join(leak, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_fingerprints",
+            F.coalesce(F.col("leaked"), F.lit(0).cast("bigint")).alias(
+                "leaked_fingerprints"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+def leakage_safe_split_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (90, 5, 5),
+    salt: str = "split",
+) -> str:
+    w_train, w_val, _w_test = weights
+    buckets = sum(weights)
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    fp = hash128_sql(norm)
+    b = f"({hash64_sql(fp, seed=salt)} % {buckets})"
+    return f"""
+    WITH assign AS (
+      SELECT {id_col}, {fp} AS fp,
+             CASE WHEN {b} < {w_train} THEN 'train'
+                  WHEN {b} < {w_train + w_val} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM {table}),
+    summary AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
+      FROM assign GROUP BY split),
+    fp_splits AS (SELECT DISTINCT fp, split FROM assign),
+    multi AS (
+      SELECT fp FROM fp_splits GROUP BY fp HAVING count(DISTINCT split) > 1),
+    leak AS (
+      SELECT split, CAST(count(DISTINCT fp) AS BIGINT) AS leaked
+      FROM fp_splits JOIN multi USING (fp) GROUP BY split)
+    SELECT s.split, s.n_docs, s.n_fingerprints,
+           CAST(coalesce(l.leaked, 0) AS BIGINT) AS leaked_fingerprints
+    FROM summary s LEFT JOIN leak l USING (split)
+    ORDER BY s.split
+    """
+
+
 # hash64 values lie in [0, 2^60); (h + 1) / 2^60 is a uniform in (0, 1]
 _PRI_POW2_60 = float(1 << 60)
 

@@ -3703,6 +3703,16 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("leakage_safe_split_docs", text.leakage_safe_split_sql())
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-leakage-safe 90/5/5 train/val/test split keyed on the
+    exact-dedup fingerprint (NOT the row id): verbatim copies always
+    land in the same split, so eval can't contain training text. The
+    output's leaked_fingerprints column measures the guarantee (0 by
+    construction) instead of asserting it."""
+    return text.leakage_safe_split(load(spark, sf_dir, "documents"))
+
+
 @_q("hash_sample_docs", text.hash_sample_sql(pct=10))
 def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% sample by salted id-hash — reproducible across
