@@ -23,21 +23,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # The correctness driver samples the FIRST 50 entries of queries() in
 # dict order. After round 8 every one of the 221 registered queries is
 # driver-green at least once (cumulative 221/221). Round 9's window:
-# (a) the 1 query whose semantics changed this round (containment_dups
-# gained the asymmetric union candidate generator and a discriminative
-# 0.8 threshold — the round-8 verdict's top fix), (b) the 8 queries
-# ADDED in round 9 (containment recall audit, 3-stage residual-PQ
-# serving + recall rows, unigram-LM tokenizer train/encode/compare,
-# stdlib PNG decode, leakage-safe split — each oracle-matched locally
-# at sf0.001 before registration), then (c) 41 re-validations of the
-# OLDEST driver
+# (a) the 3 queries whose code changed this round (containment_dups
+# gained the asymmetric union candidate generator + 0.8 threshold —
+# the round-8 verdict's top fix; both near_dup verifies moved to the
+# single-evaluation stats barrier), (b) the 8 queries ADDED in round 9
+# (containment recall audit, 3-stage residual-PQ serving + recall
+# rows, unigram-LM tokenizer train/encode/compare, stdlib PNG decode,
+# leakage-safe split — each oracle-matched locally at sf0.001 before
+# registration), then (c) 39 re-validations of the OLDEST driver
 # greens: all 28 r4-vintage rows (their last check predates five
-# rounds of refactoring) plus the 13 most-refactored r5 rows (the
+# rounds of refactoring) plus the 11 most-refactored r5 rows (the
 # similarity/dedup tier round 8-9 touched heavily). The remaining r5
 # rows lead the below-cut order for round 10.
 _PRIORITY = [
-    # --- (a) semantics changed in round 9 (1) ---
-    "containment_dups",
+    # --- (a) code changed in round 9 (3): containment_dups got the
+    # union candidate generator + 0.8 threshold; the two near_dup
+    # verifies were rebuilt on the single-evaluation stats barrier
+    # (values provably identical — parity green — but changed code
+    # gets driver re-checked on principle) ---
+    "containment_dups", "near_dup_jaccard", "near_dup_ngram",
     # --- (b) NEW in round 9 (8) ---
     "containment_recall_audit", "ann_rpq3_rerank_topk",
     "ann_recall_rpq3_rerank", "unigram_train_vocab",
@@ -54,16 +58,15 @@ _PRIORITY = [
     "transform_script", "upsert_documents", "validate_events",
     "window_lag_lead", "window_rank_stats", "window_running_total",
     "window_time_range", "window_top_order_per_cust",
-    # --- (c2) most-refactored r5-vintage re-validation (13) ---
+    # --- (c2) most-refactored r5-vintage re-validation (11) ---
     "ann_recall_rpq", "ann_recall_rpq_rerank", "semantic_dup_pairs",
     "semantic_dedup_survivors", "curation_pipeline", "fuzzy_decontam",
     "minhash_signatures", "dedup_clusters", "dedup_survivors",
-    "dedup_incremental", "simhash_docs", "simhash_near_dups",
-    "embedding_near_dups",
+    "dedup_incremental", "simhash_near_dups",
     # --- below the 50-cut: the remaining r5-vintage rows lead (round
     # 10's rotation), then the round-8 window order is preserved so a
     # larger sample still hits recent material first ---
-    "kmeans_refine_step", "ann_batch_topk", "ann_brute_topk", "ann_indexed_topk",
+    "simhash_docs", "embedding_near_dups", "kmeans_refine_step", "ann_batch_topk", "ann_brute_topk", "ann_indexed_topk",
     "ann_ivf_pq_topk", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_pq_rerank_topk", "ann_pq_topk",
     "ann_recall_ivf", "ann_recall_multiprobe", "ann_rpq_rerank_topk",
@@ -79,8 +82,8 @@ _PRIORITY = [
     "q13_customer_distribution", "ql_search_docs", "hybrid_search_docs",
     "vocab_growth_curve", "retrieval_ndcg", "pmi_collocations",
     "priority_sample_docs", "dedup_recall_audit", "margin_mine_pairs",
-    "hist_quantiles_prices", "minhash_candidates", "near_dup_jaccard",
-    "near_dup_ngram", "hard_negatives_bm25", "ngram_diversity_sources",
+    "hist_quantiles_prices", "minhash_candidates",
+    "hard_negatives_bm25", "ngram_diversity_sources",
     "zipf_slope_sources", "rm3_expanded_search", "embedding_norms", "lang_id",
     "text_quality", "tfidf_top_terms", "token_stats", "dedup_exact",
     "doc_fingerprint", "above_avg_balance", "anti_join_customers",
