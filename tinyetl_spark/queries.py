@@ -58,6 +58,12 @@ _RUNTIME_CONFS = {
     # Timestamp→string formatting (date_format) follows the session
     # timezone; oracles (DuckDB) format wall-clock-free, so pin UTC.
     "spark.sql.session.timeZone": "UTC",
+    # collect_list/collect_set groupBys fall back to sort-based
+    # aggregation after 128 groups/partition by default — with AQE
+    # coalescing that serializes millions of array rows in one task
+    # (measured 8 s -> 220 s on the tokenizer encode reassembly). Keep
+    # the hash path for any realistic group count; see session.py.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "262144",
 }
 
 

@@ -31,6 +31,17 @@ _DEFAULTS = {
     # Parquet scans: keep row-group pruning + vectorized reader on.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # ObjectHashAggregate (collect_list/collect_set groupBys — the
+    # tokenizer encode reassembly, listagg, the dedup bucket builds)
+    # falls back to SORT-based aggregation after only 128 distinct
+    # groups per partition by default; when AQE has coalesced the
+    # shuffle to a couple of partitions, that sort serializes millions
+    # of array rows in one task (measured: an 8 s encode stage
+    # stalling to 150-220 s, 165 fallback events in one run). 256k
+    # groups per partition hash comfortably in executor memory at our
+    # partition sizing; a 100 TB run keeps the same setting and sizes
+    # partitions so per-partition group counts stay below it.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "262144",
     # TIMESTAMP(NANOS) parquet columns (the events table): Spark <= 4.0
     # reads them as long under this conf; Spark 4.1+ ignores it and
     # reads TIMESTAMP_NTZ natively. Harmless where ignored — loaders
