@@ -1785,10 +1785,13 @@ def test_margin_mine_nonvacuous_and_margin_math(spark):
     mean of the top-k is <= best — whenever best and the mean are both
     positive the ratio margin must be >= 1."""
     from tests.conftest import SF_DIR
-    from tinyetl_spark.operators.similarity import margin_mine
-    from tinyetl_spark.queries import load
+    from tinyetl_spark.queries import QUERIES
 
-    rows = margin_mine(load(spark, SF_DIR, "embeddings")).collect()
+    # the REGISTERED query (every=2/bits=4, the small-scale tuning) is
+    # what the non-vacuity pin covers; the library defaults are
+    # deliberately scale-safe (8/6, round-8 ADVICE) and yield fewer
+    # pairs on 500 test vectors
+    rows = QUERIES["margin_mine_pairs"](spark, SF_DIR).collect()
     assert len(rows) >= 20, f"vacuous: only {len(rows)} mined pairs at {SF_DIR}"
     for r in rows:
         # margin>0 with best>0 implies mean>0; mean<=best forces >=1
