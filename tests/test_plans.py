@@ -276,10 +276,25 @@ def test_pack_sequences_window_is_bucket_partitioned(spark):
 
 def test_fuzzy_decontam_broadcasts_heldout(spark):
     """The held-out bands must be the broadcast side everywhere — the
-    training corpus is probed in place, never shuffled for the match."""
+    training corpus is probed in place, never shuffled for the match.
+    Since the round-9 barrier refactor the verify's visible plan ends
+    at a numeric-stats Scan, so the broadcast contract is pinned on
+    the candidate subtree (the exact DataFrame fuzzy_decontam feeds to
+    the verify) plus a no-regression check on the final plan."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators import dedup
+    from tinyetl_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")
+    cand = dedup.fuzzy_decontam_candidates(docs, F.col("doc_id") % 10 == 0)
+    cp = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in cp
+    assert "SortMergeJoin" not in cp
     p = plan_of(spark, "fuzzy_decontam")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p.split("jaccard")[0]  # band join side
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p.split("jaccard")[0]
 
 
 def test_pq_encode_pure_codegen(spark):

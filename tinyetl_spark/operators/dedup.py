@@ -1427,6 +1427,22 @@ def fuzzy_decontam(
     ``heldout_pred``: boolean Column marking held-out docs. Emits
     (id_a = flagged training doc, id_b = matched held-out doc,
     jaccard)."""
+    cand = fuzzy_decontam_candidates(df, heldout_pred, text_col, id_col, num_perm, bands)
+    return jaccard_verify(df, cand, text_col, id_col, threshold)
+
+
+def fuzzy_decontam_candidates(
+    df: DataFrame,
+    heldout_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+) -> DataFrame:
+    """The candidate stage of :func:`fuzzy_decontam`, exposed so the
+    plan tests can pin the broadcast contract directly (the verify
+    above it ends at a numeric-stats barrier, which truncates the
+    visible plan)."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm)
     b = lsh_bands(sigs, id_col, num_perm, bands)
     held_ids = df.filter(heldout_pred).select(F.col(id_col).alias("_hid"))
@@ -1435,12 +1451,11 @@ def fuzzy_decontam(
         b.join(F.broadcast(held_ids), b[id_col] == F.col("_hid"), "left_semi")
         .withColumnRenamed(id_col, "_held_id")
     )
-    cand = (
+    return (
         tb.join(F.broadcast(hb), ["band_idx", "band_hash"])
         .select(F.col(id_col).alias("id_a"), F.col("_held_id").alias("id_b"))
         .distinct()
     )
-    return jaccard_verify(df, cand, text_col, id_col, threshold)
 
 
 def fuzzy_decontam_sql(
