@@ -1037,6 +1037,122 @@ def test_unigram_train_encode_matches_python_reference(spark):
     check()
 
 
+def test_unigram_prune_matches_python_reference(spark):
+    """Property check: the likelihood-loss pruning trainer equals an
+    independent single-machine reference — oversized seed, EM, then
+    stepwise drops of the lowest-loss multi-char pieces (loss =
+    usage x (self-resegmentation cost - own cost), self excluded from
+    the alt DP) with one EM re-fit per step."""
+    import collections
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.tokenizer import (
+        UNI_MAXLEN,
+        UNI_MAXPIECE,
+        UNI_PRUNE_STEPS,
+        UNI_SEED_VOCAB,
+        UNI_UNK,
+        UNI_VOCAB,
+        _uni_prune_plan,
+        unigram_prune_train,
+    )
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=8)
+    micro = lambda x: math.floor(x + 0.5)  # noqa: E731
+
+    def ref_rows(texts, n_iters=2):
+        wf = collections.Counter(
+            w for t in texts for w in t.split() if w and len(w) <= UNI_MAXLEN
+        )
+        sub = collections.Counter()
+        for w, c in wf.items():
+            for ln in range(1, min(UNI_MAXPIECE, len(w)) + 1):
+                for i in range(len(w) - ln + 1):
+                    sub[w[i : i + ln]] += c
+        vocab = {p: f for p, f in sub.items() if len(p) == 1}
+        vocab.update(
+            dict(
+                sorted(
+                    ((p, f) for p, f in sub.items() if len(p) > 1),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[:UNI_SEED_VOCAB]
+            )
+        )
+        tot = sum(vocab.values())
+        costs = {p: micro(1e6 * math.log10(tot / f)) for p, f in vocab.items()}
+
+        def vit_cost(s, exclude=None):
+            dp = [0] * (len(s) + 1)
+            for i in range(1, len(s) + 1):
+                cands = []
+                for ln in range(1, min(UNI_MAXPIECE, i) + 1):
+                    piece = s[i - ln : i]
+                    c = costs.get(piece) if piece != exclude else None
+                    cands.append(dp[i - ln] + (c if c is not None else UNI_UNK * ln))
+                dp[i] = min(cands)
+            return dp[-1]
+
+        def vit_toks(w):
+            dp = [(0, [])]
+            for i in range(1, len(w) + 1):
+                cands = []
+                for ln in range(1, min(UNI_MAXPIECE, i) + 1):
+                    piece = w[i - ln : i]
+                    c = costs.get(piece, UNI_UNK * ln)
+                    cands.append((dp[i - ln][0] + c, -ln, dp[i - ln][1] + [piece]))
+                best = min(cands)
+                dp.append((best[0], best[2]))
+            return dp[-1][1]
+
+        def em_iter():
+            usage = collections.Counter()
+            for w, c in wf.items():
+                for p in vit_toks(w):
+                    usage[p] += c
+            total = sum(usage.values())
+            nv = len(costs)
+            return usage, {
+                p: micro(1e6 * math.log10((total + nv) / (usage.get(p, 0) + 1)))
+                for p in costs
+            }
+
+        usage = collections.Counter()
+        for _ in range(n_iters):
+            usage, costs = em_iter()
+        for keep in _uni_prune_plan(UNI_SEED_VOCAB, UNI_VOCAB, UNI_PRUNE_STEPS):
+            multi = [p for p in costs if len(p) > 1]
+            losses = sorted(
+                (usage.get(p, 0) * (vit_cost(p, exclude=p) - costs[p]), p)
+                for p in multi
+            )
+            drop = {p for _, p in losses[: max(0, len(multi) - keep)]}
+            costs = {p: c for p, c in costs.items() if p not in drop}
+            usage, costs = em_iter()
+        return sorted(
+            ((p, usage.get(p, 0), costs[p]) for p in costs),
+            key=lambda r: (-r[1], r[0]),
+        )
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=5), min_size=1, max_size=6))
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [
+            tuple(r)
+            for r in unigram_prune_train(df)
+            .toPandas()
+            .itertuples(index=False, name=None)
+        ]
+        assert got == ref_rows(texts)
+
+    check()
+
+
 def test_bpe_encode_matches_python_reference(spark):
     """bpe_encode applied after bpe_train reproduces the classic
     single-machine encode (train merges -> greedy left-to-right fold

@@ -1019,13 +1019,40 @@ def test_unigram_encode_dictionary_join_no_python(spark):
 
 
 def test_tokenizer_compare_staged_scalar_aggs(spark):
-    """The BPE-vs-unigram comparison reads both STAGED encode tables
-    (no re-train in this plan) and reduces them to scalar aggregates;
-    the only joins are the 1-row broadcast crosses."""
+    """The BPE-vs-unigram-vs-pruned comparison reads all three STAGED
+    encode tables (no re-train in this plan) and reduces them to scalar
+    aggregates; the only joins are the 1-row broadcast crosses."""
     p = plan_of(spark, "tokenizer_compare")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
-    assert p.count("BroadcastNestedLoopJoin") <= 2  # 1-row metric crosses
+    assert p.count("BroadcastNestedLoopJoin") <= 3  # 1-row metric crosses
+
+
+def test_unigram_prune_encode_dictionary_join_no_python(spark):
+    """The pruned-tokenizer encode keeps the dictionary-join shape:
+    in-row Viterbi fold, word→tokens dictionary equi-joined (broadcast)
+    into the exploded corpus; the prune decisions ran before this plan
+    (vocabulary-sized driver arithmetic). Pinned on the BUILD plan —
+    the staged artifact itself is just a parquet scan."""
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators import tokenizer
+    from tinyetl_spark.queries import load
+
+    df = tokenizer.unigram_prune_encode(load(spark, SF_DIR, "documents"))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # dictionary broadcast-joins the corpus
+
+
+def test_tokenized_corpus_is_staged_scan(spark):
+    """The canonical token-stream artifact is a parquet scan of the
+    staged encode — the write-once/read-many contract: no joins, no
+    Python, no re-train in the consuming plan."""
+    p = plan_of(spark, "tokenized_corpus")
+    assert "unigram_encoded" in p  # reads the staged table
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
 def test_rpq3_rerank_staged_codes_takeordered_no_python(spark):

@@ -476,6 +476,8 @@ UNI_MAXPIECE = 4     # max piece length
 UNI_VOCAB = 32       # multi-char seed pieces kept (alphabet always kept)
 UNI_EM_ITERS = 2     # hard-EM iterations
 UNI_UNK = 10_000_000  # per-char cost of an out-of-vocabulary character
+UNI_SEED_VOCAB = 64  # pruning trainer: oversized multi-char seed …
+UNI_PRUNE_STEPS = 2  # … pruned stepwise (64 -> 48 -> 32) to UNI_VOCAB
 
 
 def _micro(x: float) -> int:
@@ -491,10 +493,10 @@ def _uni_word_freq(df: DataFrame, text_col: str) -> DataFrame:
     return word_freq(df, text_col).filter(F.length("word") <= UNI_MAXLEN)
 
 
-def _uni_seed_rows(wf: DataFrame) -> list[tuple[str, int]]:
+def _uni_seed_rows(wf: DataFrame, n_multi: int = UNI_VOCAB) -> list[tuple[str, int]]:
     """Seed vocabulary (piece, freq): every substring of length
     1..UNI_MAXPIECE weighted by word frequency; ALL single chars (the
-    alphabet — guarantees every word segments) plus the top UNI_VOCAB
+    alphabet — guarantees every word segments) plus the top ``n_multi``
     multi-char pieces by (freq desc, piece asc). Driver-side result is
     vocabulary-sized by construction."""
     word = F.col("word")
@@ -516,7 +518,7 @@ def _uni_seed_rows(wf: DataFrame) -> list[tuple[str, int]]:
     multi = (
         freq.filter(F.length("piece") > 1)
         .orderBy(F.desc("freq"), F.asc("piece"))
-        .limit(UNI_VOCAB)
+        .limit(n_multi)
     )
     return [
         (r["piece"], int(r["freq"]))
@@ -576,6 +578,35 @@ def _cost_map_lit(costs: dict[str, int]):
     return F.create_map(*flat)
 
 
+def _uni_em_iter(
+    wf: DataFrame, costs: dict[str, int], vocab: list[str]
+) -> tuple[dict[str, int], dict[str, int]]:
+    """One hard-EM iteration: (E) Viterbi-segment the word dictionary
+    under ``costs``, collect vocabulary-sized usage counts; (M)
+    re-estimate add-one-smoothed integer micro-costs over ``vocab``.
+    Returns (usage, new costs) — the only driver traffic is the <=|V|
+    usage rows."""
+    import math
+
+    seg = wf.select(
+        "wcount", _viterbi_toks(F.col("word"), _cost_map_lit(costs)).alias("toks")
+    )
+    rows = (
+        seg.select(F.col("wcount"), F.explode("toks").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcount").cast("bigint").alias("usage"))
+        .collect()
+    )
+    usage = {r["piece"]: int(r["usage"]) for r in rows}
+    total = sum(usage.values())
+    nv = len(vocab)
+    new_costs = {
+        p: _micro(1e6 * math.log10((total + nv) / (usage.get(p, 0) + 1)))
+        for p in vocab
+    }
+    return usage, new_costs
+
+
 def _uni_train_state(
     df: DataFrame, text_col: str, n_iters: int
 ) -> tuple[dict[str, int], dict[str, int], DataFrame]:
@@ -586,28 +617,13 @@ def _uni_train_state(
     wf = _uni_word_freq(df, text_col).localCheckpoint()
     seed = _uni_seed_rows(wf)
     vocab = [p for p, _ in seed]
-    nv = len(vocab)
     import math
 
     tot = sum(f for _, f in seed)
     costs = {p: _micro(1e6 * math.log10(tot / f)) for p, f in seed}
     usage: dict[str, int] = {}
     for _ in range(n_iters):
-        seg = wf.select(
-            "wcount", _viterbi_toks(F.col("word"), _cost_map_lit(costs)).alias("toks")
-        )
-        rows = (
-            seg.select(F.col("wcount"), F.explode("toks").alias("piece"))
-            .groupBy("piece")
-            .agg(F.sum("wcount").cast("bigint").alias("usage"))
-            .collect()
-        )
-        usage = {r["piece"]: int(r["usage"]) for r in rows}
-        total = sum(usage.values())
-        costs = {
-            p: _micro(1e6 * math.log10((total + nv) / (usage.get(p, 0) + 1)))
-            for p in vocab
-        }
+        usage, costs = _uni_em_iter(wf, costs, vocab)
     return costs, usage, wf
 
 
@@ -653,6 +669,167 @@ def unigram_train_encode(
     # is the distinct-word table: broadcast it explicitly; a 100 TB run
     # whose dictionary outgrows the broadcast budget flips this to a
     # bucketed join on word (same swap point as bpe_train_encode).
+    joined = words.join(F.broadcast(vocab_seg), "word").select(id_col, "_p", "s")
+    toks = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "s"))),
+            lambda e: e["s"],
+        )
+    )
+    grouped = joined.groupBy(id_col).agg(toks.alias("tokens"))
+    empty = F.expr("CAST(array() AS array<string>)")
+    return (
+        df.select(id_col)
+        .join(grouped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.size("tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("tokens"), empty).alias("tokens"),
+        )
+    )
+
+
+# ---------------------------------------- unigram-LM vocabulary pruning
+#
+# The missing half of Kudo 2018 (SentencePiece's actual shape): seed an
+# OVERSIZED substring vocabulary, run EM, then repeatedly drop the
+# pieces whose removal costs the corpus likelihood least, re-fitting
+# after each drop. The hard-EM loss of removing piece p is
+#
+#     loss(p) = usage(p) * (altcost(p) - cost(p))
+#
+# where altcost(p) is the Viterbi cost of segmenting the STRING p
+# without using p itself — exact under hard-EM's one-best semantics,
+# because every occurrence of p in the one-best segmentation would be
+# replaced by p's own best self-segmentation (any piece that could
+# cover p's span other than p is a proper substring of p, so the
+# replacement is local). Pieces the E-step never used (usage 0) have
+# loss 0 and go first; the alphabet is never prunable (it guarantees
+# coverage).
+#
+# Scale shape: identical to the fixed-vocab trainer — the corpus is
+# touched once (word-freq groupBy, checkpointed); each EM iteration is
+# one dictionary-sized Viterbi pass + a <=|V|-row collect; the prune
+# decision itself is VOCABULARY-sized driver arithmetic (altcost runs
+# a <=UNI_MAXPIECE-char DP per candidate piece, in Python, on <=
+# UNI_SEED_VOCAB strings). Step schedule: |multi| shrinks linearly
+# UNI_SEED_VOCAB -> UNI_VOCAB over UNI_PRUNE_STEPS steps, one EM
+# iteration after each drop so survivors re-absorb the freed usage.
+
+
+def _py_viterbi_cost(s: str, costs: dict[str, int], exclude: str | None = None) -> int:
+    """Driver-side min-cost segmentation of a short string under the
+    integer cost table — same recurrence as :func:`_viterbi_toks`
+    (missing piece = UNI_UNK per char), with ``exclude`` treated as
+    out-of-vocabulary (the self-exclusion the prune loss needs). Only
+    the cost is needed, so ties don't matter."""
+    n = len(s)
+    dp = [0] * (n + 1)
+    for i in range(1, n + 1):
+        best = None
+        for ln in range(1, min(UNI_MAXPIECE, i) + 1):
+            piece = s[i - ln : i]
+            c = costs.get(piece) if piece != exclude else None
+            if c is None:
+                c = UNI_UNK * ln
+            v = dp[i - ln] + c
+            if best is None or v < best:
+                best = v
+        dp[i] = best
+    return dp[n]
+
+
+def _uni_prune_plan(n_multi: int, target: int, steps: int) -> list[int]:
+    """Per-step keep targets: |multi| shrinks linearly to ``target``
+    (64 -> 48 -> 32 at the defaults). Shared with the SQL twin so both
+    engines drop identical counts."""
+    return [
+        target + (n_multi - target) * (steps - s) // steps
+        for s in range(1, steps + 1)
+    ]
+
+
+def _uni_prune_state(
+    df: DataFrame,
+    text_col: str,
+    n_iters: int = UNI_EM_ITERS,
+    seed_multi: int = UNI_SEED_VOCAB,
+    target: int = UNI_VOCAB,
+    steps: int = UNI_PRUNE_STEPS,
+) -> tuple[dict[str, int], dict[str, int], DataFrame]:
+    """Seed oversized, EM, then ``steps`` x (drop lowest-loss multi-char
+    pieces to the step's keep target, one EM re-fit). Returns (final
+    costs, final-E-step usage, checkpointed word-freq table)."""
+    import math
+
+    wf = _uni_word_freq(df, text_col).localCheckpoint()
+    seed = _uni_seed_rows(wf, n_multi=seed_multi)
+    vocab = [p for p, _ in seed]
+    tot = sum(f for _, f in seed)
+    costs = {p: _micro(1e6 * math.log10(tot / f)) for p, f in seed}
+    usage: dict[str, int] = {}
+    for _ in range(n_iters):
+        usage, costs = _uni_em_iter(wf, costs, vocab)
+    keeps = _uni_prune_plan(seed_multi, target, steps)
+    for keep in keeps:
+        multi = [p for p in vocab if len(p) > 1]
+        losses = sorted(
+            (
+                usage.get(p, 0) * (_py_viterbi_cost(p, costs, exclude=p) - costs[p]),
+                p,
+            )
+            for p in multi
+        )
+        drop_k = max(0, len(multi) - keep)
+        dropped = {p for _, p in losses[:drop_k]}
+        vocab = [p for p in vocab if p not in dropped]
+        costs = {p: c for p, c in costs.items() if p not in dropped}
+        usage, costs = _uni_em_iter(wf, costs, vocab)
+    return costs, usage, wf
+
+
+def unigram_prune_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_iters: int = UNI_EM_ITERS,
+    seed_multi: int = UNI_SEED_VOCAB,
+    target: int = UNI_VOCAB,
+    steps: int = UNI_PRUNE_STEPS,
+) -> DataFrame:
+    """Likelihood-pruned unigram-LM vocabulary — same output contract
+    as :func:`unigram_train` (piece, usage, cost_micro) so the two
+    trainers compare row-for-row, but the multi-char pieces are the
+    SURVIVORS of the loss-ranked prune, not the raw frequency top-K."""
+    costs, usage, _ = _uni_prune_state(df, text_col, n_iters, seed_multi, target, steps)
+    rows = [(p, int(usage.get(p, 0)), int(costs[p])) for p in sorted(costs)]
+    out = df.sparkSession.createDataFrame(
+        rows, "piece string, usage bigint, cost_micro bigint"
+    )
+    return out.orderBy(F.desc("usage"), F.asc("piece"))
+
+
+def unigram_prune_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_iters: int = UNI_EM_ITERS,
+    seed_multi: int = UNI_SEED_VOCAB,
+    target: int = UNI_VOCAB,
+    steps: int = UNI_PRUNE_STEPS,
+) -> DataFrame:
+    """Prune-train, then Viterbi-encode the corpus under the final
+    pruned costs — the dictionary-join encode shape shared with
+    :func:`unigram_train_encode` (distinct words segment once, corpus
+    pays one equi-join)."""
+    costs, _, wf = _uni_prune_state(df, text_col, n_iters, seed_multi, target, steps)
+    vocab_seg = wf.select(
+        "word", _viterbi_toks(F.col("word"), _cost_map_lit(costs)).alias("s")
+    )
+    words = df.select(
+        F.col(id_col), F.posexplode(words_col(text_col)).alias("_p", "word")
+    ).filter((F.length("word") > 0) & (F.length("word") <= UNI_MAXLEN))
+    # same no-stats broadcast rationale as unigram_train_encode: the
+    # dictionary sits behind the wf checkpoint (see that docstring)
     joined = words.join(F.broadcast(vocab_seg), "word").select(id_col, "_p", "s")
     toks = F.flatten(
         F.transform(
@@ -721,10 +898,13 @@ def _uni_viterbi_ctes(tag: str, src: str, cost_cte: str) -> str:
     return edges + "," + ",".join(rounds) + "," + seg
 
 
-def _uni_train_ctes(table: str, text_col: str, n_iters: int) -> str:
+def _uni_train_ctes(
+    table: str, text_col: str, n_iters: int, n_multi: int = UNI_VOCAB
+) -> str:
     """Shared WITH-body: word dictionary, seed vocabulary + costs, and
     ``n_iters`` unrolled EM iterations ending in ucnt_{{T}} /
-    ucost_{{T}}."""
+    ucost_{{T}}. ``n_multi`` sizes the multi-char seed (the prune
+    trainer seeds oversized)."""
     w = words_sql(text_col)
     head = f"""
     uwf AS MATERIALIZED (
@@ -746,7 +926,7 @@ def _uni_train_ctes(table: str, text_col: str, n_iters: int) -> str:
       UNION ALL
       SELECT piece, freq FROM (
         SELECT piece, freq FROM useed WHERE length(piece) > 1
-        ORDER BY freq DESC, piece ASC LIMIT {UNI_VOCAB})),
+        ORDER BY freq DESC, piece ASC LIMIT {n_multi})),
     ucost_0 AS (
       SELECT piece,
              CAST(floor(1e6 * log10(
@@ -812,6 +992,165 @@ def unigram_train_encode_sql(
     encj AS (
       SELECT dw.{id_col}, pos, toks
       FROM dw JOIN useg_enc USING (word)),
+    uagg AS (
+      SELECT {id_col},
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+             array_to_string(flatten(list(toks ORDER BY pos)), ' ') AS tokens
+      FROM encj GROUP BY {id_col})
+    SELECT d.{id_col},
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(a.tokens, '') AS tokens
+    FROM {table} d LEFT JOIN uagg a USING ({id_col})
+    """
+
+
+def _uni_prune_step_ctes(
+    s: int, vocab_cte: str, cost_cte: str, usage_cte: str, keep: int
+) -> str:
+    """One prune step as CTEs: per-piece removal loss (alt-cost DP over
+    the <=UNI_MAXPIECE-char piece strings, self-excluded via the CASE),
+    keep the top ``keep`` multi-char pieces by (loss desc, piece desc)
+    — the exact complement of dropping the lowest (loss asc, piece asc)
+    — then ONE EM re-fit over the pruned vocabulary. Ends in
+    upvocab_{{s}} / upcnt_{{s}} / upcost_{{s}}."""
+    alt_rounds = []
+    for r in range(1, UNI_MAXPIECE + 1):
+        alt_rounds.append(f"""
+    upalt_{s}_{r} AS (
+      SELECT word, i, min(cost) AS cost FROM (
+        SELECT word, i, cost FROM upalt_{s}_{r - 1}
+        UNION ALL
+        SELECT e.word, e.i, d.cost + e.ecost AS cost
+        FROM upalt_{s}_e e
+        JOIN upalt_{s}_{r - 1} d ON d.word = e.word AND d.i = e.j
+        WHERE e.j = {r - 1}
+      ) GROUP BY word, i)""")
+    em = _uni_viterbi_ctes(f"p{s}", "uwf", f"upc_{s}")
+    return f"""
+    upmp_{s} AS (SELECT piece FROM {vocab_cte} WHERE length(piece) > 1),
+    upalt_{s}_e AS (
+      SELECT s.word, s.i, s.j,
+             coalesce(CASE WHEN s.piece <> s.word THEN c.cost END,
+                      {UNI_UNK} * (s.i - s.j)) AS ecost
+      FROM (SELECT word, u.i AS i, u.j AS j,
+                   substr(word, CAST(u.j AS INT) + 1, CAST(u.i - u.j AS INT)) AS piece
+            FROM (SELECT piece AS word,
+                         unnest(flatten(list_transform(range(1, length(piece) + 1),
+                           i -> list_transform(range(1, least({UNI_MAXPIECE}, i) + 1),
+                                l -> {{'i': i, 'j': i - l}})))) AS u
+                  FROM upmp_{s})) s
+      LEFT JOIN {cost_cte} c ON c.piece = s.piece),
+    upalt_{s}_0 AS (
+      SELECT piece AS word, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cost
+      FROM upmp_{s}),{",".join(alt_rounds)},
+    upalt_{s} AS (
+      SELECT word AS piece, cost AS alt_cost FROM upalt_{s}_{UNI_MAXPIECE}
+      WHERE i = length(word)),
+    uploss_{s} AS (
+      SELECT v.piece,
+             CAST(coalesce(u.usage, 0) AS BIGINT) * (a.alt_cost - c.cost) AS loss
+      FROM upmp_{s} v
+      JOIN upalt_{s} a USING (piece)
+      JOIN {cost_cte} c USING (piece)
+      LEFT JOIN {usage_cte} u USING (piece)),
+    upvocab_{s} AS MATERIALIZED (
+      SELECT piece FROM {vocab_cte} WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece FROM (
+        SELECT piece,
+               row_number() OVER (ORDER BY loss ASC, piece ASC) AS rn,
+               count(*) OVER () AS nm
+        FROM uploss_{s})
+      WHERE rn > greatest(0, nm - {keep})),
+    upc_{s} AS (
+      SELECT c.piece, c.cost FROM {cost_cte} c
+      JOIN upvocab_{s} USING (piece)),
+    {em.strip().lstrip()},
+    upcnt_{s} AS (
+      SELECT piece, CAST(sum(wcount) AS BIGINT) AS usage
+      FROM (SELECT wcount, unnest(toks) AS piece FROM useg_p{s})
+      GROUP BY piece),
+    upcost_{s} AS (
+      SELECT v.piece,
+             CAST(floor(1e6 * log10(
+               CAST((SELECT sum(usage) FROM upcnt_{s})
+                    + (SELECT count(*) FROM upvocab_{s}) AS DOUBLE)
+               / CAST(coalesce(c.usage, 0) + 1 AS DOUBLE)) + 0.5) AS BIGINT)
+               AS cost
+      FROM upvocab_{s} v LEFT JOIN upcnt_{s} c USING (piece))"""
+
+
+def _uni_prune_ctes(
+    table: str,
+    text_col: str,
+    n_iters: int = UNI_EM_ITERS,
+    seed_multi: int = UNI_SEED_VOCAB,
+    target: int = UNI_VOCAB,
+    steps: int = UNI_PRUNE_STEPS,
+) -> str:
+    """Full prune-trainer WITH-body: oversized seed + ``n_iters`` EM,
+    then ``steps`` unrolled prune+re-fit steps. Ends in
+    upvocab_{{steps}} / upcnt_{{steps}} / upcost_{{steps}}."""
+    body = _uni_train_ctes(table, text_col, n_iters, n_multi=seed_multi)
+    keeps = _uni_prune_plan(seed_multi, target, steps)
+    for s, keep in enumerate(keeps, start=1):
+        vocab_cte = "uvocab" if s == 1 else f"upvocab_{s - 1}"
+        cost_cte = f"ucost_{n_iters}" if s == 1 else f"upcost_{s - 1}"
+        usage_cte = f"ucnt_{n_iters}" if s == 1 else f"upcnt_{s - 1}"
+        body += "," + _uni_prune_step_ctes(s, vocab_cte, cost_cte, usage_cte, keep)
+    return body
+
+
+def unigram_prune_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n_iters: int = UNI_EM_ITERS,
+    seed_multi: int = UNI_SEED_VOCAB,
+    target: int = UNI_VOCAB,
+    steps: int = UNI_PRUNE_STEPS,
+) -> str:
+    """DuckDB twin of :func:`unigram_prune_train` — the same unrolled
+    seed/EM/prune schedule; integer micro-unit costs and exact BIGINT
+    loss products keep the comparison bit-for-bit."""
+    ctes = _uni_prune_ctes(table, text_col, n_iters, seed_multi, target, steps)
+    return f"""
+    WITH {ctes}
+    SELECT v.piece,
+           CAST(coalesce(c.usage, 0) AS BIGINT) AS usage,
+           k.cost AS cost_micro
+    FROM upvocab_{steps} v
+    LEFT JOIN upcnt_{steps} c USING (piece)
+    JOIN upcost_{steps} k ON k.piece = v.piece
+    ORDER BY usage DESC, piece ASC
+    """
+
+
+def unigram_prune_encode_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_iters: int = UNI_EM_ITERS,
+    seed_multi: int = UNI_SEED_VOCAB,
+    target: int = UNI_VOCAB,
+    steps: int = UNI_PRUNE_STEPS,
+) -> str:
+    """DuckDB twin of :func:`unigram_prune_encode`: the prune-trainer
+    CTEs plus one Viterbi pass under the final pruned costs, joined
+    back to the documents (tokens space-joined, empty docs kept)."""
+    w = words_sql(text_col)
+    ctes = _uni_prune_ctes(table, text_col, n_iters, seed_multi, target, steps)
+    enc_pass = _uni_viterbi_ctes("penc", "uwf", f"upcost_{steps}")
+    return f"""
+    WITH {ctes},
+    {enc_pass},
+    dw AS (
+      SELECT {id_col},
+             unnest(range(1, len(wl) + 1)) AS pos,
+             unnest(wl) AS word
+      FROM (SELECT {id_col}, {w} AS wl FROM {table})),
+    encj AS (
+      SELECT dw.{id_col}, pos, toks
+      FROM dw JOIN useg_penc USING (word)),
     uagg AS (
       SELECT {id_col},
              CAST(sum(len(toks)) AS BIGINT) AS n_tokens,

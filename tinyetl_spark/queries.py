@@ -3232,11 +3232,58 @@ def _materialized_unigram_encoded(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_q("unigram_prune_vocab", tokenizer.unigram_prune_sql())
+def unigram_prune_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM training with LIKELIHOOD-LOSS vocabulary pruning —
+    the full Kudo 2018 / SentencePiece shape the fixed-vocab trainer
+    documents as missing: seed OVERSIZED (64 multi-char pieces), run 2
+    Viterbi-EM iterations, then 2 prune steps (64 -> 48 -> 32), each
+    dropping the multi-char pieces whose removal costs the corpus
+    likelihood least (usage x (self-resegmentation cost - own cost),
+    exact under hard-EM) and re-fitting with one EM iteration. The
+    corpus is touched ONCE (word-freq groupBy, checkpointed); every EM
+    iteration is dictionary-sized; the prune decision is
+    vocabulary-sized driver arithmetic. Output schema matches
+    unigram_train_vocab so the two vocabularies compare row-for-row
+    (13/32 multi-char survivors differ at sf0.001 — pruning genuinely
+    reshapes the vocabulary vs raw substring frequency)."""
+    return tokenizer.unigram_prune_train(load(spark, sf_dir, "documents"))
+
+
+def _materialized_unigram_pruned_encoded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "unigram_pruned_encoded",
+        tokenizer.unigram_prune_encode_sql(),
+        lambda: tokenizer.unigram_prune_encode(
+            load(spark, sf_dir, "documents")
+        ).select("doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")),
+    )
+
+
+@_q("tokenized_corpus", tokenizer.unigram_train_encode_sql())
+def tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical token-stream artifact: the unigram-LM encode of
+    the corpus, written ONCE to parquet and read back — the
+    write-once/read-many staging contract every token-stream consumer
+    (tokenizer_compare, fertility, packing) builds on. At 100 TB the
+    encode's honest cost is materializing the token rows (the 83x
+    probe row on unigram_encode_docs); this query IS the production
+    answer: pay that once, every downstream pass is a parquet scan.
+    Identical values to unigram_encode_docs by construction — the
+    oracle twin re-derives them from scratch."""
+    return _materialized_unigram_encoded(spark, sf_dir)
+
+
 @_q(
     "tokenizer_compare",
     f"""
     WITH encb AS ({tokenizer.bpe_train_encode_sql()}),
     encu AS ({tokenizer.unigram_train_encode_sql()}),
+    encp AS ({tokenizer.unigram_prune_encode_sql()}),
     base AS (
       SELECT list_filter({text.words_sql("text")}, x -> length(x) > 0) AS w
       FROM documents),
@@ -3246,7 +3293,8 @@ def _materialized_unigram_encoded(spark: SparkSession, sf_dir: str) -> DataFrame
                AS total_chars
       FROM base),
     tb AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encb),
-    tu AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encu)
+    tu AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encu),
+    tp AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encp)
     SELECT * FROM (
       SELECT 'bpe' AS tokenizer, tb.total_tokens, tot.total_words,
              {text.floor_round_sql(
@@ -3264,18 +3312,27 @@ def _materialized_unigram_encoded(spark: SparkSession, sf_dir: str) -> DataFrame
              {text.floor_round_sql(
                  "CAST(tot.total_chars AS DOUBLE) / CAST(tu.total_tokens AS DOUBLE)", 6)}
                AS chars_per_token
-      FROM tu, tot)
+      FROM tu, tot
+      UNION ALL
+      SELECT 'unigram_pruned' AS tokenizer, tp.total_tokens, tot.total_words,
+             {text.floor_round_sql(
+                 "CAST(tp.total_tokens AS DOUBLE) / CAST(tot.total_words AS DOUBLE)", 6)}
+               AS fertility,
+             {text.floor_round_sql(
+                 "CAST(tot.total_chars AS DOUBLE) / CAST(tp.total_tokens AS DOUBLE)", 6)}
+               AS chars_per_token
+      FROM tp, tot)
     ORDER BY tokenizer
     """,
 )
 def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vs unigram-LM head-to-head on the same corpus: corpus-level
-    fertility (tokens/word) and compression (word chars/token). Both
-    encodes are staged once (frozen-tokenizer pattern shared with
-    tokenizer_fertility); the comparison itself is two scalar
-    aggregates. Note BPE's token count includes its </w> markers (the
-    standard accounting) and unigram drops words over 16 chars (its
-    DP-unroll contract; none exist in the testdata)."""
+    """BPE vs unigram-LM vs PRUNED unigram-LM head-to-head on the same
+    corpus: corpus-level fertility (tokens/word) and compression (word
+    chars/token). All three encodes are staged once (frozen-tokenizer
+    pattern shared with tokenizer_fertility); the comparison itself is
+    three scalar aggregates. Note BPE's token count includes its </w>
+    markers (the standard accounting) and unigram drops words over 16
+    chars (its DP-unroll contract; none exist in the testdata)."""
     from tinyetl_spark.operators.text import floor_round
 
     docs = load(spark, sf_dir, "documents")
@@ -3302,6 +3359,7 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     encu = _materialized_unigram_encoded(spark, sf_dir)
+    encp = _materialized_unigram_pruned_encoded(spark, sf_dir)
 
     def one(name: str, enc: DataFrame) -> DataFrame:
         t = enc.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
@@ -3321,7 +3379,12 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
 
-    return one("bpe", encb).unionByName(one("unigram", encu)).orderBy("tokenizer")
+    return (
+        one("bpe", encb)
+        .unionByName(one("unigram", encu))
+        .unionByName(one("unigram_pruned", encp))
+        .orderBy("tokenizer")
+    )
 
 
 _LINEITEM_PROFILE_COLS = [
