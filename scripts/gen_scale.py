@@ -48,6 +48,20 @@ def main(src: str, dst: str, copies: int = 10) -> None:
              * EXCLUDE (doc_id, text)
       FROM '{src}/documents.parquet'
       WHERE doc_id % 29 = 0 AND len(string_split(text, ' ')) >= 60
+      UNION ALL
+      -- audit-band plants: excerpts of sources INSIDE the containment
+      -- audit slice (doc_id < 300), parked at NEGATIVE ids — collision
+      -- free with every real id and < cap by construction, so both
+      -- endpoints land in containment_recall_audit's slice and its
+      -- excerpt_recall is a standing measured number against planted
+      -- ground truth at scale (a different word window than the main
+      -- band so the two plant sets never alias)
+      SELECT -(doc_id + 1) AS doc_id,
+             array_to_string(string_split(text, ' ')[21:38], ' ') AS text,
+             * EXCLUDE (doc_id, text)
+      FROM '{src}/documents.parquet'
+      WHERE doc_id % 29 = 0 AND doc_id < 300
+        AND len(string_split(text, ' ')) >= 60
     ) TO '{dst}/documents.parquet' (FORMAT parquet)
     """)
     vmax = con.sql(f"SELECT max(vec_id)+1 FROM '{src}/embeddings.parquet'").fetchone()[0]

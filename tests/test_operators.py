@@ -2048,6 +2048,31 @@ def test_containment_candidates_find_planted_short_in_long(spark):
     assert got[0]["cont_a_in_b"] < 0.8
 
 
+def test_containment_audit_excerpt_class_counted(spark):
+    """Round-10 pin: the audit's per-class split. A verbatim excerpt
+    pair (gram sets 2*min <= max) must be counted — and recalled — in
+    the excerpt class; a near-equal tag-variant pair must not. Both
+    pairs are inside the slice and verbatim, so the probe generator's
+    exact-recall guarantee makes every recall column 1.0."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven eight nine")
+    rows = [
+        (1, base),                       # long source
+        (2, " ".join(base.split()[4:12])),  # short verbatim excerpt of 1
+        (3, base + " tagvariant"),       # near-equal variant of 1
+        (4, "completely different words nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.containment_recall_audit(df, cap=300).collect()[0]
+    # true pairs: (1,2) excerpt-class, (1,3) and (2,?)... (1,3) is
+    # near-equal (comparable class); (2,3) also contains 2's grams
+    assert got["excerpt_true"] >= 1
+    assert got["excerpt_true"] < got["true_pairs"]  # both classes present
+    assert got["recall"] == 1.0
+    assert got["excerpt_recall"] == 1.0
+
+
 def test_containment_recall_audit_perfect_recall(spark):
     """The union generator's candidate recall against brute-force
     containment ground truth must be 1.0 on the testdata slice (exact

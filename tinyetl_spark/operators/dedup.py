@@ -449,8 +449,14 @@ def containment_recall_audit(
     number that proves the round-8 recall-bias fix: the Jaccard-only
     generator structurally misses near-zero-Jaccard short-in-long
     pairs; the union generator's recall here is the evidence it no
-    longer does. Quadratic only in the slice (the audit's cost knob);
-    exact integer counts; two IEEE divisions."""
+    longer does. True pairs are additionally CLASSED by gram-set size
+    ratio — ``2 * min(|A|,|B|) <= max(|A|,|B|)`` marks the
+    short-in-long (excerpt) class, the pairs the asymmetric probe
+    generator exists for — and the audit reports that class's recall
+    as a standing measured number (``excerpt_recall``; 1.0 vacuously
+    when the slice holds no excerpt-class true pair). Quadratic only
+    in the slice (the audit's cost knob); exact integer counts and
+    class flags; three IEEE divisions."""
     sl = df.filter(F.col(id_col) < cap)
     gsets = (
         sl.select(F.col(id_col).alias("jid"), norm_text_col(text_col).alias("_nt"))
@@ -459,6 +465,7 @@ def containment_recall_audit(
     )
     a, b = gsets.alias("a"), gsets.alias("b")
     inter = F.size(F.array_intersect("a.gs", "b.gs")).cast("double")
+    la, lb = F.size("a.gs").cast("long"), F.size("b.gs").cast("long")
     truth = (
         a.join(b, F.col("a.jid") < F.col("b.jid"))
         .select(
@@ -468,18 +475,24 @@ def containment_recall_audit(
                 F.round(inter / F.size("a.gs"), 6),
                 F.round(inter / F.size("b.gs"), 6),
             ).alias("c"),
+            (F.least(la, lb) * 2 <= F.greatest(la, lb)).alias("is_excerpt"),
         )
         .filter(F.col("c") >= threshold)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "is_excerpt")
         .localCheckpoint(eager=False)
     )
     cand = containment_union_candidates(
         sl, text_col, id_col, num_perm, bands, num_probes, mod, max_bucket_size
     ).localCheckpoint(eager=False)
-    n_true = truth.agg(F.count("*").cast("long").alias("true_pairs"))
+    exc = F.when(F.col("is_excerpt"), F.lit(1)).otherwise(F.lit(0))
+    n_true = truth.agg(
+        F.count("*").cast("long").alias("true_pairs"),
+        F.coalesce(F.sum(exc), F.lit(0)).cast("long").alias("excerpt_true"),
+    )
     n_cand = cand.agg(F.count("*").cast("long").alias("cand_pairs"))
     n_hit = cand.join(truth, ["id_a", "id_b"]).agg(
-        F.count("*").cast("long").alias("hit_pairs")
+        F.count("*").cast("long").alias("hit_pairs"),
+        F.coalesce(F.sum(exc), F.lit(0)).cast("long").alias("excerpt_hits"),
     )
     return (
         n_true.crossJoin(F.broadcast(n_cand))
@@ -497,6 +510,13 @@ def containment_recall_audit(
                 F.col("true_pairs") > 0,
                 F.col("hit_pairs").cast("double") / F.col("true_pairs").cast("double"),
             ).otherwise(F.lit(1.0)).alias("recall"),
+            "excerpt_true",
+            "excerpt_hits",
+            F.when(
+                F.col("excerpt_true") > 0,
+                F.col("excerpt_hits").cast("double")
+                / F.col("excerpt_true").cast("double"),
+            ).otherwise(F.lit(1.0)).alias("excerpt_recall"),
         )
     )
 
@@ -522,19 +542,27 @@ def containment_recall_audit_sql(
     {cand_ctes},
     gsets AS (SELECT {id_col} AS jid, {g} AS gs FROM slice_docs),
     truth AS (
-      SELECT id_a, id_b FROM (
+      SELECT id_a, id_b, is_excerpt FROM (
         SELECT a.jid AS id_a, b.jid AS id_b,
                greatest(
                  round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
                        / len(a.gs), 6),
                  round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
-                       / len(b.gs), 6)) AS c
+                       / len(b.gs), 6)) AS c,
+               2 * least(len(a.gs), len(b.gs))
+                 <= greatest(len(a.gs), len(b.gs)) AS is_excerpt
         FROM gsets a JOIN gsets b ON a.jid < b.jid)
       WHERE c >= {threshold}),
-    n_true AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth),
+    n_true AS (
+      SELECT CAST(count(*) AS BIGINT) AS true_pairs,
+             CAST(coalesce(sum(CASE WHEN is_excerpt THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS excerpt_true
+      FROM truth),
     n_cand AS (SELECT CAST(count(*) AS BIGINT) AS cand_pairs FROM allcand),
     n_hit AS (
-      SELECT CAST(count(*) AS BIGINT) AS hit_pairs
+      SELECT CAST(count(*) AS BIGINT) AS hit_pairs,
+             CAST(coalesce(sum(CASE WHEN is_excerpt THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS excerpt_hits
       FROM allcand JOIN truth USING (id_a, id_b))
     SELECT CAST({cap} AS BIGINT) AS cap, true_pairs, cand_pairs, hit_pairs,
            CASE WHEN cand_pairs > 0
@@ -542,7 +570,11 @@ def containment_recall_audit_sql(
                 ELSE 1.0 END AS precision,
            CASE WHEN true_pairs > 0
                 THEN CAST(hit_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE)
-                ELSE 1.0 END AS recall
+                ELSE 1.0 END AS recall,
+           excerpt_true, excerpt_hits,
+           CASE WHEN excerpt_true > 0
+                THEN CAST(excerpt_hits AS DOUBLE) / CAST(excerpt_true AS DOUBLE)
+                ELSE 1.0 END AS excerpt_recall
     FROM n_true CROSS JOIN n_cand CROSS JOIN n_hit
     """
 
