@@ -1067,6 +1067,18 @@ def test_rpq3_rerank_staged_codes_takeordered_no_python(spark):
     assert "rpq3_codes" in p  # staged code table, not a re-encode
 
 
+def test_ann_budget_curve_staged_no_reencode_no_python(spark):
+    """Every budget point must branch off the STAGED subtrees (ground
+    truth + rpq3 codes + IVF assignment parquet) — 24 points may never
+    re-encode the corpus — and the shortlist/final cuts stay
+    TakeOrdered reductions with no Python anywhere."""
+    p = plan_of(spark, "ann_budget_curve")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "rpq3_codes" in p and "ivf_index" in p and "ann_ground_truth" in p
+    assert p.count("TakeOrderedAndProject") >= 12  # shortlist + final cuts
+
+
 def test_multimodal_png_arrow_batched(spark):
     """PNG decode is DESIGNED Pandas-UDF territory (stdlib zlib per
     payload): the plan must show the Arrow-batched evaluator, never the

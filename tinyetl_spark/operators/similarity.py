@@ -2020,6 +2020,112 @@ RECALL_TIERS["rpq3_rerank"] = (
 )
 
 
+# ------------------------------------------------ serving budget curve
+
+ANN_BUDGET_SHORTLISTS = (10, 25, 50)
+ANN_BUDGET_NPROBES = (1, 2, 4)
+
+
+def ann_budget_curve(
+    df: DataFrame,
+    shortlists: tuple[int, ...] = ANN_BUDGET_SHORTLISTS,
+    nprobes: tuple[int, ...] = ANN_BUDGET_NPROBES,
+    probes: tuple[int, ...] = RECALL_PROBES,
+    k: int = 10,
+    id_col: str = "vec_id",
+    exact_df: DataFrame | None = None,
+    enc_df: DataFrame | None = None,
+    ivf_df: DataFrame | None = None,
+) -> DataFrame:
+    """recall@k vs serving budget — the knobs a 100-TB deployment
+    actually tunes: the exact-rerank shortlist width of the best
+    compressed tier (rpq3_rerank at 10/25/50) and the IVF probe count
+    (1/2/4 of 8 cells). One (knob, budget, query_id, recall) row per
+    combination; mean_recall is the per-probe mean so the curve reads
+    directly. The expensive subtrees are shared exactly like
+    ann_recall: ONE ground-truth table, ONE staged rpq3 code table and
+    ONE staged IVF assignment feed every budget point — each point
+    adds only an ADC-scan/cell-filter branch, never a re-encode."""
+    qvs = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in df.filter(F.col(id_col).isin(*[int(p) for p in probes]))
+        .select(id_col, "embedding")
+        .collect()
+    }
+    enc = enc_df if enc_df is not None else rpq_encode(df, _rpq3_seeded_stages())
+    ivf = ivf_df
+    if ivf is None:
+        ivf = ivf_assign(
+            df.select(F.col(id_col), F.col("embedding")), "embedding",
+            _ivf_seeded_centroids(), out_col="cell",
+        )
+    parts = []
+
+    def one(knob: str, budget: int, q: int, approx: DataFrame) -> DataFrame:
+        if exact_df is not None:
+            exact = exact_df.filter(F.col("query_id") == int(q)).select(id_col)
+        else:
+            exact = brute_topk(df, q, k).select(id_col)
+        hits = exact.join(approx.select(id_col), id_col, "inner")
+        return hits.agg(F.count("*").alias("_hits")).select(
+            F.lit(knob).alias("knob"),
+            F.lit(int(budget)).cast("bigint").alias("budget"),
+            F.lit(int(q)).cast("bigint").alias("query_id"),
+            F.round(F.col("_hits") / F.lit(float(k)), 4).alias("recall"),
+        )
+
+    for b in shortlists:
+        for q in probes:
+            parts.append(
+                one("rpq3_shortlist", b, q,
+                    rpq3_rerank_topk(df, q, k, shortlist=b, q_vec=qvs[int(q)], enc=enc))
+            )
+    for p in nprobes:
+        for q in probes:
+            parts.append(
+                one("ivf_nprobe", p, q,
+                    ivf_topk(df, q, k, nprobe=p, q_vec=qvs[int(q)], index_df=ivf))
+            )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out.orderBy("knob", "budget", "query_id")
+
+
+def ann_budget_curve_sql(
+    table: str = "embeddings",
+    shortlists: tuple[int, ...] = ANN_BUDGET_SHORTLISTS,
+    nprobes: tuple[int, ...] = ANN_BUDGET_NPROBES,
+    probes: tuple[int, ...] = RECALL_PROBES,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> str:
+    parts = []
+    for b in shortlists:
+        for q in probes:
+            bt = brute_topk_sql(table, q, k)
+            a = rpq3_rerank_topk_sql(table, q, k, shortlist=b)
+            parts.append(
+                f"SELECT 'rpq3_shortlist' AS knob, CAST({b} AS BIGINT) AS budget, "
+                f"CAST({q} AS BIGINT) AS query_id, "
+                f"round(CAST((SELECT count(*) FROM ({bt}) bb "
+                f"JOIN ({a}) aa ON bb.{id_col} = aa.{id_col}) AS DOUBLE) "
+                f"/ {k}, 4) AS recall"
+            )
+    for p in nprobes:
+        for q in probes:
+            bt = brute_topk_sql(table, q, k)
+            a = ivf_topk_sql(table, q, k, nprobe=p)
+            parts.append(
+                f"SELECT 'ivf_nprobe' AS knob, CAST({p} AS BIGINT) AS budget, "
+                f"CAST({q} AS BIGINT) AS query_id, "
+                f"round(CAST((SELECT count(*) FROM ({bt}) bb "
+                f"JOIN ({a}) aa ON bb.{id_col} = aa.{id_col}) AS DOUBLE) "
+                f"/ {k}, 4) AS recall"
+            )
+    return " UNION ALL ".join(parts) + " ORDER BY knob, budget, query_id"
+
+
 # ------------------------------------------------- semantic dedup
 
 def _auto_semdedup_centroids(

@@ -4519,6 +4519,24 @@ for _tier in similarity.RECALL_TIERS:
     _register_ann_recall(_tier)
 
 
+@_q("ann_budget_curve", similarity.ann_budget_curve_sql())
+def ann_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving knobs a 100-TB ANN deployment tunes, as a measured
+    curve: recall@10 of the best compressed tier (3-stage residual PQ
+    + exact rerank) at shortlist widths 10/25/50, and of the IVF tier
+    at nprobe 1/2/4 — per probe query, so both the mean and the
+    worst-case read off the result. Shares the staged ground truth,
+    rpq3 code table, and IVF assignment with the ann_recall tier:
+    every budget point is one ADC-scan or cell-filter branch, never a
+    re-encode (24 points, 3 staged parquet scans)."""
+    return similarity.ann_budget_curve(
+        load(spark, sf_dir, "embeddings"),
+        exact_df=_materialized_ann_exact(spark, sf_dir),
+        enc_df=_materialized_rpq3_codes(spark, sf_dir),
+        ivf_df=_materialized_ivf_index(spark, sf_dir),
+    )
+
+
 def _materialized_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic pair graph staged once to parquet — the pairs query and
     the survivors prune share one materialization (the same
