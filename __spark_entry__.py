@@ -21,96 +21,113 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver samples the FIRST 50 entries of queries() in
-# dict order. After round 8 every one of the 221 registered queries is
-# driver-green at least once (cumulative 221/221). Round 9's window:
-# (a) the 3 queries whose code changed this round (containment_dups
-# gained the asymmetric union candidate generator + 0.8 threshold —
-# the round-8 verdict's top fix; both near_dup verifies moved to the
-# single-evaluation stats barrier), (b) the 8 queries ADDED in round 9
-# (containment recall audit, 3-stage residual-PQ serving + recall
-# rows, unigram-LM tokenizer train/encode/compare, stdlib PNG decode,
-# leakage-safe split — each oracle-matched locally at sf0.001 before
-# registration), then (c) 39 re-validations of the OLDEST driver
-# greens: all 28 r4-vintage rows (their last check predates five
-# rounds of refactoring) plus the 11 most-refactored r5 rows (the
-# similarity/dedup tier round 8-9 touched heavily). The remaining r5
-# rows lead the below-cut order for round 10.
+# dict order. Cumulative driver-green is 229/229 registered queries
+# through round 9 (plus 3 added this round). Round 10's window:
+# (a) the 2 queries whose semantics changed this round
+# (containment_recall_audit gained the per-class excerpt_recall
+# columns; tokenizer_compare gained the unigram_pruned row), (b) the
+# 3 queries ADDED in round 10 (likelihood-pruned unigram trainer, the
+# staged tokenized_corpus artifact, the ANN serving budget curve —
+# each oracle-matched locally before registration), then (c) the FULL
+# r5-vintage rotation queue (34 — the round-9 verdict's top item) and
+# the 11 alphabetically-first r6-vintage rows. The below-cut order is
+# strictly oldest-vintage-first (vintage = newest round whose
+# CORRECTNESS_r*.json carries the query green), so round 11's queue
+# is simply the next 50 names.
 _PRIORITY = [
-    # --- (a) code changed in round 9 (3): containment_dups got the
-    # union candidate generator + 0.8 threshold; the two near_dup
-    # verifies were rebuilt on the single-evaluation stats barrier
-    # (values provably identical — parity green — but changed code
-    # gets driver re-checked on principle) ---
-    "containment_dups", "near_dup_jaccard", "near_dup_ngram",
-    # --- (b) NEW in round 9 (8) ---
-    "containment_recall_audit", "ann_rpq3_rerank_topk",
-    "ann_recall_rpq3_rerank", "unigram_train_vocab",
-    "unigram_encode_docs", "tokenizer_compare", "multimodal_decode_png",
-    "leakage_safe_split_docs",
-    # --- (c1) r4-vintage re-validation (28) ---
-    "q10_returned_revenue", "q1_pricing_summary", "q3_shipping_priority",
-    "range_pairs_events", "revenue_by_nation", "rollup_status_priority",
-    "salted_join_orders", "salted_user_stats", "scan_project",
-    "semi_join_customers", "sessionize_events", "set_except_all_statuses",
-    "set_except_custkeys", "set_intersect_all_statuses",
-    "set_intersect_custkeys", "top10_orders", "transform_filter",
-    "transform_inline", "transform_luapattern", "transform_pyfile",
-    "transform_script", "upsert_documents", "validate_events",
-    "window_lag_lead", "window_rank_stats", "window_running_total",
-    "window_time_range", "window_top_order_per_cust",
-    # --- (c2) most-refactored r5-vintage re-validation (11) ---
-    "ann_recall_rpq", "ann_recall_rpq_rerank", "semantic_dup_pairs",
-    "semantic_dedup_survivors", "curation_pipeline", "fuzzy_decontam",
-    "minhash_signatures", "dedup_clusters", "dedup_survivors",
-    "dedup_incremental", "simhash_near_dups",
-    # --- below the 50-cut: the remaining r5-vintage rows lead (round
-    # 10's rotation), then the round-8 window order is preserved so a
-    # larger sample still hits recent material first ---
-    "simhash_docs", "embedding_near_dups", "kmeans_refine_step", "ann_batch_topk", "ann_brute_topk", "ann_indexed_topk",
+    # --- (a) semantics changed in round 10 (2) ---
+    "containment_recall_audit", "tokenizer_compare",
+    # --- (b) NEW in round 10 (4) ---
+    "unigram_prune_vocab", "tokenized_corpus", "ann_budget_curve",
+    "multimodal_decode_jpeg",
+    # --- (c) the FULL r5-vintage rotation queue (34): ANN serving
+    # tier, all 11 streaming queries, kmeans/decontam/multimodal/
+    # zorder; after this window no driver green predates round 6 ---
+    "ann_batch_topk", "ann_brute_topk", "ann_indexed_topk",
     "ann_ivf_pq_topk", "ann_ivf_topk", "ann_lsh_topk",
     "ann_multiprobe_topk", "ann_pq_rerank_topk", "ann_pq_topk",
     "ann_recall_ivf", "ann_recall_multiprobe", "ann_rpq_rerank_topk",
-    "ann_rpq_topk", "decontam_overlap", "multimodal_decode_bmp",
-    "multimodal_decode_wav", "rag_ingest_pipeline", "streaming_dedup",
+    "ann_rpq_topk", "decontam_overlap", "embedding_near_dups",
+    "kmeans_refine_step", "multimodal_decode_bmp", "multimodal_decode_wav",
+    "rag_ingest_pipeline", "simhash_docs", "streaming_dedup",
     "streaming_enrich", "streaming_foreachbatch_jdbc", "streaming_hopping",
     "streaming_index_ingest", "streaming_interval_join",
     "streaming_sessions", "streaming_sink_parquet", "streaming_tumbling",
     "streaming_upsert_snapshot", "streaming_user_counts",
     "temperature_mix_docs", "winnow_decontam", "zorder_key_events",
-    # --- round-8 window order preserved below (deduplicated) ---
-    "q4_priority_check", "q16_supplier_variety", "q12_late_shipments",
-    "q13_customer_distribution", "ql_search_docs", "hybrid_search_docs",
-    "vocab_growth_curve", "retrieval_ndcg", "pmi_collocations",
-    "priority_sample_docs", "dedup_recall_audit", "margin_mine_pairs",
-    "hist_quantiles_prices", "minhash_candidates",
-    "hard_negatives_bm25", "ngram_diversity_sources",
-    "zipf_slope_sources", "rm3_expanded_search", "embedding_norms", "lang_id",
-    "text_quality", "tfidf_top_terms", "token_stats", "dedup_exact",
-    "doc_fingerprint", "above_avg_balance", "anti_join_customers",
-    "approx_distinct_users", "approx_percentile_prices", "asof_purchase_view",
-    "asof_tolerance", "bucketed_join_orders", "cube_status_priority",
-    "cust_order_distribution", "date_multiformat", "events_tumbling",
-    "exists_high_qty_orders", "explode_doc_words", "full_outer_nation_counts",
-    "grouping_sets_lineitem", "hopping_window_events", "json_extract_events",
-    "listagg_nations", "mktsegment_stats", "part_brand_stats",
-    "percentile_prices", "pivot_priority_status", "q5_local_supplier_volume",
-    "q14_promo_revenue", "corpus_diff", "fuzzy_join_phrases",
-    "profile_lineitem", "trigram_search_docs", "count_min_heavy_hitters",
-    "remove_dup_passages_docs", "vocab_coverage_curve",
-    "inference_batches_docs", "quality_classifier_docs", "dsir_select_docs",
-    "bpe_encode_batch_docs", "corpus_overlap_exact", "training_mix",
-    "partitioned_scan_prune", "pagerank_dups", "cluster_best_survivor",
-    "embedding_quantize", "ann_recall_lsh", "ann_recall_pq",
-    "ann_recall_ivf_pq", "ann_recall_rerank", "unimax_mix_langs",
-    "epoch_order_manifest", "streaming_count_min",
-    "streaming_classifier_scores", "q2_min_cost_supplier",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q11_important_parts", "q18_large_orders",
-    "q19_disjunctive_revenue", "q21_waiting_supplier", "q22_idle_customers",
-    "q15_top_supplier", "q17_small_quantity_revenue", "q20_dominant_suppliers",
-    "bloom_semi_join_orders", "hll_distinct_users", "scd2_customer_history",
-    "rollup_cascade_events", "perplexity_buckets", "tokenizer_fertility",
-    "streaming_rollup_minute", "triangle_count_dups",
+    # --- (c2) the 10 alphabetically-first r6-vintage rows (fill the
+    # 50-cut; the remaining 40 r6 rows lead round 11's queue) ---
+    "avro_roundtrip", "bigram_logprob_docs", "bm25_search_docs",
+    "bm25_top_terms", "bpe_encode_docs", "bpe_pair_counts",
+    "bpe_train_merges", "char_entropy_docs", "chunk_documents",
+    "cli_job_roundtrip",
+    # --- below the 50-cut: oldest-vintage-first (remaining r6, then
+    # r7, r8, r9) so any larger sample extends the rotation ---
+    "cohort_retention", "corpus_overlap_kmv", "corpus_stats_report", "csv_roundtrip",
+    "csv_roundtrip_events", "decontam_report", "duckdb_roundtrip",
+    "dup_ngram_frac_docs", "dup_passage_spans", "epoch_shuffle_docs",
+    "event_outliers", "fk_violations_audit", "funnel_conversion",
+    "gopher_quality_docs", "hash_sample_docs", "hot_keys_audit",
+    "jdbc_roundtrip", "json_roundtrip", "line_dedup_docs",
+    "multimodal_byte_histogram", "multimodal_decimate_wav",
+    "multimodal_dedup", "multimodal_frame_sample", "multimodal_meta",
+    "multimodal_resize_bmp", "multimodal_thumbnail", "ohlc_bars_events",
+    "orc_roundtrip", "pack_sequences_docs", "pii_redact_docs",
+    "pq_encode_vectors", "quality_budget_select", "repetition_stats",
+    "source_overlap_matrix", "sqlite_roundtrip", "stratified_sample_docs",
+    "streaming_quality_filter", "transform_date_string",
+    "unigram_logprob_docs", "winnow_fingerprints", "ann_recall_ivf_pq",
+    "ann_recall_lsh", "ann_recall_pq", "ann_recall_rerank",
+    "bloom_semi_join_orders", "bpe_encode_batch_docs",
+    "cluster_best_survivor", "corpus_diff", "corpus_overlap_exact",
+    "count_min_heavy_hitters", "dsir_select_docs", "embedding_quantize",
+    "epoch_order_manifest", "fuzzy_join_phrases", "hll_distinct_users",
+    "inference_batches_docs", "pagerank_dups", "partitioned_scan_prune",
+    "perplexity_buckets", "profile_lineitem", "q11_important_parts",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
+    "q21_waiting_supplier", "q22_idle_customers", "q2_min_cost_supplier",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "quality_classifier_docs",
+    "remove_dup_passages_docs", "rollup_cascade_events",
+    "scd2_customer_history", "streaming_classifier_scores",
+    "streaming_count_min", "streaming_rollup_minute", "tokenizer_fertility",
+    "training_mix", "triangle_count_dups", "trigram_search_docs",
+    "unimax_mix_langs", "vocab_coverage_curve", "above_avg_balance",
+    "anti_join_customers", "approx_distinct_users",
+    "approx_percentile_prices", "asof_purchase_view", "asof_tolerance",
+    "bucketed_join_orders", "cube_status_priority",
+    "cust_order_distribution", "date_multiformat", "dedup_exact",
+    "dedup_recall_audit", "doc_fingerprint", "embedding_norms",
+    "events_tumbling", "exists_high_qty_orders", "explode_doc_words",
+    "full_outer_nation_counts", "grouping_sets_lineitem",
+    "hard_negatives_bm25", "hist_quantiles_prices", "hopping_window_events",
+    "hybrid_search_docs", "json_extract_events", "lang_id",
+    "listagg_nations", "margin_mine_pairs", "minhash_candidates",
+    "mktsegment_stats", "ngram_diversity_sources", "part_brand_stats",
+    "percentile_prices", "pivot_priority_status", "pmi_collocations",
+    "priority_sample_docs", "q12_late_shipments",
+    "q13_customer_distribution", "q16_supplier_variety",
+    "q4_priority_check", "ql_search_docs", "retrieval_ndcg",
+    "rm3_expanded_search", "text_quality", "tfidf_top_terms", "token_stats",
+    "vocab_growth_curve", "zipf_slope_sources", "ann_recall_rpq",
+    "ann_recall_rpq3_rerank", "ann_recall_rpq_rerank",
+    "ann_rpq3_rerank_topk", "containment_dups", "curation_pipeline",
+    "dedup_clusters", "dedup_incremental", "dedup_survivors",
+    "fuzzy_decontam", "leakage_safe_split_docs", "minhash_signatures",
+    "multimodal_decode_png", "near_dup_jaccard", "near_dup_ngram",
+    "q10_returned_revenue", "q1_pricing_summary", "q3_shipping_priority",
+    "range_pairs_events", "revenue_by_nation", "rollup_status_priority",
+    "salted_join_orders", "salted_user_stats", "scan_project",
+    "semantic_dedup_survivors", "semantic_dup_pairs", "semi_join_customers",
+    "sessionize_events", "set_except_all_statuses", "set_except_custkeys",
+    "set_intersect_all_statuses", "set_intersect_custkeys",
+    "simhash_near_dups", "top10_orders", "transform_filter",
+    "transform_inline", "transform_luapattern", "transform_pyfile",
+    "transform_script", "unigram_encode_docs", "unigram_train_vocab",
+    "upsert_documents", "validate_events", "window_lag_lead",
+    "window_rank_stats", "window_running_total", "window_time_range",
+    "window_top_order_per_cust",
 ]
 
 

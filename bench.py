@@ -18,12 +18,23 @@ compiling 200+ distinct plans in ONE JVM piles codegen/JIT/GC pressure
 onto whatever queries happen to run late — the r7 driver bench ran a
 near-uniform 1.23x slower than a same-day local run of identical code,
 and the per-query spread grew with registry size. The parent process
-now splits the sorted query list into shards of <=SHARD_SIZE and runs
-each shard in a FRESH JVM subprocess (its own warm-up action off the
-clock), so a query's timing depends on its shard-local neighborhood
-(<=60 plans, the size the best-of-2 method was calibrated on in r5),
-not on its global alphabetical position in an ever-growing registry.
-JVM startup is paid per shard but never billed to any query.
+splits the registry into shards and runs each shard in a FRESH JVM
+subprocess (its own warm-up action off the clock), so a query's timing
+depends on its shard-local neighborhood (~60 plans, the size the
+best-of-2 method was calibrated on in r5). JVM startup is paid per
+shard but never billed to any query.
+
+FROZEN shard assignment (round-10 fix for cross-round comparability):
+shard = crc32(name) % n_shards, alphabetical within a shard. Sorted
+slicing moved every query's shard/JVM-age whenever the registry grew
+(the r9 verdict's curation_pipeline/epoch_order_manifest "regressions"
+were exactly this — unchanged code, new shard position); under the
+hash rule an added query lands in ONE shard and disturbs only its own
+alphabetical neighborhood. n_shards = max(4, ceil(n/SHARD_SIZE)) stays
+constant until the registry crosses a 60-query boundary; when it does,
+every assignment reshuffles ONCE and the stdout line's `shards` field
+plus the sentinel-normalized vs_prev ratio are the tools to read that
+round's deltas.
 
 Baseline framing (BASELINE.md): the reference publishes rows/sec for
 transfer-shaped workloads (headline 180k rows/s). `transfer_rows_per_sec`
@@ -43,6 +54,7 @@ import subprocess
 import sys
 import tempfile
 import time
+import zlib
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SHARD_SIZE = 60  # max distinct plans one measuring JVM compiles
@@ -229,22 +241,24 @@ def main() -> None:
     from tinyetl_spark.queries import QUERIES  # no JVM yet — just the registry
 
     names = sorted(QUERIES)
-    shards = [
-        (i, min(i + SHARD_SIZE, len(names))) for i in range(0, len(names), SHARD_SIZE)
-    ]
+    n_shards = max(4, -(-len(names) // SHARD_SIZE))
+    shard_lists: list[list[str]] = [[] for _ in range(n_shards)]
+    for n in names:  # sorted input => alphabetical within each shard
+        shard_lists[zlib.crc32(n.encode()) % n_shards].append(n)
+    shard_lists = [s for s in shard_lists if s]
 
     timings: dict[str, float] = {}
     reps_detail: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     failures: dict[str, str] = {}
     shard_meta: list[dict] = []
-    for start, end in shards:
+    for shard_i, shard_names in enumerate(shard_lists):
         t0 = time.perf_counter()
         with tempfile.NamedTemporaryFile("r", suffix=".json", delete=False) as tf:
             out_path = tf.name
         in_path = out_path + ".in"
         with open(in_path, "w") as f:
-            json.dump(names[start:end], f)
+            json.dump(shard_names, f)
         try:
             # start_new_session puts the child (and its py4j/Spark JVM
             # grandchild) in its own process group so a timeout can kill the
@@ -268,13 +282,13 @@ def main() -> None:
                 raise
             if rc != 0:
                 # a crashed shard JVM marks its queries failed, not lost
-                for n in names[start:end]:
+                for n in shard_names:
                     failures.setdefault(n, f"shard exited {rc}")
                 continue
             with open(out_path) as f:
                 res = json.load(f)
         except (subprocess.TimeoutExpired, OSError, json.JSONDecodeError) as exc:
-            for n in names[start:end]:
+            for n in shard_names:
                 failures.setdefault(n, f"shard error: {type(exc).__name__}")
             continue
         finally:
@@ -288,7 +302,9 @@ def main() -> None:
         failures.update(res["failures"])
         shard_meta.append(
             {
-                "queries": [start, end],
+                "shard": shard_i,
+                "n_queries": len(shard_names),
+                "first": shard_names[0],
                 "wall_s": round(time.perf_counter() - t0, 1),
                 "timed_s": round(sum(res["timings"].values()), 1),
                 "sentinel": res.get("sentinel"),

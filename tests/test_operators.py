@@ -1525,6 +1525,67 @@ def test_decode_png_reverses_all_filters():
         assert abs(pil["mean_value"] - d["mean_value"]) < 1e-6
 
 
+def test_decode_jpeg_flat_exact_and_contract():
+    """The stdlib baseline JPEG decoder: flat blocks round-trip to
+    EXACTLY their gray levels (DC-only IDCT with a power-of-two quant
+    step is float-exact), differential DC across 4 blocks included;
+    progressive and subsampled payloads raise the PIL-hook contract."""
+    import pytest
+
+    from tinyetl_spark.operators import multimodal as mm
+
+    vals = [0, 37, 128, 255]
+    d = mm.decode_jpeg(mm.synth_jpeg(vals, 16, 16))
+    assert (d["fmt"], d["width"], d["height"], d["n_channels"]) == ("jpeg", 16, 16, 1)
+    assert d["mean_value"] == round(sum(vals) / 4, 6)
+    # partial blocks: 12x10 crops the 16x16 block grid to SOF dims
+    d2 = mm.decode_jpeg(mm.synth_jpeg([7, 7, 7, 7], 12, 10))
+    assert (d2["width"], d2["height"], d2["mean_value"]) == (12, 10, 7.0)
+    # contract raises: progressive SOF2 and subsampled SOF0
+    p = bytearray(mm.synth_jpeg(vals, 16, 16))
+    sof = p.index(b"\xff\xc0")
+    p[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        mm.decode_jpeg(bytes(p))
+    p = bytearray(mm.synth_jpeg(vals, 16, 16))
+    p[p.index(b"\x01\x11\x00") + 1] = 0x22  # sampling 2x2
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        mm.decode_jpeg(bytes(p))
+
+
+def test_decode_jpeg_ac_matches_independent_idct():
+    """AC path (zigzag, run-length, ZRL, receive/extend sign logic)
+    pinned against an INDEPENDENT numpy IDCT of the same quantized
+    coefficients — the decoder's Huffman+dequant+IDCT pipeline must
+    reproduce the reference bit-for-bit at 6dp."""
+    import numpy as np
+
+    from tinyetl_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    qt = [8] + [1] * 63
+    blocks = []
+    for _ in range(4):
+        blk = [0] * 64
+        blk[0] = int(rng.randint(-200, 200))
+        for idx in rng.choice(range(1, 64), size=12, replace=False):
+            blk[int(idx)] = int(rng.randint(-40, 40))
+        blocks.append(blk)
+    # plus a ZRL exercise: only the last zigzag coefficient set
+    zrl = [0] * 64
+    zrl[0], zrl[63] = 10, 5
+    for blks, w, h in ((blocks, 16, 16), ([zrl], 8, 8)):
+        d = mm.decode_jpeg(mm.jpeg_from_coeffs(blks, w, h, qt))
+        x = np.arange(8)
+        m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        m[0, :] /= np.sqrt(2.0)
+        tot = 0.0
+        for b in blks:
+            coef = (np.array(b, float) * np.array(qt, float)).reshape(8, 8)
+            tot += np.clip(np.floor(m.T @ coef @ m + 128 + 0.5), 0, 255).sum()
+        assert d["mean_value"] == round(float(tot) / (w * h), 6)
+
+
 def test_dsir_prefers_target_like_docs(spark):
     """Semantic pin for DSIR: pool documents written in the target's
     vocabulary must outscore documents from a disjoint vocabulary."""

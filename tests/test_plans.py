@@ -1088,6 +1088,14 @@ def test_multimodal_png_arrow_batched(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_multimodal_jpeg_arrow_batched(spark):
+    """Same contract for the baseline-JPEG codec (stdlib Huffman +
+    numpy IDCT per payload): Arrow-batched, never row-at-a-time."""
+    p = plan_of(spark, "multimodal_decode_jpeg")
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_rm3_second_pass_broadcasts_model_no_python(spark):
     """RM3's weighted second pass (the feedback pool and expansion
     model sit behind lazy checkpoints, so the final plan shows only

@@ -567,6 +567,338 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+# ----------------------------------------------- baseline JPEG (stdlib)
+#
+# Pure stdlib+numpy baseline JPEG (ITU T.81): a canonical-Huffman
+# encoder that emits quantized coefficients under the public Annex K
+# luminance tables, and a general decoder — marker walk, DHT-driven
+# canonical Huffman decode with 0xFF00 unstuffing, dequantize,
+# un-zigzag, float64 2-D IDCT, level shift. The decoder hardcodes NO
+# tables (everything read from DQT/DHT), so it decodes any baseline
+# non-subsampled JPEG; progressive (SOF2), chroma subsampling and
+# restart intervals raise the NotImplementedError contract (PIL hook).
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# ITU T.81 Annex K.3 typical luminance tables (public constants)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+# quant table used by the synthesizer: DC step 8 makes a flat block of
+# gray g encode as dc_q = g - 128 and decode back to EXACTLY g (the
+# DC-only IDCT is dc*qdc/8 per pixel — float-exact for qdc a power of
+# two), so fixture stats stay oracle-computable with no JPEG anywhere
+_JPEG_SYNTH_QT = [8] + [1] * 63
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): value -> (code, size)."""
+    out, code, k = {}, 0, 0
+    for size in range(1, 17):
+        for _ in range(bits[size - 1]):
+            out[vals[k]] = (code, size)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, size: int) -> None:
+        self.acc = (self.acc << size) | (code & ((1 << size) - 1))
+        self.n += size
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, extra bits) per T.81 F.1.2.1."""
+    cat = abs(v).bit_length()
+    return cat, (v if v >= 0 else v + (1 << cat) - 1) & ((1 << cat) - 1)
+
+
+def jpeg_from_coeffs(
+    blocks: list[list[int]], width: int, height: int,
+    qtable: list[int] | None = None,
+) -> bytes:
+    """Baseline JFIF grayscale from QUANTIZED coefficient blocks (64
+    ints each, natural row-major order, raster block order). The
+    fixture generator for the decoder: coefficients are chosen, not
+    measured, so expected pixels are computable without a codec."""
+    import struct
+
+    qt = qtable or _JPEG_SYNTH_QT
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    prev_dc = 0
+    for blk in blocks:
+        zz = [blk[_JPEG_ZIGZAG[i]] for i in range(64)]
+        cat, extra = _jpeg_magnitude(zz[0] - prev_dc)
+        prev_dc = zz[0]
+        c, s = dc_codes[cat]
+        w.put(c, s)
+        if cat:
+            w.put(extra, cat)
+        run = 0
+        for v in zz[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, s = ac_codes[0xF0]  # ZRL
+                w.put(c, s)
+                run -= 16
+            cat, extra = _jpeg_magnitude(v)
+            c, s = ac_codes[(run << 4) | cat]
+            w.put(c, s)
+            w.put(extra, cat)
+            run = 0
+        if run:
+            c, s = ac_codes[0x00]  # EOB
+            w.put(c, s)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    zz_qt = bytes(qt[_JPEG_ZIGZAG[i]] for i in range(64))
+    dqt = seg(0xFFDB, b"\x00" + zz_qt)
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def synth_jpeg(values: list[int], width: int, height: int) -> bytes:
+    """Flat-block grayscale JPEG: one gray level (0-255) per 8x8 block
+    in raster order. With the synth quant table each block decodes to
+    EXACTLY its gray level, so the corpus-level oracle needs only byte
+    arithmetic — while the payload is a fully standard baseline JPEG
+    any decoder accepts."""
+    bw, bh = -(-width // 8), -(-height // 8)
+    if len(values) != bw * bh:
+        raise ValueError(f"need {bw * bh} block values, got {len(values)}")
+    blocks = []
+    for g in values:
+        blk = [0] * 64
+        blk[0] = int(g) - 128  # dc_q; dequantized dc = 8*(g-128)
+        blocks.append(blk)
+    return jpeg_from_coeffs(blocks, width, height)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise NotImplementedError(
+                        f"marker 0xFF{nxt:02X} inside entropy data — restart "
+                        "intervals need the PIL hook"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decode(rd: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code, size = 0, 0
+    while size < 16:
+        code = (code << 1) | rd.bit()
+        size += 1
+        if (size, code) in table:
+            return table[(size, code)]
+    raise ValueError("bad Huffman code")
+
+
+def _jpeg_receive_extend(rd: _JpegBitReader, cat: int) -> int:
+    if cat == 0:
+        return 0
+    v = rd.bits(cat)
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _jpeg_idct_mat():
+    import numpy as np
+
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    m[0, :] /= np.sqrt(2.0)
+    return m  # M[u, x]; pixels = M.T @ coef @ M
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL baseline JPEG decode, stdlib+numpy (no pillow): marker
+    walk, DHT-driven canonical Huffman decode (0xFF00 unstuffing),
+    dequantize, un-zigzag, float64 IDCT, level shift, crop to the SOF
+    dims. Covers baseline (SOF0), 8-bit, any component count with NO
+    chroma subsampling (all sampling factors 1x1), no restart
+    intervals; progressive/subsampled payloads raise the
+    NotImplementedError contract and fall through to the PIL hook."""
+    import struct
+
+    import numpy as np
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comps: list[tuple[int, int, int]] = []  # (comp id, qt id, sampling)
+    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc tbl, ac tbl)
+    while pos + 4 <= len(payload):
+        marker, seglen = struct.unpack_from(">HH", payload, pos)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xFFDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables: PIL hook")
+                zzq = list(body[o + 1 : o + 65])
+                nat = [0] * 64
+                for i in range(64):
+                    nat[_JPEG_ZIGZAG[i]] = zzq[i]
+                qts[tq] = nat
+                o += 65
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise NotImplementedError(
+                "only baseline SOF0 in the stdlib path; progressive/"
+                "extended JPEG needs the PIL hook"
+            )
+        elif marker == 0xFFC0:  # SOF0
+            _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            for ci in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                if samp != 0x11:
+                    raise NotImplementedError("chroma subsampling: PIL hook")
+                comps.append((cid, tq, samp))
+        elif marker == 0xFFC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                nvals = sum(bits)
+                vals = list(body[o + 17 : o + 17 + nvals])
+                codes = _jpeg_huff_codes(bits, vals)
+                huff[(tc, th)] = {(s, c): v for v, (c, s) in codes.items()}
+                o += 17 + nvals
+        elif marker == 0xFFDD:
+            raise NotImplementedError("restart intervals: PIL hook")
+        elif marker == 0xFFDA:  # SOS — entropy data follows
+            ns = body[0]
+            for si in range(ns):
+                cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cs)
+                scan_comps.append((idx, tabs >> 4, tabs & 0xF))
+            rd = _JpegBitReader(payload, pos)
+            break
+    else:
+        raise ValueError("no SOS marker")
+    if w is None or not scan_comps:
+        raise ValueError("missing SOF before SOS")
+    m = _jpeg_idct_mat()
+    bw, bh = -(-w // 8), -(-h // 8)
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in scan_comps]
+    prev_dc = [0] * len(scan_comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for si, (ci, dct, act) in enumerate(scan_comps):
+                dc_tbl, ac_tbl = huff[(0, dct)], huff[(1, act)]
+                qt = qts[comps[ci][1]]
+                zz = [0] * 64
+                cat = _jpeg_huff_decode(rd, dc_tbl)
+                prev_dc[si] += _jpeg_receive_extend(rd, cat)
+                zz[0] = prev_dc[si]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_huff_decode(rd, ac_tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    zz[k] = _jpeg_receive_extend(rd, s)
+                    k += 1
+                coef = np.zeros((8, 8))
+                for i in range(64):
+                    nat = _JPEG_ZIGZAG[i]
+                    coef[nat // 8, nat % 8] = zz[i] * qt[nat]
+                px = m.T @ coef @ m + 128.0
+                planes[si][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    total = 0.0
+    for p in planes:
+        total += float(np.clip(np.floor(p[:h, :w] + 0.5), 0, 255).sum())
+    count = w * h * len(planes)
+    return {
+        "fmt": "jpeg", "width": int(w), "height": int(h),
+        "n_channels": int(len(planes)), "sample_rate": None,
+        "n_samples": None,
+        "mean_value": round(total / count, 6) if count else 0.0,
+    }
+
+
 def _pil_image_module():
     """Lazy PIL hook: returns PIL.Image or None. Import happens inside
     the executor task (never at module import) so environments without
@@ -650,7 +982,12 @@ def decode_media(
                     except NotImplementedError:
                         d = decode_image_pil(b)
                 elif b[:3] == b"\xff\xd8\xff":
-                    d = decode_image_pil(b)
+                    # stdlib baseline decoder first; PIL only for the
+                    # shapes it declines (progressive/subsampled/DRI)
+                    try:
+                        d = decode_jpeg(b)
+                    except NotImplementedError:
+                        d = decode_image_pil(b)
                 else:
                     raise NotImplementedError(
                         "audio/video codec formats (mp3/mp4/...) need librosa/av"

