@@ -1070,13 +1070,22 @@ def test_rpq3_rerank_staged_codes_takeordered_no_python(spark):
 def test_ann_budget_curve_staged_no_reencode_no_python(spark):
     """Every budget point must branch off the STAGED subtrees (ground
     truth + rpq3 codes + IVF assignment parquet) — 24 points may never
-    re-encode the corpus — and the shortlist/final cuts stay
-    TakeOrdered reductions with no Python anywhere."""
+    re-encode the corpus — with no Python anywhere. The nested-budget
+    restructure bounds the corpus-touching work: exactly ONE ADC
+    shortlist pass (TakeOrdered over the staged codes) and ONE
+    cell-filtered scan per probe serve every budget point, so the
+    staged code table appears once per probe, not once per point."""
     p = plan_of(spark, "ann_budget_curve")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
-    assert "rpq3_codes" in p and "ivf_index" in p and "ann_ground_truth" in p
-    assert p.count("TakeOrderedAndProject") >= 12  # shortlist + final cuts
+    # every point reads (a) the staged ground truth and (b) its probe's
+    # checkpointed rank pass — a <=50-row ExistingRDD, NOT an inlined
+    # re-run of the ADC/cell subtree (the staged code/index tables sit
+    # behind the 8 per-probe barriers and never appear per point)
+    assert p.count("ann_ground_truth") == 24
+    assert p.count("Scan ExistingRDD") == 24
+    assert "rpq3_codes" not in p and "ivf_index" not in p
+    assert p.count("TakeOrderedAndProject") >= 12  # per-point final cuts
 
 
 def test_multimodal_png_arrow_batched(spark):
