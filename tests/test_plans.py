@@ -1088,7 +1088,13 @@ def test_ann_budget_curve_staged_no_reencode_no_python(spark):
     assert p.count("TakeOrderedAndProject") >= 12  # per-point final cuts
 
 
-def test_multimodal_png_arrow_batched(spark):
+def test_unigram_budget_curve_driver_sized_result(spark):
+    """The budget curve's EM chains and dictionary totals run BEFORE
+    this plan (vocabulary/dictionary-sized); the final plan is just
+    the 3-row literal result — no corpus scan, no join, no Python."""
+    p = plan_of(spark, "unigram_budget_curve")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "FileScan" not in p and "Join" not in p
     """PNG decode is DESIGNED Pandas-UDF territory (stdlib zlib per
     payload): the plan must show the Arrow-batched evaluator, never the
     row-at-a-time Python one."""

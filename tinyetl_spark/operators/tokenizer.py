@@ -1163,6 +1163,109 @@ def unigram_prune_encode_sql(
     """
 
 
+# ------------------------------------------------ tokenizer budget curve
+
+UNI_BUDGET_SIZES = (16, 32, 64)
+
+
+def unigram_budget_curve(
+    df: DataFrame,
+    sizes: tuple[int, ...] = UNI_BUDGET_SIZES,
+    text_col: str = "text",
+    n_iters: int = UNI_EM_ITERS,
+) -> DataFrame:
+    """Fertility / compression vs VOCABULARY BUDGET — the tokenizer
+    twin of ann_budget_curve: train the unigram LM at multi-char seed
+    sizes 16/32/64 and report corpus-level tokens/word and word
+    chars/token per size, the curve that answers "what vocabulary do I
+    need" before a production train.
+
+    Scale shape: the corpus is shuffled ONCE (the shared word-freq
+    table, checkpointed); per size everything is vocabulary-sized —
+    the EM iterations collect <=|V| rows, and the corpus totals come
+    from segmenting the WORD DICTIONARY (total_tokens = sum over
+    distinct words of wcount * |segments|), so no size ever re-scans
+    or re-joins the corpus. Totals therefore cover the <=UNI_MAXLEN
+    dictionary (the trainer's own domain), which is also what the SQL
+    twin aggregates."""
+    import math
+
+    wf = _uni_word_freq(df, text_col).localCheckpoint()
+    from tinyetl_spark.operators.text import floor_round
+
+    rows = []
+    for n_multi in sizes:
+        seed = _uni_seed_rows(wf, n_multi=n_multi)
+        vocab = [p for p, _ in seed]
+        tot = sum(f for _, f in seed)
+        costs = {p: _micro(1e6 * math.log10(tot / f)) for p, f in seed}
+        for _ in range(n_iters):
+            _usage, costs = _uni_em_iter(wf, costs, vocab)
+        seg = wf.select(
+            F.col("wcount").cast("bigint").alias("wcount"),
+            F.length("word").cast("bigint").alias("wlen"),
+            _viterbi_toks(F.col("word"), _cost_map_lit(costs)).alias("toks"),
+        )
+        r = seg.agg(
+            F.sum(F.col("wcount") * F.size("toks")).cast("bigint").alias("t"),
+            F.sum("wcount").cast("bigint").alias("w"),
+            F.sum(F.col("wcount") * F.col("wlen")).cast("bigint").alias("c"),
+        ).collect()[0]
+        rows.append((int(n_multi), int(r["t"]), int(r["w"]), int(r["c"])))
+    out = df.sparkSession.createDataFrame(
+        rows,
+        "vocab_multi bigint, total_tokens bigint, total_words bigint, "
+        "total_chars bigint",
+    )
+    return out.select(
+        "vocab_multi",
+        "total_tokens",
+        "total_words",
+        floor_round(
+            F.col("total_tokens").cast("double") / F.col("total_words").cast("double"),
+            6,
+        ).alias("fertility"),
+        floor_round(
+            F.col("total_chars").cast("double") / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    ).orderBy("vocab_multi")
+
+
+def unigram_budget_curve_sql(
+    table: str = "documents",
+    sizes: tuple[int, ...] = UNI_BUDGET_SIZES,
+    text_col: str = "text",
+    n_iters: int = UNI_EM_ITERS,
+) -> str:
+    """DuckDB twin: one self-contained train + dictionary-segmentation
+    chain per size (nested WITH keeps the per-size CTE names scoped),
+    unioned and ordered by budget."""
+    from tinyetl_spark.operators.text import floor_round_sql
+
+    points = []
+    for n_multi in sizes:
+        fert = floor_round_sql(
+            "CAST(sum(wcount * len(toks)) AS DOUBLE)"
+            " / CAST(sum(wcount) AS DOUBLE)", 6
+        )
+        cpt = floor_round_sql(
+            "CAST(sum(wcount * length(word)) AS DOUBLE)"
+            " / CAST(sum(wcount * len(toks)) AS DOUBLE)", 6
+        )
+        points.append(f"""
+    SELECT * FROM (
+      WITH {_uni_train_ctes(table, text_col, n_iters, n_multi=n_multi)},
+      {_uni_viterbi_ctes("bud", "uwf", f"ucost_{n_iters}")}
+      SELECT CAST({n_multi} AS BIGINT) AS vocab_multi,
+             CAST(sum(wcount * len(toks)) AS BIGINT) AS total_tokens,
+             CAST(sum(wcount) AS BIGINT) AS total_words,
+             {fert} AS fertility,
+             {cpt} AS chars_per_token
+      FROM useg_bud)""")
+    return " UNION ALL ".join(points) + " ORDER BY vocab_multi"
+
+
 def bpe_train_encode(
     df: DataFrame,
     text_col: str = "text",

@@ -3264,6 +3264,18 @@ def _materialized_unigram_pruned_encoded(
     )
 
 
+@_q("unigram_budget_curve", tokenizer.unigram_budget_curve_sql())
+def unigram_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility/compression vs vocabulary budget (multi-char seed 16/
+    32/64) — the tokenizer twin of ann_budget_curve: the knob curve a
+    production tokenizer train reads before committing to a size. ONE
+    corpus shuffle total (the shared checkpointed word-freq table);
+    per size the EM chain AND the corpus totals are vocabulary/
+    dictionary-sized (total_tokens = sum over distinct words of
+    wcount x |segments| — no size re-scans the corpus)."""
+    return tokenizer.unigram_budget_curve(load(spark, sf_dir, "documents"))
+
+
 @_q("tokenized_corpus", tokenizer.unigram_train_encode_sql())
 def tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical token-stream artifact: the unigram-LM encode of
