@@ -1586,6 +1586,47 @@ def test_decode_jpeg_ac_matches_independent_idct():
         assert d["mean_value"] == round(float(tot) / (w * h), 6)
 
 
+def test_decode_jpeg_rejects_malformed_payloads():
+    """A new bitstream parser must FAIL CLEANLY on garbage: truncated
+    scans, missing SOF, non-JPEG bytes — exceptions, never hangs or
+    silent wrong stats."""
+    import pytest
+
+    from tinyetl_spark.operators import multimodal as mm
+
+    good = mm.synth_jpeg([10, 20, 30, 40], 16, 16)
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"\x00\x01\x02")  # not a JPEG
+    with pytest.raises((ValueError, IndexError, NotImplementedError)):
+        mm.decode_jpeg(good[: len(good) // 2])  # truncated mid-scan
+    # SOS before any SOF: marker walk must raise, not decode garbage
+    import struct
+
+    sos = struct.pack(">HH", 0xFFDA, 8) + b"\x01\x01\x00\x00\x3f\x00"
+    with pytest.raises((ValueError, KeyError, IndexError)):
+        mm.decode_jpeg(b"\xff\xd8" + sos + b"\x00\xff\xd9")
+
+
+def test_ann_budget_curve_monotone(spark):
+    """Nested budgets can only help: mean recall@10 must be
+    non-decreasing in the rerank shortlist width and in nprobe (a
+    wider shortlist member that displaces a top-10 item has higher
+    cosine, hence is itself in the exact top-10)."""
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.queries import QUERIES
+
+    rows = QUERIES["ann_budget_curve"](spark, SF_DIR).collect()
+    for knob in ("rpq3_shortlist", "ivf_nprobe"):
+        by_budget: dict[int, list[float]] = {}
+        for r in rows:
+            if r["knob"] == knob:
+                by_budget.setdefault(int(r["budget"]), []).append(r["recall"])
+        means = [
+            sum(v) / len(v) for _, v in sorted(by_budget.items())
+        ]
+        assert all(a <= b + 1e-9 for a, b in zip(means, means[1:])), (knob, means)
+
+
 def test_dsir_prefers_target_like_docs(spark):
     """Semantic pin for DSIR: pool documents written in the target's
     vocabulary must outscore documents from a disjoint vocabulary."""

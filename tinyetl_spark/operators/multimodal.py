@@ -845,11 +845,15 @@ def decode_jpeg(payload: bytes) -> dict:
         elif marker == 0xFFDD:
             raise NotImplementedError("restart intervals: PIL hook")
         elif marker == 0xFFDA:  # SOS — entropy data follows
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             for si in range(ns):
                 cs, tabs = body[1 + 2 * si], body[2 + 2 * si]
-                idx = next(i for i, c in enumerate(comps) if c[0] == cs)
-                scan_comps.append((idx, tabs >> 4, tabs & 0xF))
+                matches = [i for i, c in enumerate(comps) if c[0] == cs]
+                if not matches:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                scan_comps.append((matches[0], tabs >> 4, tabs & 0xF))
             rd = _JpegBitReader(payload, pos)
             break
     else:
