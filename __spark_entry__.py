@@ -37,9 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- (a) semantics changed in round 10 (2) ---
     "containment_recall_audit", "tokenizer_compare",
-    # --- (b) NEW in round 10 (5) ---
+    # --- (b) NEW in round 10 (6) ---
     "unigram_prune_vocab", "tokenized_corpus", "ann_budget_curve",
-    "multimodal_decode_jpeg", "unigram_budget_curve",
+    "multimodal_decode_jpeg", "unigram_budget_curve", "unigram_ambiguity",
     # --- (c) the FULL r5-vintage rotation queue (34): ANN serving
     # tier, all 11 streaming queries, kmeans/decontam/multimodal/
     # zorder; after this window no driver green predates round 6 ---
@@ -55,14 +55,15 @@ _PRIORITY = [
     "streaming_sessions", "streaming_sink_parquet", "streaming_tumbling",
     "streaming_upsert_snapshot", "streaming_user_counts",
     "temperature_mix_docs", "winnow_decontam", "zorder_key_events",
-    # --- (c2) the 9 alphabetically-first r6-vintage rows (fill the
-    # 50-cut; the remaining 41 r6 rows lead round 11's queue) ---
+    # --- (c2) the 8 alphabetically-first r6-vintage rows (fill the
+    # 50-cut; the remaining 42 r6 rows lead round 11's queue) ---
     "avro_roundtrip", "bigram_logprob_docs", "bm25_search_docs",
     "bm25_top_terms", "bpe_encode_docs", "bpe_pair_counts",
-    "bpe_train_merges", "char_entropy_docs", "chunk_documents",
+    "bpe_train_merges", "char_entropy_docs",
     # --- below the 50-cut: oldest-vintage-first (remaining r6, then
     # r7, r8, r9) so any larger sample extends the rotation ---
-    "cli_job_roundtrip", "cohort_retention", "corpus_overlap_kmv", "corpus_stats_report", "csv_roundtrip",
+    "chunk_documents", "cli_job_roundtrip", "cohort_retention",
+    "corpus_overlap_kmv", "corpus_stats_report", "csv_roundtrip",
     "csv_roundtrip_events", "decontam_report", "duckdb_roundtrip",
     "dup_ngram_frac_docs", "dup_passage_spans", "epoch_shuffle_docs",
     "event_outliers", "fk_violations_audit", "funnel_conversion",

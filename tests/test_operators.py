@@ -1037,6 +1037,51 @@ def test_unigram_train_encode_matches_python_reference(spark):
     check()
 
 
+def test_unigram_two_best_matches_bruteforce_enumeration(spark):
+    """The 2-best Viterbi fold vs EXHAUSTIVE path enumeration: for
+    short words every segmentation (composition into parts <=
+    UNI_MAXPIECE) is enumerable, so the two smallest path costs are
+    ground truth, including exact ties."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from tinyetl_spark.operators.tokenizer import (
+        UNI_MAXPIECE,
+        UNI_UNK,
+        _cost_map_lit,
+        _viterbi_two_costs,
+    )
+
+    costs = {"a": 5, "b": 7, "ab": 9, "ba": 100, "aa": 9, "abab": 11}
+    words = ["ab", "aa", "abab", "baba", "aabb", "abba", "bbbb", "aaaaab"]
+
+    def all_paths(w):
+        out = []
+
+        def rec(i, acc):
+            if i == len(w):
+                out.append(acc)
+                return
+            for ln in range(1, min(UNI_MAXPIECE, len(w) - i) + 1):
+                piece = w[i : i + ln]
+                rec(i + ln, acc + costs.get(piece, UNI_UNK * ln))
+
+        rec(0, 0)
+        return sorted(out)
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = df.select(
+        "word", *(c.alias(n) for c, n in zip(
+            _viterbi_two_costs(F.col("word"), _cost_map_lit(costs)), ("c1", "c2")
+        ))
+    ).collect()
+    for r in got:
+        paths = all_paths(r["word"])
+        assert (r["c1"], r["c2"]) == (paths[0], paths[1]), (r["word"], paths[:3])
+    del itertools
+
+
 def test_unigram_prune_matches_python_reference(spark):
     """Property check: the likelihood-loss pruning trainer equals an
     independent single-machine reference — oversized seed, EM, then

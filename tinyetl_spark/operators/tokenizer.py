@@ -1163,6 +1163,184 @@ def unigram_prune_encode_sql(
     """
 
 
+# ------------------------------------------- segmentation ambiguity (2-best)
+#
+# Kudo 2018 §3's premise is that words have MULTIPLE plausible
+# segmentations; subword regularization samples among them. The
+# measurable corpus-level signal is the cost GAP between the best and
+# second-best segmentation of each word: gap 0 = exact ties (the
+# degenerate case where sampling is free variance), small gap = real
+# ambiguity worth regularizing over, large gap = one dominant
+# segmentation. 2-best Viterbi is the same settled-node DP with a
+# (c1, c2) pair per node — min-2 over multisets is associative, so
+# the SQL twin's incremental top-2 retention provably equals the
+# Spark fold's one-shot sorted-take-2. A path count argument makes c2
+# total for every word of length >= 2: edges always exist (UNK
+# fallback), so a length-n word has as many paths as compositions of
+# n into parts <= UNI_MAXPIECE (>= 2 whenever n >= 2).
+
+UNI_AMB_INF = 10**15  # "no second path yet" sentinel; > any finite
+#                       path cost (<= 16 chars x 4e7 UNK) and far from
+#                       BIGINT overflow even after +cost accumulation
+
+
+def _viterbi_two_costs(word, cost_map, maxpiece: int = UNI_MAXPIECE):
+    """(best, second-best) segmentation costs of ``word`` as an in-row
+    fold: per node keep the two smallest path costs; candidates at
+    node i are both retained costs of each predecessor plus the edge.
+    Returns (c1, c2) columns; c2 carries the UNI_AMB_INF sentinel only
+    for length-1 words (single path)."""
+    n = F.length(word)
+    inf = F.lit(UNI_AMB_INF).cast("long")
+    init = F.array(
+        F.struct(F.lit(0).cast("long").alias("c1"), inf.alias("c2"))
+    )
+
+    def step(acc, i):
+        def edge(l):
+            return F.coalesce(
+                F.element_at(cost_map, word.substr(i - l + 1, l)),
+                (F.lit(UNI_UNK).cast("long") * l).cast("long"),
+            )
+
+        cands = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(maxpiece), i)),
+                lambda l: F.array(
+                    F.element_at(acc, i - l + 1)["c1"] + edge(l),
+                    F.element_at(acc, i - l + 1)["c2"] + edge(l),
+                ),
+            )
+        )
+        s = F.array_sort(cands)
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    F.element_at(s, 1).alias("c1"),
+                    F.element_at(s, 2).alias("c2"),
+                )
+            ),
+        )
+
+    dp = F.aggregate(F.sequence(F.lit(1), n), init, step)
+    last = F.element_at(dp, -1)
+    return last["c1"], last["c2"]
+
+
+def unigram_ambiguity(
+    df: DataFrame, text_col: str = "text", n_iters: int = UNI_EM_ITERS
+) -> DataFrame:
+    """Corpus segmentation-ambiguity profile under the trained unigram
+    LM: per word length, the occurrence-weighted mean best-vs-2nd-best
+    cost gap (micro units) and the share of word occurrences whose two
+    best segmentations TIE exactly. One corpus shuffle (the word-freq
+    table); the 2-best DP is an in-row fold over the dictionary."""
+    from tinyetl_spark.operators.text import floor_round
+
+    costs, _, wf = _uni_train_state(df, text_col, n_iters)
+    c1, c2 = _viterbi_two_costs(F.col("word"), _cost_map_lit(costs))
+    seg = wf.filter(F.length("word") >= 2).select(
+        F.length("word").cast("bigint").alias("wlen"),
+        F.col("wcount").cast("bigint").alias("wcount"),
+        (c2 - c1).alias("gap"),
+    )
+    agg = seg.groupBy("wlen").agg(
+        F.sum("wcount").cast("bigint").alias("n_words"),
+        F.sum(F.col("wcount") * F.col("gap")).cast("bigint").alias("_sg"),
+        F.sum(F.when(F.col("gap") == 0, F.col("wcount")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("_nt"),
+    )
+    return agg.select(
+        "wlen",
+        "n_words",
+        floor_round(
+            F.col("_sg").cast("double") / F.col("n_words").cast("double"), 6
+        ).alias("mean_gap_micro"),
+        floor_round(
+            F.col("_nt").cast("double") / F.col("n_words").cast("double"), 6
+        ).alias("tied_share"),
+    ).orderBy("wlen")
+
+
+def _uni_twobest_ctes(tag: str, src: str, cost_cte: str) -> str:
+    """2-best DP as CTEs ending in ``uamb_{tag}(word, wcount, cost,
+    rn)`` — the two smallest path costs per word at its end node.
+    Settled-node rounds as in ``_uni_viterbi_ctes``; per (word, node)
+    only the TOP-2 rows are retained each round (min-2 is a monoid on
+    multisets, so incremental retention equals one-shot top-2). Ties
+    in cost leave the retained VALUES deterministic even though row
+    identity isn't."""
+    edges = f"""
+    uambe_{tag} AS MATERIALIZED (
+      SELECT s.word, s.wcount, s.i, s.j,
+             coalesce(c.cost, {UNI_UNK} * (s.i - s.j)) AS ecost
+      FROM (SELECT word, wcount, u.i AS i, u.j AS j,
+                   substr(word, CAST(u.j AS INT) + 1, CAST(u.i - u.j AS INT)) AS piece
+            FROM (SELECT word, wcount,
+                         unnest(flatten(list_transform(range(1, length(word) + 1),
+                           i -> list_transform(range(1, least({UNI_MAXPIECE}, i) + 1),
+                                l -> {{'i': i, 'j': i - l}})))) AS u
+                  FROM {src})) s
+      LEFT JOIN {cost_cte} c ON c.piece = s.piece),
+    uamb_{tag}_0 AS (
+      SELECT word, wcount, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cost
+      FROM {src})"""
+    rounds = []
+    for r in range(1, UNI_MAXLEN + 1):
+        rounds.append(f"""
+    uamb_{tag}_{r} AS MATERIALIZED (
+      SELECT word, wcount, i, cost FROM (
+        SELECT *, row_number() OVER (PARTITION BY word, i ORDER BY cost) AS rn
+        FROM (
+          SELECT word, wcount, i, cost FROM uamb_{tag}_{r - 1}
+          UNION ALL
+          SELECT e.word, e.wcount, e.i, d.cost + e.ecost AS cost
+          FROM uambe_{tag} e
+          JOIN uamb_{tag}_{r - 1} d ON d.word = e.word AND d.i = e.j
+          WHERE e.j = {r - 1}
+        )) WHERE rn <= 2)""")
+    end = f"""
+    uamb_{tag} AS (
+      SELECT word, wcount, cost,
+             row_number() OVER (PARTITION BY word ORDER BY cost) AS rn
+      FROM uamb_{tag}_{UNI_MAXLEN}
+      WHERE i = length(word))"""
+    return edges + "," + ",".join(rounds) + "," + end
+
+
+def unigram_ambiguity_sql(
+    table: str = "documents", text_col: str = "text", n_iters: int = UNI_EM_ITERS
+) -> str:
+    """DuckDB twin: train CTEs + the 2-best unroll + the per-length
+    rollup (exact BIGINT gap sums; two floor_round divisions)."""
+    from tinyetl_spark.operators.text import floor_round_sql
+
+    mean_gap = floor_round_sql(
+        "CAST(sum(wcount * gap) AS DOUBLE) / CAST(sum(wcount) AS DOUBLE)", 6
+    )
+    tied = floor_round_sql(
+        "CAST(sum(CASE WHEN gap = 0 THEN wcount ELSE 0 END) AS DOUBLE)"
+        " / CAST(sum(wcount) AS DOUBLE)", 6
+    )
+    return f"""
+    WITH {_uni_train_ctes(table, text_col, n_iters)},
+    {_uni_twobest_ctes("amb", "uwf", f"ucost_{n_iters}")},
+    ugap AS (
+      SELECT b.word, b.wcount, length(b.word) AS wlen,
+             s.cost - b.cost AS gap
+      FROM (SELECT * FROM uamb_amb WHERE rn = 1) b
+      JOIN (SELECT * FROM uamb_amb WHERE rn = 2) s USING (word)
+      WHERE length(b.word) >= 2)
+    SELECT CAST(wlen AS BIGINT) AS wlen,
+           CAST(sum(wcount) AS BIGINT) AS n_words,
+           {mean_gap} AS mean_gap_micro,
+           {tied} AS tied_share
+    FROM ugap GROUP BY wlen ORDER BY wlen
+    """
+
+
 # ------------------------------------------------ tokenizer budget curve
 
 UNI_BUDGET_SIZES = (16, 32, 64)

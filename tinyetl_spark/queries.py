@@ -3264,6 +3264,19 @@ def _materialized_unigram_pruned_encoded(
     )
 
 
+@_q("unigram_ambiguity", tokenizer.unigram_ambiguity_sql())
+def unigram_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation-ambiguity profile under the trained unigram LM —
+    the corpus-level signal subword regularization (Kudo 2018 §3)
+    exploits: per word length, the occurrence-weighted mean cost gap
+    between each word's best and SECOND-best segmentation (2-best
+    Viterbi, an in-row (c1,c2) fold; min-2 is a multiset monoid so
+    the SQL twin's incremental top-2 retention is provably identical)
+    and the share of occurrences whose two best segmentations tie
+    exactly. One corpus shuffle; the DP is dictionary-sized."""
+    return tokenizer.unigram_ambiguity(load(spark, sf_dir, "documents"))
+
+
 @_q("unigram_budget_curve", tokenizer.unigram_budget_curve_sql())
 def unigram_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fertility/compression vs vocabulary budget (multi-char seed 16/
