@@ -2293,3 +2293,306 @@ def test_zipf_slope_single_rank_group_is_null_not_nan(spark):
     rows = text.zipf_slope(df).collect()
     assert len(rows) == 1 and rows[0]["n_ranks"] == 1
     assert rows[0]["zipf_slope"] is None
+
+
+def test_wordpiece_train_matches_python_reference_random(spark):
+    """Property check: distributed WordPiece training equals the
+    single-machine likelihood-scored greedy algorithm (## continuation
+    marking, exact nano-unit integer scores, pair-ascending ties) on
+    random corpora."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.tokenizer import WP_SCALE, wordpiece_train
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=5)
+
+    def ref_wp(texts, n_merges):
+        import collections
+
+        wf = collections.Counter(w for t in texts for w in t.split())
+        syms = {w: [w[0]] + ["##" + c for c in w[1:]] for w in wf}
+        out = []
+        for rank in range(1, n_merges + 1):
+            pc = collections.Counter()
+            sc = collections.Counter()
+            for w, c in wf.items():
+                s = syms[w]
+                for x in s:
+                    sc[x] += c
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += c
+            scored = [
+                ((a, b), total, total * WP_SCALE // (sc[a] * sc[b]))
+                for (a, b), total in pc.items()
+                if total >= 2
+            ]
+            if not scored:
+                break
+            (a, b), total, score = sorted(
+                scored, key=lambda kv: (-kv[2], kv[0][0], kv[0][1])
+            )[0]
+            out.append((rank, a, b, total, score))
+            nb = a + (b[2:] if b.startswith("##") else b)
+            for w in syms:
+                merged = []
+                for x in syms[w]:
+                    if merged and merged[-1] == a and x == b:
+                        merged[-1] = nb
+                    else:
+                        merged.append(x)
+                syms[w] = merged
+        return out
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=6), min_size=1, max_size=8))
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            tuple(r)
+            for r in wordpiece_train(df, n_merges=5)
+            .toPandas()
+            .itertuples(index=False, name=None)
+        ]
+        assert got == ref_wp(texts, 5)
+
+    check()
+
+
+def test_wordpiece_encode_matches_python_reference(spark):
+    """The train-then-encode path reproduces BERT's greedy
+    longest-match-first rule (NOT merge replay) over the learned
+    vocabulary on random corpora — including the alphabet-stays rule
+    that guarantees training-corpus words never [UNK]."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.tokenizer import (
+        WP_MAXWORD,
+        WP_UNK,
+        wordpiece_train,
+        wordpiece_train_encode,
+    )
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    def ref_vocab(texts, merges):
+        syms = {}
+        wf = {w for t in texts for w in t.split()}
+        for w in wf:
+            syms[w] = [w[0]] + ["##" + c for c in w[1:]]
+        vocab = {p for s in syms.values() for p in s}
+        for a, b in merges:
+            nb = a + (b[2:] if b.startswith("##") else b)
+            vocab.add(nb)
+            for w in syms:
+                merged = []
+                for x in syms[w]:
+                    if merged and merged[-1] == a and x == b:
+                        merged[-1] = nb
+                    else:
+                        merged.append(x)
+                syms[w] = merged
+        # final-table symbols ∪ alphabet; drop merge outputs that were
+        # merged AWAY entirely? No — _wp_vocab keeps init ∪ FINAL table
+        # symbols only, so replicate exactly that:
+        final = {p for s in syms.values() for p in s}
+        init = {p for w in wf for p in ([w[0]] + ["##" + c for c in w[1:]])}
+        return init | final
+
+    def ref_greedy(w, vocab):
+        if len(w) > WP_MAXWORD:
+            return [WP_UNK]
+        toks, pos = [], 0
+        while pos < len(w):
+            best = None
+            for l in range(len(w) - pos, 0, -1):
+                piece = w[pos : pos + l] if pos == 0 else "##" + w[pos : pos + l]
+                if piece in vocab:
+                    best = (l, piece)
+                    break
+            if best is None:
+                return [WP_UNK]
+            toks.append(best[1])
+            pos += best[0]
+        return toks
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=6), min_size=1, max_size=8))
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges = [
+            (r["lsym"], r["rsym"])
+            for r in wordpiece_train(df, n_merges=5).collect()
+        ]
+        vocab = ref_vocab(texts, merges)
+        got = {
+            r["doc_id"]: list(r["tokens"])
+            for r in wordpiece_train_encode(df, n_merges=5).collect()
+        }
+        want = {
+            i: [tk for w in t.split() if w for tk in ref_greedy(w, vocab)]
+            for i, t in enumerate(texts)
+        }
+        assert got == want
+
+    check()
+
+
+def test_wordpiece_encode_unk_and_cap_rules(spark):
+    """Frozen-vocabulary encode pins BERT's two [UNK] rules: a word
+    with any unmatched position collapses WHOLE to [UNK] (even if a
+    prefix matched), and a word past WP_MAXWORD chars is [UNK] without
+    matching at all; empty docs keep a row at n_tokens = 0."""
+    from tinyetl_spark.operators.tokenizer import WP_UNK, wordpiece_encode
+
+    vocab = ["a", "ab", "##b", "##c"]
+    df = spark.createDataFrame(
+        [
+            (1, "ab abc abz"),      # ab; ab+##c (longest-first); z -> UNK
+            (2, "b"),               # 'b' word-initial not in vocab -> UNK
+            (3, "a" * 17),          # over the 16-char cap -> UNK
+            (4, ""),                # empty doc -> 0 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+        for r in wordpiece_encode(df, vocab).collect()
+    }
+    assert out[1] == (4, ["ab", "ab", "##c", WP_UNK])
+    assert out[2] == (1, [WP_UNK])
+    assert out[3] == (1, [WP_UNK])
+    assert out[4] == (0, [])
+
+
+def test_rho_loss_select_prefers_holdout_like_docs(spark):
+    """Planted RHO-loss check: with a Gopher-passing holdout slice
+    built from a 'clean' vocabulary, a short pool doc reusing that
+    vocabulary must outrank a pool doc of junk-only words (whose
+    holdout logprob craters to the OOV floor -> strongly negative
+    reducible loss)."""
+    from tinyetl_spark.operators.text import rho_loss_select
+
+    filler = " ".join(["good data clean corpus sample token"] * 5)
+    ref_text = f"the and {filler}"       # 32 words, passes every rule
+    junk = ("zzq xxv qqw " * 4).strip()  # 12 words -> fails min-words
+    likely = "good data clean corpus token"
+    rows = [(i, ref_text) for i in range(3)] + [(10, junk), (11, likely)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in rho_loss_select(df, k=10).collect()}
+    assert len(out) == 5
+    assert out[11]["rho_score"] > out[10]["rho_score"]
+    assert out[10]["rho_score"] < 0
+    for r in out.values():  # self-consistency of the reported columns
+        assert abs(
+            r["rho_score"]
+            - (r["avg_logprob_holdout"] - r["avg_logprob_pool"])
+        ) < 2e-6
+
+
+def test_wordpiece_encode_batch_equals_fold(spark):
+    """The Arrow-batched production encoder is byte-equal to the
+    literal-fold wordpiece_encode on random corpora under the trained
+    vocabulary — including words the greedy rule segments differently
+    than their training path."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.tokenizer import (
+        wordpiece_encode,
+        wordpiece_encode_batch,
+        wordpiece_vocab,
+    )
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=6), min_size=1, max_size=8))
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        vocab = wordpiece_vocab(df, n_merges=5)
+        fold = {
+            r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+            for r in wordpiece_encode(df, vocab).collect()
+        }
+        batch = {
+            r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+            for r in wordpiece_encode_batch(df, vocab).collect()
+        }
+        assert fold == batch
+
+    check()
+
+
+def test_wordpiece_encode_batch_unk_parity(spark):
+    """Both encoders agree on the [UNK] rules under a hand-built
+    vocabulary (unmatched position, over-cap word, empty doc)."""
+    from tinyetl_spark.operators.tokenizer import (
+        wordpiece_encode,
+        wordpiece_encode_batch,
+    )
+
+    vocab = ["a", "ab", "##b", "##c"]
+    df = spark.createDataFrame(
+        [(1, "ab abc abz"), (2, "b"), (3, "a" * 17), (4, "")],
+        "doc_id long, text string",
+    )
+    fold = {
+        r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+        for r in wordpiece_encode(df, vocab).collect()
+    }
+    batch = {
+        r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+        for r in wordpiece_encode_batch(df, vocab).collect()
+    }
+    assert fold == batch
+
+
+def test_doremi_weights_favor_learnable_domains(spark):
+    """Planted DoReMi check: the domain supplying the Gopher-passing
+    holdout gets ~all the weight (its words are denser in the holdout
+    LM than the pool LM), a junk-only domain's excess clamps to zero,
+    and the reported weights normalize to ~1."""
+    from tinyetl_spark.operators.text import doremi_domain_weights
+
+    filler = " ".join(["good data clean corpus sample token"] * 5)
+    ref_text = f"the and {filler}"
+    junk = ("zzq xxv qqw " * 4).strip()
+    rows = [(i, ref_text, "clean") for i in range(3)] + [
+        (10, junk, "junk"),
+        (11, junk, "junk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in doremi_domain_weights(df).collect()}
+    assert set(out) == {"clean", "junk"}
+    assert out["junk"]["excess_micro"] == 0
+    assert out["junk"]["weight"] == 0.0
+    assert out["clean"]["weight"] == 1.0
+    assert out["clean"]["n_docs"] == 3 and out["junk"]["n_docs"] == 2
+
+
+def test_mink_prob_semantics(spark):
+    """Min-K% planted check: two docs with identical common-word bodies,
+    one carrying rare outlier tokens — the outlier-free doc must score
+    HIGHER (more member-like), its min-k mean must not exceed its full
+    mean, and k_words must be ceil(0.2 * n_words)."""
+    import math
+
+    from tinyetl_spark.operators.text import mink_prob_docs
+
+    body = " ".join(["common word token data"] * 5)   # 20 words
+    rows = [
+        (1, body),
+        (2, body + " zzqx vvqy"),                     # 2 rare outliers
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in mink_prob_docs(df, top=10).collect()}
+    assert out[1]["mink_logprob"] > out[2]["mink_logprob"]
+    for r in out.values():
+        assert r["mink_logprob"] <= r["avg_logprob"] + 1e-9
+        assert r["k_words"] == math.ceil(0.2 * r["n_words"])

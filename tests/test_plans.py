@@ -1019,13 +1019,36 @@ def test_unigram_encode_dictionary_join_no_python(spark):
 
 
 def test_tokenizer_compare_staged_scalar_aggs(spark):
-    """The BPE-vs-unigram-vs-pruned comparison reads all three STAGED
-    encode tables (no re-train in this plan) and reduces them to scalar
-    aggregates; the only joins are the 1-row broadcast crosses."""
+    """The BPE/unigram/pruned/WordPiece comparison reads all four
+    STAGED encode tables (no re-train in this plan) and reduces them to
+    scalar aggregates; the only joins are the 1-row broadcast
+    crosses."""
     p = plan_of(spark, "tokenizer_compare")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
-    assert p.count("BroadcastNestedLoopJoin") <= 3  # 1-row metric crosses
+    assert p.count("BroadcastNestedLoopJoin") <= 4  # 1-row metric crosses
+
+
+def test_wordpiece_train_merges_no_python(spark):
+    """WordPiece training's reported plan (the merge table) carries no
+    Python row evaluation; the scored-pair selection ran before this
+    plan as vocabulary-sized collects (one winner row per iteration,
+    same contract as bpe_train_merges)."""
+    p = plan_of(spark, "wordpiece_train_merges")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_wordpiece_encode_dictionary_join_no_python(spark):
+    """WordPiece encode is the dictionary-join shape: the greedy
+    longest-match walk is an in-row fold over a broadcast vocabulary
+    map (no Python, no corpus window), the word→tokens dictionary
+    BROADCAST-equi-joins into the exploded corpus, and nothing is
+    cartesian."""
+    p = plan_of(spark, "wordpiece_encode_docs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # the dictionary join
 
 
 def test_unigram_prune_encode_dictionary_join_no_python(spark):
@@ -1125,3 +1148,47 @@ def test_rm3_second_pass_broadcasts_model_no_python(spark):
     assert p.count("BroadcastHashJoin") >= 1  # expansion model join
     assert "SortMergeJoin" not in p
     assert "Exchange rangepartitioning" not in p
+
+
+def test_rho_select_broadcast_model_takeordered(spark):
+    """RHO-loss selection: the unigram model table broadcasts into the
+    exploded corpus (never a corpus-side shuffle for the join), the
+    per-doc reduce is a hash aggregate, and the top-k is a TakeOrdered
+    — no global sort, no Python, nothing cartesian except the two
+    1-row total crosses."""
+    p = plan_of(spark, "rho_select_docs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_doremi_weights_broadcast_model_no_python(spark):
+    """DoReMi domain weights: the model table broadcasts into the
+    exploded corpus, the domain reduce is a hash aggregate, no Python
+    anywhere; the only nested-loop is the 1-row totals cross."""
+    p = plan_of(spark, "doremi_domain_weights")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_wordpiece_encode_batch_is_arrow_pure_map(spark):
+    """The production WordPiece encoder is Arrow mapInPandas with zero
+    shuffle — a pure map over the scan (the vocabulary ships as task
+    state, never as a join)."""
+    p = plan_of(spark, "wordpiece_encode_batch_docs")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_mink_prob_broadcast_model_takeordered(spark):
+    """Min-K%: broadcast model join, in-row tail selection (no window
+    over the corpus, no global sort), TakeOrdered top rows."""
+    p = plan_of(spark, "mink_prob_docs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p

@@ -1260,6 +1260,461 @@ def unigram_logprob_sql(
     """
 
 
+# ------------------------------------------- RHO-loss data selection
+
+RHO_TOP_VOCAB = 65536  # pool-model vocabulary cap (bounds the broadcast)
+RHO_K = 200            # documents selected
+
+
+def rho_loss_select(
+    df: DataFrame,
+    k: int = RHO_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = RHO_TOP_VOCAB,
+) -> DataFrame:
+    """RHO-loss data selection (Mindermann et al. 2022, "Prioritized
+    training on points that are learnable, worth learning, and not yet
+    learnt"): score every document by its REDUCIBLE holdout loss —
+    loss under a model of the full training pool minus loss under a
+    model of a curated holdout — and take the top-k. High pool loss =
+    not yet learnt; low holdout loss = learnable and worth learning;
+    the difference ranks exactly the documents a curriculum should
+    feed next. Both "models" are the repo's corpus-fit unigram word
+    LMs (the zero-dependency stand-in unigram_logprob established);
+    the holdout slice is the Gopher-rule-passing subset — a curated
+    reference a real pipeline would hold out.
+
+    rho_score = avg_logprob_holdout - avg_logprob_pool (per-word mean,
+    so length cancels); selection is (rho_score desc, id asc) LIMIT k.
+
+    Shape at scale: ONE corpus-sized explode→groupBy builds BOTH
+    frequency tables at once (the holdout counts ride along as a
+    conditional aggregate — the holdout is a subset, so no second
+    corpus pass); two scalar totals cross the driver; scoring is one
+    broadcast join of the top_vocab-bounded model table into the
+    exploded corpus plus one map-side-combined per-doc aggregate; the
+    final step is a TakeOrdered(k). Per-word log-probs round at 9dp
+    and sum as DECIMAL(38,9) so both engines hash identically."""
+    base = _gopher_metrics(df.select(id_col, text_col), text_col, id_col).select(
+        F.col(id_col), F.col(text_col), _gopher_keep().alias("_is_ref")
+    )
+    words = base.select(
+        F.col(id_col),
+        F.col("_is_ref"),
+        F.explode(words_col(F.lower(F.col(text_col)))).alias("w"),
+    )
+    freq = words.groupBy("w").agg(
+        F.count("*").alias("cnt_pool"),
+        F.count(F.when(F.col("_is_ref"), F.lit(1))).alias("cnt_ref"),
+    )
+    tot = freq.agg(
+        F.sum("cnt_pool").alias("tp"), F.sum("cnt_ref").alias("tr")
+    ).collect()[0]
+    t_pool = int(tot["tp"] or 1)
+    t_ref = int(tot["tr"] or 1)
+    vocab = freq.orderBy(F.desc("cnt_pool"), F.asc("w")).limit(top_vocab)
+
+    def lp(cnt: Column, total: int) -> Column:
+        return (
+            F.when(
+                cnt.isNotNull() & (cnt > 0),
+                F.round(F.log(cnt / F.lit(float(total))), 9),
+            )
+            .otherwise(F.round(F.log(F.lit(0.5 / float(total))), 9))
+            .cast("decimal(38,9)")
+        )
+
+    scored = words.join(F.broadcast(vocab), "w", "left").select(
+        F.col(id_col),
+        lp(F.col("cnt_pool"), t_pool).alias("_lpp"),
+        lp(F.col("cnt_ref"), t_ref).alias("_lpr"),
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        floor_round(
+            F.sum("_lpp").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_logprob_pool"),
+        floor_round(
+            F.sum("_lpr").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_logprob_holdout"),
+    )
+    return (
+        per_doc.select(
+            F.col(id_col),
+            "n_words",
+            "avg_logprob_pool",
+            "avg_logprob_holdout",
+            floor_round(
+                F.col("avg_logprob_holdout") - F.col("avg_logprob_pool"), 6
+            ).alias("rho_score"),
+        )
+        .orderBy(F.desc("rho_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def rho_loss_select_sql(
+    table: str = "documents",
+    k: int = RHO_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = RHO_TOP_VOCAB,
+) -> str:
+    ws = words_sql(f"lower({text_col})")
+    g = gopher_rules_sql(table, text_col, id_col)
+    lp_pool = (
+        "CAST(CASE WHEN v.cnt_pool IS NOT NULL AND v.cnt_pool > 0"
+        " THEN round(ln(v.cnt_pool / CAST(t.tp AS DOUBLE)), 9)"
+        " ELSE round(ln(0.5 / CAST(t.tp AS DOUBLE)), 9) END AS DECIMAL(38,9))"
+    )
+    lp_ref = (
+        "CAST(CASE WHEN v.cnt_ref IS NOT NULL AND v.cnt_ref > 0"
+        " THEN round(ln(v.cnt_ref / CAST(t.tr AS DOUBLE)), 9)"
+        " ELSE round(ln(0.5 / CAST(t.tr AS DOUBLE)), 9) END AS DECIMAL(38,9))"
+    )
+    return f"""
+    WITH gr AS ({g}),
+    words AS (
+      SELECT d.{id_col}, gr.keep AS is_ref, unnest({ws}) AS w
+      FROM {table} d JOIN gr ON d.{id_col} = gr.{id_col}),
+    freq AS (
+      SELECT w, count(*) AS cnt_pool,
+             count(*) FILTER (WHERE is_ref) AS cnt_ref
+      FROM words GROUP BY w),
+    tot AS (
+      SELECT greatest(sum(cnt_pool), 1) AS tp,
+             greatest(sum(cnt_ref), 1) AS tr
+      FROM freq),
+    vocab AS (
+      SELECT w, cnt_pool, cnt_ref FROM freq
+      ORDER BY cnt_pool DESC, w ASC LIMIT {top_vocab}),
+    scored AS (
+      SELECT words.{id_col}, {lp_pool} AS lpp, {lp_ref} AS lpr
+      FROM words LEFT JOIN vocab v ON words.w = v.w CROSS JOIN tot t),
+    per_doc AS (
+      SELECT {id_col}, count(*) AS n_words,
+             {floor_round_sql(
+                 "CAST(sum(lpp) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+               AS avg_logprob_pool,
+             {floor_round_sql(
+                 "CAST(sum(lpr) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+               AS avg_logprob_holdout
+      FROM scored GROUP BY {id_col})
+    SELECT {id_col}, n_words, avg_logprob_pool, avg_logprob_holdout,
+           {floor_round_sql("avg_logprob_holdout - avg_logprob_pool", 6)}
+             AS rho_score
+    FROM per_doc
+    ORDER BY rho_score DESC, {id_col} ASC LIMIT {k}
+    """
+
+
+MINK_FRAC = 0.2  # the k in Min-K%: fraction of lowest-logprob tokens kept
+MINK_TOP = 100   # rows reported (most-likely-member first)
+
+
+def mink_prob_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frac: float = MINK_FRAC,
+    top: int = MINK_TOP,
+    top_vocab: int = RHO_TOP_VOCAB,
+) -> DataFrame:
+    """Min-K% prob membership-inference audit (Shi et al. 2023,
+    "Detecting pretraining data from large language models"): a
+    document's score is the mean log-probability of its k% LEAST
+    likely tokens — members of the training set lack the low-prob
+    outlier tokens non-members have, so a HIGH min-k score flags
+    likely contamination/membership. The published method scores under
+    the suspect LLM; the engine-level audit scores under the corpus-fit
+    unigram LM (the repo's zero-dependency stand-in, like
+    unigram_logprob vs KenLM) — the ranking signal, not the LLM.
+
+    Per doc: n_words, the ceil(frac*n) count actually averaged, the
+    min-k mean logprob, and the full-doc mean for contrast; top rows
+    by (mink_logprob desc, id asc) — most-member-like first.
+
+    Shape at scale: the model build and scoring join are exactly
+    unigram_logprob's (one corpus shuffle + one broadcast join); the
+    per-doc min-k needs each doc's lowest-k logprobs, NOT a global
+    sort: the per-doc reduce collects the doc's word logprobs as an
+    array (bounded by doc length), sorts IN-ROW, slices the first
+    ceil(frac*n), and averages with exact DECIMAL sums. One
+    map-side-combinable aggregate + a TakeOrdered(top)."""
+    w = F.explode(words_col(F.lower(F.col(text_col)))).alias("w")
+    words = df.select(F.col(id_col), w)
+    freq = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = int(freq.agg(F.sum("cnt").alias("t")).collect()[0]["t"] or 1)
+    vocab = freq.orderBy(F.desc("cnt"), F.asc("w")).limit(top_vocab)
+    lp = (
+        F.when(
+            F.col("cnt").isNotNull(),
+            F.round(F.log(F.col("cnt") / F.lit(float(total))), 9),
+        )
+        .otherwise(F.round(F.log(F.lit(0.5 / float(total))), 9))
+        .cast("decimal(38,9)")
+    )
+    scored = words.join(F.broadcast(vocab), "w", "left").select(
+        F.col(id_col), lp.alias("_lp")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.array_sort(F.collect_list("_lp")).alias("_lps"),
+    )
+    kcnt = F.ceil(F.col("n_words") * F.lit(float(frac))).cast("int")
+    # decimal + decimal re-types to scale 8 inside the lambda; cast the
+    # accumulator back so the fold stays exact DECIMAL(38,9)
+    mink = F.aggregate(
+        F.slice(F.col("_lps"), 1, kcnt),
+        F.lit(0).cast("decimal(38,9)"),
+        lambda a, x: (a + x).cast("decimal(38,9)"),
+    )
+    full = F.aggregate(
+        F.col("_lps"),
+        F.lit(0).cast("decimal(38,9)"),
+        lambda a, x: (a + x).cast("decimal(38,9)"),
+    )
+    return (
+        per_doc.select(
+            F.col(id_col),
+            F.col("n_words"),
+            kcnt.cast("bigint").alias("k_words"),
+            floor_round(
+                mink.cast("double") / kcnt.cast("double"), 6
+            ).alias("mink_logprob"),
+            floor_round(
+                full.cast("double") / F.col("n_words").cast("double"), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy(F.desc("mink_logprob"), F.asc(id_col))
+        .limit(top)
+    )
+
+
+def mink_prob_docs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frac: float = MINK_FRAC,
+    top: int = MINK_TOP,
+    top_vocab: int = RHO_TOP_VOCAB,
+) -> str:
+    ws = words_sql(f"lower({text_col})")
+    return f"""
+    WITH words AS (
+      SELECT {id_col}, unnest({ws}) AS w FROM {table}),
+    freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+    tot AS (SELECT greatest(sum(cnt), 1) AS t FROM freq),
+    vocab AS (SELECT w, cnt FROM freq ORDER BY cnt DESC, w ASC LIMIT {top_vocab}),
+    scored AS (
+      SELECT words.{id_col},
+             CAST(CASE WHEN v.cnt IS NOT NULL
+                  THEN round(ln(v.cnt / CAST(t.t AS DOUBLE)), 9)
+                  ELSE round(ln(0.5 / CAST(t.t AS DOUBLE)), 9)
+             END AS DECIMAL(38,9)) AS lp
+      FROM words LEFT JOIN vocab v ON words.w = v.w CROSS JOIN tot t),
+    per_doc AS (
+      SELECT {id_col}, count(*) AS n_words,
+             list_sort(list(lp)) AS lps,
+             CAST(ceil(count(*) * {frac}) AS INT) AS kcnt
+      FROM scored GROUP BY {id_col})
+    SELECT {id_col}, n_words,
+           CAST(kcnt AS BIGINT) AS k_words,
+           {floor_round_sql(
+               "CAST(list_sum(list_slice(lps, 1, kcnt)) AS DOUBLE)"
+               " / CAST(kcnt AS DOUBLE)", 6)} AS mink_logprob,
+           {floor_round_sql(
+               "CAST(list_sum(lps) AS DOUBLE) / CAST(n_words AS DOUBLE)", 6)}
+             AS avg_logprob
+    FROM per_doc
+    ORDER BY mink_logprob DESC, {id_col} ASC LIMIT {top}
+    """
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    top_vocab: int = RHO_TOP_VOCAB,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    optimizing data mixtures speeds up language model pretraining") —
+    the one-shot static approximation: each domain's weight is its
+    EXCESS LOSS (per-word NLL under the pool LM minus under the
+    curated-holdout LM — the same reducible-loss signal rho_loss_select
+    ranks documents by, aggregated per domain), clamped at zero and
+    normalized. Domains the holdout model already explains get no
+    extra budget; domains with learnable headroom get more. (The full
+    method iterates Group DRO against a training proxy; the static
+    excess-loss weights are its first step and the standard cheap
+    stand-in.)
+
+    Shape at scale: identical to rho_loss_select up to the final
+    aggregate — ONE corpus explode→groupBy fits both LMs, one
+    broadcast model join scores the corpus, then the reduce keys on
+    the DOMAIN (|domains| rows, ~20 here) instead of the document.
+    Cross-engine exactness: per-domain averages use the DECIMAL(38,9)
+    sum discipline; the excess converts to integer micro-units before
+    the normalizing sum, so the total is exact BIGINT arithmetic and
+    the weights divide identical doubles on both engines."""
+    base = _gopher_metrics(
+        df.select(id_col, domain_col, text_col), text_col, id_col
+    ).select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.col(text_col),
+        _gopher_keep().alias("_is_ref"),
+    )
+    words = base.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.col("_is_ref"),
+        F.explode(words_col(F.lower(F.col(text_col)))).alias("w"),
+    )
+    freq = words.groupBy("w").agg(
+        F.count("*").alias("cnt_pool"),
+        F.count(F.when(F.col("_is_ref"), F.lit(1))).alias("cnt_ref"),
+    )
+    tot = freq.agg(
+        F.sum("cnt_pool").alias("tp"), F.sum("cnt_ref").alias("tr")
+    ).collect()[0]
+    t_pool = int(tot["tp"] or 1)
+    t_ref = int(tot["tr"] or 1)
+    vocab = freq.orderBy(F.desc("cnt_pool"), F.asc("w")).limit(top_vocab)
+
+    def lp(cnt: Column, total: int) -> Column:
+        return (
+            F.when(
+                cnt.isNotNull() & (cnt > 0),
+                F.round(F.log(cnt / F.lit(float(total))), 9),
+            )
+            .otherwise(F.round(F.log(F.lit(0.5 / float(total))), 9))
+            .cast("decimal(38,9)")
+        )
+
+    scored = words.join(F.broadcast(vocab), "w", "left").select(
+        F.col(domain_col),
+        F.col(id_col),
+        lp(F.col("cnt_pool"), t_pool).alias("_lpp"),
+        lp(F.col("cnt_ref"), t_ref).alias("_lpr"),
+    )
+    per_dom = scored.groupBy(domain_col).agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+        F.count("*").alias("n_words"),
+        floor_round(
+            F.sum("_lpp").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_logprob_pool"),
+        floor_round(
+            F.sum("_lpr").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_logprob_holdout"),
+    )
+    excess = F.greatest(
+        F.lit(0.0),
+        F.col("avg_logprob_holdout") - F.col("avg_logprob_pool"),
+    )
+    dom = per_dom.withColumn(
+        "excess_micro",
+        F.floor(excess * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint"),
+    )
+    totals = dom.agg(
+        F.sum("excess_micro").alias("_te"),
+        F.count("*").alias("_nd"),
+    )
+    weight = F.when(
+        F.col("_te") > 0,
+        floor_round(
+            F.col("excess_micro").cast("double") / F.col("_te").cast("double"), 6
+        ),
+    ).otherwise(
+        floor_round(F.lit(1.0) / F.col("_nd").cast("double"), 6)
+    )
+    return (
+        dom.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(domain_col),
+            "n_docs",
+            "n_words",
+            "avg_logprob_pool",
+            "avg_logprob_holdout",
+            "excess_micro",
+            weight.alias("weight"),
+        )
+        .orderBy(domain_col)
+    )
+
+
+def doremi_domain_weights_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    top_vocab: int = RHO_TOP_VOCAB,
+) -> str:
+    ws = words_sql(f"lower({text_col})")
+    g = gopher_rules_sql(table, text_col, id_col)
+    lp_pool = (
+        "CAST(CASE WHEN v.cnt_pool IS NOT NULL AND v.cnt_pool > 0"
+        " THEN round(ln(v.cnt_pool / CAST(t.tp AS DOUBLE)), 9)"
+        " ELSE round(ln(0.5 / CAST(t.tp AS DOUBLE)), 9) END AS DECIMAL(38,9))"
+    )
+    lp_ref = (
+        "CAST(CASE WHEN v.cnt_ref IS NOT NULL AND v.cnt_ref > 0"
+        " THEN round(ln(v.cnt_ref / CAST(t.tr AS DOUBLE)), 9)"
+        " ELSE round(ln(0.5 / CAST(t.tr AS DOUBLE)), 9) END AS DECIMAL(38,9))"
+    )
+    return f"""
+    WITH gr AS ({g}),
+    words AS (
+      SELECT d.{id_col}, d.{domain_col}, gr.keep AS is_ref, unnest({ws}) AS w
+      FROM {table} d JOIN gr ON d.{id_col} = gr.{id_col}),
+    freq AS (
+      SELECT w, count(*) AS cnt_pool,
+             count(*) FILTER (WHERE is_ref) AS cnt_ref
+      FROM words GROUP BY w),
+    tot AS (
+      SELECT greatest(sum(cnt_pool), 1) AS tp,
+             greatest(sum(cnt_ref), 1) AS tr
+      FROM freq),
+    scored AS (
+      SELECT words.{domain_col}, words.{id_col},
+             {lp_pool} AS lpp, {lp_ref} AS lpr
+      FROM words LEFT JOIN (
+        SELECT w, cnt_pool, cnt_ref FROM freq
+        ORDER BY cnt_pool DESC, w ASC LIMIT {top_vocab}) v
+      ON words.w = v.w CROSS JOIN tot t),
+    per_dom AS (
+      SELECT {domain_col},
+             CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_docs,
+             count(*) AS n_words,
+             {floor_round_sql(
+                 "CAST(sum(lpp) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+               AS avg_logprob_pool,
+             {floor_round_sql(
+                 "CAST(sum(lpr) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+               AS avg_logprob_holdout
+      FROM scored GROUP BY {domain_col}),
+    dom AS (
+      SELECT *,
+             CAST(floor(greatest(0.0, avg_logprob_holdout - avg_logprob_pool)
+                        * 1000000.0 + 0.5) AS BIGINT) AS excess_micro
+      FROM per_dom),
+    totals AS (
+      SELECT sum(excess_micro) AS te, count(*) AS nd FROM dom)
+    SELECT {domain_col}, n_docs, n_words,
+           avg_logprob_pool, avg_logprob_holdout, excess_micro,
+           CASE WHEN t.te > 0 THEN
+             {floor_round_sql(
+                 "CAST(excess_micro AS DOUBLE) / CAST(t.te AS DOUBLE)", 6)}
+           ELSE
+             {floor_round_sql("1.0 / CAST(t.nd AS DOUBLE)", 6)}
+           END AS weight
+    FROM dom CROSS JOIN totals t
+    ORDER BY {domain_col}
+    """
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str = "text",

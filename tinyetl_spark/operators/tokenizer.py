@@ -233,10 +233,13 @@ def bpe_train_encode_sql(
     """
 
 
-def _apply_merge(s: Column, a: str, b: str) -> Column:
-    """Greedy left-to-right merge of adjacent (a, b) into a+b — an
+def _apply_merge(s: Column, a: str, b: str, out: str | None = None) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) into ``out``
+    (default a+b; WordPiece strips the right operand's ## marker) — an
     in-row fold; literals go through F.lit, never string-interpolated
     SQL, so arbitrary symbols are safe."""
+    if out is None:
+        out = a + b
     return F.aggregate(
         s,
         F.expr("CAST(array() AS array<string>)"),
@@ -244,7 +247,7 @@ def _apply_merge(s: Column, a: str, b: str) -> Column:
             (F.size(acc) > 0)
             & (F.element_at(acc, -1) == F.lit(a))
             & (x == F.lit(b)),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(out))),
         ).otherwise(F.concat(acc, F.array(x))),
     )
 
@@ -1489,3 +1492,557 @@ def bpe_train_encode(
             F.coalesce(F.col("tokens"), empty).alias("tokens"),
         )
     )
+
+
+# --------------------------------------------------- WordPiece (BERT)
+#
+# Schuster & Nakajima 2012 / Wu et al. 2016 — the third classic
+# subword tokenizer, completing the trio with BPE and unigram-LM.
+# Training is BPE-shaped but merges the adjacent pair maximizing
+# score = freq(pair) / (freq(lsym) * freq(rsym)) — the pair whose
+# merge most increases a unigram LM's corpus likelihood (the rule the
+# HuggingFace tokenizers documentation publishes). Continuation
+# symbols carry the "##" marker from init: the word "cat" seeds as
+# [c, ##a, ##t]; merging (##a, ##t) yields ##at; merging (c, ##at)
+# yields cat — the marker is intrinsic to symbol identity, so
+# word-initial and word-internal occurrences of the same characters
+# are distinct statistics, exactly as in BERT's tokenizer. Encoding is
+# NOT merge-replay: a frozen WordPiece vocabulary encodes by greedy
+# longest-match-first per word, with the whole word collapsing to
+# [UNK] when some position has no matching piece or the word exceeds
+# the length cap (BERT's max_input_chars_per_word rule).
+#
+# Scale shape — identical to bpe_train: ONE corpus-sized shuffle (the
+# word-frequency groupBy, checkpointed once); each iteration is a
+# vocabulary-sized pair count + symbol count whose single winning row
+# is the only driver traffic. Encode is the dictionary-join shape:
+# every DISTINCT word greedy-matches once via an in-row fold over a
+# broadcast vocabulary map, the corpus pays one equi-join.
+#
+# Cross-engine exactness: scores are exact BIGINT nano-units,
+# floor(1e9 * total / (cnt_l * cnt_r)) via integer division on both
+# engines, ties broken by (lsym, rsym) ascending. total <= corpus
+# word count and cnt_l * cnt_r <= (corpus word count)^2 ~ 1e14 at the
+# test SFs, so total * 1e9 stays far under 2^63; a 100 TB run swaps
+# the product to DECIMAL(38,0) — same floor semantics, nothing else
+# changes.
+
+WP_MERGES = 12            # merges learned by the training query
+WP_UNK = "[UNK]"          # whole-word fallback token (BERT semantics)
+WP_SCALE = 1_000_000_000  # nano-unit likelihood-score scale
+WP_MAXWORD = UNI_MAXLEN   # words longer than this encode as [UNK]
+#                           (also bounds the SQL twin's greedy unroll)
+
+
+def _wp_sym_init(word: Column) -> Column:
+    """Initial WordPiece symbols: first char bare, rest ##-marked."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.when(i == F.lit(1), word.substr(i, F.lit(1))).otherwise(
+            F.concat(F.lit("##"), word.substr(i, F.lit(1)))
+        ),
+    )
+
+
+def _wp_merge_out(a: str, b: str) -> str:
+    """Merge output: the right operand drops its continuation marker
+    (it is never word-initial, so it is always ##-marked in practice;
+    the guard keeps hand-built tables safe)."""
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def _wp_scored_pairs(syms: DataFrame) -> DataFrame:
+    """Adjacent-pair rows scored by the WordPiece likelihood rule:
+    (lsym, rsym, total, score_nano) with score_nano the exact BIGINT
+    floor(1e9 * total / (cnt_l * cnt_r)). Both joins are
+    vocabulary-sized — symbol counts and pair totals live in the
+    dictionary domain, never the corpus."""
+    totals = _pair_totals(syms)
+    cnts = (
+        syms.select("wcount", F.explode("s").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("wcount").cast("bigint").alias("cnt"))
+    )
+    return (
+        totals.join(
+            cnts.select(F.col("sym").alias("lsym"), F.col("cnt").alias("lcnt")),
+            "lsym",
+        )
+        .join(
+            cnts.select(F.col("sym").alias("rsym"), F.col("cnt").alias("rcnt")),
+            "rsym",
+        )
+        .select(
+            "lsym",
+            "rsym",
+            "total",
+            F.expr(
+                f"CAST((total * CAST({WP_SCALE} AS BIGINT))"
+                " DIV (lcnt * rcnt) AS BIGINT)"
+            ).alias("score_nano"),
+        )
+    )
+
+
+def _wp_train_state(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[tuple[int, str, str, int, int]], DataFrame]:
+    """Shared WordPiece training loop: returns (merge rows, final
+    per-word symbol table (word, wcount, s)). Same driver contract as
+    bpe_train: one winning row crosses per iteration."""
+    cur = (
+        word_freq(df, text_col)
+        .select("word", "wcount", _wp_sym_init(F.col("word")).alias("s"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _wp_scored_pairs(cur)
+            .filter(F.col("total") >= 2)
+            .orderBy(F.desc("score_nano"), F.asc("lsym"), F.asc("rsym"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["lsym"], top[0]["rsym"]
+        merges.append(
+            (rank, a, b, int(top[0]["total"]), int(top[0]["score_nano"]))
+        )
+        cur = cur.withColumn(
+            "s", _apply_merge(F.col("s"), a, b, _wp_merge_out(a, b))
+        )
+    return merges, cur
+
+
+def wordpiece_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = WP_MERGES
+) -> DataFrame:
+    """Learn ``n_merges`` WordPiece merges; returns (rank, lsym, rsym,
+    total, score_nano) in learned order."""
+    merges, _ = _wp_train_state(df, text_col, n_merges)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "rank bigint, lsym string, rsym string, total bigint, score_nano bigint",
+    )
+
+
+def _wp_vocab(cur: DataFrame) -> list[str]:
+    """The frozen encode vocabulary: the alphabet (initial symbols —
+    HF always keeps it, so greedy never dead-ends on a training-corpus
+    character) plus every final-symbol-table symbol. Vocabulary-sized
+    driver collect, same contract as the unigram seed."""
+    rows = (
+        cur.select(F.explode(_wp_sym_init(F.col("word"))).alias("p"))
+        .unionByName(cur.select(F.explode("s").alias("p")))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["p"] for r in rows)
+
+
+def _wp_vocab_map(vocab: list[str]) -> Column:
+    flat = []
+    for p in sorted(vocab):
+        flat.append(F.lit(p))
+        flat.append(F.lit(1))
+    return F.create_map(*flat)
+
+
+def _wp_greedy_toks(word: Column, vocab_map: Column, max_raw: int) -> Column:
+    """Greedy longest-match-first WordPiece encode of one word — an
+    in-row fold: state (pos, toks); visiting position i acts only when
+    i == pos, matching the longest piece (## -prefixed when i > 1) in
+    the vocabulary map and jumping pos past it; no match parks pos at
+    -1. Any word that fails to land exactly at the end — or exceeds
+    WP_MAXWORD (the BERT max_input_chars_per_word rule, and the SQL
+    twin's unroll bound) — collapses to the single [UNK] token."""
+    n = F.length(word)
+    empty = F.expr("CAST(array() AS array<string>)")
+    init = F.struct(F.lit(1).cast("long").alias("pos"), empty.alias("toks"))
+
+    def step(acc, i):
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.least(F.lit(max_raw), n - i + 1), F.lit(1), F.lit(-1)),
+                lambda l: F.struct(
+                    l.cast("long").alias("l"),
+                    F.when(i == F.lit(1), word.substr(i, l))
+                    .otherwise(F.concat(F.lit("##"), word.substr(i, l)))
+                    .alias("piece"),
+                ),
+            ),
+            lambda c: F.element_at(vocab_map, c["piece"]).isNotNull(),
+        )
+        best = F.get(cands, 0)
+        advanced = F.when(
+            best.isNull(),
+            F.struct(
+                F.lit(-1).cast("long").alias("pos"), acc["toks"].alias("toks")
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["pos"] + best["l"]).cast("long").alias("pos"),
+                F.concat(acc["toks"], F.array(best["piece"])).alias("toks"),
+            )
+        )
+        return F.when(acc["pos"] == i.cast("long"), advanced).otherwise(acc)
+
+    res = F.aggregate(F.sequence(F.lit(1), n), init, step)
+    return F.when(
+        (n > F.lit(WP_MAXWORD)) | (res["pos"] != (n + 1).cast("long")),
+        F.array(F.lit(WP_UNK)),
+    ).otherwise(res["toks"])
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode a corpus against a FROZEN WordPiece vocabulary (greedy
+    longest-match, [UNK] fallback): (doc_id, n_tokens, tokens[]) with
+    all-empty docs kept at n_tokens = 0. Dictionary-join shape: each
+    DISTINCT word matches once, the corpus pays one equi-join (the
+    dictionary sits behind an aggregation so Catalyst has no stats —
+    broadcast it explicitly; a 100 TB dictionary flips to a bucketed
+    join, same swap point as bpe_train_encode)."""
+    max_raw = max(
+        (len(p) - 2 if p.startswith("##") else len(p)) for p in vocab
+    )
+    vmap = _wp_vocab_map(vocab)
+    words = df.select(
+        F.col(id_col), F.posexplode(words_col(text_col)).alias("_p", "word")
+    ).filter(F.length("word") > 0)
+    vocab_seg = (
+        words.select("word")
+        .distinct()
+        .select("word", _wp_greedy_toks(F.col("word"), vmap, max_raw).alias("s"))
+    )
+    joined = words.join(F.broadcast(vocab_seg), "word").select(id_col, "_p", "s")
+    toks = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "s"))),
+            lambda e: e["s"],
+        )
+    )
+    grouped = joined.groupBy(id_col).agg(toks.alias("tokens"))
+    empty = F.expr("CAST(array() AS array<string>)")
+    return (
+        df.select(id_col)
+        .join(grouped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.size("tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("tokens"), empty).alias("tokens"),
+        )
+    )
+
+
+def wordpiece_train_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = WP_MERGES,
+) -> DataFrame:
+    """Train, then greedy-encode the corpus under the learned
+    vocabulary — the WordPiece twin of bpe_train_encode /
+    unigram_train_encode. Unlike BPE's merge-replay, the encode is the
+    BERT rule (longest-match against the frozen vocab), so a word CAN
+    segment differently than its training-time merge path; on the
+    training corpus itself greedy always succeeds because the alphabet
+    stays in the vocabulary (words over WP_MAXWORD chars become [UNK],
+    the documented cap)."""
+    merges, cur = _wp_train_state(df, text_col, n_merges)
+    vocab = _wp_vocab(cur)
+    max_raw = max(
+        (len(p) - 2 if p.startswith("##") else len(p)) for p in vocab
+    )
+    vmap = _wp_vocab_map(vocab)
+    vocab_seg = cur.select(
+        "word", _wp_greedy_toks(F.col("word"), vmap, max_raw).alias("s")
+    )
+    words = df.select(
+        F.col(id_col), F.posexplode(words_col(text_col)).alias("_p", "word")
+    ).filter(F.length("word") > 0)
+    joined = words.join(F.broadcast(vocab_seg), "word").select(id_col, "_p", "s")
+    toks = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "s"))),
+            lambda e: e["s"],
+        )
+    )
+    grouped = joined.groupBy(id_col).agg(toks.alias("tokens"))
+    empty = F.expr("CAST(array() AS array<string>)")
+    return (
+        df.select(id_col)
+        .join(grouped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.size("tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("tokens"), empty).alias("tokens"),
+        )
+    )
+
+
+def _wp_iter_sql(k: int) -> str:
+    """One unrolled WordPiece training iteration for the DuckDB twin:
+    score every adjacent pair by exact-BIGINT nano-units, pick the
+    winner wpt{k}, then apply it with the same greedy-overlap island
+    logic as the BPE twin (the merge-apply semantics are identical;
+    only the winner selection and the ##-stripped output differ)."""
+    prev = f"wps{k - 1}"
+    A = f"(SELECT lsym FROM wpt{k})"
+    B = f"(SELECT rsym FROM wpt{k})"
+    return f"""
+    wpp{k} AS (
+      SELECT s[i] AS lsym, s[i + 1] AS rsym, CAST(sum(wcount) AS BIGINT) AS total
+      FROM (SELECT wcount, s, unnest(range(1, len(s))) AS i FROM {prev})
+      GROUP BY 1, 2),
+    wpc{k} AS (
+      SELECT sym, CAST(sum(wcount) AS BIGINT) AS cnt
+      FROM (SELECT wcount, unnest(s) AS sym FROM {prev})
+      GROUP BY sym),
+    wpt{k} AS MATERIALIZED (
+      SELECT p.lsym, p.rsym, p.total,
+             CAST((p.total * CAST({WP_SCALE} AS BIGINT)) // (cl.cnt * cr.cnt)
+                  AS BIGINT) AS score_nano
+      FROM wpp{k} p
+      JOIN wpc{k} cl ON cl.sym = p.lsym
+      JOIN wpc{k} cr ON cr.sym = p.rsym
+      WHERE p.total >= 2
+      ORDER BY score_nano DESC, p.lsym ASC, p.rsym ASC LIMIT 1),
+    wpe{k} AS (
+      SELECT word, wcount, s, unnest(range(1, len(s) + 1)) AS i FROM {prev}),
+    wpm{k} AS (
+      SELECT word, wcount, i, s[i] AS sym,
+             coalesce(i < len(s) AND s[i] = {A} AND s[i + 1] = {B}, FALSE) AS m
+      FROM wpe{k}),
+    wpi{k} AS (
+      SELECT *, CASE WHEN m THEN i - (count(*) FILTER (WHERE m)
+                       OVER (PARTITION BY word ORDER BY i)) END AS isl
+      FROM wpm{k}),
+    wpk{k} AS (
+      SELECT word, wcount, i, sym, m,
+             coalesce(m AND (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0,
+                      FALSE) AS taken
+      FROM wpi{k}),
+    wpg{k} AS (
+      SELECT word, wcount, i, taken,
+             coalesce(lag(taken) OVER (PARTITION BY word ORDER BY i), FALSE)
+               AS consumed,
+             CASE WHEN taken
+                  THEN {A} || regexp_replace({B}, '^##', '')
+                  ELSE sym END AS osym
+      FROM wpk{k}),
+    wps{k} AS MATERIALIZED (
+      SELECT word, max(wcount) AS wcount,
+             list(osym ORDER BY i) FILTER (WHERE NOT consumed) AS s
+      FROM wpg{k} GROUP BY word)"""
+
+
+def _wp_train_ctes(table: str, text_col: str, n_merges: int) -> str:
+    """Shared WITH-body: word dictionary, ##-marked symbol init wps0,
+    and ``n_merges`` unrolled iterations wps1..wpsN / wpt1..wptN."""
+    w = words_sql(text_col)
+    head = f"""
+    wpf AS MATERIALIZED (
+      SELECT w AS word, count(*) AS wcount
+      FROM (SELECT unnest({w}) AS w FROM {table}) WHERE w <> '' GROUP BY w),
+    wps0 AS MATERIALIZED (
+      SELECT word, wcount,
+             list_transform(range(1, length(word) + 1),
+               i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+                         ELSE '##' || substr(word, CAST(i AS INT), 1) END) AS s
+      FROM wpf)"""
+    return head + "," + ",".join(_wp_iter_sql(k) for k in range(1, n_merges + 1))
+
+
+def wordpiece_train_sql(
+    table: str = "documents", text_col: str = "text", n_merges: int = WP_MERGES
+) -> str:
+    """DuckDB twin of :func:`wordpiece_train` — the likelihood-scored
+    training loop unrolled into ``n_merges`` CTE blocks; an iteration
+    with no pair at total >= 2 yields an empty wpt{{k}} and every later
+    iteration stays empty (same early-stop as the Spark loop)."""
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, lsym, rsym, total, score_nano"
+        f" FROM wpt{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_wp_train_ctes(table, text_col, n_merges)}
+    SELECT * FROM ({unions}) ORDER BY rank
+    """
+
+
+def _wp_greedy_ctes(n_merges: int) -> str:
+    """Greedy longest-match encode as CTEs ending in wseg(word, toks).
+    wedge precomputes, per (word, consumed-prefix j), the LONGEST
+    vocabulary piece starting there; the sequential greedy walk then
+    unrolls as WP_MAXWORD rounds where round r advances exactly the
+    words whose j is r-1 (greedy consumes >= 1 char per step, so every
+    word that can finish within the cap settles). Words with no
+    vocabulary match at some position, or longer than WP_MAXWORD,
+    collapse to the whole-word [UNK] — bit-identical to the Spark
+    fold's rule."""
+    edges = f"""
+    wvocab AS MATERIALIZED (
+      SELECT DISTINCT sym FROM (
+        SELECT unnest(s) AS sym FROM wps0
+        UNION ALL
+        SELECT unnest(s) AS sym FROM wps{n_merges})),
+    wedge AS MATERIALIZED (
+      SELECT e.word, e.j, max(e.i) AS i, max_by(e.piece, e.i) AS piece
+      FROM (SELECT word, u.j AS j, u.i AS i,
+                   CASE WHEN u.j = 0
+                        THEN substr(word, 1, CAST(u.i AS INT))
+                        ELSE '##' || substr(word, CAST(u.j AS INT) + 1,
+                                            CAST(u.i - u.j AS INT)) END AS piece
+            FROM (SELECT word,
+                         unnest(flatten(list_transform(range(0, length(word)),
+                           j -> list_transform(range(j + 1, length(word) + 1),
+                                i -> {{'j': j, 'i': i}})))) AS u
+                  FROM wpf WHERE length(word) <= {WP_MAXWORD})) e
+      JOIN wvocab v ON v.sym = e.piece
+      GROUP BY e.word, e.j),
+    wgdp_0 AS (
+      SELECT word, CAST(0 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS toks
+      FROM wpf WHERE length(word) <= {WP_MAXWORD})"""
+    rounds = []
+    for r in range(1, WP_MAXWORD + 1):
+        rounds.append(f"""
+    wgdp_{r} AS MATERIALIZED (
+      SELECT d.word,
+             CASE WHEN NOT live THEN d.pos
+                  WHEN e.i IS NOT NULL THEN e.i
+                  ELSE CAST(-1 AS BIGINT) END AS pos,
+             CASE WHEN live AND e.i IS NOT NULL
+                  THEN list_append(d.toks, e.piece) ELSE d.toks END AS toks
+      FROM (SELECT *, pos = {r - 1} AND pos < length(word) AS live
+            FROM wgdp_{r - 1}) d
+      LEFT JOIN wedge e ON e.word = d.word AND e.j = {r - 1})""")
+    seg = f"""
+    wseg AS MATERIALIZED (
+      SELECT f.word,
+             CASE WHEN g.pos IS NULL OR g.pos <> length(f.word)
+                  THEN ['{WP_UNK}'] ELSE g.toks END AS toks
+      FROM wpf f LEFT JOIN wgdp_{WP_MAXWORD} g ON g.word = f.word)"""
+    return edges + "," + ",".join(rounds) + "," + seg
+
+
+def wordpiece_train_encode_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = WP_MERGES,
+) -> str:
+    """DuckDB twin of :func:`wordpiece_train_encode`: the train CTEs,
+    the greedy-walk CTEs, then the dictionary join back to documents
+    (tokens space-joined, empty docs kept at n_tokens = 0)."""
+    w = words_sql(text_col)
+    return f"""
+    WITH {_wp_train_ctes(table, text_col, n_merges)},
+    {_wp_greedy_ctes(n_merges)},
+    wdw AS (
+      SELECT {id_col},
+             unnest(range(1, len(wl) + 1)) AS pos,
+             unnest(wl) AS word
+      FROM (SELECT {id_col}, {w} AS wl FROM {table})),
+    wencj AS (
+      SELECT wdw.{id_col}, pos, toks FROM wdw JOIN wseg USING (word)),
+    wagg AS (
+      SELECT {id_col},
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+             array_to_string(flatten(list(toks ORDER BY pos)), ' ') AS tokens
+      FROM wencj GROUP BY {id_col})
+    SELECT d.{id_col},
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(a.tokens, '') AS tokens
+    FROM {table} d LEFT JOIN wagg a USING ({id_col})
+    """
+
+
+def wordpiece_vocab(
+    df: DataFrame, text_col: str = "text", n_merges: int = WP_MERGES
+) -> list[str]:
+    """Train and return the frozen WordPiece vocabulary (alphabet ∪
+    final symbol table) — the artifact a production pipeline ships to
+    its encoders."""
+    _, cur = _wp_train_state(df, text_col, n_merges)
+    return _wp_vocab(cur)
+
+
+def wordpiece_encode_batch(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production-vocabulary WordPiece encoder: Arrow-batched
+    ``mapInPandas``, byte-equal to :func:`wordpiece_encode`.
+
+    Why not the fold form: the in-row greedy fold carries the
+    vocabulary as a literal map, so plan size grows with the
+    vocabulary and past a few thousand pieces codegen falls over
+    (same failure mode bpe_encode_batch exists for). Here the
+    vocabulary ships once per executor as a set, each word runs the
+    classic greedy longest-match loop (cost independent of vocabulary
+    size), and a per-batch word cache makes the effective unit of
+    work the batch's DISTINCT words. Zero shuffle (pure map), Arrow
+    batch transfer, O(vocab) bytes per executor. Use for encoding NEW
+    text under a frozen production vocabulary; wordpiece_train_encode
+    remains the cheapest path on the training corpus itself."""
+    import pandas as pd
+
+    vset = set(vocab)
+    max_raw = max(
+        (len(p) - 2 if p.startswith("##") else len(p)) for p in vocab
+    )
+    out_schema = f"{id_col} long, n_tokens long, tokens array<string>"
+    src = df.select(F.col(id_col), words_col(text_col).alias("_ws"))
+
+    def _encode_batches(batches):
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            if len(w) > WP_MAXWORD:
+                out = [WP_UNK]
+            else:
+                out, pos = [], 0
+                while pos < len(w):
+                    for l in range(min(max_raw, len(w) - pos), 0, -1):
+                        piece = (
+                            w[pos : pos + l]
+                            if pos == 0
+                            else "##" + w[pos : pos + l]
+                        )
+                        if piece in vset:
+                            out.append(piece)
+                            pos += l
+                            break
+                    else:
+                        out = [WP_UNK]
+                        break
+            cache[w] = out
+            return out
+
+        for batch in batches:
+            toks = [
+                [t for w in ws if w for t in enc_word(w)]
+                for ws in batch["_ws"]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col],
+                    "n_tokens": [len(t) for t in toks],
+                    "tokens": toks,
+                }
+            )
+
+    return src.mapInPandas(_encode_batches, schema=out_schema)

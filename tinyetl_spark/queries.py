@@ -3264,6 +3264,81 @@ def _materialized_unigram_pruned_encoded(
     )
 
 
+@_q("wordpiece_train_merges", tokenizer.wordpiece_train_sql())
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece (Schuster & Nakajima 2012 / BERT) tokenizer training —
+    the third classic subword trainer, completing the BPE/unigram
+    trio: BPE-shaped merge loop, but each iteration merges the pair
+    maximizing the likelihood score freq(pair)/(freq(l)*freq(r)), and
+    continuation symbols carry BERT's ## marker from init (so
+    word-initial vs word-internal characters are distinct statistics).
+    Scores are exact BIGINT nano-units (floor-division on both
+    engines), ties broken by pair ascending. Scale shape matches
+    bpe_train_merges: ONE corpus shuffle (word freq, checkpointed),
+    every iteration vocabulary-sized, one collected winner row."""
+    return tokenizer.wordpiece_train(load(spark, sf_dir, "documents"))
+
+
+@_q("wordpiece_encode_docs", tokenizer.wordpiece_train_encode_sql())
+def wordpiece_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train WordPiece, then encode the corpus with BERT's actual
+    inference rule — greedy longest-match-first against the frozen
+    vocabulary (NOT merge-replay; a word may segment differently than
+    its training path), whole word -> [UNK] on any unmatched position
+    or past the 16-char cap. Dictionary-join shape: each DISTINCT word
+    greedy-matches once via an in-row fold over the broadcast
+    vocabulary map; the corpus pays one equi-join. The DuckDB twin
+    unrolls the greedy walk as 16 settled-position rounds over a
+    longest-edge table — bit-identical by construction."""
+    enc = tokenizer.wordpiece_train_encode(load(spark, sf_dir, "documents"))
+    return enc.select(
+        "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
+    )
+
+
+_WP_VOCAB_CACHE: dict[str, list[str]] = {}
+
+
+def _trained_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Frozen-tokenizer memo: WordPiece training is deterministic per
+    corpus, so the vocabulary trains once per sf_dir (same contract as
+    _trained_bpe_merges)."""
+    if sf_dir not in _WP_VOCAB_CACHE:
+        _WP_VOCAB_CACHE[sf_dir] = tokenizer.wordpiece_vocab(
+            load(spark, sf_dir, "documents")
+        )
+    return _WP_VOCAB_CACHE[sf_dir]
+
+
+@_q("wordpiece_encode_batch_docs", tokenizer.wordpiece_train_encode_sql())
+def wordpiece_encode_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-vocabulary WordPiece encode path: the frozen
+    trained vocabulary (memoized per corpus) through the Arrow-batched
+    Pandas-UDF greedy encoder (set-lookup longest-match, per-batch
+    word cache — sized for 32k-piece vocabularies where the fold
+    form's literal map falls over). Must be byte-equal to
+    wordpiece_encode_docs, so it shares that oracle."""
+    docs = load(spark, sf_dir, "documents")
+    enc = tokenizer.wordpiece_encode_batch(
+        docs, _trained_wordpiece_vocab(spark, sf_dir)
+    )
+    return enc.select(
+        "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
+    )
+
+
+def _materialized_wordpiece_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "wordpiece_encoded",
+        tokenizer.wordpiece_train_encode_sql(),
+        lambda: tokenizer.wordpiece_train_encode(
+            load(spark, sf_dir, "documents")
+        ).select("doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")),
+    )
+
+
 @_q("unigram_ambiguity", tokenizer.unigram_ambiguity_sql())
 def unigram_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segmentation-ambiguity profile under the trained unigram LM —
@@ -3309,6 +3384,7 @@ def tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH encb AS ({tokenizer.bpe_train_encode_sql()}),
     encu AS ({tokenizer.unigram_train_encode_sql()}),
     encp AS ({tokenizer.unigram_prune_encode_sql()}),
+    encw AS ({tokenizer.wordpiece_train_encode_sql()}),
     base AS (
       SELECT list_filter({text.words_sql("text")}, x -> length(x) > 0) AS w
       FROM documents),
@@ -3319,7 +3395,8 @@ def tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base),
     tb AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encb),
     tu AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encu),
-    tp AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encp)
+    tp AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encp),
+    tw AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encw)
     SELECT * FROM (
       SELECT 'bpe' AS tokenizer, tb.total_tokens, tot.total_words,
              {text.floor_round_sql(
@@ -3346,18 +3423,28 @@ def tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              {text.floor_round_sql(
                  "CAST(tot.total_chars AS DOUBLE) / CAST(tp.total_tokens AS DOUBLE)", 6)}
                AS chars_per_token
-      FROM tp, tot)
+      FROM tp, tot
+      UNION ALL
+      SELECT 'wordpiece' AS tokenizer, tw.total_tokens, tot.total_words,
+             {text.floor_round_sql(
+                 "CAST(tw.total_tokens AS DOUBLE) / CAST(tot.total_words AS DOUBLE)", 6)}
+               AS fertility,
+             {text.floor_round_sql(
+                 "CAST(tot.total_chars AS DOUBLE) / CAST(tw.total_tokens AS DOUBLE)", 6)}
+               AS chars_per_token
+      FROM tw, tot)
     ORDER BY tokenizer
     """,
 )
 def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vs unigram-LM vs PRUNED unigram-LM head-to-head on the same
-    corpus: corpus-level fertility (tokens/word) and compression (word
-    chars/token). All three encodes are staged once (frozen-tokenizer
-    pattern shared with tokenizer_fertility); the comparison itself is
-    three scalar aggregates. Note BPE's token count includes its </w>
-    markers (the standard accounting) and unigram drops words over 16
-    chars (its DP-unroll contract; none exist in the testdata)."""
+    """BPE vs unigram-LM vs PRUNED unigram-LM vs WordPiece head-to-head
+    on the same corpus: corpus-level fertility (tokens/word) and
+    compression (word chars/token). All four encodes are staged once
+    (frozen-tokenizer pattern shared with tokenizer_fertility); the
+    comparison itself is four scalar aggregates. Note BPE's token count
+    includes its </w> markers (the standard accounting), unigram drops
+    words over 16 chars (its DP-unroll contract; none exist in the
+    testdata), and WordPiece [UNK]s them (BERT's cap)."""
     from tinyetl_spark.operators.text import floor_round
 
     docs = load(spark, sf_dir, "documents")
@@ -3385,6 +3472,7 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     encu = _materialized_unigram_encoded(spark, sf_dir)
     encp = _materialized_unigram_pruned_encoded(spark, sf_dir)
+    encw = _materialized_wordpiece_encoded(spark, sf_dir)
 
     def one(name: str, enc: DataFrame) -> DataFrame:
         t = enc.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
@@ -3408,6 +3496,7 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         one("bpe", encb)
         .unionByName(one("unigram", encu))
         .unionByName(one("unigram_pruned", encp))
+        .unionByName(one("wordpiece", encw))
         .orderBy("tokenizer")
     )
 
@@ -3714,6 +3803,46 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = docs.filter(F.col("doc_id") % 97 == 0)
     pool = docs.filter(F.col("doc_id") % 97 != 0)
     return dsir.dsir_select(tgt, pool)
+
+
+@_q("mink_prob_docs", text.mink_prob_docs_sql())
+def mink_prob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% prob membership-inference audit (Shi et al. 2023): score
+    each document by the mean logprob of its 20% least likely tokens
+    under the corpus-fit unigram LM — the standard signal for
+    detecting that a benchmark/document was IN a model's training set
+    (members lack the low-prob outlier tokens non-members have). Top
+    100 most-member-like rows. Same scale shape as unigram_logprob
+    (one corpus shuffle + broadcast model join); the per-doc k-tail is
+    an IN-ROW sort/slice/fold over the doc's own logprobs — never a
+    global sort."""
+    return text.mink_prob_docs(load(spark, sf_dir, "documents"))
+
+
+@_q("doremi_domain_weights", text.doremi_domain_weights_sql())
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style static domain reweighting (Xie et al. 2023): each
+    source's training-mix weight is its clamped-and-normalized EXCESS
+    loss — per-word NLL under the pool unigram LM minus under the
+    Gopher-holdout LM, aggregated per source. The domain-level
+    companion to rho_select_docs' per-document ranking (one corpus
+    explode→groupBy fits both LMs; the reduce keys on the ~20-row
+    source domain; exact-integer micro-unit normalization)."""
+    return text.doremi_domain_weights(load(spark, sf_dir, "documents"))
+
+
+@_q("rho_select_docs", text.rho_loss_select_sql())
+def rho_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss data selection (Mindermann et al. 2022): rank documents
+    by reducible holdout loss — per-word mean NLL under a unigram LM of
+    the full pool minus the same under an LM of the Gopher-rule-passing
+    holdout slice — and keep the top 200 (learnable, worth learning,
+    not yet learnt). The loss-based complement to dsir_select_docs'
+    importance sampling. ONE corpus explode→groupBy builds both LMs at
+    once (holdout counts ride along as a conditional aggregate), two
+    scalar totals cross the driver, scoring is one broadcast model join
+    + a per-doc aggregate, selection a TakeOrdered(200)."""
+    return text.rho_loss_select(load(spark, sf_dir, "documents"))
 
 
 _BPE_MERGES_CACHE: dict[str, list[tuple[str, str]]] = {}
