@@ -25,7 +25,10 @@ from tinyetl_spark.session import get_spark
 NEW = [
     "wordpiece_train_merges",
     "wordpiece_encode_docs",
+    "wordpiece_encode_batch_docs",
     "rho_select_docs",
+    "doremi_domain_weights",
+    "mink_prob_docs",
     "tokenizer_compare",
 ]
 
