@@ -2596,3 +2596,60 @@ def test_mink_prob_semantics(spark):
     for r in out.values():
         assert r["mink_logprob"] <= r["avg_logprob"] + 1e-9
         assert r["k_words"] == math.ceil(0.2 * r["n_words"])
+
+
+def test_two_phase_rank_matches_window(spark):
+    """Property: the bucketed two-phase rank equals a plain global
+    row_number window (both directions, with value ties crossing
+    bucket boundaries)."""
+    from pyspark.sql import Window
+
+    from tinyetl_spark.operators.text import _two_phase_rank
+
+    rows = [(i, float((i * 7) % 13)) for i in range(200)]  # many ties
+    df = spark.createDataFrame(rows, "doc_id long, v double")
+    for ascending in (False, True):
+        order = [
+            F.asc("v") if ascending else F.desc("v"),
+            F.asc("doc_id"),
+        ]
+        want = {
+            r["doc_id"]: r["r"]
+            for r in df.withColumn(
+                "r", F.row_number().over(Window.orderBy(*order))
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: r["rk"]
+            for r in _two_phase_rank(
+                df, "v", "doc_id", "rk", ascending=ascending
+            ).collect()
+        }
+        assert got == want
+
+
+def test_quality_ensemble_ranks_and_fusion_formula(spark):
+    """Planted ensemble check: the heavily templated doc ranks WORST on
+    the repetition signal, each rank column is a permutation of 1..n,
+    and the fused score is exactly sum(1/(60+rank)) of the reported
+    ranks. (Fused ORDER on a 3-doc toy is deliberately not asserted —
+    a 3-doc corpus LM rewards the template's repeated words, which is
+    correct behavior for the fluency signal.)"""
+    from tinyetl_spark.operators.text import quality_ensemble
+
+    clean = "the quick brown fox jumps over a lazy dog near the riverbank " * 3
+    template = "the menu home about contact " * 7
+    rows = [(1, clean.strip()), (2, template.strip()),
+            (3, clean.strip() + " extra words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_ensemble(df, k=10).collect()}
+    assert len(out) == 3
+    assert out[2]["r_repetition"] == 3  # the template is most repetitive
+    for col in ("r_quality", "r_fluency", "r_repetition"):
+        assert sorted(r[col] for r in out.values()) == [1, 2, 3]
+    for r in out.values():
+        want = sum(
+            1.0 / (60.0 + r[c])
+            for c in ("r_quality", "r_fluency", "r_repetition")
+        )
+        assert abs(r["rrf_score"] - want) < 2e-6

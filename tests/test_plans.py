@@ -1192,3 +1192,17 @@ def test_mink_prob_broadcast_model_takeordered(spark):
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
     assert "Window" not in p
+
+
+def test_quality_ensemble_no_global_window_no_python(spark):
+    """The ensemble's three corpus ranks run per-BUCKET (every Window
+    is partitioned — no single-reducer global sort); fusion joins are
+    on doc_id; final cut is a TakeOrdered."""
+    p = plan_of(spark, "quality_ensemble_docs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    # every window partitions on the rank bucket, never empty
+    for seg in p.split("Window ")[1:]:
+        head = seg.split("\n")[0]
+        assert "_b#" in head, head

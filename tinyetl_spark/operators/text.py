@@ -4180,3 +4180,157 @@ def rm3_expand_search_sql(
       FROM tf2 GROUP BY {id_col})
     SELECT * FROM scored ORDER BY score DESC, {id_col} ASC LIMIT {top_k}
     """
+
+
+# ------------------------------------------- ensemble quality filter
+
+QENS_K = 200  # documents reported by the ensemble query
+
+
+def _two_phase_rank(
+    base: DataFrame,
+    value_col: str,
+    id_col: str,
+    rank_name: str,
+    ascending: bool = False,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact global rank of ``value_col`` (ties broken by id asc)
+    without a single-reducer window — the inference_batches /
+    quality_budget_select pattern factored out: approxQuantile range
+    buckets rank locally in parallel, a |buckets|-sized literal
+    cumulative-offset MAP lifts local ranks to global (a projection,
+    no join — see the constraint-bug note below). The approximate
+    boundaries affect only load balance, never the rank values.
+    Returns (id_col, rank_name)."""
+    from pyspark.sql import Window
+
+    keyed = base.select(id_col, value_col).localCheckpoint(eager=False)
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(keyed.approxQuantile(value_col, qs, 0.001)))
+    vcol = F.col(value_col).cast("double")
+    if bounds:
+        barr = F.array(*[F.lit(float(v)) for v in bounds])
+        # bucket 0 holds the smallest values; ascending ranks walk
+        # buckets upward, descending ranks walk them downward
+        bucket = F.size(F.filter(barr, lambda v: vcol > v))
+    else:
+        bucket = F.lit(0)
+    keyed = keyed.withColumn("_b", bucket)
+    order = [
+        F.asc(value_col) if ascending else F.desc(value_col),
+        F.asc(id_col),
+    ]
+    w_local = Window.partitionBy("_b").orderBy(*order)
+    counts = {
+        r["_b"]: r["c"]
+        for r in keyed.groupBy("_b").agg(F.count("*").alias("c")).collect()
+    }
+    n_b = len(bounds) + 1
+    walk = range(n_b) if ascending else range(n_b - 1, -1, -1)
+    offsets, acc = [], 0
+    for bk in walk:
+        offsets.append((bk, acc))
+        acc += counts.get(bk, 0)
+    # the offsets ride as a LITERAL map lookup, not a join: a joined
+    # offsets table trips a Catalyst constraint-inference bug —
+    # InferFiltersFromConstraints copies the `_b = size(filter(...))`
+    # constraint through the join equality onto the offsets side,
+    # where value_col does not exist, and execution dies with
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (checkpoint barriers don't
+    # help: LogicalRDD deliberately preserves constraints). The map is
+    # |buckets|-sized — a projection, strictly cheaper than the join.
+    flat = []
+    for bk, off in offsets:
+        flat.append(F.lit(int(bk)))
+        flat.append(F.lit(int(off)))
+    off_map = F.create_map(*flat)
+    return keyed.withColumn("_lr", F.row_number().over(w_local)).select(
+        F.col(id_col),
+        (F.element_at(off_map, F.col("_b")) + F.col("_lr"))
+        .cast("bigint")
+        .alias(rank_name),
+    )
+
+
+def quality_ensemble(
+    df: DataFrame,
+    k: int = QENS_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ensemble quality selection — reciprocal-rank fusion of THREE
+    independent quality signals, the FineWeb/RefinedWeb lesson that no
+    single filter survives contact with a web crawl: (1) the heuristic
+    composite (quality_score), (2) unigram-LM fluency (avg word
+    logprob — the CCNet perplexity stand-in), (3) repetition, i.e.
+    Gopher's duplicate-3-gram fraction ranked ASCENDING (less
+    templated = better). Each signal ranks the corpus exactly (ties by
+    id) via the two-phase bucket rank — no single-reducer window —
+    and rrf = Σ 1/(60 + rank) fuses them on integer ranks, so the
+    fused score is bit-identical across engines however each raw
+    signal's doubles round (the hybrid_search_docs trick, applied
+    corpus-wide). Docs shorter than 3 words carry no repetition signal
+    and are excluded (inner join), matching the SQL twin. Top-k by
+    (rrf desc, id asc)."""
+    q = quality_score(df, text_col, id_col).select(id_col, "quality")
+    lm = unigram_logprob(df, text_col, id_col).select(id_col, "avg_logprob")
+    rep = dup_ngram_frac(df, text_col, id_col).select(id_col, "dup_gram_frac")
+    base = q.join(lm, id_col).join(rep, id_col).localCheckpoint(eager=False)
+    r1 = _two_phase_rank(base, "quality", id_col, "r_quality")
+    r2 = _two_phase_rank(base, "avg_logprob", id_col, "r_fluency")
+    r3 = _two_phase_rank(
+        base, "dup_gram_frac", id_col, "r_repetition", ascending=True
+    )
+    fused = r1.join(r2, id_col).join(r3, id_col)
+    rrf = (
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r_quality").cast("double"))
+        + F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r_fluency").cast("double"))
+        + F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r_repetition").cast("double"))
+    )
+    return (
+        fused.select(
+            F.col(id_col),
+            "r_quality",
+            "r_fluency",
+            "r_repetition",
+            floor_round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def quality_ensemble_sql(
+    table: str = "documents",
+    k: int = QENS_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    qs = quality_score_sql(table, text_col, id_col)
+    lm = unigram_logprob_sql(table, text_col, id_col)
+    rep = dup_ngram_frac_sql(table, text_col, id_col)
+    return f"""
+    WITH q AS ({qs}),
+    lm AS ({lm}),
+    rep AS ({rep}),
+    sig AS (
+      SELECT q.{id_col}, q.quality, lm.avg_logprob, rep.dup_gram_frac
+      FROM q JOIN lm ON q.{id_col} = lm.{id_col}
+      JOIN rep ON q.{id_col} = rep.{id_col}),
+    ranked AS (
+      SELECT {id_col},
+             CAST(row_number() OVER (ORDER BY quality DESC, {id_col} ASC)
+                  AS BIGINT) AS r_quality,
+             CAST(row_number() OVER (ORDER BY avg_logprob DESC, {id_col} ASC)
+                  AS BIGINT) AS r_fluency,
+             CAST(row_number() OVER (ORDER BY dup_gram_frac ASC, {id_col} ASC)
+                  AS BIGINT) AS r_repetition
+      FROM sig)
+    SELECT {id_col}, r_quality, r_fluency, r_repetition,
+           {floor_round_sql(
+               f"1.0 / (60.0 + r_quality) + 1.0 / (60.0 + r_fluency)"
+               f" + 1.0 / (60.0 + r_repetition)", 6)} AS rrf_score
+    FROM ranked
+    ORDER BY rrf_score DESC, {id_col} ASC LIMIT {k}
+    """

@@ -3805,6 +3805,18 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_select(tgt, pool)
 
 
+@_q("quality_ensemble_docs", text.quality_ensemble_sql())
+def quality_ensemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality selection: reciprocal-rank fusion of three
+    independent quality signals (heuristic composite, unigram-LM
+    fluency, duplicate-3-gram repetition ranked ascending) — the
+    FineWeb-style ensemble-filter shape. Each signal ranks the corpus
+    exactly via the two-phase bucket rank (no single-reducer window);
+    fusion is 1/(60+rank) on integer ranks, bit-identical across
+    engines; top 200 by fused score."""
+    return text.quality_ensemble(load(spark, sf_dir, "documents"))
+
+
 @_q("mink_prob_docs", text.mink_prob_docs_sql())
 def mink_prob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-K% prob membership-inference audit (Shi et al. 2023): score
