@@ -22,31 +22,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver samples the FIRST 50 entries of queries() in
 # dict order. Cumulative driver-green is 229/229 registered queries
-# through round 9 (plus 13 added this round). Round 10's window:
+# through round 9 (plus 16 added this round). Round 10's window:
 # (a) the 2 queries whose semantics changed this round
 # (containment_recall_audit gained the per-class excerpt_recall
 # columns; tokenizer_compare gained the unigram_pruned AND wordpiece
-# rows), (b) the 13 queries ADDED in round 10 (likelihood-pruned
+# rows), (b) the 14 queries ADDED in round 10 (likelihood-pruned
 # unigram trainer, the staged tokenized_corpus artifact, the ANN
 # serving budget curve, stdlib JPEG decode, the unigram budget/
 # ambiguity profiles, the WordPiece train + greedy-encode + batch
 # trio, and the loss-based curation quartet: RHO-loss select, DoReMi
-# domain weights, Min-K% membership audit, RRF quality ensemble —
-# each oracle-matched locally before registration), then (c) the FULL
-# r5-vintage rotation queue (34 — the round-9 verdict's top item) and
-# the alphabetically-first r6-vintage row. The below-cut order is
+# domain weights, Min-K% membership audit, RRF quality ensemble,
+# concat-chunk packing — each oracle-matched locally before
+# registration) plus the 2 binary-quantization ANN queries parked just
+# below the cut, then (c) the FULL
+# r5-vintage rotation queue (34 — the round-9 verdict's top item),
+# which together exactly fill the 50-cut. The below-cut order is
 # strictly oldest-vintage-first (vintage = newest round whose
 # CORRECTNESS_r*.json carries the query green), so round 11's queue
 # is simply the next 50 names.
 _PRIORITY = [
     # --- (a) semantics changed in round 10 (2) ---
     "containment_recall_audit", "tokenizer_compare",
-    # --- (b) NEW in round 10 (13) ---
+    # --- (b) NEW in round 10 (14) ---
     "unigram_prune_vocab", "tokenized_corpus", "ann_budget_curve",
     "multimodal_decode_jpeg", "unigram_budget_curve", "unigram_ambiguity",
     "wordpiece_train_merges", "wordpiece_encode_docs", "rho_select_docs",
     "wordpiece_encode_batch_docs", "doremi_domain_weights", "mink_prob_docs",
-    "quality_ensemble_docs",
+    "quality_ensemble_docs", "concat_chunks_docs",
     # --- (c) the FULL r5-vintage rotation queue (34): ANN serving
     # tier, all 11 streaming queries, kmeans/decontam/multimodal/
     # zorder; after this window no driver green predates round 6 ---
@@ -62,12 +64,13 @@ _PRIORITY = [
     "streaming_sessions", "streaming_sink_parquet", "streaming_tumbling",
     "streaming_upsert_snapshot", "streaming_user_counts",
     "temperature_mix_docs", "winnow_decontam", "zorder_key_events",
-    # --- (c2) the alphabetically-first r6-vintage row (fills the
-    # 50-cut; the remaining r6 rows lead round 11's queue) ---
-    "avro_roundtrip",
-    # --- below the 50-cut: oldest-vintage-first (remaining r6, then
-    # r7, r8, r9) so any larger sample extends the rotation ---
-    "bigram_logprob_docs",
+    # --- below the 50-cut (the groups above fill it exactly): first
+    # the 2 round-10 additions that did not fit the window (new =
+    # no vintage at all, so they lead round 11's queue), then
+    # oldest-vintage-first (r6, then r7, r8, r9) so any larger sample
+    # extends the rotation ---
+    "ann_binary_rerank_topk", "ann_recall_binary_rerank",
+    "avro_roundtrip", "bigram_logprob_docs",
     "bm25_search_docs", "bm25_top_terms", "bpe_encode_docs",
     "bpe_pair_counts", "bpe_train_merges", "char_entropy_docs",
     "chunk_documents", "cli_job_roundtrip", "cohort_retention",

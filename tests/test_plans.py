@@ -1206,3 +1206,25 @@ def test_quality_ensemble_no_global_window_no_python(spark):
     for seg in p.split("Window ")[1:]:
         head = seg.split("\n")[0]
         assert "_b#" in head, head
+
+
+def test_concat_chunks_no_global_window_no_python(spark):
+    """Concat-chunk packing: the stream-offset prefix sum runs under
+    bucket-partitioned windows only (no single-reducer global sort),
+    offsets ride as a literal map (no join for them), no Python."""
+    p = plan_of(spark, "concat_chunks_docs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    for seg in p.split("Window ")[1:]:
+        head = seg.split("\n")[0]
+        assert "_b#" in head, head
+
+
+def test_binary_rerank_staged_codes_takeordered(spark):
+    """Binary serving reads the STAGED sign-bit code table (no
+    re-encode in plan), shortlists by Hamming via TakeOrdered, and
+    stays Python-free."""
+    p = plan_of(spark, "ann_binary_rerank_topk")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "binary_codes" in p  # staged parquet scan

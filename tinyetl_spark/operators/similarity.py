@@ -2443,3 +2443,152 @@ def margin_mine_sql(
     WHERE k.rn = 1
     ORDER BY k.src_id
     """
+
+
+# ------------------------------------------- binary (sign) quantization
+
+BINARY_SHORTLIST = 50  # Hamming shortlist width for the rerank tier
+
+
+def _sign_half_col(vec: Column, start: int) -> Column:
+    """32 sign bits packed into a BIGINT by a Horner fold over one half
+    of the vector (bit of dim `start` ends up most significant). Exact
+    integer arithmetic on both engines."""
+    return F.aggregate(
+        F.slice(vec, start, 32),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + F.when(x > 0, 1).otherwise(0),
+    )
+
+
+def _py_sign_bits(q: list[float]) -> tuple[int, int]:
+    lo, hi = 0, 0
+    for x in q[:32]:
+        lo = lo * 2 + (1 if x > 0 else 0)
+    for x in q[32:64]:
+        hi = hi * 2 + (1 if x > 0 else 0)
+    return lo, hi
+
+
+def binary_encode(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Binary (sign) quantization: 64-dim float vector -> 64 sign bits
+    in two BIGINT halves (8 bytes/vector, the most aggressive common
+    compression tier — 32x smaller than float32). Pure codegen
+    projection, zero shuffle; at serving time Hamming distance is two
+    XOR+popcount ops per vector."""
+    vec = _vec(vec_col)
+    return df.select(
+        F.col(id_col),
+        _sign_half_col(vec, 1).alias("blo"),
+        _sign_half_col(vec, 33).alias("bhi"),
+    )
+
+
+def binary_encode_sql(
+    table: str = "embeddings", vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    half = (
+        "list_reduce(list_transform({expr}[{a}:{b}],"
+        " x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT)),"
+        " (a, b) -> a * 2 + b)"
+    )
+    lo = half.format(expr=v, a=1, b=32)
+    hi = half.format(expr=v, a=33, b=64)
+    return f"""
+    SELECT {id_col}, {lo} AS blo, {hi} AS bhi FROM {table}
+    """
+
+
+def binary_rerank_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    shortlist: int = BINARY_SHORTLIST,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec: list[float] | None = None,
+    enc: DataFrame | None = None,
+) -> DataFrame:
+    """Binary-quantized serving: Hamming distance over 64 sign bits
+    ranks the corpus (two XOR+popcount per vector — the cheapest
+    compressed scan there is), the top ``shortlist`` ids join back to
+    float vectors for the exact cosine rerank. Same
+    shortlist-then-rerank contract as pq_rerank_topk, one more point
+    on the compression/recall frontier (8 bytes/vector vs PQ's 8
+    half-byte codes)."""
+    q = q_vec or _query_vec(df, query_id, vec_col, id_col)
+    qlo, qhi = _py_sign_bits([float(x) for x in q])
+    codes = enc if enc is not None else binary_encode(df, vec_col, id_col)
+    ham = (
+        F.bit_count(F.col("blo").bitwiseXOR(F.lit(qlo).cast("long")))
+        + F.bit_count(F.col("bhi").bitwiseXOR(F.lit(qhi).cast("long")))
+    )
+    short = (
+        codes.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), ham.alias("_h"))
+        .orderBy(F.asc("_h"), F.asc(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    qv = _lit_array([float(x) for x in q])
+    vec = _vec(vec_col)
+    return (
+        df.join(short, id_col, "left_semi")
+        .select(F.col(id_col), F.round(cosine_col(vec, qv), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def binary_rerank_topk_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    shortlist: int = BINARY_SHORTLIST,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    tv = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    half = (
+        "list_reduce(list_transform({expr}[{a}:{b}],"
+        " x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT)),"
+        " (a, b) -> a * 2 + b)"
+    )
+    return f"""
+    WITH qb AS (
+      SELECT {half.format(expr=v, a=1, b=32)} AS qlo,
+             {half.format(expr=v, a=33, b=64)} AS qhi
+      FROM {table} WHERE {id_col} = {query_id}),
+    codes AS (
+      SELECT {id_col},
+             {half.format(expr=v, a=1, b=32)} AS blo,
+             {half.format(expr=v, a=33, b=64)} AS bhi
+      FROM {table} WHERE {id_col} != {query_id}),
+    short AS (
+      SELECT c.{id_col}
+      FROM codes c CROSS JOIN qb
+      ORDER BY bit_count(xor(c.blo, qb.qlo)) + bit_count(xor(c.bhi, qb.qhi))
+               ASC, c.{id_col} ASC
+      LIMIT {shortlist})
+    SELECT t.{id_col}, round({cosine_sql(tv, qv)}, 6) AS cosine
+    FROM {table} t
+    JOIN short s ON t.{id_col} = s.{id_col}
+    CROSS JOIN (SELECT {vec_col} FROM {table} WHERE {id_col} = {query_id}) q
+    ORDER BY cosine DESC, t.{id_col} ASC
+    LIMIT {k}
+    """
+
+
+# register the binary tier with the shared recall-audit machinery
+# (dict filled here so the tier functions above are already defined;
+# queries.py iterates RECALL_TIERS after full module import)
+RECALL_TIERS["binary_rerank"] = (
+    lambda df, q, k, qv, enc: binary_rerank_topk(df, q, k, q_vec=qv, enc=enc),
+    lambda table, q, k: binary_rerank_topk_sql(table, q, k),
+    "binary",
+)

@@ -4334,3 +4334,133 @@ def quality_ensemble_sql(
     FROM ranked
     ORDER BY rrf_score DESC, {id_col} ASC LIMIT {k}
     """
+
+
+# -------------------------------------- concat-and-chunk packing (GPT)
+
+CHUNK_CAPACITY = 512  # tokens per training chunk
+
+
+def concat_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = CHUNK_CAPACITY,
+    seed: int = 0,
+    buckets: int = 256,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing: concatenate the epoch's
+    token stream in epoch-shuffle order and cut it into fixed
+    ``capacity``-token chunks, documents crossing chunk boundaries
+    freely — the packing decoder-only pretraining actually uses
+    (pack_sequences is the no-split alternative for SFT-style runs).
+    Per chunk: n_docs touching it, its token count (== capacity except
+    the last), and the first/last doc in stream order.
+
+    Shape at scale: the md5 epoch order comes from epoch_shuffle's
+    two-phase rank; the exclusive prefix-sum of token counts runs
+    two-phase as well — ranks are DENSE 1..N, so uniform rank ranges
+    bucket the corpus with no quantile pass, each bucket cumsums
+    locally under one partitioned window, and a |buckets|-sized
+    literal offset MAP (not a join — the _two_phase_rank constraint
+    lesson) lifts local sums to global stream offsets. A doc spanning
+    k chunks explodes to k rows (k <= n_tokens/capacity + 1), so the
+    fan-out is ~total_tokens/capacity — the output's own size. Empty
+    docs carry no tokens and are excluded from the stream."""
+    from pyspark.sql import Window
+
+    ranks = epoch_shuffle(df, id_col, seed)
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.filter(words_col(text_col), lambda w: F.length(w) > 0))
+        .cast("bigint")
+        .alias("_nt"),
+    ).filter(F.col("_nt") > 0)
+    base = ranks.join(toks, id_col)
+    n = base.count()
+    bsize = max(1, -(-n // buckets))  # ceil
+    keyed = base.withColumn(
+        "_b", ((F.col("shuffle_rank") - 1) / F.lit(bsize)).cast("int")
+    )
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("shuffle_rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_cum = (F.sum("_nt").over(w) - F.col("_nt")).alias("_lc")
+    btots = {
+        r["_b"]: int(r["t"])
+        for r in keyed.groupBy("_b").agg(F.sum("_nt").alias("t")).collect()
+    }
+    flat, acc = [], 0
+    for bk in range(max(btots) + 1 if btots else 1):
+        flat.append(F.lit(bk))
+        flat.append(F.lit(acc))
+        acc += btots.get(bk, 0)
+    off_map = F.create_map(*flat)
+    staged = keyed.select(
+        F.col(id_col),
+        F.col("_nt"),
+        (F.element_at(off_map, F.col("_b")) + local_cum).alias("_off"),
+    )
+    first_c = F.floor(F.col("_off") / capacity)
+    last_c = F.floor((F.col("_off") + F.col("_nt") - 1) / capacity)
+    spans = staged.select(
+        F.col(id_col),
+        F.col("_off"),
+        F.col("_nt"),
+        F.explode(F.sequence(first_c, last_c)).alias("chunk_id"),
+    )
+    overlap = F.least(
+        (F.col("chunk_id") + 1) * capacity, F.col("_off") + F.col("_nt")
+    ) - F.greatest(F.col("chunk_id") * capacity, F.col("_off"))
+    return (
+        spans.select(F.col(id_col), F.col("_off"), F.col("chunk_id"), overlap.alias("_ov"))
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_ov").cast("bigint").alias("chunk_tokens"),
+            F.min_by(F.col(id_col), F.col("_off")).alias("first_doc"),
+            F.max_by(F.col(id_col), F.col("_off")).alias("last_doc"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+def concat_chunks_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = CHUNK_CAPACITY,
+    seed: int = 0,
+) -> str:
+    w = words_sql(text_col)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col},
+             CAST(len(list_filter({w}, x -> length(x) > 0)) AS BIGINT) AS nt
+      FROM {table}),
+    ordered AS (
+      SELECT {id_col}, nt,
+             sum(nt) OVER (
+               ORDER BY md5('{seed}:' || CAST({id_col} AS VARCHAR)) ASC,
+                        {id_col} ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS off
+      FROM toks WHERE nt > 0),
+    spans AS (
+      SELECT {id_col}, off, nt,
+             unnest(range(CAST(floor(off / {capacity}) AS BIGINT),
+                          CAST(floor((off + nt - 1) / {capacity}) AS BIGINT) + 1))
+               AS chunk_id
+      FROM ordered)
+    SELECT chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least((chunk_id + 1) * {capacity}, off + nt)
+                    - greatest(chunk_id * {capacity}, off)) AS BIGINT)
+             AS chunk_tokens,
+           arg_min({id_col}, off) AS first_doc,
+           arg_max({id_col}, off) AS last_doc
+    FROM spans
+    GROUP BY chunk_id
+    ORDER BY chunk_id
+    """

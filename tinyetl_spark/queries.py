@@ -3805,6 +3805,18 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir.dsir_select(tgt, pool)
 
 
+@_q("concat_chunks_docs", text.concat_chunks_sql())
+def concat_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing: the epoch's token stream
+    (md5 epoch-shuffle order) cut into fixed 512-token chunks with
+    documents crossing boundaries — the decoder-pretraining packing;
+    pack_sequences_docs remains the no-split SFT alternative. Per
+    chunk: docs touching it, token count, first/last doc. Exclusive
+    prefix sums run two-phase over dense rank buckets with a literal
+    offset map — no global window, no offsets join."""
+    return text.concat_chunks(load(spark, sf_dir, "documents"))
+
+
 @_q("quality_ensemble_docs", text.quality_ensemble_sql())
 def quality_ensemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ensemble quality selection: reciprocal-rank fusion of three
@@ -4635,6 +4647,34 @@ def ann_rpq3_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialized_binary_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit code table staged once — 8 bytes/vector, read by the
+    binary serving and recall queries."""
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "binary_codes",
+        similarity.binary_encode_sql(),
+        lambda: similarity.binary_encode(load(spark, sf_dir, "embeddings")),
+    )
+
+
+@_q(
+    "ann_binary_rerank_topk",
+    similarity.binary_rerank_topk_sql(query_id=0, k=10),
+)
+def ann_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign) quantization serving: Hamming distance over 64
+    sign bits (two XOR+popcount per vector — the cheapest compressed
+    scan, 8 bytes/vector) shortlists 50, exact cosine reranks. One
+    more point on the compression/recall frontier next to the PQ
+    family; the staged code table is the production shape."""
+    return similarity.binary_rerank_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10,
+        enc=_materialized_binary_codes(spark, sf_dir),
+    )
+
+
 def _materialized_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force ground truth for the recall probes, staged ONCE —
     8 recall tiers share identical exact top-k sides (32 brute corpus
@@ -4667,6 +4707,8 @@ def _register_ann_recall(tier: str) -> None:
             enc_df = _materialized_ivf_pq_index(spark, sf_dir)
         elif fam == "ivf":
             enc_df = _materialized_ivf_index(spark, sf_dir)
+        elif fam == "binary":
+            enc_df = _materialized_binary_codes(spark, sf_dir)
         return similarity.ann_recall(
             load(spark, sf_dir, "embeddings"),
             _tier,
