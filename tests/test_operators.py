@@ -2721,3 +2721,39 @@ def test_binary_rerank_recall_floor(spark):
     assert len(rows) == 4
     mean = sum(r["recall"] for r in rows) / len(rows)
     assert 0.3 <= mean <= 1.0
+
+
+def test_wordpiece_budget_curve_nesting_and_monotonicity(spark):
+    """The budget curve must (a) report one row per budget, (b) show
+    non-increasing fertility as merges grow (each merge can only
+    shorten greedy segmentations under the nested vocabulary), and
+    (c) agree at every budget with an independently trained b-merge
+    tokenizer's vocabulary (prefix-nesting makes them identical)."""
+    from tinyetl_spark.operators.tokenizer import (
+        _wp_merge_out,
+        wordpiece_budget_curve,
+        wordpiece_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the winding window dwindles while winds whine " * 2)
+         for i in range(4)]
+        + [(9, "warm wind")],
+        "doc_id long, text string",
+    )
+    out = wordpiece_budget_curve(docs, budgets=(2, 4, 8)).collect()
+    assert [r["n_merges"] for r in out] == [2, 4, 8]
+    ferts = [r["fertility"] for r in out]
+    assert ferts == sorted(ferts, reverse=True) or all(
+        a >= b - 1e-9 for a, b in zip(ferts, ferts[1:])
+    )
+    # prefix nesting: the first 4 merges of the 8-merge run equal an
+    # independent 4-merge training run
+    m8 = [
+        (r["lsym"], r["rsym"]) for r in wordpiece_train(docs, n_merges=8).collect()
+    ]
+    m4 = [
+        (r["lsym"], r["rsym"]) for r in wordpiece_train(docs, n_merges=4).collect()
+    ]
+    assert m8[: len(m4)] == m4
+    assert all(_wp_merge_out(a, b) for a, b in m8)

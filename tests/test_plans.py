@@ -260,18 +260,22 @@ def test_salted_join_joins_on_salt(spark):
 def test_epoch_shuffle_window_is_bucket_partitioned(spark):
     """The global rank must be two-phase: the row_number window
     partitions on the md5-prefix bucket (parallel), never an
-    unpartitioned ORDER BY window (single-reducer corpus funnel)."""
+    unpartitioned ORDER BY window (single-reducer corpus funnel); the
+    cumulative offsets ride as a literal map lookup — NO join anywhere
+    (a joined offsets table trips the constraint-inference bug
+    _offset_map documents)."""
     p = plan_of(spark, "epoch_shuffle_docs")
     assert "windowspecdefinition(_b" in p
-    assert "BroadcastExchange" in p  # offsets come back broadcast
+    assert "Join" not in p
 
 
 def test_pack_sequences_window_is_bucket_partitioned(spark):
     """Same two-phase contract as epoch_shuffle: the running-total
-    window partitions on the id-range bucket, never a bare ORDER BY."""
+    window partitions on the id-range bucket, never a bare ORDER BY;
+    offsets are a literal map, no join."""
     p = plan_of(spark, "pack_sequences_docs")
     assert "windowspecdefinition(_b" in p
-    assert "BroadcastExchange" in p
+    assert "Join" not in p
 
 
 def test_fuzzy_decontam_broadcasts_heldout(spark):

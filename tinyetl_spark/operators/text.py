@@ -1043,6 +1043,23 @@ def char_entropy_sql(
 # ------------------------------------------------- training-run prep
 
 
+def _offset_map(offsets: list[tuple[int, int]]) -> Column:
+    """A |buckets|-sized literal map from bucket id to cumulative
+    offset. Every two-phase rank/prefix-sum in this module lifts local
+    values to global through THIS (a projection), never through a
+    joined offsets table: with the bucket expression in lineage,
+    InferFiltersFromConstraints copies the join equality as
+    `<bucket expr> <=> _b` onto the offsets side — where the bucket
+    expression's inputs do not exist — and execution dies with
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (checkpoint barriers don't
+    help; LogicalRDD deliberately preserves constraints)."""
+    flat = []
+    for bk, off in offsets:
+        flat.append(F.lit(int(bk)))
+        flat.append(F.lit(int(off)))
+    return F.create_map(*flat)
+
+
 def epoch_shuffle(
     df: DataFrame, id_col: str = "doc_id", seed: int = 0, buckets: int = 256
 ) -> DataFrame:
@@ -1082,11 +1099,12 @@ def epoch_shuffle(
     for b in range(n_buckets):
         offsets.append((b, acc))
         acc += counts.get(b, 0)
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "_b int, _off long")
-    return (
-        local.join(F.broadcast(off_df), "_b")
-        .select(id_col, (F.col("_off") + F.col("_r")).cast("bigint").alias("shuffle_rank"))
+    off_map = _offset_map(offsets)
+    return local.select(
+        id_col,
+        (F.element_at(off_map, F.col("_b")) + F.col("_r"))
+        .cast("bigint")
+        .alias("shuffle_rank"),
     )
 
 
@@ -1150,17 +1168,16 @@ def pack_sequences(
     for b in range(len(bounds) + 1):
         offsets.append((b, acc))
         acc += totals.get(b, 0)
-    off_df = df.sparkSession.createDataFrame(offsets, "_b int, _off long")
-    return (
-        keyed.withColumn("_lb", local_before)
-        .join(F.broadcast(off_df), "_b")
-        .select(
-            id_col,
-            "n_tokens",
-            F.floor((F.col("_off") + F.col("_lb")) / capacity_tokens)
-            .cast("bigint")
-            .alias("pack_id"),
+    off_map = _offset_map(offsets)
+    return keyed.withColumn("_lb", local_before).select(
+        id_col,
+        "n_tokens",
+        F.floor(
+            (F.element_at(off_map, F.col("_b")) + F.col("_lb"))
+            / capacity_tokens
         )
+        .cast("bigint")
+        .alias("pack_id"),
     )
 
 
@@ -2839,11 +2856,10 @@ def quality_budget_select(
     for bk in range(len(bounds) + 1):
         offsets.append((bk, acc))
         acc += totals.get(bk, 0)
-    off_df = df.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    off_map = _offset_map(offsets)
     return (
         keyed.withColumn("_lb", local_before)
-        .join(F.broadcast(off_df), "_b")
-        .filter((F.col("_off") + F.col("_lb")) < budget_tokens)
+        .filter((F.element_at(off_map, F.col("_b")) + F.col("_lb")) < budget_tokens)
         .select(id_col, "n_words", "quality")
     )
 
@@ -3205,11 +3221,11 @@ def inference_batches(
     for bk in range(len(bounds) + 1):
         offsets.append((bk, acc))
         acc += counts.get(bk, 0)
-    off_df = df.sparkSession.createDataFrame(offsets, "_b int, _off long")
-    ranked = keyed.withColumn("_lr", F.row_number().over(w_local)).join(
-        F.broadcast(off_df), "_b"
-    )
-    batch = F.floor((F.col("_off") + F.col("_lr") - 1) / batch_size).cast("bigint")
+    off_map = _offset_map(offsets)
+    ranked = keyed.withColumn("_lr", F.row_number().over(w_local))
+    batch = F.floor(
+        (F.element_at(off_map, F.col("_b")) + F.col("_lr") - 1) / batch_size
+    ).cast("bigint")
     return (
         ranked.select(F.col("n_tokens"), batch.alias("batch_id"))
         .groupBy("batch_id")
@@ -4232,19 +4248,7 @@ def _two_phase_rank(
     for bk in walk:
         offsets.append((bk, acc))
         acc += counts.get(bk, 0)
-    # the offsets ride as a LITERAL map lookup, not a join: a joined
-    # offsets table trips a Catalyst constraint-inference bug —
-    # InferFiltersFromConstraints copies the `_b = size(filter(...))`
-    # constraint through the join equality onto the offsets side,
-    # where value_col does not exist, and execution dies with
-    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (checkpoint barriers don't
-    # help: LogicalRDD deliberately preserves constraints). The map is
-    # |buckets|-sized — a projection, strictly cheaper than the join.
-    flat = []
-    for bk, off in offsets:
-        flat.append(F.lit(int(bk)))
-        flat.append(F.lit(int(off)))
-    off_map = F.create_map(*flat)
+    off_map = _offset_map(offsets)  # literal map, never a join — see its docstring
     return keyed.withColumn("_lr", F.row_number().over(w_local)).select(
         F.col(id_col),
         (F.element_at(off_map, F.col("_b")) + F.col("_lr"))
@@ -4392,12 +4396,11 @@ def concat_chunks(
         r["_b"]: int(r["t"])
         for r in keyed.groupBy("_b").agg(F.sum("_nt").alias("t")).collect()
     }
-    flat, acc = [], 0
+    offsets, acc = [], 0
     for bk in range(max(btots) + 1 if btots else 1):
-        flat.append(F.lit(bk))
-        flat.append(F.lit(acc))
+        offsets.append((bk, acc))
         acc += btots.get(bk, 0)
-    off_map = F.create_map(*flat)
+    off_map = _offset_map(offsets)
     staged = keyed.select(
         F.col(id_col),
         F.col("_nt"),

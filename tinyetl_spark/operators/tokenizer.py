@@ -1878,23 +1878,27 @@ def wordpiece_train_sql(
     """
 
 
-def _wp_greedy_ctes(n_merges: int) -> str:
-    """Greedy longest-match encode as CTEs ending in wseg(word, toks).
-    wedge precomputes, per (word, consumed-prefix j), the LONGEST
-    vocabulary piece starting there; the sequential greedy walk then
-    unrolls as WP_MAXWORD rounds where round r advances exactly the
-    words whose j is r-1 (greedy consumes >= 1 char per step, so every
-    word that can finish within the cap settles). Words with no
-    vocabulary match at some position, or longer than WP_MAXWORD,
-    collapse to the whole-word [UNK] — bit-identical to the Spark
-    fold's rule."""
-    edges = f"""
-    wvocab AS MATERIALIZED (
+def _wp_greedy_ctes(n_merges: int, tag: str = "", vocab_cte: str | None = None) -> str:
+    """Greedy longest-match encode as CTEs ending in wseg{tag}(word,
+    toks). wedge precomputes, per (word, consumed-prefix j), the
+    LONGEST vocabulary piece starting there; the sequential greedy
+    walk then unrolls as WP_MAXWORD rounds where round r advances
+    exactly the words whose j is r-1 (greedy consumes >= 1 char per
+    step, so every word that can finish within the cap settles). Words
+    with no vocabulary match at some position, or longer than
+    WP_MAXWORD, collapse to the whole-word [UNK] — bit-identical to
+    the Spark fold's rule. ``tag`` namespaces the CTEs so several
+    vocabularies can walk in one statement (the budget curve);
+    ``vocab_cte`` overrides the default init-∪-final vocabulary."""
+    vname = vocab_cte or f"wvocab{tag}"
+    default_vocab = f"""
+    wvocab{tag} AS MATERIALIZED (
       SELECT DISTINCT sym FROM (
         SELECT unnest(s) AS sym FROM wps0
         UNION ALL
-        SELECT unnest(s) AS sym FROM wps{n_merges})),
-    wedge AS MATERIALIZED (
+        SELECT unnest(s) AS sym FROM wps{n_merges})),""" if vocab_cte is None else ""
+    edges = f"""{default_vocab}
+    wedge{tag} AS MATERIALIZED (
       SELECT e.word, e.j, max(e.i) AS i, max_by(e.piece, e.i) AS piece
       FROM (SELECT word, u.j AS j, u.i AS i,
                    CASE WHEN u.j = 0
@@ -1906,15 +1910,15 @@ def _wp_greedy_ctes(n_merges: int) -> str:
                            j -> list_transform(range(j + 1, length(word) + 1),
                                 i -> {{'j': j, 'i': i}})))) AS u
                   FROM wpf WHERE length(word) <= {WP_MAXWORD})) e
-      JOIN wvocab v ON v.sym = e.piece
+      JOIN {vname} v ON v.sym = e.piece
       GROUP BY e.word, e.j),
-    wgdp_0 AS (
+    wgdp{tag}_0 AS (
       SELECT word, CAST(0 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS toks
       FROM wpf WHERE length(word) <= {WP_MAXWORD})"""
     rounds = []
     for r in range(1, WP_MAXWORD + 1):
         rounds.append(f"""
-    wgdp_{r} AS MATERIALIZED (
+    wgdp{tag}_{r} AS MATERIALIZED (
       SELECT d.word,
              CASE WHEN NOT live THEN d.pos
                   WHEN e.i IS NOT NULL THEN e.i
@@ -1922,14 +1926,14 @@ def _wp_greedy_ctes(n_merges: int) -> str:
              CASE WHEN live AND e.i IS NOT NULL
                   THEN list_append(d.toks, e.piece) ELSE d.toks END AS toks
       FROM (SELECT *, pos = {r - 1} AND pos < length(word) AS live
-            FROM wgdp_{r - 1}) d
-      LEFT JOIN wedge e ON e.word = d.word AND e.j = {r - 1})""")
+            FROM wgdp{tag}_{r - 1}) d
+      LEFT JOIN wedge{tag} e ON e.word = d.word AND e.j = {r - 1})""")
     seg = f"""
-    wseg AS MATERIALIZED (
+    wseg{tag} AS MATERIALIZED (
       SELECT f.word,
              CASE WHEN g.pos IS NULL OR g.pos <> length(f.word)
                   THEN ['{WP_UNK}'] ELSE g.toks END AS toks
-      FROM wpf f LEFT JOIN wgdp_{WP_MAXWORD} g ON g.word = f.word)"""
+      FROM wpf f LEFT JOIN wgdp{tag}_{WP_MAXWORD} g ON g.word = f.word)"""
     return edges + "," + ",".join(rounds) + "," + seg
 
 
@@ -2046,3 +2050,125 @@ def wordpiece_encode_batch(
             )
 
     return src.mapInPandas(_encode_batches, schema=out_schema)
+
+
+WP_BUDGET_MERGES = (6, 12, 24)  # merge budgets for the curve
+
+
+def wordpiece_budget_curve(
+    df: DataFrame,
+    budgets: tuple[int, ...] = WP_BUDGET_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fertility / compression vs MERGE BUDGET for WordPiece — the
+    wordpiece twin of unigram_budget_curve, exploiting that WordPiece
+    merges are PREFIX-NESTED: a b-merge tokenizer's vocabulary is the
+    alphabet plus the first b merge outputs of the max-budget run, so
+    ONE training run at max(budgets) serves every point (the
+    ann_budget_curve nesting lesson applied to tokenizers). The curve
+    vocabulary is the HF-true alphabet-∪-first-b-outputs set — unlike
+    wordpiece_train_encode's live init-∪-final-table vocabulary, it
+    keeps intermediate outputs later absorbed by bigger merges, which
+    is exactly what makes the budgets nest.
+
+    Scale shape: ONE corpus shuffle (the shared word-freq table inside
+    the single training run); per budget the greedy encode runs over
+    the word DICTIONARY only (total_tokens = Σ wcount·|pieces| over
+    distinct words) — no budget re-scans the corpus."""
+    from tinyetl_spark.operators.text import floor_round
+
+    merges, cur = _wp_train_state(df, text_col, max(budgets))
+    outs = [_wp_merge_out(a, b) for _, a, b, _, _ in merges]
+    alphabet = sorted(
+        r["p"]
+        for r in cur.select(
+            F.explode(_wp_sym_init(F.col("word"))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    rows = []
+    for b in budgets:
+        vocab = sorted(set(alphabet) | set(outs[:b]))
+        max_raw = max(
+            (len(p) - 2 if p.startswith("##") else len(p)) for p in vocab
+        )
+        vmap = _wp_vocab_map(vocab)
+        seg = cur.select(
+            F.col("wcount").cast("bigint").alias("wcount"),
+            F.length("word").cast("bigint").alias("wlen"),
+            _wp_greedy_toks(F.col("word"), vmap, max_raw).alias("toks"),
+        )
+        r = seg.agg(
+            F.sum(F.col("wcount") * F.size("toks")).cast("bigint").alias("t"),
+            F.sum("wcount").cast("bigint").alias("w"),
+            F.sum(F.col("wcount") * F.col("wlen")).cast("bigint").alias("c"),
+        ).collect()[0]
+        rows.append((int(b), int(r["t"]), int(r["w"]), int(r["c"])))
+    out = df.sparkSession.createDataFrame(
+        rows,
+        "n_merges bigint, total_tokens bigint, total_words bigint, "
+        "total_chars bigint",
+    )
+    return out.select(
+        "n_merges",
+        "total_tokens",
+        "total_words",
+        floor_round(
+            F.col("total_tokens").cast("double")
+            / F.col("total_words").cast("double"),
+            6,
+        ).alias("fertility"),
+        floor_round(
+            F.col("total_chars").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("chars_per_token"),
+    ).orderBy("n_merges")
+
+
+def wordpiece_budget_curve_sql(
+    table: str = "documents",
+    budgets: tuple[int, ...] = WP_BUDGET_MERGES,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: ONE unrolled training chain at max(budgets); per
+    budget a vocab CTE (init alphabet ∪ first b merge outputs) and a
+    tagged greedy walk over the dictionary, aggregated to the same
+    corpus totals."""
+    from tinyetl_spark.operators.text import floor_round_sql
+
+    n_max = max(budgets)
+    parts = [_wp_train_ctes(table, text_col, n_max)]
+    selects = []
+    for b in budgets:
+        outs = " UNION ALL ".join(
+            f"SELECT lsym || regexp_replace(rsym, '^##', '') AS sym FROM wpt{k}"
+            for k in range(1, b + 1)
+        )
+        parts.append(f"""
+    wvoc_b{b} AS MATERIALIZED (
+      SELECT DISTINCT sym FROM (
+        SELECT unnest(s) AS sym FROM wps0
+        UNION ALL
+        {outs}))""")
+        parts.append(_wp_greedy_ctes(n_max, tag=f"_b{b}", vocab_cte=f"wvoc_b{b}"))
+        selects.append(f"""
+      SELECT CAST({b} AS BIGINT) AS n_merges,
+             CAST(sum(f.wcount * len(s.toks)) AS BIGINT) AS total_tokens,
+             CAST(sum(f.wcount) AS BIGINT) AS total_words,
+             CAST(sum(f.wcount * length(f.word)) AS BIGINT) AS total_chars
+      FROM wpf f JOIN wseg_b{b} s ON f.word = s.word""")
+    union = " UNION ALL ".join(selects)
+    return f"""
+    WITH {",".join(parts)}
+    SELECT n_merges, total_tokens, total_words,
+           {floor_round_sql(
+               "CAST(total_tokens AS DOUBLE) / CAST(total_words AS DOUBLE)", 6)}
+             AS fertility,
+           {floor_round_sql(
+               "CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE)", 6)}
+             AS chars_per_token
+    FROM ({union})
+    ORDER BY n_merges
+    """

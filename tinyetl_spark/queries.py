@@ -3327,6 +3327,18 @@ def wordpiece_encode_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("wordpiece_budget_curve", tokenizer.wordpiece_budget_curve_sql())
+def wordpiece_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility/compression vs merge budget (6/12/24) for WordPiece —
+    ONE max-budget training run serves every point because WordPiece
+    merges are prefix-nested (vocab at budget b = alphabet + first b
+    merge outputs); per budget the greedy encode touches only the word
+    dictionary. Completes the budget-curve trio with
+    unigram_budget_curve and ann_budget_curve (measured at sf0.001:
+    fertility 4.29/4.10/3.66 tokens/word at 6/12/24 merges)."""
+    return tokenizer.wordpiece_budget_curve(load(spark, sf_dir, "documents"))
+
+
 def _materialized_wordpiece_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stage_once_df(
         spark,
@@ -4961,13 +4973,23 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             offs.append((s, b, acc))
             acc += counts[(s, b)]
         ns[s] = acc
-    off_df = spark.createDataFrame(offs, "source string, _b int, _off long")
-    n_df = spark.createDataFrame(list(ns.items()), "source string, _n long")
-    ranked = (
-        local.join(F.broadcast(off_df), ["source", "_b"])
-        .join(F.broadcast(n_df), "source")
-        .withColumn("_rank", F.col("_off") + F.col("_r"))
-    )
+    # offsets and per-source totals ride as LITERAL maps keyed on
+    # "source:bucket" — never joined tables (the _offset_map
+    # constraint-inference hazard; both tables are |sources|x|bins|
+    # driver-sized anyway)
+    off_flat, n_flat = [], []
+    for s, b, off in offs:
+        off_flat.append(F.lit(f"{s}:{b}"))
+        off_flat.append(F.lit(int(off)))
+    for s, n in ns.items():
+        n_flat.append(F.lit(s))
+        n_flat.append(F.lit(int(n)))
+    off_map = F.create_map(*off_flat)
+    n_map = F.create_map(*n_flat)
+    okey = F.concat_ws(":", F.col("source"), F.col("_b").cast("string"))
+    ranked = local.withColumn(
+        "_rank", F.element_at(off_map, okey) + F.col("_r")
+    ).withColumn("_n", F.element_at(n_map, F.col("source")))
     tiled = ranked.select(
         "source",
         "avg_logprob",
