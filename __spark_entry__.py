@@ -22,7 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver samples the FIRST 50 entries of queries() in
 # dict order. Cumulative driver-green is 229/229 registered queries
-# through round 9 (plus 17 added this round). Round 10's window:
+# through round 9 (plus 19 added this round). Round 10's window:
 # (a) the 2 queries whose semantics changed this round
 # (containment_recall_audit gained the per-class excerpt_recall
 # columns; tokenizer_compare gained the unigram_pruned AND wordpiece
@@ -33,8 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # trio, and the loss-based curation quartet: RHO-loss select, DoReMi
 # domain weights, Min-K% membership audit, RRF quality ensemble,
 # concat-chunk packing — each oracle-matched locally before
-# registration) plus the 2 binary-quantization ANN queries and the
-# wordpiece budget curve parked just below the cut, then (c) the FULL
+# registration) plus 5 more parked just below the cut (binary-
+# quantization ANN pair, wordpiece budget curve, Kneser-Ney bigram
+# scoring, stdlib GIF/LZW decode), then (c) the FULL
 # r5-vintage rotation queue (34 — the round-9 verdict's top item),
 # which together exactly fill the 50-cut. The below-cut order is
 # strictly oldest-vintage-first (vintage = newest round whose
@@ -70,7 +71,7 @@ _PRIORITY = [
     # oldest-vintage-first (r6, then r7, r8, r9) so any larger sample
     # extends the rotation ---
     "ann_binary_rerank_topk", "ann_recall_binary_rerank",
-    "wordpiece_budget_curve",
+    "wordpiece_budget_curve", "kn_logprob_docs", "multimodal_decode_gif",
     "avro_roundtrip", "bigram_logprob_docs",
     "bm25_search_docs", "bm25_top_terms", "bpe_encode_docs",
     "bpe_pair_counts", "bpe_train_merges", "char_entropy_docs",

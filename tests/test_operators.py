@@ -2757,3 +2757,66 @@ def test_wordpiece_budget_curve_nesting_and_monotonicity(spark):
     ]
     assert m8[: len(m4)] == m4
     assert all(_wp_merge_out(a, b) for a, b in m8)
+
+
+def test_kn_continuation_beats_fixed_collocation(spark):
+    """The Kneser-Ney signature ("new york" vs "glasses"): for two
+    UNSEEN bigrams whose second words are equally frequent, the word
+    seen in many distinct left contexts must score higher than the
+    word welded to a single collocation — MLE backoff cannot tell
+    them apart, continuation counts can."""
+    from tinyetl_spark.operators.text import kn_bigram_logprob
+
+    # 'york' appears 6x but ONLY after 'new'; 'cup' appears 6x after
+    # 6 different words. 'red' is a seen context for neither pair.
+    corpus = [
+        (1, "new york new york new york new york new york new york"),
+        (2, "a cup b cup c cup d cup e cup f cup"),
+        (3, "red wine red shoe red door"),  # gives 'red' a context row
+    ]
+    probe = [(10, "red york"), (11, "red cup")]
+    df = spark.createDataFrame(corpus + probe, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_logprob"] for r in kn_bigram_logprob(df).collect()}
+    assert out[11] > out[10]
+
+
+def test_lzw_roundtrip_property():
+    """The GIF LZW pair must invert on random index streams —
+    exercising dictionary growth, variable code widths, the 12-bit
+    CLEAR reset and the KwKwK (code == next free) decoder case."""
+    import random
+
+    from tinyetl_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    rng = random.Random(11)
+    for _ in range(100):
+        n = rng.randint(1, 600)
+        data = bytes(
+            rng.randint(0, 255) if rng.random() < 0.5 else 7 for _ in range(n)
+        )
+        assert _lzw_decompress(_lzw_compress(data)) == data
+    assert _lzw_decompress(_lzw_compress(b"\x05\x05\x05")) == b"\x05\x05\x05"
+    # long runs force width growth past 9 bits
+    run = bytes([3]) * 5000
+    assert _lzw_decompress(_lzw_compress(run)) == run
+
+
+def test_decode_gif_contract_and_malformed():
+    """decode_gif parses a real synthesized GIF exactly, and rejects
+    malformed/unsupported payloads with the documented errors instead
+    of garbage stats."""
+    import pytest as _pytest
+
+    from tinyetl_spark.operators.multimodal import decode_gif, synth_gif
+
+    idx = bytes((i * 53 + 7) % 256 for i in range(32))
+    d = decode_gif(synth_gif(idx, 8, 4))
+    assert (d["fmt"], d["width"], d["height"], d["n_channels"]) == ("gif", 8, 4, 3)
+    assert d["mean_value"] == round(sum(idx) * 3 / 96, 6)
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + bytes(20))
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF87a" + bytes(3))  # truncated header

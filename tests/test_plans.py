@@ -387,10 +387,11 @@ def test_bm25_search_filters_before_shuffle_and_takeordered(spark):
 def test_quality_budget_window_is_bucket_partitioned(spark):
     """Same two-phase contract as pack_sequences: the quality-ordered
     prefix sum windows on the quantile bucket, never a bare ORDER BY
-    (single-reducer corpus funnel)."""
+    (single-reducer corpus funnel); offsets are a literal map, no
+    join."""
     p = plan_of(spark, "quality_budget_select")
     assert "windowspecdefinition(_b" in p
-    assert "BroadcastExchange" in p
+    assert "Join" not in p
 
 
 def test_cluster_best_survivor_broadcasts_clusters(spark):
@@ -1232,3 +1233,13 @@ def test_binary_rerank_staged_codes_takeordered(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "TakeOrderedAndProject" in p
     assert "binary_codes" in p  # staged parquet scan
+
+
+def test_kn_logprob_broadcast_models_no_python(spark):
+    """KN scoring: the three bounded model tables broadcast into the
+    bigram position table (never a corpus-side shuffle for the
+    lookups), no Python, nothing cartesian."""
+    p = plan_of(spark, "kn_logprob_docs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 3

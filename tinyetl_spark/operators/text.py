@@ -4467,3 +4467,156 @@ def concat_chunks_sql(
     GROUP BY chunk_id
     ORDER BY chunk_id
     """
+
+
+# ---------------------------------- interpolated Kneser-Ney scoring
+
+KN_DISCOUNT = 0.75  # the standard absolute discount (Chen & Goodman 1999)
+
+
+def kn_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 65536,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED KNESER-NEY bigram log-probability
+    (Chen & Goodman 1999) — the smoothing the KenLM models of
+    CCNet-style filters actually use, one rung above the MLE bigram:
+
+        p(w2|w1) = max(c(w1w2) - D, 0)/c(w1·)
+                 + (D · N1+(w1·)/c(w1·)) · (N1+(·w2)/N1+(··))
+
+    The continuation weight N1+(·w2) counts DISTINCT left contexts, so
+    a word frequent in one fixed collocation ("york" after "new")
+    backs off far lower than an equally frequent free word — the
+    correction MLE smoothing misses.
+
+    Scale shape: the bigram position table feeds three
+    map-side-combined groupBys (bigram counts, per-context totals +
+    distinct-successor counts, per-word distinct-context counts), each
+    bounded to ``top_vocab`` rows (count desc, key asc —
+    deterministic) and broadcast back; the distinct-bigram-type total
+    and the floor total are two scalar collects. Misses hit the
+    0.5-floor conventions below. Cross-engine exactness: every count
+    is an exact integer, the probability expression evaluates in ONE
+    fixed parenthesization of IEEE doubles (bit-equal on both
+    engines), logs round at 9dp and sum as DECIMAL(38,9)."""
+    ws = words_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), ws.alias("_ws")).filter(F.size("_ws") >= 2)
+    pos = base.select(
+        F.col(id_col),
+        F.col("_ws"),
+        F.explode(F.sequence(F.lit(1), F.size("_ws") - 1)).alias("i"),
+    )
+    bgd = pos.select(
+        F.col(id_col),
+        F.element_at("_ws", F.col("i")).alias("w1"),
+        F.element_at("_ws", F.col("i") + 1).alias("w2"),
+        F.concat_ws(
+            " ", F.element_at("_ws", F.col("i")), F.element_at("_ws", F.col("i") + 1)
+        ).alias("bg"),
+    )
+    freq = bgd.groupBy("bg").agg(F.count("*").alias("c12"))
+    ctx = (
+        bgd.groupBy("w1")
+        .agg(F.count("*").alias("c1"), F.count_distinct("w2").alias("n1"))
+        .orderBy(F.desc("c1"), F.asc("w1"))
+        .limit(top_vocab)
+    )
+    cont = (
+        bgd.groupBy("w2")
+        .agg(F.count_distinct("w1").alias("cw"))
+        .orderBy(F.desc("cw"), F.asc("w2"))
+        .limit(top_vocab)
+    )
+    tot_row = freq.agg(
+        F.sum("c12").alias("t"), F.count("*").alias("types")
+    ).collect()[0]
+    total = int(tot_row["t"] or 1)
+    types = int(tot_row["types"] or 1)
+    vocab = freq.orderBy(F.desc("c12"), F.asc("bg")).limit(top_vocab)
+    d = F.lit(KN_DISCOUNT)
+    p = (
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("c1").cast("double")
+    ) + (
+        (d * F.col("n1").cast("double") / F.col("c1").cast("double"))
+        * (
+            F.coalesce(F.col("cw").cast("double"), F.lit(0.5))
+            / F.lit(float(types))
+        )
+    )
+    lp = F.when(
+        F.col("c1").isNotNull(),
+        F.round(F.log(p), 9),
+    ).otherwise(F.round(F.log(F.lit(0.5 / float(total))), 9))
+    return (
+        bgd.join(F.broadcast(vocab), "bg", "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .select(F.col(id_col), lp.cast("decimal(38,9)").alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            floor_round(
+                F.sum("_lp").cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def kn_bigram_logprob_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 65536,
+) -> str:
+    ws = words_sql(f"lower({text_col})")
+    d = KN_DISCOUNT
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {ws} AS arr FROM {table} WHERE len({ws}) >= 2),
+    pos AS (
+      SELECT {id_col}, arr, unnest(range(1, len(arr))) AS i FROM base),
+    bgd AS (
+      SELECT {id_col}, arr[i] AS w1, arr[i+1] AS w2,
+             arr[i] || ' ' || arr[i+1] AS bg
+      FROM pos),
+    freq AS (SELECT bg, count(*) AS c12 FROM bgd GROUP BY 1),
+    ctx AS (
+      SELECT w1, c1, n1 FROM (
+        SELECT w1, count(*) AS c1, count(DISTINCT w2) AS n1
+        FROM bgd GROUP BY w1)
+      ORDER BY c1 DESC, w1 ASC LIMIT {top_vocab}),
+    cont AS (
+      SELECT w2, cw FROM (
+        SELECT w2, count(DISTINCT w1) AS cw FROM bgd GROUP BY w2)
+      ORDER BY cw DESC, w2 ASC LIMIT {top_vocab}),
+    tot AS (
+      SELECT greatest(sum(c12), 1) AS t,
+             greatest(count(*), 1) AS types
+      FROM freq),
+    vocab AS (SELECT bg, c12 FROM freq ORDER BY c12 DESC, bg ASC LIMIT {top_vocab}),
+    scored AS (
+      SELECT bgd.{id_col},
+             CAST(CASE WHEN x.c1 IS NOT NULL THEN round(ln(
+               (greatest(coalesce(v.c12, 0) - {d}, 0.0)
+                / CAST(x.c1 AS DOUBLE))
+               + (({d} * CAST(x.n1 AS DOUBLE) / CAST(x.c1 AS DOUBLE))
+                  * (coalesce(CAST(k.cw AS DOUBLE), 0.5)
+                     / CAST(t.types AS DOUBLE)))
+             ), 9)
+             ELSE round(ln(0.5 / CAST(t.t AS DOUBLE)), 9)
+             END AS DECIMAL(38,9)) AS lp
+      FROM bgd
+      LEFT JOIN vocab v ON bgd.bg = v.bg
+      LEFT JOIN ctx x ON bgd.w1 = x.w1
+      LEFT JOIN cont k ON bgd.w2 = k.w2
+      CROSS JOIN tot t)
+    SELECT {id_col}, count(*) AS n_bigrams,
+           {floor_round_sql("CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+             AS avg_logprob
+    FROM scored GROUP BY {id_col} ORDER BY {id_col}
+    """

@@ -3841,6 +3841,19 @@ def quality_ensemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_ensemble(load(spark, sf_dir, "documents"))
 
 
+@_q("kn_logprob_docs", text.kn_bigram_logprob_sql())
+def kn_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram log-probability
+    (Chen & Goodman 1999) — the smoothing KenLM-style corpus filters
+    actually use: absolute discount plus a continuation-count backoff
+    that down-weights words frequent only inside one fixed
+    collocation. Completes the LM-scoring ladder unigram → MLE bigram
+    → KN bigram. Three bounded broadcast model tables off one bigram
+    position table; exact-integer counts, one fixed IEEE expression,
+    DECIMAL(38,9) sums."""
+    return text.kn_bigram_logprob(load(spark, sf_dir, "documents"))
+
+
 @_q("mink_prob_docs", text.mink_prob_docs_sql())
 def mink_prob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-K% prob membership-inference audit (Shi et al. 2023): score
@@ -5276,6 +5289,8 @@ def _synth_media_df(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                     payloads.append(multimodal.synth_png(cyc, 8, 4))
                 elif kind == "jpeg":
                     payloads.append(multimodal.synth_jpeg(list(cyc[:4]), 16, 16))
+                elif kind == "gif":
+                    payloads.append(multimodal.synth_gif(cyc[:32], 8, 4))
                 else:
                     payloads.append(multimodal.synth_wav(cyc))
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
@@ -5334,6 +5349,32 @@ def multimodal_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_media(
         _synth_media_df(spark, sf_dir, "bmp"), out_w=4, out_h=2
     )
+
+
+@_q(
+    "multimodal_decode_gif",
+    f"""
+    SELECT doc_id, 'gif' AS fmt, 8 AS width, 4 AS height, 3 AS n_channels,
+           round(CAST(list_sum(list_transform(range(0, 32),
+                 i -> {_CYCLED_BYTE})) AS DOUBLE) / 32, 6) AS mean_value
+    FROM documents
+    WHERE strlen(text) = length(text) AND length(text) > 0
+    """,
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL palette-image decode with NO codec library: each doc's
+    first 32 bytes become the pixel indices of an 8x4 GIF87a with a
+    grayscale global palette, GENUINELY LZW-compressed by the stdlib
+    encoder (variable code width, CLEAR/EOI, 12-bit cap), and the
+    generic LZW decoder walks it back (dictionary growth, KwKwK,
+    CLEAR resets — property-tested roundtrip on random streams). The
+    grayscale palette makes the decoded RGB mean EXACTLY the index
+    mean, so the oracle is pure byte arithmetic with no GIF anywhere.
+    Interlace/local palettes keep the PIL-hook contract."""
+    from tinyetl_spark.operators import multimodal
+
+    out = multimodal.decode_media(_synth_media_df(spark, sf_dir, "gif"))
+    return out.select("doc_id", "fmt", "width", "height", "n_channels", "mean_value")
 
 
 @_q(
