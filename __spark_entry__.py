@@ -22,7 +22,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The correctness driver samples the FIRST 50 entries of queries() in
 # dict order. Cumulative driver-green is 229/229 registered queries
-# through round 9 (plus 19 added this round). Round 10's window:
+# through round 9 (plus 20 added this round). Round 10's window:
 # (a) the 2 queries whose semantics changed this round
 # (containment_recall_audit gained the per-class excerpt_recall
 # columns; tokenizer_compare gained the unigram_pruned AND wordpiece
@@ -35,7 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # concat-chunk packing — each oracle-matched locally before
 # registration) plus 5 more parked just below the cut (binary-
 # quantization ANN pair, wordpiece budget curve, Kneser-Ney bigram
-# scoring, stdlib GIF/LZW decode), then (c) the FULL
+# scoring, stdlib GIF/LZW decode, per-source duplication report),
+# then (c) the FULL
 # r5-vintage rotation queue (34 — the round-9 verdict's top item),
 # which together exactly fill the 50-cut. The below-cut order is
 # strictly oldest-vintage-first (vintage = newest round whose
@@ -72,6 +73,7 @@ _PRIORITY = [
     # extends the rotation ---
     "ann_binary_rerank_topk", "ann_recall_binary_rerank",
     "wordpiece_budget_curve", "kn_logprob_docs", "multimodal_decode_gif",
+    "dedup_rate_by_source",
     "avro_roundtrip", "bigram_logprob_docs",
     "bm25_search_docs", "bm25_top_terms", "bpe_encode_docs",
     "bpe_pair_counts", "bpe_train_merges", "char_entropy_docs",

@@ -2820,3 +2820,28 @@ def test_decode_gif_contract_and_malformed():
         decode_gif(b"NOTGIF" + bytes(20))
     with _pytest.raises(ValueError):
         decode_gif(b"GIF87a" + bytes(3))  # truncated header
+
+
+def test_dedup_rate_by_source_planted(spark):
+    """Planted duplication: source A has an internal dupe pair, source
+    B shares one doc verbatim with A (cross-source) — the report must
+    count both phenomena separately and exactly."""
+    from tinyetl_spark.operators.text import dedup_rate_by_source
+
+    rows = [
+        (1, "alpha beta gamma", "A"),
+        (2, "alpha beta gamma", "A"),      # internal dupe of 1
+        (3, "unique in a", "A"),
+        (4, "Alpha  Beta   GAMMA", "B"),   # normalized dupe of 1 (cross)
+        (5, "only in b", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in dedup_rate_by_source(df).collect()}
+    a, b = out["A"], out["B"]
+    assert (a["n_docs"], a["n_distinct"]) == (3, 2)
+    assert abs(a["dup_rate"] - (1 - 2 / 3)) < 1e-6
+    assert a["n_cross_source"] == 2           # docs 1 and 2 match B's 4
+    assert abs(a["cross_source_frac"] - 2 / 3) < 1e-6
+    assert (b["n_docs"], b["n_distinct"]) == (2, 2)
+    assert b["dup_rate"] == 0.0
+    assert abs(b["cross_source_frac"] - 0.5) < 1e-6

@@ -1243,3 +1243,11 @@ def test_kn_logprob_broadcast_models_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_dedup_rate_by_source_two_aggregates(spark):
+    """The duplication report: in-row fingerprints (no Python), one
+    fingerprint groupBy + one source reduce — nothing cartesian."""
+    p = plan_of(spark, "dedup_rate_by_source")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p

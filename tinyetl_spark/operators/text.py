@@ -4620,3 +4620,99 @@ def kn_bigram_logprob_sql(
              AS avg_logprob
     FROM scored GROUP BY {id_col} ORDER BY {id_col}
     """
+
+
+# ------------------------------------- per-source duplication report
+
+
+def dedup_rate_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source exact-duplication report — the number a crawl triage
+    reads before spending near-dup compute: for each source, its doc
+    count, distinct-fingerprint count, internal duplicate rate
+    (1 - distinct/docs, rounded 6dp), and the share of its docs whose
+    fingerprint ALSO appears in some other source (cross-source
+    duplication — mirror sites and syndication show up here, not in
+    the within-source rate).
+
+    Shape at scale: fingerprints are the in-row 128-bit md5 (no
+    shuffle); ONE fingerprint-keyed groupBy builds the global
+    (fingerprint -> distinct-source count) table and a second
+    source-keyed aggregate reduces to |sources| rows. The fingerprint
+    table re-joins the corpus by fingerprint (sort-merge at corpus
+    scale — correct, both sides are corpus-sized)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    from tinyetl_spark.functions.hashing import hash128_col
+
+    base = df.select(
+        F.col(id_col), F.col(source_col), hash128_col(norm).alias("fp")
+    )
+    fp_sources = base.groupBy("fp").agg(
+        F.count_distinct(source_col).alias("_nsrc")
+    )
+    joined = base.join(fp_sources, "fp")
+    return (
+        joined.groupBy(source_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("fp").cast("bigint").alias("n_distinct"),
+            F.count(F.when(F.col("_nsrc") > 1, F.lit(1)))
+            .cast("bigint")
+            .alias("n_cross_source"),
+        )
+        .select(
+            F.col(source_col),
+            "n_docs",
+            "n_distinct",
+            "n_cross_source",
+            floor_round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            floor_round(
+                F.col("n_cross_source").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("cross_source_frac"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def dedup_rate_by_source_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    from tinyetl_spark.functions.hashing import hash128_sql
+
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {source_col}, {hash128_sql(norm)} AS fp FROM {table}),
+    fp_sources AS (
+      SELECT fp, count(DISTINCT {source_col}) AS nsrc FROM base GROUP BY fp),
+    joined AS (
+      SELECT b.{source_col}, b.fp, s.nsrc
+      FROM base b JOIN fp_sources s ON b.fp = s.fp)
+    SELECT {source_col},
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+           CAST(count(*) FILTER (WHERE nsrc > 1) AS BIGINT) AS n_cross_source,
+           {floor_round_sql(
+               "1.0 - CAST(count(DISTINCT fp) AS DOUBLE)"
+               " / CAST(count(*) AS DOUBLE)", 6)} AS dup_rate,
+           {floor_round_sql(
+               "CAST(count(*) FILTER (WHERE nsrc > 1) AS DOUBLE)"
+               " / CAST(count(*) AS DOUBLE)", 6)} AS cross_source_frac
+    FROM joined
+    GROUP BY {source_col}
+    ORDER BY {source_col}
+    """

@@ -3841,6 +3841,17 @@ def quality_ensemble_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_ensemble(load(spark, sf_dir, "documents"))
 
 
+@_q("dedup_rate_by_source", text.dedup_rate_by_source_sql())
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication triage: internal duplicate rate
+    (1 - distinct fingerprints / docs) and the share of docs whose
+    fingerprint also appears in another source (mirrors/syndication) —
+    the report a crawl curation run reads before spending near-dup
+    compute. In-row 128-bit fingerprints, one fingerprint groupBy +
+    one source reduce."""
+    return text.dedup_rate_by_source(load(spark, sf_dir, "documents"))
+
+
 @_q("kn_logprob_docs", text.kn_bigram_logprob_sql())
 def kn_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document interpolated Kneser-Ney bigram log-probability
