@@ -73,7 +73,9 @@ _PRIORITY = [
     # extends the rotation ---
     "ann_binary_rerank_topk", "ann_recall_binary_rerank",
     "wordpiece_budget_curve", "kn_logprob_docs", "multimodal_decode_gif",
-    "dedup_rate_by_source",
+    "dedup_rate_by_source", "classifier_eval_audit",
+    "classifier_calibration_bins", "near_dup_threshold_curve",
+    "source_logodds_terms", "ann_recall_matryoshka",
     "avro_roundtrip", "bigram_logprob_docs",
     "bm25_search_docs", "bm25_top_terms", "bpe_encode_docs",
     "bpe_pair_counts", "bpe_train_merges", "char_entropy_docs",

@@ -2845,3 +2845,172 @@ def test_dedup_rate_by_source_planted(spark):
     assert (b["n_docs"], b["n_distinct"]) == (2, 2)
     assert b["dup_rate"] == 0.0
     assert abs(b["cross_source_frac"] - 0.5) < 1e-6
+
+
+def _fake_trained(spark, margins_units, labels):
+    """A hand-built (weights, feats, labels) triple: one feature bucket
+    with weight 1 micro-unit, per-doc x = the desired margin — so the
+    eval operators see exactly the planted margins."""
+    from pyspark.sql import functions as F
+
+    w = spark.createDataFrame([(0, 1)], "b long, w long")
+    feats = spark.createDataFrame(
+        [(i + 1, 0, m) for i, m in enumerate(margins_units)],
+        "doc_id long, b long, x long",
+    )
+    lab = spark.createDataFrame(
+        [(i + 1, y) for i, y in enumerate(labels)], "doc_id long, y long"
+    )
+    return w, feats, lab
+
+
+def test_classifier_eval_summary_planted(spark):
+    """AUC / accuracy / Brier / ECE against a brute-force reference on
+    planted margins, including a pos/neg TIE at the same margin (the
+    average-rank case the rank-sum formula must get right)."""
+    import math
+
+    from tinyetl_spark.operators.classifier import _U, classifier_eval_summary
+
+    mus = [500_000_000, 500_000_000, -200_000_000, 100_000_000,
+           100_000_000, -500_000_000, 900_000_000, 0]
+    ys = [1, 0, 0, 1, 0, 0, 1, 0]
+    dummy_docs = spark.createDataFrame(
+        [(i + 1, "x") for i in range(len(mus))], "doc_id long, text string"
+    )
+    row = classifier_eval_summary(
+        dummy_docs, trained=_fake_trained(spark, mus, ys)
+    ).collect()[0]
+    n_pos = sum(ys)
+    n_neg = len(ys) - n_pos
+    # brute-force AUC over all pos x neg pairs
+    wins = sum(
+        1.0 if mp > mn else (0.5 if mp == mn else 0.0)
+        for mp, yp in zip(mus, ys) if yp == 1
+        for mn, yn in zip(mus, ys) if yn == 0
+    )
+    auc = wins / (n_pos * n_neg)
+    ps = [math.floor(_U / (1.0 + math.exp(-m / _U)) + 0.5) for m in mus]
+    acc = sum(1 for m, y in zip(mus, ys) if (m > 0) == (y == 1)) / len(ys)
+    brier = sum((p - y * _U) ** 2 for p, y in zip(ps, ys)) / (_U * _U * len(ys))
+    bins: dict[int, list] = {}
+    for p, y in zip(ps, ys):
+        bins.setdefault(min(p * 10 // _U, 9), []).append((p, y))
+    ece = sum(
+        abs(_U * sum(y for _, y in g) - sum(p for p, _ in g)) for g in bins.values()
+    ) / (_U * len(ys))
+    assert (row["n_docs"], row["n_pos"], row["n_neg"]) == (8, 3, 5)
+    assert abs(row["auc"] - auc) < 1e-6
+    assert abs(row["accuracy"] - acc) < 1e-6
+    assert abs(row["brier"] - brier) < 1e-6
+    assert abs(row["ece"] - ece) < 1e-6
+
+
+def test_calibration_bins_planted(spark):
+    from tinyetl_spark.operators.classifier import _U, calibration_bins
+
+    # margins 0 and +inf-ish put confidences at 0.5 (bin 5) and ~1.0
+    # (bin 9: p = U clamps into the last bin via least())
+    mus = [0, 0, 40_000_000_000]
+    ys = [1, 0, 1]
+    dummy = spark.createDataFrame(
+        [(i + 1, "x") for i in range(3)], "doc_id long, text string"
+    )
+    out = {r["bin"]: r for r in calibration_bins(
+        dummy, trained=_fake_trained(spark, mus, ys)).collect()}
+    assert set(out) == {5, 9}
+    b5 = out[5]
+    assert b5["n_docs"] == 2
+    assert abs(b5["mean_conf"] - 0.5) < 1e-6
+    assert abs(b5["pos_rate"] - 0.5) < 1e-6
+    assert abs(b5["gap"] - 0.0) < 1e-6
+    b9 = out[9]
+    assert b9["n_docs"] == 1 and abs(b9["mean_conf"] - 1.0) < 1e-6
+    assert abs(b9["pos_rate"] - 1.0) < 1e-6
+
+
+def test_jaccard_threshold_curve_planted(spark):
+    """Monotone yield on planted pairs: an exact dup (j=1.0) and a
+    60%-overlap pair — the curve keeps both at 0.3/0.5, only the dup
+    at 0.7+, and counts removed docs under keep-smallest-id."""
+    from tinyetl_spark.operators.dedup import jaccard_threshold_curve
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),            # jaccard 1.0 with 1
+            (3, "a b c x y"),            # jaccard 3/7 ~ 0.43 with 1 and 2
+            (4, "totally different words"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    rows = {r["threshold"]: r for r in jaccard_threshold_curve(docs, cands).collect()}
+    assert len(rows) == 5
+    assert rows[0.3]["pairs_kept"] == 3 and rows[0.3]["docs_removed"] == 2
+    assert rows[0.5]["pairs_kept"] == 1 and rows[0.5]["docs_removed"] == 1
+    assert rows[0.7]["pairs_kept"] == 1 and rows[0.9]["docs_removed"] == 1
+    assert abs(rows[0.5]["removal_rate"] - 0.25) < 1e-6
+    # empty candidate set still yields the full curve of zeros
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    zrows = jaccard_threshold_curve(docs, empty).collect()
+    assert len(zrows) == 5
+    assert all(r["pairs_kept"] == 0 and r["docs_removed"] == 0 for r in zrows)
+
+
+def test_source_logodds_planted(spark):
+    """A word hammered by one source must top that source's
+    fingerprint, with the z matching a from-scratch reference."""
+    import math
+
+    from tinyetl_spark.operators.text import source_logodds_terms
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + " crypto" * 6, "A") for i in range(4)]
+    rows += [(10 + i, base, "B") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = source_logodds_terms(df, min_count=5, top_k=3).collect()
+    top_a = [r for r in out if r["source"] == "A"][0]
+    assert top_a["term"] == "crypto" and top_a["rank"] == 1
+    # reference z for 'crypto': ysw=24, yw=24, ns=4*18, n=4*18+4*12
+    a0, ysw, yw, ns, n = 500.0, 24, 24, 4 * 18, 4 * 18 + 4 * 12
+    aw = a0 * yw / n
+    num1, den1 = ysw + aw, (ns + a0) - ysw - aw
+    yr = yw - ysw
+    num2, den2 = yr + aw, ((n - ns) + a0) - yr - aw
+    z = (math.log(num1 / den1) - math.log(num2 / den2)) / math.sqrt(
+        1.0 / num1 + 1.0 / num2
+    )
+    assert abs(top_a["logodds_z"] - z) < 1e-6
+    assert top_a["n_source"] == 24 and top_a["n_rest"] == 0
+
+
+def test_matryoshka_recall_planted(spark):
+    """Signal planted in the PREFIX gives truncated recall 1.0; signal
+    planted in the TAIL gives near-zero truncated recall — and the
+    full-dim row is always 1.0 by construction."""
+    import math
+
+    from tinyetl_spark.operators.similarity import matryoshka_recall
+
+    def mk(front: bool):
+        rows = []
+        for i in range(30):
+            a = math.cos(i * 0.7), math.sin(i * 1.3)
+            sig = [a[0], a[1]] + [0.001] * 6
+            noise = [0.001] * 6 + [a[0], a[1]]
+            rows.append((i, [float(x) for x in (sig if front else noise)]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    front = matryoshka_recall(mk(True), probes=(0, 7), dims=(2, 8), k=5)
+    got = {(r["query_id"], r["dim"]): r["recall"] for r in front.collect()}
+    assert got[(0, 2)] == 1.0 and got[(7, 2)] == 1.0  # prefix carries all signal
+    assert got[(0, 8)] == 1.0 and got[(7, 8)] == 1.0  # full dim: sanity row
+    tail = matryoshka_recall(mk(False), probes=(0, 7), dims=(2, 8), k=5)
+    got_t = {(r["query_id"], r["dim"]): r["recall"] for r in tail.collect()}
+    assert got_t[(0, 8)] == 1.0 and got_t[(7, 8)] == 1.0
+    # constant prefix carries no ranking signal: truncated recall must
+    # be far below the full-dim 1.0 (ties broken by id, not similarity)
+    assert got_t[(0, 2)] <= 0.6 and got_t[(7, 2)] <= 0.6

@@ -1251,3 +1251,65 @@ def test_dedup_rate_by_source_two_aggregates(spark):
     p = plan_of(spark, "dedup_rate_by_source")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_classifier_eval_two_phase_auc_no_python(spark):
+    """The eval's AUC prefix sum must be two-phase (every window
+    partitioned by the range bucket — no single-reducer window over
+    the distinct-margin table), the model joins broadcast, and the
+    only crosses are the three 1-row scalar-metric combines."""
+    p = plan_of(spark, "classifier_eval_audit")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # (the broadcast-model margin join lives behind the scored
+    # localCheckpoint barrier; quality_classifier's pin covers it)
+    for frag in p.split("Window")[1:]:
+        head = frag[:250]
+        assert "_b" in head, f"window not partitioned by range bucket: {head}"
+    assert p.count("BroadcastNestedLoopJoin") <= 2  # 1-row x 1-row metric combines
+    assert "CartesianProduct" not in p
+
+
+def test_calibration_bins_single_agg_no_python(spark):
+    """Calibration is ONE map-side-combined groupBy into <=10 rows on
+    top of the broadcast-scored base — no windows, no Python."""
+    p = plan_of(spark, "classifier_calibration_bins")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_threshold_curve_one_verify_pass_no_python(spark):
+    """The whole 5-point curve must cost one verify pass: the staged
+    candidate parquet feeds the pair join, the unpivot is a stack over
+    one aggregate row (Expand handles the count-distinct fan-out), and
+    nothing evaluates in Python."""
+    p = plan_of(spark, "near_dup_threshold_curve")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the verify barrier (jaccard_stats checkpoint) is the plan's only
+    # input: the curve never re-joins candidates or re-shingles docs
+    assert "Expand" in p  # the 5-threshold count-distinct fan-out
+    assert p.count("FileScan") == 0  # everything off the staged barrier
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_source_logodds_broadcast_totals_no_python(spark):
+    """Per-source totals must broadcast (never reshuffle the term
+    table for a |sources|-row join); the top-k window partitions by
+    source over the pruned vocabulary; no Python anywhere."""
+    p = plan_of(spark, "source_logodds_terms")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    for frag in p.split("Window")[1:]:
+        assert "src" in frag[:250]
+
+
+def test_matryoshka_recall_staged_truth_no_python(spark):
+    """Every truncated tier must read the STAGED ground-truth parquet
+    (no brute recompute per dim), keep the slice+cosine beside the
+    scan (TakeOrdered, no global sort), and stay JVM-side."""
+    p = plan_of(spark, "ann_recall_matryoshka")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "ann_ground_truth" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

@@ -231,18 +231,20 @@ def _iter_sql(k: int, id_col: str) -> str:
       FROM {prev} w LEFT JOIN g{k} g USING (b) CROSS JOIN nn n)"""
 
 
-def quality_classifier_sql(
+def _model_ctes(
     table: str = "documents",
     text_col: str = "text",
     id_col: str = "doc_id",
     iters: int = ITERS,
 ) -> str:
-    """DuckDB twin: the GD loop unrolled into ``iters`` materialized
-    CTE blocks over the same integer micro-unit arithmetic."""
+    """The shared trained-model CTE chain (no leading ``WITH`` — callers
+    compose structurally, the dedup ``_minhash_candidates_ctes``
+    convention): feats/labels/GD-unroll, ending in ``final(id, mu)``
+    with ``labels(id, y)`` in scope. The scorer twin and both eval
+    twins build on the SAME trained margins."""
     w = f"list_filter({words_sql(f'lower({text_col})')}, x -> length(x) > 0)"
     iter_blocks = ",".join(_iter_sql(k, id_col) for k in range(1, iters + 1))
-    return f"""
-    WITH feats AS MATERIALIZED (
+    return f"""feats AS MATERIALIZED (
       SELECT {id_col}, b, CAST(count(*) AS BIGINT) AS x FROM (
         SELECT {id_col}, unnest(list_transform({w},
                x -> {hash64_sql('x')} % {BUCKETS})) AS b
@@ -260,10 +262,297 @@ def quality_classifier_sql(
     {iter_blocks},
     final AS (
       SELECT f.{id_col}, sum(f.x * w.w) AS mu
-      FROM feats f JOIN w{iters} w USING (b) GROUP BY f.{id_col})
+      FROM feats f JOIN w{iters} w USING (b) GROUP BY f.{id_col})"""
+
+
+def quality_classifier_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = ITERS,
+) -> str:
+    """DuckDB twin: the GD loop unrolled into ``iters`` materialized
+    CTE blocks over the same integer micro-unit arithmetic."""
+    return f"""
+    WITH {_model_ctes(table, text_col, id_col, iters)}
     SELECT f.{id_col}, l.y,
            {floor_round_sql(f"CAST(mu AS DOUBLE) / {float(_U)!r}", 6)} AS score,
            CAST(mu > 0 AS BIGINT) AS pred
     FROM final f JOIN labels l USING ({id_col})
     ORDER BY f.{id_col}
+    """
+
+
+# ----------------------------------------------------- model evaluation
+
+EVAL_BINS = 10  # equal-width confidence bins for calibration / ECE
+
+
+def _scored(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    trained: tuple[DataFrame, DataFrame, DataFrame] | None,
+) -> DataFrame:
+    """(id, y, _mu, p): trained margins in exact micro-units plus the
+    sigmoid confidence — the shared base for both eval queries.
+    localCheckpoint because three aggregation branches (scalar stats,
+    calibration bins, AUC rank-sum) each consume it and exchange reuse
+    does not cross independent actions."""
+    w, feats, labels = trained or train_quality_classifier(df, text_col, id_col)
+    margins = (
+        feats.join(F.broadcast(w), "b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("w")).alias("_mu"))
+    )
+    return (
+        margins.join(F.broadcast(labels), id_col)
+        .select(
+            F.col(id_col),
+            F.col("y"),
+            F.col("_mu"),
+            _p_int(F.col("_mu")).alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def classifier_eval_summary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trained: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """One-row held-in evaluation of the trained quality classifier:
+    accuracy, ROC-AUC, Brier score and expected calibration error —
+    the report a curation run reads before trusting a filter model at
+    crawl scale.
+
+    All four metrics are EXACT-INTEGER until one final division, so
+    the iterative-float model has a hash-matching DuckDB twin:
+
+    * AUC via the Mann-Whitney rank-sum with average-rank ties, but
+      computed from per-distinct-margin counts — never a global rank
+      of rows: AUC = sum_m[c_pos(m) * (2*cumneg_below(m) + c_neg(m))]
+      / (2*n_pos*n_neg), every term a bigint. The cumulative-negatives
+      prefix sum over distinct margins runs two-phase (approxQuantile
+      range buckets + a literal cumulative-offset map — the
+      epoch_shuffle pattern), so no single-reducer window touches a
+      table that is worst-case corpus-sized.
+    * ECE over EVAL_BINS equal-width confidence bins collapses to
+      sum_b |U*pos_b - sum_p_b| / (U*n) because the n_b factors cancel
+      — per-bin integer sums, one abs, one division.
+    * Brier = sum (p - y*U)^2 / (U^2 * n); each square <= 1e18 fits a
+      bigint, the sum accumulates in decimal(38,0) (DuckDB: HUGEINT).
+
+    Scale shape: margins are one broadcast join + one map-side-combined
+    groupBy over the staged feature table; the distinct-margin table
+    compresses ties before any window; driver state is the <=33-row
+    bucket-count collect. Zero Python row evals."""
+    from pyspark.sql import Window
+
+    from tinyetl_spark.operators.text import _offset_map
+
+    scored = _scored(df, text_col, id_col, trained)
+    u = F.lit(_U).cast("bigint")
+    pred_ok = ((F.col("_mu") > 0).cast("bigint") == F.col("y")).cast("bigint")
+    sq = (F.col("p") - F.col("y") * u) * (F.col("p") - F.col("y") * u)
+    base = scored.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        (F.count("*") - F.sum("y")).alias("n_neg"),
+        F.sum(pred_ok).alias("correct"),
+        F.sum(sq.cast("decimal(38,0)")).alias("brier_num"),
+    )
+    bins = scored.groupBy(
+        F.least(F.expr(f"p * 10 DIV {_U}"), F.lit(EVAL_BINS - 1)).alias("bin")
+    ).agg(F.sum("p").alias("sp"), F.sum("y").alias("pos"), F.count("*").alias("nb"))
+    ece = bins.agg(
+        F.sum(
+            F.abs(F.col("pos").cast("decimal(38,0)") * _U - F.col("sp"))
+        ).alias("ece_num")
+    )
+    # AUC: counts per distinct margin, then a two-phase exclusive
+    # prefix sum of negatives in margin order
+    gm = (
+        scored.groupBy("_mu")
+        .agg(
+            F.sum("y").alias("c_pos"),
+            F.sum(F.lit(1) - F.col("y")).alias("c_neg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = sorted(set(gm.approxQuantile("_mu", [i / 32 for i in range(1, 32)], 0.001)))
+    mcol = F.col("_mu").cast("double")
+    if bounds:
+        barr = F.array(*[F.lit(float(v)) for v in bounds])
+        bucket = F.size(F.filter(barr, lambda v: mcol > v))
+    else:
+        bucket = F.lit(0)
+    gm = gm.withColumn("_b", bucket)
+    counts = {
+        r["_b"]: r["c"]
+        for r in gm.groupBy("_b").agg(F.sum("c_neg").alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for bk in range(len(bounds) + 1):
+        offsets.append((bk, acc))
+        acc += counts.get(bk, 0)
+    off_map = _offset_map(offsets)
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy(F.asc("_mu"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cn = F.element_at(off_map, F.col("_b")) + F.coalesce(
+        F.sum("c_neg").over(w_local), F.lit(0)
+    )
+    aucn = gm.select(
+        (
+            F.col("c_pos").cast("decimal(38,0)")
+            * (F.lit(2) * cn + F.col("c_neg"))
+        ).alias("_t")
+    ).agg(F.coalesce(F.sum("_t"), F.lit(0).cast("decimal(38,0)")).alias("num2"))
+    un = float(_U)
+    return (
+        base.crossJoin(ece)
+        .crossJoin(aucn)
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("n_pos"),
+            F.col("n_neg"),
+            floor_round(F.col("correct").cast("double") / F.col("n"), 6).alias(
+                "accuracy"
+            ),
+            floor_round(
+                F.col("num2").cast("double")
+                / F.when(
+                    (F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None)
+                ).otherwise(2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ).alias("auc"),
+            floor_round(
+                F.col("brier_num").cast("double") / (F.lit(un * un) * F.col("n")), 6
+            ).alias("brier"),
+            floor_round(
+                F.col("ece_num").cast("double") / (F.lit(un) * F.col("n")), 6
+            ).alias("ece"),
+        )
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trained: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Reliability diagram for the trained classifier: EVAL_BINS
+    equal-width confidence bins, each with its document count, mean
+    predicted confidence, empirical positive rate, and |conf - acc|
+    gap. The per-bin sums are exact integers (micro-unit confidences,
+    0/1 labels); each output ratio is one double division, half-up
+    rounded — so the oracle hash-matches. One map-side-combined
+    groupBy into <= EVAL_BINS rows; nothing else shuffles."""
+    scored = _scored(df, text_col, id_col, trained)
+    un = float(_U)
+    return (
+        scored.groupBy(
+            F.least(F.expr(f"p * 10 DIV {_U}"), F.lit(EVAL_BINS - 1)).alias("bin")
+        )
+        .agg(F.sum("p").alias("sp"), F.sum("y").alias("pos"), F.count("*").alias("nb"))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("nb").cast("bigint").alias("n_docs"),
+            floor_round(
+                F.col("sp").cast("double") / (F.col("nb") * F.lit(un)), 6
+            ).alias("mean_conf"),
+            floor_round(F.col("pos").cast("double") / F.col("nb"), 6).alias(
+                "pos_rate"
+            ),
+            floor_round(
+                F.abs(
+                    F.col("pos").cast("decimal(38,0)") * _U - F.col("sp")
+                ).cast("double")
+                / (F.col("nb") * F.lit(un)),
+                6,
+            ).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _scored_ctes(table: str, text_col: str, id_col: str, iters: int) -> str:
+    """Model CTEs + the scored(id, y, mu, p) relation for the eval twins."""
+    return f"""{_model_ctes(table, text_col, id_col, iters)},
+    scored AS MATERIALIZED (
+      SELECT f.{id_col}, l.y, f.mu,
+             CAST(floor({float(_U)!r} / (1.0 + exp(-(CAST(f.mu AS DOUBLE)
+                  / {float(_U)!r}))) + 0.5) AS BIGINT) AS p
+      FROM final f JOIN labels l USING ({id_col}))"""
+
+
+def classifier_eval_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = ITERS,
+) -> str:
+    """DuckDB twin of classifier_eval_summary — identical integer
+    arithmetic; the rank-sum prefix runs as a plain window over the
+    distinct-margin table (tiny in DuckDB's single-node world)."""
+    un = float(_U)
+    return f"""
+    WITH {_scored_ctes(table, text_col, id_col, iters)},
+    base AS (
+      SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+             sum(CASE WHEN (mu > 0) = (y = 1) THEN 1 ELSE 0 END) AS correct,
+             sum(CAST(p - y * {_U} AS HUGEINT) * (p - y * {_U})) AS brier_num
+      FROM scored),
+    bins AS (
+      SELECT least(p * 10 // {_U}, {EVAL_BINS - 1}) AS bin,
+             sum(p) AS sp, sum(y) AS pos, count(*) AS nb
+      FROM scored GROUP BY 1),
+    ece AS (
+      SELECT sum(abs(CAST(pos AS HUGEINT) * {_U} - sp)) AS ece_num FROM bins),
+    gm AS (
+      SELECT mu, sum(y) AS c_pos, sum(1 - y) AS c_neg
+      FROM scored GROUP BY mu),
+    cum AS (
+      SELECT c_pos, c_neg,
+             coalesce(sum(c_neg) OVER (ORDER BY mu ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+      FROM gm),
+    aucn AS (
+      SELECT coalesce(sum(CAST(c_pos AS HUGEINT) * (2 * cn + c_neg)), 0) AS num2
+      FROM cum)
+    SELECT base.n AS n_docs, base.n_pos, base.n_neg,
+           {floor_round_sql("CAST(correct AS DOUBLE) / n", 6)} AS accuracy,
+           {floor_round_sql(
+               "CAST(num2 AS DOUBLE) / (CASE WHEN n_pos = 0 OR n_neg = 0"
+               " THEN NULL ELSE 2.0 * n_pos * n_neg END)", 6)} AS auc,
+           {floor_round_sql(f"CAST(brier_num AS DOUBLE) / ({un * un!r} * n)", 6)} AS brier,
+           {floor_round_sql(f"CAST(ece_num AS DOUBLE) / (CAST({_U} AS DOUBLE) * n)", 6)} AS ece
+    FROM base CROSS JOIN ece CROSS JOIN aucn
+    """
+
+
+def calibration_bins_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = ITERS,
+) -> str:
+    un = float(_U)
+    return f"""
+    WITH {_scored_ctes(table, text_col, id_col, iters)}
+    SELECT CAST(least(p * 10 // {_U}, {EVAL_BINS - 1}) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {floor_round_sql(f"CAST(sum(p) AS DOUBLE) / (count(*) * CAST({_U} AS DOUBLE))", 6)} AS mean_conf,
+           {floor_round_sql("CAST(sum(y) AS DOUBLE) / count(*)", 6)} AS pos_rate,
+           {floor_round_sql(
+               f"CAST(abs(CAST(sum(y) AS HUGEINT) * {_U} - sum(p)) AS DOUBLE)"
+               f" / (count(*) * CAST({_U} AS DOUBLE))", 6)} AS gap
+    FROM scored GROUP BY 1 ORDER BY bin
     """

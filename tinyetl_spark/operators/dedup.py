@@ -1760,3 +1760,120 @@ def triangle_counts_sql(pairs_sql: str, topk: int = 20) -> str:
           SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri)
     GROUP BY doc_id ORDER BY n_triangles DESC, doc_id ASC LIMIT {topk}
     """
+
+
+# ------------------------------------------------- threshold yield curve
+
+THRESHOLD_CURVE = (0.3, 0.5, 0.7, 0.8, 0.9)
+
+
+def jaccard_threshold_curve(
+    df: DataFrame,
+    candidates: DataFrame,
+    thresholds: tuple[float, ...] = THRESHOLD_CURVE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup yield as a function of the similarity threshold — the knob
+    an actual curation run tunes before committing to a cutoff: per
+    threshold, the surviving verified pair count, the documents the
+    greedy keep-smallest-id rule would remove (distinct larger-side
+    ids — the standard pre-clustering yield estimate), and that count
+    as a corpus fraction.
+
+    The whole curve costs ONE verify pass: exact Jaccard is computed
+    once per candidate pair (threshold 0.0 keeps them all), then every
+    threshold is a conditional aggregate over the same pair table —
+    5 thresholds never re-shingle, re-join, or re-shuffle anything.
+    The curve is conditional on the LSH candidate generator: points
+    far below the generator's recall knee (~0.3 with NUM_PERM=16,
+    BANDS=4) undercount pairs the index never proposed — which is
+    exactly the property being studied.
+
+    The unpivot is a ``stack`` over the single aggregate row, so an
+    empty pair table still yields one row per threshold (zeros), and
+    the only driver-side value is the corpus row count."""
+    pairs = jaccard_verify(df, candidates, text_col, id_col, threshold=0.0)
+    total = df.count()
+    aggs = []
+    for i, t in enumerate(thresholds):
+        keep = F.col("jaccard") >= F.lit(float(t))
+        aggs.append(
+            F.coalesce(F.sum(keep.cast("bigint")), F.lit(0))
+            .cast("bigint")
+            .alias(f"_p{i}")
+        )
+        aggs.append(
+            F.count_distinct(F.when(keep, F.col("id_b")))
+            .cast("bigint")
+            .alias(f"_d{i}")
+        )
+    one = pairs.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({float(t)!r} AS DOUBLE), _p{i}, _d{i}" for i, t in enumerate(thresholds)
+    )
+    curve = one.select(
+        F.expr(
+            f"stack({len(thresholds)}, {stack_args})"
+            " AS (threshold, pairs_kept, docs_removed)"
+        )
+    )
+    from tinyetl_spark.operators.text import floor_round
+
+    return curve.select(
+        "threshold",
+        "pairs_kept",
+        "docs_removed",
+        floor_round(
+            F.col("docs_removed").cast("double") / F.lit(float(total)), 6
+        ).alias("removal_rate"),
+    ).orderBy("threshold")
+
+
+def jaccard_threshold_curve_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: tuple[float, ...] = THRESHOLD_CURVE,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    max_bucket_size: int = 64,
+) -> str:
+    from tinyetl_spark.operators.text import floor_round_sql
+
+    ctes = _minhash_candidates_ctes(
+        table, text_col, id_col, num_perm, bands, max_bucket_size
+    )
+    w = words_sql(text_col)
+    cols, sel = [], []
+    for i, t in enumerate(thresholds):
+        cols.append(
+            f"coalesce(sum(CASE WHEN jaccard >= {float(t)!r} THEN 1 END), 0) AS p{i}"
+        )
+        cols.append(
+            f"count(DISTINCT CASE WHEN jaccard >= {float(t)!r} THEN id_b END) AS d{i}"
+        )
+        sel.append(
+            f"SELECT CAST({float(t)!r} AS DOUBLE) AS threshold,"
+            f" p{i} AS pairs_kept, d{i} AS docs_removed FROM one"
+        )
+    rate = floor_round_sql("CAST(t.docs_removed AS DOUBLE) / tot.n", 6)
+    union = " UNION ALL ".join(sel)
+    return f"""
+    WITH {ctes},
+    wsets AS (SELECT {id_col} AS jid, list_distinct({w}) AS ws FROM {table}),
+    pairj AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                   / len(list_distinct(list_concat(wa.ws, wb.ws))), 6) AS jaccard
+      FROM cand c
+      JOIN wsets wa ON wa.jid = c.id_a
+      JOIN wsets wb ON wb.jid = c.id_b),
+    one AS (SELECT {", ".join(cols)} FROM pairj),
+    tot AS (SELECT count(*) AS n FROM {table})
+    SELECT t.threshold, CAST(t.pairs_kept AS BIGINT) AS pairs_kept,
+           CAST(t.docs_removed AS BIGINT) AS docs_removed,
+           {rate} AS removal_rate
+    FROM ({union}) t CROSS JOIN tot
+    ORDER BY threshold
+    """

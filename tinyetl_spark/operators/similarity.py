@@ -2592,3 +2592,107 @@ RECALL_TIERS["binary_rerank"] = (
     lambda table, q, k: binary_rerank_topk_sql(table, q, k),
     "binary",
 )
+
+
+# --------------------------------------------- matryoshka truncation audit
+
+MRL_DIMS = (8, 16, 32, 64)  # truncation points; last = full dim (sanity row)
+
+
+def matryoshka_recall(
+    df: DataFrame,
+    probes: tuple[int, ...] = RECALL_PROBES,
+    dims: tuple[int, ...] = MRL_DIMS,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_df: DataFrame | None = None,
+) -> DataFrame:
+    """recall@k of PREFIX-TRUNCATED cosine search vs the full-dimension
+    ground truth, per (probe, truncation dim) — the Matryoshka serving
+    knob (Kusupati et al. 2022): MRL-trained embedders pack meaning
+    into prefixes so deployments cut index cost by storing the first d
+    components; this audit measures what raw truncation actually costs
+    ON THIS corpus (untrained embeddings truncate worse than MRL ones —
+    that honest gap is the point of measuring before deploying).
+
+    Shape: the full-dim exact top-k computes ONCE per probe (lazy
+    checkpoint) and every truncated tier joins against it; each tier
+    is the brute shape — 1-row query broadcast, slice+cosine beside
+    the scan, TakeOrdered(k) — so the whole |probes|x|dims| grid is
+    embarrassingly parallel scans with <=k-row joins. The full-dim row
+    (d = max) must read 1.0 by construction — a built-in sanity check
+    the oracle also verifies."""
+    parts = []
+    for q in probes:
+        if exact_df is not None:
+            exact = exact_df.filter(F.col("query_id") == int(q)).select(id_col)
+        else:
+            exact = brute_topk(df, q, k, vec_col, id_col).select(id_col)
+            exact = exact.localCheckpoint(eager=False)
+        for d in dims:
+            qdf = (
+                df.filter(F.col(id_col) == int(q))
+                .select(_vec(F.slice(F.col(vec_col), 1, int(d))).alias("qv"))
+            )
+            scored = (
+                df.filter(F.col(id_col) != int(q))
+                .crossJoin(F.broadcast(qdf))
+                .select(
+                    F.col(id_col),
+                    F.round(
+                        cosine_col(
+                            _vec(F.slice(F.col(vec_col), 1, int(d))), F.col("qv")
+                        ),
+                        6,
+                    ).alias("cos"),
+                )
+            )
+            approx = (
+                scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k).select(id_col)
+            )
+            parts.append(
+                exact.join(approx, id_col)
+                .agg(F.count("*").alias("_h"))
+                .select(
+                    F.lit(int(q)).cast("bigint").alias("query_id"),
+                    F.lit(int(d)).cast("bigint").alias("dim"),
+                    F.round(F.col("_h") / F.lit(float(k)), 4).alias("recall"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("query_id", "dim")
+
+
+def matryoshka_recall_sql(
+    table: str = "embeddings",
+    probes: tuple[int, ...] = RECALL_PROBES,
+    dims: tuple[int, ...] = MRL_DIMS,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    parts = []
+    for q in probes:
+        b = brute_topk_sql(table, q, k, vec_col, id_col)
+        for d in dims:
+            v = f"list_transform(list_slice(t.{vec_col}, 1, {d}), x -> CAST(x AS DOUBLE))"
+            qv = f"list_transform(list_slice(q.{vec_col}, 1, {d}), x -> CAST(x AS DOUBLE))"
+            a = f"""
+            SELECT t.{id_col}
+            FROM {table} t,
+                 (SELECT {vec_col} FROM {table} WHERE {id_col} = {q}) q
+            WHERE t.{id_col} != {q}
+            ORDER BY round({cosine_sql(v, qv)}, 6) DESC, t.{id_col} ASC
+            LIMIT {k}
+            """
+            parts.append(
+                f"SELECT CAST({q} AS BIGINT) AS query_id,"
+                f" CAST({d} AS BIGINT) AS dim,"
+                f" round(CAST((SELECT count(*) FROM ({b}) bb"
+                f" JOIN ({a}) aa ON bb.{id_col} = aa.{id_col}) AS DOUBLE)"
+                f" / {k}, 4) AS recall"
+            )
+    return " UNION ALL ".join(parts) + " ORDER BY query_id, dim"

@@ -4716,3 +4716,139 @@ def dedup_rate_by_source_sql(
     GROUP BY {source_col}
     ORDER BY {source_col}
     """
+
+
+# ------------------------------------------- per-source term fingerprints
+
+LOGODDS_A0 = 500.0       # total Dirichlet prior mass (informative prior)
+LOGODDS_MIN_COUNT = 5    # a term must appear this often in the source
+LOGODDS_TOP_K = 10       # terms reported per source
+
+
+def source_logodds_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    a0: float = LOGODDS_A0,
+    min_count: int = LOGODDS_MIN_COUNT,
+    top_k: int = LOGODDS_TOP_K,
+) -> DataFrame:
+    """What makes each source LINGUISTICALLY distinctive: top-k terms
+    per source by the log-odds ratio with informative Dirichlet prior
+    and its z-score (Monroe, Colaresi & Quinn 2008, "Fightin' Words").
+    The crawl-triage fingerprint a curation run reads next to
+    dedup_rate_by_source: raw frequency ranks surface stopwords, tf-idf
+    over-rewards rare typos; the prior (a_w = a0 * global_freq) shrinks
+    both failure modes and the z-score normalizes by variance.
+
+    Exactness: all counts are bigints off two map-side-combined
+    groupBys; each z is ONE fixed IEEE expression tree over those
+    integers (two ln, one sqrt — the same cross-engine-identical libm
+    contract the unigram-LM tier is green on), rounded half-up at 6dp
+    before the rank so the ordering itself is engine-identical (ties
+    break on the term).
+
+    Scale shape: explode → groupBy(source, term) is the only
+    corpus-sized shuffle; the global term table aggregates FROM the
+    (source, term) counts (map-side combined, vocabulary-sized); the
+    per-source totals table is |sources| rows and broadcasts; the
+    min_count filter prunes the scored table before the per-source
+    top-k window, whose partitions are vocabulary-sized (Heaps' law —
+    sublinear in corpus), never corpus-sized."""
+    from pyspark.sql import Window
+
+    ws = words_col(F.lower(F.col(text_col)))
+    tok = df.select(F.col(group_col).alias("src"), F.explode(ws).alias("w"))
+    sw = (
+        tok.groupBy("src", "w")
+        .agg(F.count("*").cast("bigint").alias("ysw"))
+        .localCheckpoint(eager=False)
+    )
+    gw = sw.groupBy("w").agg(F.sum("ysw").alias("yw"))
+    ns = sw.groupBy("src").agg(F.sum("ysw").alias("ns"))
+    n_total = sw.agg(F.sum("ysw")).collect()[0][0] or 0
+    scored = (
+        sw.filter(F.col("ysw") >= min_count)
+        .join(gw, "w")
+        .join(F.broadcast(ns), "src")
+    )
+    n_lit = F.lit(float(n_total))
+    a0_l = F.lit(float(a0))
+    yswd = F.col("ysw").cast("double")
+    ywd = F.col("yw").cast("double")
+    nsd = F.col("ns").cast("double")
+    aw = a0_l * ywd / n_lit
+    num1 = yswd + aw
+    den1 = (nsd + a0_l) - yswd - aw
+    yrd = (F.col("yw") - F.col("ysw")).cast("double")
+    num2 = yrd + aw
+    den2 = ((n_lit - nsd) + a0_l) - yrd - aw
+    delta = F.log(num1 / den1) - F.log(num2 / den2)
+    z = delta / F.sqrt(F.lit(1.0) / num1 + F.lit(1.0) / num2)
+    scored = scored.select(
+        F.col("src"),
+        F.col("w"),
+        F.col("ysw"),
+        (F.col("yw") - F.col("ysw")).alias("yrest"),
+        floor_round(z, 6).alias("logodds_z"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("logodds_z"), F.asc("w"))
+    )
+    return (
+        scored.withColumn("rank", rk.cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("src").alias(group_col),
+            F.col("w").alias("term"),
+            F.col("ysw").alias("n_source"),
+            F.col("yrest").alias("n_rest"),
+            "logodds_z",
+            "rank",
+        )
+        .orderBy(group_col, "rank")
+    )
+
+
+def source_logodds_terms_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "source",
+    a0: float = LOGODDS_A0,
+    min_count: int = LOGODDS_MIN_COUNT,
+    top_k: int = LOGODDS_TOP_K,
+) -> str:
+    w = words_sql(f"lower({text_col})")
+    aw = f"({a0!r} * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE))"
+    num1 = f"(CAST(ysw AS DOUBLE) + {aw})"
+    den1 = f"((CAST(ns AS DOUBLE) + {a0!r}) - CAST(ysw AS DOUBLE) - {aw})"
+    yr = "CAST(yw - ysw AS DOUBLE)"
+    num2 = f"({yr} + {aw})"
+    den2 = f"(((CAST(n AS DOUBLE) - CAST(ns AS DOUBLE)) + {a0!r}) - {yr} - {aw})"
+    zexpr = (
+        f"(ln({num1} / {den1}) - ln({num2} / {den2}))"
+        f" / sqrt(1.0 / {num1} + 1.0 / {num2})"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT {group_col} AS src, unnest({w}) AS w FROM {table}),
+    sw AS (SELECT src, w, CAST(count(*) AS BIGINT) AS ysw
+           FROM tok GROUP BY src, w),
+    gw AS (SELECT w, CAST(sum(ysw) AS BIGINT) AS yw FROM sw GROUP BY w),
+    nsrc AS (SELECT src, CAST(sum(ysw) AS BIGINT) AS ns FROM sw GROUP BY src),
+    tot AS (SELECT CAST(sum(ysw) AS BIGINT) AS n FROM sw),
+    scored AS (
+      SELECT s.src, s.w, s.ysw, yw - s.ysw AS yrest,
+             {floor_round_sql(zexpr, 6)} AS logodds_z
+      FROM sw s JOIN gw USING (w) JOIN nsrc USING (src) CROSS JOIN tot
+      WHERE s.ysw >= {min_count}),
+    ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY src ORDER BY logodds_z DESC, w ASC) AS rank
+      FROM scored)
+    SELECT src AS {group_col}, w AS term, ysw AS n_source,
+           CAST(yrest AS BIGINT) AS n_rest, logodds_z,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {top_k}
+    ORDER BY {group_col}, rank
+    """

@@ -3803,6 +3803,48 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("source_logodds_terms", text.source_logodds_terms_sql())
+def source_logodds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source term fingerprints: top-10 terms per source by
+    log-odds ratio with informative Dirichlet prior, z-scored (Monroe
+    et al. 2008) — the linguistic half of the crawl-triage report next
+    to dedup_rate_by_source. One corpus explode→groupBy; the global
+    term table aggregates from the (source, term) counts; per-source
+    totals broadcast; the top-k window partitions are vocabulary-sized
+    after the min_count prune, never corpus-sized."""
+    return text.source_logodds_terms(load(spark, sf_dir, "documents"))
+
+
+@_q("classifier_eval_audit", classifier.classifier_eval_sql())
+def classifier_eval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row evaluation of the trained quality classifier — accuracy,
+    ROC-AUC (Mann-Whitney rank-sum with average-rank ties), Brier
+    score, and expected calibration error — the report a curation run
+    reads before trusting a filter model at crawl scale. Every metric
+    is exact-integer until one final division (micro-unit confidences,
+    0/1 labels), so the iterative-float model has a hash-matching
+    DuckDB twin; the AUC prefix sum over distinct margins runs
+    two-phase (range buckets + literal offset map), never through a
+    single-reducer window."""
+    return classifier.classifier_eval_summary(
+        load(spark, sf_dir, "documents"),
+        trained=_trained_classifier(spark, sf_dir),
+    )
+
+
+@_q("classifier_calibration_bins", classifier.calibration_bins_sql())
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained quality classifier: 10
+    equal-width confidence bins with document count, mean predicted
+    confidence, empirical positive rate, and the |conf - acc| gap —
+    per-bin integer sums off the shared scored base, one map-side-
+    combined groupBy into <= 10 rows."""
+    return classifier.calibration_bins(
+        load(spark, sf_dir, "documents"),
+        trained=_trained_classifier(spark, sf_dir),
+    )
+
+
 @_q("dsir_select_docs", dsir.dsir_select_sql())
 def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): fit hashed unigram+bigram
@@ -4222,6 +4264,19 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     cands = _materialized_candidates(spark, sf_dir, docs)
     return dedup.jaccard_verify(docs, cands, threshold=0.3)
+
+
+@_q("near_dup_threshold_curve", dedup.jaccard_threshold_curve_sql())
+def near_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield vs similarity threshold — the cutoff knob a curation
+    run tunes before committing: per threshold, surviving verified
+    pairs, docs the greedy keep-smallest-id rule removes, and the
+    corpus fraction. One verify pass over the SAME staged LSH
+    candidate table the near_dup queries read; all five thresholds are
+    conditional aggregates over that one pair table."""
+    docs = load(spark, sf_dir, "documents")
+    cands = _materialized_candidates(spark, sf_dir, docs)
+    return dedup.jaccard_threshold_curve(docs, cands)
 
 
 @_q("near_dup_ngram", dedup.ngram_jaccard_sql(threshold=0.2))
@@ -4781,6 +4836,21 @@ def ann_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_df=_materialized_ann_exact(spark, sf_dir),
         enc_df=_materialized_rpq3_codes(spark, sf_dir),
         ivf_df=_materialized_ivf_index(spark, sf_dir),
+    )
+
+
+@_q("ann_recall_matryoshka", similarity.matryoshka_recall_sql())
+def ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022): recall@10 of
+    prefix-truncated cosine search at dims 8/16/32/64 vs the staged
+    full-dim ground truth, per probe — the index-cost/recall knob an
+    embedding deployment tunes (store the first d components, cut the
+    index 8x). The full-dim row must read 1.0 by construction; each
+    truncated tier is the brute shape (1-row query broadcast,
+    slice+cosine beside the scan, TakeOrdered), joined <=k rows."""
+    return similarity.matryoshka_recall(
+        load(spark, sf_dir, "embeddings"),
+        exact_df=_materialized_ann_exact(spark, sf_dir),
     )
 
 
