@@ -27,6 +27,8 @@ NEW = [
     "classifier_calibration_bins",
     "near_dup_threshold_curve",
     "source_logodds_terms",
+    "ann_recall_matryoshka",
+    "source_psi_drift",
 ]
 
 

@@ -3014,3 +3014,41 @@ def test_matryoshka_recall_planted(spark):
     # constant prefix carries no ranking signal: truncated recall must
     # be far below the full-dim 1.0 (ties broken by id, not similarity)
     assert got_t[(0, 2)] <= 0.6 and got_t[(7, 2)] <= 0.6
+
+
+def test_source_psi_drift_planted(spark):
+    """A source whose lengths sit in a different bin than the rest of
+    the corpus must show materially higher PSI than a source matching
+    the corpus mix; the value matches a from-scratch reference."""
+    import math
+
+    from tinyetl_spark.operators.text import (
+        PSI_BIN_WIDTH,
+        PSI_NBINS,
+        source_psi_drift,
+    )
+
+    # A: all docs in bin 0; B and C: all docs in bin 4 — so A drifts
+    # hard from the corpus (2/3 of which is bin 4), B/C drift little
+    rows = [(i, "x", "A", 100) for i in range(10)]
+    rows += [(100 + i, "x", "B", 4 * PSI_BIN_WIDTH + 7) for i in range(10)]
+    rows += [(200 + i, "x", "C", 4 * PSI_BIN_WIDTH + 9) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in source_psi_drift(df).collect()}
+    assert out["A"]["n_docs"] == 10
+    assert out["A"]["psi"] > out["B"]["psi"] > 0.0
+    assert abs(out["B"]["psi"] - out["C"]["psi"]) < 1e-9  # identical dists
+
+    def ref_psi(counts, corpus, ns, n):
+        units = 0
+        for b in range(PSI_NBINS):
+            p = (2 * counts.get(b, 0) + 1) / (2 * ns + PSI_NBINS)
+            q = (2 * corpus.get(b, 0) + 1) / (2 * n + PSI_NBINS)
+            units += math.floor((p - q) * math.log(p / q) * 1e9 + 0.5)
+        return math.floor(units / 1e9 * 10**6 + 0.5) / 10**6
+
+    corpus = {0: 10, 4: 20}
+    assert abs(out["A"]["psi"] - ref_psi({0: 10}, corpus, 10, 30)) < 1e-9
+    assert abs(out["B"]["psi"] - ref_psi({4: 10}, corpus, 10, 30)) < 1e-9

@@ -1313,3 +1313,12 @@ def test_matryoshka_recall_staged_truth_no_python(spark):
     assert "ann_ground_truth" in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_source_psi_drift_one_corpus_shuffle_no_python(spark):
+    """PSI must touch the corpus ONCE (length-only groupBy; the grid
+    and bin tables are broadcast-sized) and stay JVM-side."""
+    p = plan_of(spark, "source_psi_drift")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p

@@ -4852,3 +4852,123 @@ def source_logodds_terms_sql(
     FROM ranked WHERE rank <= {top_k}
     ORDER BY {group_col}, rank
     """
+
+
+# ------------------------------------------------ distribution drift (PSI)
+
+PSI_BIN_WIDTH = 512   # chars per length bin
+PSI_NBINS = 13        # bins 0..12; last bin absorbs the tail
+_PSI_U = 1_000_000_000  # micro-units per PSI point (fold-order-proof sum)
+
+
+def source_psi_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Population stability index of each source's document-length
+    distribution against the whole corpus — the ingest-drift monitor a
+    crawl pipeline reads next to dedup_rate_by_source (a mirror dumping
+    truncated pages, a parser change eating boilerplate, a source
+    switching formats all move length mass before they move content
+    metrics). PSI = sum_b (p_b - q_b) * ln(p_b / q_b) over fixed
+    512-char bins with +0.5 Laplace smoothing (p = source, q = corpus);
+    the usual reading: < 0.1 stable, 0.1-0.25 drifting, > 0.25 broken.
+
+    Fold-order-proof: each bin's term is ONE fixed IEEE expression over
+    exact integer counts, half-up rounded to INTEGER micro-units, and
+    the per-source sum is a bigint sum — so the result is engine-
+    identical no matter how either engine orders the 13-row fold (the
+    DoReMi trick). Bins are integer division of the stored length —
+    no floats anywhere before the single term expression.
+
+    Scale shape: ONE map-side-combined groupBy(source, bin) over the
+    corpus (the only corpus-sized shuffle — and it never touches text,
+    just the stored length); the corpus bin table (<=13 rows) and the
+    grid (|sources| x 13, built by exploding a literal sequence over
+    the per-source totals) are broadcast-sized."""
+    bin_c = F.expr(f"least({len_col} DIV {PSI_BIN_WIDTH}, {PSI_NBINS - 1})").cast(
+        "bigint"
+    )
+    sb = (
+        df.select(F.col(group_col).alias("src"), bin_c.alias("bin"))
+        .groupBy("src", "bin")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    gb = sb.groupBy("bin").agg(F.sum("c").alias("cb"))
+    ns = sb.groupBy("src").agg(F.sum("c").alias("ns"))
+    n_total = sb.agg(F.sum("c")).collect()[0][0] or 0
+    grid = ns.select(
+        "src",
+        "ns",
+        F.explode(F.sequence(F.lit(0), F.lit(PSI_NBINS - 1))).alias("_bin"),
+    ).select("src", "ns", F.col("_bin").cast("bigint").alias("bin"))
+    scored = (
+        grid.join(sb, ["src", "bin"], "left")
+        .join(F.broadcast(gb), "bin", "left")
+        .select(
+            "src",
+            "ns",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
+    )
+    p = (F.lit(2) * F.col("c") + 1).cast("double") / (
+        F.lit(2) * F.col("ns") + PSI_NBINS
+    ).cast("double")
+    q = (F.lit(2) * F.col("cb") + 1).cast("double") / F.lit(
+        float(2 * n_total + PSI_NBINS)
+    )
+    units = F.floor((p - q) * F.log(p / q) * F.lit(float(_PSI_U)) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        scored.select("src", "ns", units.alias("_u"))
+        .groupBy("src")
+        .agg(F.max("ns").alias("ns"), F.sum("_u").alias("_us"))
+        .select(
+            F.col("src").alias(group_col),
+            F.col("ns").alias("n_docs"),
+            floor_round(F.col("_us").cast("double") / F.lit(float(_PSI_U)), 6).alias(
+                "psi"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def source_psi_drift_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    len_col: str = "n_chars",
+) -> str:
+    p = f"(CAST(2 * c + 1 AS DOUBLE) / CAST(2 * ns + {PSI_NBINS} AS DOUBLE))"
+    q = f"(CAST(2 * cb + 1 AS DOUBLE) / CAST(2 * n + {PSI_NBINS} AS DOUBLE))"
+    units = (
+        f"CAST(floor(({p} - {q}) * ln({p} / {q}) * {float(_PSI_U)!r} + 0.5)"
+        " AS BIGINT)"
+    )
+    return f"""
+    WITH sb AS (
+      SELECT {group_col} AS src,
+             CAST(least({len_col} // {PSI_BIN_WIDTH}, {PSI_NBINS - 1}) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM {table} GROUP BY 1, 2),
+    gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM sb GROUP BY bin),
+    nsrc AS (SELECT src, CAST(sum(c) AS BIGINT) AS ns FROM sb GROUP BY src),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sb),
+    grid AS (
+      SELECT src, ns, CAST(unnest(range(0, {PSI_NBINS})) AS BIGINT) AS bin
+      FROM nsrc),
+    scored AS (
+      SELECT g.src, g.ns, coalesce(sb.c, 0) AS c, coalesce(gb.cb, 0) AS cb, tot.n
+      FROM grid g
+      LEFT JOIN sb ON sb.src = g.src AND sb.bin = g.bin
+      LEFT JOIN gb ON gb.bin = g.bin
+      CROSS JOIN tot)
+    SELECT src AS {group_col}, max(ns) AS n_docs,
+           {floor_round_sql(f"CAST(sum({units}) AS DOUBLE) / {float(_PSI_U)!r}", 6)} AS psi
+    FROM scored GROUP BY src
+    ORDER BY {group_col}
+    """

@@ -3803,6 +3803,17 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("source_psi_drift", text.source_psi_drift_sql())
+def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PSI drift of the document-length distribution vs the
+    corpus (< 0.1 stable / 0.1-0.25 drifting / > 0.25 broken) — the
+    ingest-drift monitor of the crawl-triage report. One length-only
+    groupBy(source, bin) shuffle; per-bin terms round to integer
+    micro-units before the per-source sum so the 13-row fold order
+    can't move the result."""
+    return text.source_psi_drift(load(spark, sf_dir, "documents"))
+
+
 @_q("source_logodds_terms", text.source_logodds_terms_sql())
 def source_logodds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source term fingerprints: top-10 terms per source by
