@@ -29,6 +29,7 @@ NEW = [
     "source_logodds_terms",
     "ann_recall_matryoshka",
     "source_psi_drift",
+    "label_centroid_report",
 ]
 
 

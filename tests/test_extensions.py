@@ -291,3 +291,21 @@ def test_ann_query_id_not_found_raises_clearly(spark):
         similarity.ivf_pq_topk(emb, query_id=10**9)
     with pytest.raises(ValueError, match="not found"):
         similarity.ivf_topk(emb, query_id=10**9)
+
+
+def test_streaming_psi_matches_batch(spark):
+    """The streaming drift monitor's bounded replay must produce the
+    batch monitor's exact PSI rows (same counts -> same integer
+    micro-unit terms -> same sums)."""
+    from tinyetl_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: (r["n_docs"], r["psi"])
+        for r in QUERIES["streaming_psi_drift"](spark, sf).collect()
+    }
+    want = {
+        r["source"]: (r["n_docs"], r["psi"])
+        for r in QUERIES["source_psi_drift"](spark, sf).collect()
+    }
+    assert got == want and len(got) > 0

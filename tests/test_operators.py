@@ -3052,3 +3052,30 @@ def test_source_psi_drift_planted(spark):
     corpus = {0: 10, 4: 20}
     assert abs(out["A"]["psi"] - ref_psi({0: 10}, corpus, 10, 30)) < 1e-9
     assert abs(out["B"]["psi"] - ref_psi({4: 10}, corpus, 10, 30)) < 1e-9
+
+
+def test_label_centroid_report_planted(spark):
+    """Two orthogonal clusters plus one that leans toward the first:
+    tightness near 1 for tight clusters, and the confusion column must
+    point at the geometrically nearest other centroid."""
+    from tinyetl_spark.operators.similarity import label_centroid_report
+
+    rows = []
+    vid = 0
+    for i in range(8):  # label 0: along e1, slight jitter on e3
+        rows.append((vid, [1.0, 0.0, 0.01 * (i % 3), 0.0], 0)); vid += 1
+    for i in range(8):  # label 1: along e2
+        rows.append((vid, [0.0, 1.0, 0.0, 0.01 * (i % 3)], 1)); vid += 1
+    for i in range(8):  # label 2: mostly e1 with some e2 -> nearest is 0
+        rows.append((vid, [0.9, 0.3, 0.01 * (i % 3), 0.0], 2)); vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in label_centroid_report(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert all(out[k]["n_vecs"] == 8 for k in out)
+    assert out[0]["tightness"] > 0.999 and out[2]["tightness"] > 0.999
+    assert out[0]["nearest_label"] == 2  # cos(e1, 0.9e1+0.3e2) >> cos(e1, e2)
+    assert out[2]["nearest_label"] == 0
+    assert out[1]["nearest_label"] == 2  # label 2 has the e2 component
+    assert out[0]["nearest_cos"] > 0.9 > out[1]["nearest_cos"]

@@ -1322,3 +1322,14 @@ def test_source_psi_drift_one_corpus_shuffle_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Window" not in p
+
+
+def test_label_centroid_report_broadcast_centroids_no_python(spark):
+    """Centroids must come from ONE explode shuffle with partial
+    DECIMAL sums and broadcast back for the tightness join; the only
+    nested loop is the |labels|^2 confusion grid; no Python."""
+    p = plan_of(spark, "label_centroid_report")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # the 10x10 grid
+    assert "CartesianProduct" not in p

@@ -2696,3 +2696,154 @@ def matryoshka_recall_sql(
                 f" / {k}, 4) AS recall"
             )
     return " UNION ALL ".join(parts) + " ORDER BY query_id, dim"
+
+
+# ------------------------------------------------ embedding-space QA report
+
+
+def label_centroid_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space QA per label: member count, cluster TIGHTNESS
+    (mean cosine of members to their label centroid), and the CONFUSION
+    RISK (the nearest OTHER label's centroid and its cosine) — the
+    report that says whether a labeled embedding corpus actually
+    separates before anyone trains a probe or routes by similarity.
+
+    Exactness: centroids are per-(label, dim) means with DECIMAL(38,12)
+    sums (the kmeans_update convention — fold-order-independent, so an
+    iterative-geometry artifact stays oracle-checkable); member-to-
+    centroid cosines convert to integer micro-units per row before the
+    per-label mean, so that mean is a bigint sum + one division; the
+    10x10 centroid-confusion grid is driver-trivial but computed
+    distributed off the same broadcast table.
+
+    Scale shape: ONE n_vectors x dim explode shuffle (map-side partial
+    sums) for centroids; the centroid table (|labels| rows) broadcasts
+    back for the tightness join — the corpus is scanned twice and never
+    reshuffled; the confusion join is |labels|^2 rows."""
+    from pyspark.sql import Window
+
+    from tinyetl_spark.operators.text import floor_round
+
+    base = df.select(
+        F.col(id_col), F.col(label_col).alias("lbl"), _vec(vec_col).alias("v")
+    ).localCheckpoint(eager=False)
+    cent_long = (
+        base.select("lbl", F.posexplode("v").alias("pos", "val"))
+        .groupBy("lbl", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "lbl",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("comp"),
+        )
+    )
+    cents = (
+        cent_long.groupBy("lbl")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "comp"))),
+                lambda s: s["comp"],
+            ).alias("cv")
+        )
+        .localCheckpoint(eager=False)
+    )
+    mu = F.floor(
+        cosine_col(F.col("v"), F.col("cv")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("bigint")
+    tight = (
+        base.join(F.broadcast(cents), "lbl")
+        .select("lbl", mu.alias("_mu"))
+        .groupBy("lbl")
+        .agg(F.count("*").alias("n_vecs"), F.sum("_mu").alias("_ms"))
+        .select(
+            "lbl",
+            "n_vecs",
+            floor_round(
+                F.col("_ms").cast("double") / (F.col("n_vecs") * F.lit(1e9)), 6
+            ).alias("tightness"),
+        )
+    )
+    a = cents.select(F.col("lbl").alias("la"), F.col("cv").alias("va"))
+    b = cents.select(F.col("lbl").alias("lb"), F.col("cv").alias("vb"))
+    grid = (
+        a.join(F.broadcast(b), F.col("la") != F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            floor_round(cosine_col(F.col("va"), F.col("vb")), 6).alias("c6"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("la").orderBy(F.desc("c6"), F.asc("lb"))
+    )
+    nearest = grid.withColumn("_r", rk).filter(F.col("_r") == 1).select(
+        F.col("la").alias("lbl"),
+        F.col("lb").alias("nearest_label"),
+        F.col("c6").alias("nearest_cos"),
+    )
+    return (
+        tight.join(nearest, "lbl")
+        .select(
+            F.col("lbl").alias(label_col),
+            F.col("n_vecs"),
+            "tightness",
+            "nearest_label",
+            "nearest_cos",
+        )
+        .orderBy(label_col)
+    )
+
+
+def label_centroid_report_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    from tinyetl_spark.operators.text import floor_round_sql
+
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    cos_vc = cosine_sql("v", "cv")
+    cos_ab = cosine_sql("va", "vb")
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {label_col} AS lbl, {v} AS v FROM {table}),
+    exploded AS (
+      SELECT lbl, i - 1 AS pos, v[i] AS val
+      FROM base, UNNEST(range(1, len(v) + 1)) AS t(i)),
+    cent_long AS (
+      SELECT lbl, pos,
+             round(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS comp
+      FROM exploded GROUP BY lbl, pos),
+    cents AS (
+      SELECT lbl, list(comp ORDER BY pos) AS cv FROM cent_long GROUP BY lbl),
+    tight AS (
+      SELECT b.lbl, CAST(count(*) AS BIGINT) AS n_vecs,
+             {floor_round_sql(
+                 "CAST(sum(CAST(floor((" + cos_vc + ") * 1e9 + 0.5) AS BIGINT))"
+                 " AS DOUBLE) / (count(*) * 1e9)", 6)} AS tightness
+      FROM base b JOIN cents c ON b.lbl = c.lbl
+      GROUP BY b.lbl),
+    grid AS (
+      SELECT a.lbl AS la, b.lbl AS lb,
+             {floor_round_sql(cos_ab, 6)} AS c6
+      FROM (SELECT lbl, cv AS va FROM cents) a
+      JOIN (SELECT lbl, cv AS vb FROM cents) b ON a.lbl != b.lbl),
+    nearest AS (
+      SELECT la AS lbl, lb AS nearest_label, c6 AS nearest_cos,
+             row_number() OVER (PARTITION BY la ORDER BY c6 DESC, lb ASC) AS r
+      FROM grid)
+    SELECT t.lbl AS {label_col}, t.n_vecs, t.tightness,
+           n.nearest_label, n.nearest_cos
+    FROM tight t JOIN nearest n ON t.lbl = n.lbl AND n.r = 1
+    ORDER BY {label_col}
+    """

@@ -4887,15 +4887,26 @@ def source_psi_drift(
     just the stored length); the corpus bin table (<=13 rows) and the
     grid (|sources| x 13, built by exploding a literal sequence over
     the per-source totals) are broadcast-sized."""
-    bin_c = F.expr(f"least({len_col} DIV {PSI_BIN_WIDTH}, {PSI_NBINS - 1})").cast(
-        "bigint"
-    )
     sb = (
-        df.select(F.col(group_col).alias("src"), bin_c.alias("bin"))
+        df.select(F.col(group_col).alias("src"), psi_bin_col(len_col).alias("bin"))
         .groupBy("src", "bin")
         .agg(F.count("*").cast("bigint").alias("c"))
         .localCheckpoint(eager=False)
     )
+    return psi_from_counts(sb, group_col)
+
+
+def psi_bin_col(len_col: str = "n_chars") -> Column:
+    """The fixed PSI length bin: integer division, tail-absorbing."""
+    return F.expr(f"least({len_col} DIV {PSI_BIN_WIDTH}, {PSI_NBINS - 1})").cast(
+        "bigint"
+    )
+
+
+def psi_from_counts(sb: DataFrame, group_col: str = "source") -> DataFrame:
+    """PSI per source from a pre-aggregated (src, bin, c) count table —
+    the shared core of the batch monitor and the streaming monitor
+    (whose counts come out of a stateful streaming aggregation)."""
     gb = sb.groupBy("bin").agg(F.sum("c").alias("cb"))
     ns = sb.groupBy("src").agg(F.sum("c").alias("ns"))
     n_total = sb.agg(F.sum("c")).collect()[0][0] or 0

@@ -4850,6 +4850,18 @@ def ann_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("label_centroid_report", similarity.label_centroid_report_sql())
+def label_centroid_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA per label: member count, cluster tightness
+    (mean member-to-centroid cosine, micro-unit-exact), and confusion
+    risk (nearest other centroid + cosine) — whether the labeled
+    corpus separates BEFORE anyone trains a probe on it. One
+    n_vectors x dim explode shuffle with DECIMAL partial sums; the
+    |labels|-row centroid table broadcasts back; corpus never
+    reshuffled."""
+    return similarity.label_centroid_report(load(spark, sf_dir, "embeddings"))
+
+
 @_q("ann_recall_matryoshka", similarity.matryoshka_recall_sql())
 def ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation audit (Kusupati et al. 2022): recall@10 of
@@ -6397,6 +6409,31 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(text.words_col("text"))).cast("bigint").alias("total_words"),
     )
     return streaming.run_bounded(agg, spark, mode="complete", state_partitions=4)
+
+
+@_q("streaming_psi_drift", text.source_psi_drift_sql())
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring ON THE STREAM: the per-(source, length-bin)
+    counts accumulate as a stateful complete-mode aggregation while
+    documents arrive (state = |sources| x 13 rows, bounded forever),
+    and the PSI scoring runs on the aggregated counts — the shape of
+    an ingest monitor that alarms on a source whose length mix shifts.
+    Shares the batch monitor's oracle because the bounded replay must
+    produce the identical count table."""
+    from tinyetl_spark import streaming
+
+    stage = _stage_table_symlink(sf_dir, "documents")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    agg = (
+        stream.select(
+            F.col("source").alias("src"), text.psi_bin_col("n_chars").alias("bin")
+        )
+        .groupBy("src", "bin")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    counts = streaming.run_bounded(agg, spark, mode="complete", state_partitions=4)
+    return text.psi_from_counts(counts.localCheckpoint(eager=False))
 
 
 @_q(
