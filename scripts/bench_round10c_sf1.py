@@ -30,6 +30,9 @@ NEW = [
     "ann_recall_matryoshka",
     "source_psi_drift",
     "label_centroid_report",
+    "streaming_psi_drift",
+    "hard_negatives_ann",
+    "lsh_parameter_curve",
 ]
 
 

@@ -3079,3 +3079,49 @@ def test_label_centroid_report_planted(spark):
     assert out[2]["nearest_label"] == 0
     assert out[1]["nearest_label"] == 2  # label 2 has the e2 component
     assert out[0]["nearest_cos"] > 0.9 > out[1]["nearest_cos"]
+
+
+def test_hard_negatives_ann_planted(spark):
+    """The miner must return the nearest DIFFERENT-label vectors and
+    skip a same-label vector that is even closer."""
+    from tinyetl_spark.operators.similarity import hard_negatives_ann
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),     # probe
+        (1, [0.99, 0.1, 0.0], 0),    # closest of all — same label, excluded
+        (2, [0.9, 0.2, 0.0], 1),     # nearest hard negative
+        (3, [0.5, 0.5, 0.0], 1),
+        (4, [0.0, 1.0, 0.0], 2),
+        (5, [0.0, 0.0, 1.0], 2),     # orthogonal — never in top-2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives_ann(df, probes=(0,), k=2).collect()
+    assert [r["vec_id"] for r in out] == [2, 3]
+    assert [r["rank"] for r in out] == [1, 2]
+    assert all(r["query_label"] == 0 and r["neg_label"] == 1 for r in out)
+    assert out[0]["cosine"] > out[1]["cosine"]
+
+
+def test_lsh_parameter_curve_planted(spark):
+    """More bands (shorter rows) must catch more medium-similarity
+    pairs: on ~50%-overlap planted pairs the 8-band config's recall
+    and candidate volume dominate the 2-band config's, and the
+    theoretical knee decreases with bands."""
+    from tinyetl_spark.operators.dedup import lsh_parameter_curve
+
+    rows = []
+    for i in range(25):
+        base = [f"w{i}_{j}" for j in range(24)]
+        # partner shares 2/3 of the words -> shingle Jaccard ~0.47:
+        # well below the 2x8 knee (~0.92) but within reach of 8x2
+        # (~0.35), so the configs separate
+        alt = base[:16] + [f"v{i}_{j}" for j in range(8)]
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(alt)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bands"]: r for r in lsh_parameter_curve(df, cap=100).collect()}
+    assert set(out) == {2, 4, 8}
+    assert out[2]["est_threshold"] > out[4]["est_threshold"] > out[8]["est_threshold"]
+    assert out[8]["cand_pairs"] >= out[2]["cand_pairs"]
+    assert out[8]["recall"] >= out[2]["recall"]
+    assert out[8]["hit_pairs"] > 0  # the fine split does find planted pairs

@@ -1333,3 +1333,24 @@ def test_label_centroid_report_broadcast_centroids_no_python(spark):
     assert "BroadcastHashJoin" in p
     assert p.count("BroadcastNestedLoopJoin") <= 1  # the 10x10 grid
     assert "CartesianProduct" not in p
+
+
+def test_hard_negatives_ann_literal_query_no_python(spark):
+    """Query vectors must fold in as literal arrays (zero joins of any
+    kind in the plan), ranking via TakeOrdered; no Python."""
+    p = plan_of(spark, "hard_negatives_ann")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p  # no BroadcastHashJoin/SMJ/NLJ at all
+
+
+def test_lsh_parameter_curve_one_signature_pass_no_python(spark):
+    """All three band configs must hang off ONE signature subtree (the
+    checkpoint barrier): the plan shows the banding groupBys but no
+    Python and no unbounded cross joins beyond the audit's bounded
+    brute-force truth join."""
+    p = plan_of(spark, "lsh_parameter_curve")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # scalar-metric combines only: each config row is 1-row x 1-row
+    assert p.count("BroadcastNestedLoopJoin") <= 6

@@ -223,7 +223,26 @@ def minhash_candidates(
     ``max_bucket_size`` are dropped (boilerplate guard — also the skew
     guard at scale).
     """
-    b = lsh_bands(minhash_signatures(df, text_col, id_col, num_perm), id_col, num_perm, bands)
+    return _candidates_from_sigs(
+        minhash_signatures(df, text_col, id_col, num_perm),
+        id_col,
+        num_perm,
+        bands,
+        max_bucket_size,
+    )
+
+
+def _candidates_from_sigs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Banding → buckets → in-bucket pairs, off an existing signature
+    table — factored so the parameter curve can band ONE signature
+    pass three ways."""
+    b = lsh_bands(sig_df, id_col, num_perm, bands)
     sized = b.groupBy("band_idx", "band_hash").agg(F.collect_list(id_col).alias("ids"))
     sized = sized.filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket_size))
     # pairs within bucket via self-product on the (small) id arrays
@@ -1876,4 +1895,153 @@ def jaccard_threshold_curve_sql(
            {rate} AS removal_rate
     FROM ({union}) t CROSS JOIN tot
     ORDER BY threshold
+    """
+
+
+# --------------------------------------------- LSH parameter curve
+
+LSH_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows/band), bands*rows = 16
+
+
+def lsh_parameter_curve(
+    df: DataFrame,
+    configs: tuple[tuple[int, int], ...] = LSH_CONFIGS,
+    cap: int = DEDUP_AUDIT_CAP,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """The LSH INDEX knob, measured: candidate volume and truth recall
+    per (bands, rows/band) split of the same 16 permutations, plus the
+    theoretical S-curve knee t ~ (1/b)^(1/r). More bands = lower knee
+    = more candidates and more recall; this curve is how a dedup run
+    picks its config BEFORE paying for a 100 TB candidate join —
+    the index-side complement to near_dup_threshold_curve's verify-
+    side cutoff.
+
+    Cost shape: ONE signature pass (per-row fold, zero shuffle)
+    serves all three configs — banding is a narrow projection, so
+    each config adds only its own bucket groupBy over the audit
+    slice; the brute-force ground truth is quadratic ONLY in the
+    fixed cap slice (the dedup_recall_audit contract) and computes
+    once, not per config."""
+    sl = df.filter(F.col(id_col) < cap)
+    wsets = (
+        sl.select(F.col(id_col).alias("jid"), _word_hashes_col(text_col).alias("hw"))
+        .select("jid", F.array_distinct(_shingle_hashes_from("hw")).alias("ws"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = wsets.alias("a"), wsets.alias("b")
+    jacc = F.round(
+        F.size(F.array_intersect("a.ws", "b.ws"))
+        / F.size(F.array_union("a.ws", "b.ws")).cast("double"),
+        6,
+    )
+    truth = (
+        a.join(b, F.col("a.jid") < F.col("b.jid"))
+        .select(
+            F.col("a.jid").alias("id_a"), F.col("b.jid").alias("id_b"), jacc.alias("j")
+        )
+        .filter(F.col("j") >= threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    n_true = truth.agg(F.count("*").cast("long").alias("true_pairs"))
+    sigs = minhash_signatures(sl, text_col, id_col, num_perm).localCheckpoint(
+        eager=False
+    )
+    parts = []
+    for bands, rpb in configs:
+        knee = round((1.0 / bands) ** (1.0 / rpb), 6)
+        cand = _candidates_from_sigs(
+            sigs, id_col, num_perm, bands, max_bucket_size
+        ).localCheckpoint(eager=False)
+        n_cand = cand.agg(F.count("*").cast("long").alias("cand_pairs"))
+        n_hit = cand.join(truth, ["id_a", "id_b"]).agg(
+            F.count("*").cast("long").alias("hit_pairs")
+        )
+        parts.append(
+            n_cand.crossJoin(F.broadcast(n_hit))
+            .crossJoin(F.broadcast(n_true))
+            .select(
+                F.lit(bands).cast("bigint").alias("bands"),
+                F.lit(rpb).cast("bigint").alias("rows_per_band"),
+                F.lit(float(knee)).alias("est_threshold"),
+                "cand_pairs",
+                "hit_pairs",
+                F.when(
+                    F.col("true_pairs") > 0,
+                    F.col("hit_pairs").cast("double")
+                    / F.col("true_pairs").cast("double"),
+                )
+                .otherwise(F.lit(1.0))
+                .alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("bands")
+
+
+def lsh_parameter_curve_sql(
+    table: str = "documents",
+    configs: tuple[tuple[int, int], ...] = LSH_CONFIGS,
+    cap: int = DEDUP_AUDIT_CAP,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    max_bucket_size: int = 64,
+) -> str:
+    w = words_sql(text_col)
+    sig = minhash_signatures_sql("slice_docs", text_col, id_col, num_perm)
+    cfg_ctes, selects = [], []
+    for bands, rpb in configs:
+        knee = round((1.0 / bands) ** (1.0 / rpb), 6)
+        bsql = lsh_bands_sql("sig_t", id_col, num_perm, bands)
+        cfg_ctes.append(f"""
+    bands_{bands} AS ({bsql}),
+    buckets_{bands} AS (
+      SELECT band_idx, band_hash, list({id_col}) AS ids
+      FROM bands_{bands} GROUP BY band_idx, band_hash
+      HAVING count(*) > 1 AND count(*) <= {max_bucket_size}),
+    cand_{bands} AS (
+      SELECT DISTINCT p[1] AS id_a, p[2] AS id_b
+      FROM (SELECT unnest(list_filter(
+                     flatten(list_transform(ids, a -> list_transform(ids, c -> [a, c]))),
+                     p -> p[1] < p[2])) AS p
+            FROM buckets_{bands}))""")
+        selects.append(f"""
+      SELECT CAST({bands} AS BIGINT) AS bands,
+             CAST({rpb} AS BIGINT) AS rows_per_band,
+             CAST({float(knee)!r} AS DOUBLE) AS est_threshold,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_{bands}) AS cand_pairs,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM cand_{bands} JOIN truth USING (id_a, id_b)) AS hit_pairs,
+             CASE WHEN (SELECT true_pairs FROM n_true) > 0
+                  THEN CAST((SELECT count(*) FROM cand_{bands}
+                             JOIN truth USING (id_a, id_b)) AS DOUBLE)
+                       / CAST((SELECT true_pairs FROM n_true) AS DOUBLE)
+                  ELSE 1.0 END AS recall""")
+    return f"""
+    WITH slice_docs AS (SELECT * FROM {table} WHERE {id_col} < {cap}),
+    sig_t AS ({sig}),{",".join(cfg_ctes)},
+    wsets AS (
+      SELECT jid, list_distinct(hb) AS ws
+      FROM (SELECT jid, {_shingle_hashes_sql(text_col)} AS hb
+            FROM (SELECT {id_col} AS jid,
+                         list_transform({w}, x -> {hash64_sql('x')}) AS hw
+                  FROM slice_docs))),
+    truth AS (
+      SELECT a.jid AS id_a, b.jid AS id_b
+      FROM wsets a JOIN wsets b ON a.jid < b.jid
+      WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.ws, b.ws))), 6)
+            >= {threshold}),
+    n_true AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth)
+    {" UNION ALL ".join(selects)}
+    ORDER BY bands
     """

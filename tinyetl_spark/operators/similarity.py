@@ -2847,3 +2847,99 @@ def label_centroid_report_sql(
     FROM tight t JOIN nearest n ON t.lbl = n.lbl AND n.r = 1
     ORDER BY {label_col}
     """
+
+
+# --------------------------------------------- contrastive mining (ANN side)
+
+HARDNEG_K = 5
+
+
+def hard_negatives_ann(
+    df: DataFrame,
+    probes: tuple[int, ...] = RECALL_PROBES,
+    k: int = HARDNEG_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-side hard-negative mining for contrastive training:
+    for each probe, the k nearest vectors carrying a DIFFERENT label —
+    the near-misses that teach a retriever/classifier its decision
+    boundary (the dense complement to hard_negatives_bm25's lexical
+    miner). Per probe: the query vector folds in as a LITERAL array
+    (the frozen-model trick — no join at all), the different-label
+    filter sits beside the scan, ranking is TakeOrdered; the rank
+    window runs over the <=k survivors only. Mining is an offline
+    batch job, so the brute scan per probe batch is the honest
+    baseline — at serving scale the staged ANN tiers (binary/PQ/IVF)
+    swap in as the shortlist in front of the same exact rerank."""
+    from pyspark.sql import Window
+
+    qrows = {
+        int(r[0]): ([float(x) for x in r[1]], int(r[2]))
+        for r in df.filter(F.col(id_col).isin(*[int(p) for p in probes]))
+        .select(id_col, vec_col, label_col)
+        .collect()
+    }
+    parts = []
+    for q in probes:
+        qv, qlab = qrows[int(q)]
+        qarr = F.array(*[F.lit(float(x)) for x in qv])
+        scored = (
+            df.filter(
+                (F.col(label_col) != qlab) & (F.col(id_col) != int(q))
+            )
+            .select(
+                F.col(id_col),
+                F.col(label_col).alias("neg_label"),
+                F.round(cosine_col(_vec(vec_col), qarr), 6).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k)
+        )
+        rk = F.row_number().over(
+            Window.orderBy(F.desc("cosine"), F.asc(id_col))
+        )
+        parts.append(
+            scored.select(
+                F.lit(int(q)).cast("bigint").alias("query_id"),
+                F.lit(qlab).cast("bigint").alias("query_label"),
+                F.col(id_col),
+                F.col("neg_label").cast("bigint").alias("neg_label"),
+                "cosine",
+            ).withColumn("rank", rk.cast("bigint"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("query_id", "rank")
+
+
+def hard_negatives_ann_sql(
+    table: str = "embeddings",
+    probes: tuple[int, ...] = RECALL_PROBES,
+    k: int = HARDNEG_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> str:
+    v = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    parts = []
+    for q in probes:
+        parts.append(f"""
+        SELECT CAST({q} AS BIGINT) AS query_id,
+               CAST(q.{label_col} AS BIGINT) AS query_label,
+               t.{id_col},
+               CAST(t.{label_col} AS BIGINT) AS neg_label,
+               round({cosine_sql(v, qv)}, 6) AS cosine,
+               CAST(row_number() OVER (
+                   ORDER BY round({cosine_sql(v, qv)}, 6) DESC, t.{id_col} ASC)
+                 AS BIGINT) AS rank
+        FROM {table} t,
+             (SELECT {vec_col}, {label_col} FROM {table} WHERE {id_col} = {q}) q
+        WHERE t.{label_col} != q.{label_col} AND t.{id_col} != {q}
+        ORDER BY cosine DESC, t.{id_col} ASC
+        LIMIT {k}""")
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts) + \
+        " ORDER BY query_id, rank"

@@ -4277,6 +4277,17 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(docs, cands, threshold=0.3)
 
 
+@_q("lsh_parameter_curve", dedup.lsh_parameter_curve_sql())
+def lsh_parameter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH index knob, measured: candidate volume + truth recall
+    per (bands, rows/band) split of the same 16 permutations, with the
+    theoretical S-curve knee — how a dedup run picks its config
+    before paying for a 100 TB candidate join. ONE signature pass
+    serves all three configs; ground truth is the dedup_recall_audit
+    capped-slice brute force, computed once."""
+    return dedup.lsh_parameter_curve(load(spark, sf_dir, "documents"))
+
+
 @_q("near_dup_threshold_curve", dedup.jaccard_threshold_curve_sql())
 def near_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup yield vs similarity threshold — the cutoff knob a curation
@@ -4848,6 +4859,16 @@ def ann_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc_df=_materialized_rpq3_codes(spark, sf_dir),
         ivf_df=_materialized_ivf_index(spark, sf_dir),
     )
+
+
+@_q("hard_negatives_ann", similarity.hard_negatives_ann_sql())
+def hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side hard-negative mining: per probe, the 5 nearest
+    vectors with a DIFFERENT label — the near-misses contrastive
+    training needs (dense complement to hard_negatives_bm25). Query
+    vectors fold in as literal arrays (no join), different-label
+    filter beside the scan, TakeOrdered per probe."""
+    return similarity.hard_negatives_ann(load(spark, sf_dir, "embeddings"))
 
 
 @_q("label_centroid_report", similarity.label_centroid_report_sql())
