@@ -77,7 +77,7 @@ _PRIORITY = [
     "classifier_calibration_bins", "near_dup_threshold_curve",
     "source_logodds_terms", "ann_recall_matryoshka", "source_psi_drift",
     "label_centroid_report", "streaming_psi_drift", "hard_negatives_ann",
-    "lsh_parameter_curve",
+    "lsh_parameter_curve", "kn3_logprob_docs",
     "avro_roundtrip", "bigram_logprob_docs",
     "bm25_search_docs", "bm25_top_terms", "bpe_encode_docs",
     "bpe_pair_counts", "bpe_train_merges", "char_entropy_docs",

@@ -33,6 +33,7 @@ NEW = [
     "streaming_psi_drift",
     "hard_negatives_ann",
     "lsh_parameter_curve",
+    "kn3_logprob_docs",
 ]
 
 

@@ -3125,3 +3125,61 @@ def test_lsh_parameter_curve_planted(spark):
     assert out[8]["cand_pairs"] >= out[2]["cand_pairs"]
     assert out[8]["recall"] >= out[2]["recall"]
     assert out[8]["hit_pairs"] > 0  # the fine split does find planted pairs
+
+
+def test_kn_trigram_exact_value(spark):
+    """The full interpolated-KN trigram recursion, pinned against a
+    from-scratch reference on a corpus small enough to count by hand
+    (continuation counts at the middle level, not raw counts)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from tinyetl_spark.operators.text import KN_DISCOUNT, kn_trigram_logprob
+
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the cat ran on the mat",
+        3: "a dog sat on a rug",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in kn_trigram_logprob(df).collect()}
+
+    tris = []
+    for did, t in docs.items():
+        w = t.split()
+        for i in range(len(w) - 2):
+            tris.append((did, w[i], w[i + 1], w[i + 2]))
+    c123 = Counter((a, b, c) for _, a, b, c in tris)
+    c12 = Counter((a, b) for _, a, b, _ in tris)
+    n12 = defaultdict(set)
+    m23 = defaultdict(set)
+    mt = defaultdict(set)
+    n2s = defaultdict(set)
+    cw = defaultdict(set)
+    b23set = set()
+    for _, a, b, c in tris:
+        n12[(a, b)].add(c)
+        m23[(b, c)].add(a)
+        mt[b].add((a, c))
+        n2s[b].add(c)
+        cw[c].add(b)
+        b23set.add((b, c))
+    D, T2 = KN_DISCOUNT, len(b23set)
+
+    def lp(a, b, c):
+        p_low = max(len(m23[(b, c)]) - D, 0.0) / len(mt[b]) + (
+            D * len(n2s[b]) / len(mt[b])
+        ) * (len(cw[c]) / T2)
+        p = max(c123[(a, b, c)] - D, 0.0) / c12[(a, b)] + (
+            D * len(n12[(a, b)]) / c12[(a, b)]
+        ) * p_low
+        return round(math.log(p), 9)
+
+    for did, t in docs.items():
+        w = t.split()
+        lps = [lp(w[i], w[i + 1], w[i + 2]) for i in range(len(w) - 2)]
+        want = math.floor(sum(lps) / len(lps) * 10**6 + 0.5) / 10**6
+        assert out[did]["n_trigrams"] == len(lps)
+        assert abs(out[did]["avg_logprob"] - want) < 1e-9, did

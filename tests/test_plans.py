@@ -1354,3 +1354,14 @@ def test_lsh_parameter_curve_one_signature_pass_no_python(spark):
     assert "CartesianProduct" not in p
     # scalar-metric combines only: each config row is 1-row x 1-row
     assert p.count("BroadcastNestedLoopJoin") <= 6
+
+
+def test_kn3_broadcast_models_no_python(spark):
+    """All five trigram model tables must broadcast back into the
+    position stream (the corpus is never reshuffled for the score
+    join); no Python."""
+    p = plan_of(spark, "kn3_logprob_docs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

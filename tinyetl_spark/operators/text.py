@@ -4983,3 +4983,202 @@ def source_psi_drift_sql(
     FROM scored GROUP BY src
     ORDER BY {group_col}
     """
+
+
+# -------------------------------------------- Kneser-Ney trigram scoring
+
+
+def kn_trigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 65536,
+) -> DataFrame:
+    """Per-document mean interpolated Kneser-Ney TRIGRAM
+    log-probability — the top rung of the LM ladder (unigram → MLE
+    bigram → KN bigram → KN trigram), with the published recursion
+    intact (Chen & Goodman 1999 §3): the trigram level discounts real
+    counts, and the BIGRAM level inside it uses CONTINUATION counts,
+    not raw counts:
+
+        p(w3|w1w2) = max(c(w1w2w3) - D, 0)/c(w1w2·)
+                   + (D · N1+(w1w2·)/c(w1w2·)) · p_kn(w3|w2)
+        p_kn(w3|w2) = max(N1+(·w2w3) - D, 0)/N1+(·w2·)
+                    + (D · N1+(w2·)/N1+(·w2·)) · N1+(·w3)/N1+(··)
+
+    Five model tables off ONE trigram position pass, each a map-side-
+    combined groupBy capped at ``top_vocab`` rows deterministically
+    (count desc, key asc) and broadcast back; two scalar collects
+    (trigram total for the floor, distinct-(w2,w3)-type total for the
+    continuation denominator). Misses — which only arise when a cap
+    drops a key at scale — back off one level (trigram context missing
+    → the bigram continuation estimate) and then to the 0.5 floor, in
+    that order. Same exactness contract as the bigram: integer counts,
+    ONE fixed parenthesization of IEEE doubles, logs at 9dp, DECIMAL
+    mean."""
+    ws = words_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), ws.alias("_ws")).filter(F.size("_ws") >= 3)
+    pos = base.select(
+        F.col(id_col),
+        F.col("_ws"),
+        F.explode(F.sequence(F.lit(1), F.size("_ws") - 2)).alias("i"),
+    )
+    tgd = pos.select(
+        F.col(id_col),
+        F.element_at("_ws", F.col("i")).alias("w1"),
+        F.element_at("_ws", F.col("i") + 1).alias("w2"),
+        F.element_at("_ws", F.col("i") + 2).alias("w3"),
+    ).select(
+        F.col(id_col),
+        "w1",
+        "w2",
+        "w3",
+        F.concat_ws(" ", "w1", "w2", "w3").alias("tg"),
+        F.concat_ws(" ", "w1", "w2").alias("b12"),
+        F.concat_ws(" ", "w2", "w3").alias("b23"),
+    )
+    v3 = (
+        tgd.groupBy("tg").agg(F.count("*").alias("c123"))
+        .orderBy(F.desc("c123"), F.asc("tg")).limit(top_vocab)
+    )
+    x3 = (
+        tgd.groupBy("b12")
+        .agg(F.count("*").alias("c12t"), F.count_distinct("w3").alias("n12"))
+        .orderBy(F.desc("c12t"), F.asc("b12")).limit(top_vocab)
+    )
+    m23 = (
+        tgd.groupBy("b23").agg(F.count_distinct("w1").alias("m"))
+        .orderBy(F.desc("m"), F.asc("b23")).limit(top_vocab)
+    )
+    mx2 = (
+        tgd.groupBy("w2")
+        .agg(
+            F.count_distinct(F.concat_ws(" ", "w1", "w3")).alias("mt"),
+            F.count_distinct("w3").alias("n2s"),
+        )
+        .orderBy(F.desc("mt"), F.asc("w2")).limit(top_vocab)
+    )
+    cont = (
+        tgd.groupBy("w3").agg(F.count_distinct("w2").alias("cw"))
+        .orderBy(F.desc("cw"), F.asc("w3")).limit(top_vocab)
+    )
+    tot_row = tgd.agg(
+        F.count("*").alias("t"),
+        F.count_distinct("b23").alias("types2"),
+    ).collect()[0]
+    total3 = int(tot_row["t"] or 1)
+    types2 = int(tot_row["types2"] or 1)
+    d = F.lit(KN_DISCOUNT)
+    p_low = (
+        F.greatest(F.coalesce(F.col("m"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("mt").cast("double")
+    ) + (
+        (d * F.col("n2s").cast("double") / F.col("mt").cast("double"))
+        * (F.coalesce(F.col("cw").cast("double"), F.lit(0.5)) / F.lit(float(types2)))
+    )
+    p_hi = (
+        F.greatest(F.coalesce(F.col("c123"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("c12t").cast("double")
+    ) + ((d * F.col("n12").cast("double") / F.col("c12t").cast("double")) * p_low)
+    lp = (
+        F.when(
+            F.col("c12t").isNotNull() & F.col("mt").isNotNull(),
+            F.round(F.log(p_hi), 9),
+        )
+        .when(F.col("mt").isNotNull(), F.round(F.log(p_low), 9))
+        .otherwise(F.round(F.log(F.lit(0.5 / float(total3))), 9))
+    )
+    return (
+        tgd.join(F.broadcast(v3), "tg", "left")
+        .join(F.broadcast(x3), "b12", "left")
+        .join(F.broadcast(m23), "b23", "left")
+        .join(F.broadcast(mx2), "w2", "left")
+        .join(F.broadcast(cont), "w3", "left")
+        .select(F.col(id_col), lp.cast("decimal(38,9)").alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            floor_round(
+                F.sum("_lp").cast("double") / F.count("*").cast("double"), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def kn_trigram_logprob_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 65536,
+) -> str:
+    ws = words_sql(f"lower({text_col})")
+    d = KN_DISCOUNT
+    p_low = (
+        f"((greatest(coalesce(m.m, 0) - {d}, 0.0) / CAST(x2.mt AS DOUBLE))"
+        f" + (({d} * CAST(x2.n2s AS DOUBLE) / CAST(x2.mt AS DOUBLE))"
+        f" * (coalesce(CAST(k.cw AS DOUBLE), 0.5) / CAST(t.types2 AS DOUBLE))))"
+    )
+    p_hi = (
+        f"((greatest(coalesce(v.c123, 0) - {d}, 0.0) / CAST(x3.c12t AS DOUBLE))"
+        f" + (({d} * CAST(x3.n12 AS DOUBLE) / CAST(x3.c12t AS DOUBLE))"
+        f" * {p_low}))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {ws} AS arr FROM {table} WHERE len({ws}) >= 3),
+    pos AS (
+      SELECT {id_col}, arr, unnest(range(1, len(arr) - 1)) AS i FROM base),
+    tgd AS (
+      SELECT {id_col}, arr[i] AS w1, arr[i+1] AS w2, arr[i+2] AS w3,
+             arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS tg,
+             arr[i] || ' ' || arr[i+1] AS b12,
+             arr[i+1] || ' ' || arr[i+2] AS b23
+      FROM pos),
+    v3 AS (
+      SELECT tg, c123 FROM (SELECT tg, count(*) AS c123 FROM tgd GROUP BY 1)
+      ORDER BY c123 DESC, tg ASC LIMIT {top_vocab}),
+    x3 AS (
+      SELECT b12, c12t, n12 FROM (
+        SELECT b12, count(*) AS c12t, count(DISTINCT w3) AS n12
+        FROM tgd GROUP BY b12)
+      ORDER BY c12t DESC, b12 ASC LIMIT {top_vocab}),
+    m23 AS (
+      SELECT b23, m FROM (
+        SELECT b23, count(DISTINCT w1) AS m FROM tgd GROUP BY b23)
+      ORDER BY m DESC, b23 ASC LIMIT {top_vocab}),
+    mx2 AS (
+      SELECT w2, mt, n2s FROM (
+        SELECT w2, count(DISTINCT w1 || ' ' || w3) AS mt,
+               count(DISTINCT w3) AS n2s
+        FROM tgd GROUP BY w2)
+      ORDER BY mt DESC, w2 ASC LIMIT {top_vocab}),
+    cont AS (
+      SELECT w3, cw FROM (
+        SELECT w3, count(DISTINCT w2) AS cw FROM tgd GROUP BY w3)
+      ORDER BY cw DESC, w3 ASC LIMIT {top_vocab}),
+    tot AS (
+      SELECT greatest(count(*), 1) AS t,
+             greatest(count(DISTINCT b23), 1) AS types2
+      FROM tgd),
+    scored AS (
+      SELECT tgd.{id_col},
+             CAST(CASE
+               WHEN x3.c12t IS NOT NULL AND x2.mt IS NOT NULL
+                 THEN round(ln({p_hi}), 9)
+               WHEN x2.mt IS NOT NULL
+                 THEN round(ln({p_low}), 9)
+               ELSE round(ln(0.5 / CAST(t.t AS DOUBLE)), 9)
+             END AS DECIMAL(38,9)) AS lp
+      FROM tgd
+      LEFT JOIN v3 v ON tgd.tg = v.tg
+      LEFT JOIN x3 ON tgd.b12 = x3.b12
+      LEFT JOIN m23 m ON tgd.b23 = m.b23
+      LEFT JOIN mx2 x2 ON tgd.w2 = x2.w2
+      LEFT JOIN cont k ON tgd.w3 = k.w3
+      CROSS JOIN tot t)
+    SELECT {id_col}, count(*) AS n_trigrams,
+           {floor_round_sql("CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+             AS avg_logprob
+    FROM scored GROUP BY {id_col} ORDER BY {id_col}
+    """

@@ -3803,6 +3803,17 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("kn3_logprob_docs", text.kn_trigram_logprob_sql())
+def kn3_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM scoring — the top rung of the
+    LM ladder (unigram → MLE bigram → KN bigram → KN trigram), with
+    the published recursion intact: trigram level discounts real
+    counts, the bigram level inside it uses continuation counts. Five
+    vocab-capped broadcast model tables off one trigram position
+    pass."""
+    return text.kn_trigram_logprob(load(spark, sf_dir, "documents"))
+
+
 @_q("source_psi_drift", text.source_psi_drift_sql())
 def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PSI drift of the document-length distribution vs the
