@@ -34,6 +34,8 @@ NEW = [
     "hard_negatives_ann",
     "lsh_parameter_curve",
     "kn3_logprob_docs",
+    "classifier_threshold_curve",
+    "ann_recall_int8",
 ]
 
 

@@ -3183,3 +3183,51 @@ def test_kn_trigram_exact_value(spark):
         want = math.floor(sum(lps) / len(lps) * 10**6 + 0.5) / 10**6
         assert out[did]["n_trigrams"] == len(lps)
         assert abs(out[did]["avg_logprob"] - want) < 1e-9, did
+
+
+def test_classifier_threshold_curve_planted(spark):
+    """Confusion counts and P/R/F1 at each threshold against planted
+    margins; precision must not decrease as the threshold rises on
+    this fixture, and the t=0 row must match the eval audit's pred."""
+    from tinyetl_spark.operators.classifier import classifier_threshold_curve
+
+    mus = [900_000_000, 600_000_000, 100_000_000, -100_000_000,
+           -600_000_000, 550_000_000, -50_000_000, -900_000_000]
+    ys = [1, 1, 1, 1, 0, 0, 0, 0]
+    dummy = spark.createDataFrame(
+        [(i + 1, "x") for i in range(8)], "doc_id long, text string"
+    )
+    rows = {r["threshold"]: r for r in classifier_threshold_curve(
+        dummy, trained=_fake_trained(spark, mus, ys)).collect()}
+    assert len(rows) == 5
+    r0 = rows[0.0]
+    # preds at t=0: mus > 0 -> [1,1,1,0,0,1,0,0]; tp=3 fp=1 fn=1
+    assert (r0["tp"], r0["fp"], r0["fn"]) == (3, 1, 1)
+    assert abs(r0["precision"] - 0.75) < 1e-9
+    assert abs(r0["recall"] - 0.75) < 1e-9
+    assert abs(r0["f1"] - 0.75) < 1e-9
+    # exact confusion counts across the sweep (hand-computed)
+    assert (rows[-1.0]["tp"], rows[-1.0]["fp"], rows[-1.0]["fn"]) == (4, 4, 0)
+    assert (rows[-0.5]["tp"], rows[-0.5]["fp"], rows[-0.5]["fn"]) == (4, 2, 0)
+    assert (rows[0.5]["tp"], rows[0.5]["fp"], rows[0.5]["fn"]) == (2, 1, 2)
+    assert (rows[1.0]["tp"], rows[1.0]["fp"], rows[1.0]["fn"]) == (0, 0, 4)
+    assert rows[1.0]["precision"] == 1.0  # empty-prediction convention
+    # recall must be monotone non-increasing as the threshold rises
+    recs = [rows[t]["recall"] for t in sorted(rows)]
+    assert all(a >= b - 1e-9 for a, b in zip(recs, recs[1:]))
+
+
+def test_int8_recall_near_lossless(spark):
+    """On well-separated planted vectors, int8 quantization must not
+    move the top-k at all (recall 1.0)."""
+    import math
+
+    from tinyetl_spark.operators.similarity import int8_recall
+
+    rows = [
+        (i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.05 * (i % 5), 0.3])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = int8_recall(df, probes=(0, 7), k=5)
+    assert all(r["recall"] == 1.0 for r in out.collect())

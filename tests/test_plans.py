@@ -1365,3 +1365,22 @@ def test_kn3_broadcast_models_no_python(spark):
     assert p.count("BroadcastHashJoin") >= 5
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_classifier_threshold_curve_single_agg_no_python(spark):
+    """The 5-point sweep must be ONE aggregate over the scored base
+    (stack-unpivot), no windows, no Python."""
+    p = plan_of(spark, "classifier_threshold_curve")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ann_recall_int8_staged_truth_no_python(spark):
+    """int8 recall must read the staged ground truth, rank via
+    TakeOrdered off the shared code table, and stay JVM-side."""
+    p = plan_of(spark, "ann_recall_int8")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "ann_ground_truth" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

@@ -556,3 +556,115 @@ def calibration_bins_sql(
                f" / (count(*) * CAST({_U} AS DOUBLE))", 6)} AS gap
     FROM scored GROUP BY 1 ORDER BY bin
     """
+
+
+THRESH_CURVE_MU = (-1_000_000_000, -500_000_000, 0, 500_000_000, 1_000_000_000)
+
+
+def classifier_threshold_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trained: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    thresholds: tuple[int, ...] = THRESH_CURVE_MU,
+) -> DataFrame:
+    """Precision / recall / F1 of the trained quality classifier at a
+    sweep of decision thresholds (margins in micro-units, i.e. -1.0 to
+    +1.0 in model units) — the knob that turns one trained model into
+    a strict or permissive filter; a curation run reads this curve
+    next to the AUC before picking its operating point. The whole
+    sweep is ONE conditional aggregate over the scored base (exact
+    integer confusion counts per threshold), stack-unpivoted —
+    identical cost shape to near_dup_threshold_curve."""
+    scored = _scored(df, text_col, id_col, trained)
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = F.col("_mu") > F.lit(int(t))
+        aggs.append(
+            F.coalesce(F.sum((pred & (F.col("y") == 1)).cast("bigint")), F.lit(0))
+            .cast("bigint").alias(f"_tp{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum((pred & (F.col("y") == 0)).cast("bigint")), F.lit(0))
+            .cast("bigint").alias(f"_fp{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum((~pred & (F.col("y") == 1)).cast("bigint")), F.lit(0))
+            .cast("bigint").alias(f"_fn{i}")
+        )
+    one = scored.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({float(t) / _U!r} AS DOUBLE), _tp{i}, _fp{i}, _fn{i}"
+        for i, t in enumerate(thresholds)
+    )
+    curve = one.select(
+        F.expr(
+            f"stack({len(thresholds)}, {stack_args})"
+            " AS (threshold, tp, fp, fn)"
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    ).otherwise(F.lit(1.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+    ).otherwise(F.lit(1.0))
+    f1 = F.when(
+        F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        (F.lit(2) * F.col("tp")).cast("double")
+        / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+    ).otherwise(F.lit(1.0))
+    return curve.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        floor_round(prec, 6).alias("precision"),
+        floor_round(rec, 6).alias("recall"),
+        floor_round(f1, 6).alias("f1"),
+    ).orderBy("threshold")
+
+
+def classifier_threshold_curve_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = ITERS,
+    thresholds: tuple[int, ...] = THRESH_CURVE_MU,
+) -> str:
+    cols, sel = [], []
+    for i, t in enumerate(thresholds):
+        cols.append(
+            f"coalesce(sum(CASE WHEN mu > {int(t)} AND y = 1 THEN 1 END), 0) AS tp{i}"
+        )
+        cols.append(
+            f"coalesce(sum(CASE WHEN mu > {int(t)} AND y = 0 THEN 1 END), 0) AS fp{i}"
+        )
+        cols.append(
+            f"coalesce(sum(CASE WHEN NOT (mu > {int(t)}) AND y = 1 THEN 1 END), 0)"
+            f" AS fn{i}"
+        )
+        sel.append(
+            f"SELECT CAST({float(t) / _U!r} AS DOUBLE) AS threshold,"
+            f" CAST(tp{i} AS BIGINT) AS tp, CAST(fp{i} AS BIGINT) AS fp,"
+            f" CAST(fn{i} AS BIGINT) AS fn FROM one"
+        )
+    sels = " UNION ALL ".join(sel)
+    return f"""
+    WITH {_scored_ctes(table, text_col, id_col, iters)},
+    one AS (SELECT {", ".join(cols)} FROM scored)
+    SELECT threshold, tp, fp, fn,
+           {floor_round_sql(
+               "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)"
+               " / CAST(tp + fp AS DOUBLE) ELSE 1.0 END", 6)} AS precision,
+           {floor_round_sql(
+               "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)"
+               " / CAST(tp + fn AS DOUBLE) ELSE 1.0 END", 6)} AS recall,
+           {floor_round_sql(
+               "CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE)"
+               " / CAST(2 * tp + fp + fn AS DOUBLE) ELSE 1.0 END", 6)} AS f1
+    FROM ({sels}) t
+    ORDER BY threshold
+    """

@@ -2943,3 +2943,91 @@ def hard_negatives_ann_sql(
         LIMIT {k}""")
     return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts) + \
         " ORDER BY query_id, rank"
+
+
+def int8_recall(
+    df: DataFrame,
+    probes: tuple[int, ...] = RECALL_PROBES,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact_df: DataFrame | None = None,
+) -> DataFrame:
+    """recall@k of int8-CODE cosine ranking vs the full-precision
+    ground truth — the 64-byte point on the compression/recall
+    frontier (binary 8 B / PQ 8 B / RPQ 16 B / RPQ3 24 B / int8 64 B /
+    float32 256 B per vector). Per-vector symmetric scaling preserves
+    direction, so ranking by code cosine measures pure quantization
+    noise; the dot products are EXACT integer arithmetic (codes in
+    [-127, 127]), making this the cheapest tier to verify. The probe's
+    code vector folds in as a literal array (no join); codes compute
+    once (lazy checkpoint) and serve every probe."""
+    codes = quantize_int8(df, vec_col, id_col).select(id_col, "q").localCheckpoint(
+        eager=False
+    )
+    qrows = {
+        int(r[0]): [int(x) for x in r[1]]
+        for r in codes.filter(F.col(id_col).isin(*[int(p) for p in probes])).collect()
+    }
+    parts = []
+    for q in probes:
+        if exact_df is not None:
+            exact = exact_df.filter(F.col("query_id") == int(q)).select(id_col)
+        else:
+            exact = brute_topk(df, q, k, vec_col, id_col).select(id_col)
+        qarr = F.array(*[F.lit(int(x)).cast("double") for x in qrows[int(q)]])
+        approx = (
+            codes.filter(F.col(id_col) != int(q))
+            .select(
+                F.col(id_col),
+                F.round(cosine_col(_vec(F.col("q")), qarr), 6).alias("cos"),
+            )
+            .orderBy(F.desc("cos"), F.asc(id_col))
+            .limit(k)
+            .select(id_col)
+        )
+        parts.append(
+            exact.join(approx, id_col)
+            .agg(F.count("*").alias("_h"))
+            .select(
+                F.lit(int(q)).cast("bigint").alias("query_id"),
+                F.round(F.col("_h") / F.lit(float(k)), 4).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("query_id")
+
+
+def int8_recall_sql(
+    table: str = "embeddings",
+    probes: tuple[int, ...] = RECALL_PROBES,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    codes = quantize_int8_sql(table, vec_col, id_col)
+    parts = []
+    for q in probes:
+        b = brute_topk_sql(table, q, k, vec_col, id_col)
+        v = "list_transform(t.q, x -> CAST(x AS DOUBLE))"
+        qv = "list_transform(qq.q, x -> CAST(x AS DOUBLE))"
+        a = f"""
+        SELECT t.{id_col}
+        FROM codes t, (SELECT q FROM codes WHERE {id_col} = {q}) qq
+        WHERE t.{id_col} != {q}
+        ORDER BY round({cosine_sql(v, qv)}, 6) DESC, t.{id_col} ASC
+        LIMIT {k}
+        """
+        parts.append(
+            f"SELECT CAST({q} AS BIGINT) AS query_id,"
+            f" round(CAST((SELECT count(*) FROM ({b}) bb"
+            f" JOIN ({a}) aa ON bb.{id_col} = aa.{id_col}) AS DOUBLE)"
+            f" / {k}, 4) AS recall"
+        )
+    return (
+        f"WITH codes AS ({codes}) "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY query_id"
+    )

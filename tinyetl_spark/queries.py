@@ -3867,6 +3867,19 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("classifier_threshold_curve", classifier.classifier_threshold_curve_sql())
+def classifier_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of the trained quality classifier at five
+    decision thresholds — the knob that turns one trained model into a
+    strict or permissive filter, read next to the AUC before picking
+    an operating point. ONE conditional aggregate over the scored
+    base, stack-unpivoted (the near_dup_threshold_curve shape)."""
+    return classifier.classifier_threshold_curve(
+        load(spark, sf_dir, "documents"),
+        trained=_trained_classifier(spark, sf_dir),
+    )
+
+
 @_q("dsir_select_docs", dsir.dsir_select_sql())
 def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): fit hashed unigram+bigram
@@ -4869,6 +4882,19 @@ def ann_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_df=_materialized_ann_exact(spark, sf_dir),
         enc_df=_materialized_rpq3_codes(spark, sf_dir),
         ivf_df=_materialized_ivf_index(spark, sf_dir),
+    )
+
+
+@_q("ann_recall_int8", similarity.int8_recall_sql())
+def ann_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of int8-code cosine ranking vs the staged full-
+    precision ground truth — the 64-byte point on the compression/
+    recall frontier (binary 8B / PQ 8B / RPQ3 24B / int8 64B /
+    float32 256B). Codes compute once; probe codes fold in as literal
+    arrays; the dots are exact integer arithmetic."""
+    return similarity.int8_recall(
+        load(spark, sf_dir, "embeddings"),
+        exact_df=_materialized_ann_exact(spark, sf_dir),
     )
 
 
