@@ -36,6 +36,7 @@ NEW = [
     "kn3_logprob_docs",
     "classifier_threshold_curve",
     "ann_recall_int8",
+    "dup_cluster_size_hist",
 ]
 
 

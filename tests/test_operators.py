@@ -3231,3 +3231,20 @@ def test_int8_recall_near_lossless(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = int8_recall(df, probes=(0, 7), k=5)
     assert all(r["recall"] == 1.0 for r in out.collect())
+
+
+def test_dup_cluster_size_hist_planted(spark):
+    """Planted clusters of size 1, 2 and 12 (tail bucket): exact
+    cluster/doc counts and shares, with whitespace/case-normalized
+    fingerprints collapsing near-identical bytes."""
+    from tinyetl_spark.operators.text import dup_cluster_size_hist
+
+    rows = [(1, "unique one"), (2, "pair text"), (3, "Pair   TEXT")]
+    rows += [(10 + i, "boilerplate footer") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["cluster_size"]: r for r in dup_cluster_size_hist(df).collect()}
+    assert set(out) == {1, 2, 10}
+    assert (out[1]["n_clusters"], out[1]["n_docs"]) == (1, 1)
+    assert (out[2]["n_clusters"], out[2]["n_docs"]) == (1, 2)
+    assert (out[10]["n_clusters"], out[10]["n_docs"]) == (1, 12)  # tail bucket
+    assert abs(out[10]["doc_share"] - 12 / 15) < 1e-9

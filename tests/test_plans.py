@@ -1384,3 +1384,11 @@ def test_ann_recall_int8_staged_truth_no_python(spark):
     assert "ann_ground_truth" in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_dup_cluster_size_hist_two_groupbys_no_python(spark):
+    """Two map-side-combined groupBys on in-row fingerprints; no
+    joins, no windows, no Python."""
+    p = plan_of(spark, "dup_cluster_size_hist")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p and "Window" not in p

@@ -5182,3 +5182,77 @@ def kn_trigram_logprob_sql(
              AS avg_logprob
     FROM scored GROUP BY {id_col} ORDER BY {id_col}
     """
+
+
+# -------------------------------------------- duplication profile histogram
+
+DUP_HIST_CAP = 10  # cluster sizes >= this collapse into one tail bucket
+
+
+def dup_cluster_size_hist(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = DUP_HIST_CAP,
+) -> DataFrame:
+    """The duplication profile — the first plot of any dedup analysis
+    (Lee et al. 2022 fig. 1 shape): how many exact-duplicate clusters
+    exist at each size, how many documents they hold, and each size's
+    share of the corpus. Size ``cap`` is the tail bucket (a crawl's
+    boilerplate lives there; its mass is the cheap predictor of what
+    near-dup compute will find). Two map-side-combined groupBys on
+    in-row 128-bit fingerprints — fingerprint, then cluster size —
+    and one scalar total; nothing else touches the corpus."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    from tinyetl_spark.functions.hashing import hash128_col
+
+    sizes = (
+        df.select(hash128_col(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").cast("bigint").alias("s"))
+        .select(F.least(F.col("s"), F.lit(cap)).cast("bigint").alias("size"),
+                F.col("s"))
+    )
+    total = df.count()
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("s").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            F.col("size").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            floor_round(
+                F.col("n_docs").cast("double") / F.lit(float(total)), 6
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def dup_cluster_size_hist_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = DUP_HIST_CAP,
+) -> str:
+    from tinyetl_spark.functions.hashing import hash128_sql
+
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+    WITH sizes AS (
+      SELECT CAST(least(s, {cap}) AS BIGINT) AS size, s FROM (
+        SELECT {hash128_sql(norm)} AS fp, CAST(count(*) AS BIGINT) AS s
+        FROM {table} GROUP BY 1)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {table})
+    SELECT size AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(s) AS BIGINT) AS n_docs,
+           {floor_round_sql(
+               "CAST(sum(s) AS DOUBLE) / CAST(tot.n AS DOUBLE)", 6)} AS doc_share
+    FROM sizes CROSS JOIN tot
+    GROUP BY size, tot.n
+    ORDER BY cluster_size
+    """

@@ -3814,6 +3814,15 @@ def kn3_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.kn_trigram_logprob(load(spark, sf_dir, "documents"))
 
 
+@_q("dup_cluster_size_hist", text.dup_cluster_size_hist_sql())
+def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile: exact-dup cluster count, doc count, and
+    corpus share per cluster size (tail bucket at 10+) — the first
+    plot of any dedup analysis and the cheap predictor of near-dup
+    yield. Two fingerprint groupBys, one scalar total."""
+    return text.dup_cluster_size_hist(load(spark, sf_dir, "documents"))
+
+
 @_q("source_psi_drift", text.source_psi_drift_sql())
 def source_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PSI drift of the document-length distribution vs the
