@@ -67,15 +67,16 @@ _PRIORITY = [
     "streaming_upsert_snapshot", "streaming_user_counts",
     "temperature_mix_docs", "winnow_decontam", "zorder_key_events",
     # --- below the 50-cut (the groups above fill it exactly): first
-    # the 19 round-10 additions that did not fit the window (new = no
+    # the 20 round-10 additions that did not fit the window (new = no
     # vintage at all, so they lead round 11's queue — the binary-
     # quantization ANN pair, wordpiece budget curve, KN bigram, GIF
     # decode, per-source dup report, then the evaluation/knob tier:
     # classifier AUC/calibration/threshold-curve, the near-dup and
     # LSH parameter curves, source log-odds fingerprints, PSI drift
     # batch+streaming, matryoshka + int8 recall, label-centroid QA,
-    # ANN hard negatives, KN trigram), then oldest-vintage-first (r6,
-    # then r7, r8, r9) so any larger sample extends the rotation ---
+    # ANN hard negatives, KN trigram, the duplication-profile
+    # histogram), then oldest-vintage-first (r6, then r7, r8, r9) so
+    # any larger sample extends the rotation ---
     "ann_binary_rerank_topk", "ann_recall_binary_rerank",
     "wordpiece_budget_curve", "kn_logprob_docs", "multimodal_decode_gif",
     "dedup_rate_by_source", "classifier_eval_audit",

@@ -365,7 +365,7 @@ def classifier_eval_summary(
         F.sum(sq.cast("decimal(38,0)")).alias("brier_num"),
     )
     bins = scored.groupBy(
-        F.least(F.expr(f"p * 10 DIV {_U}"), F.lit(EVAL_BINS - 1)).alias("bin")
+        F.least(F.expr(f"p * {EVAL_BINS} DIV {_U}"), F.lit(EVAL_BINS - 1)).alias("bin")
     ).agg(F.sum("p").alias("sp"), F.sum("y").alias("pos"), F.count("*").alias("nb"))
     ece = bins.agg(
         F.sum(
@@ -458,7 +458,7 @@ def calibration_bins(
     un = float(_U)
     return (
         scored.groupBy(
-            F.least(F.expr(f"p * 10 DIV {_U}"), F.lit(EVAL_BINS - 1)).alias("bin")
+            F.least(F.expr(f"p * {EVAL_BINS} DIV {_U}"), F.lit(EVAL_BINS - 1)).alias("bin")
         )
         .agg(F.sum("p").alias("sp"), F.sum("y").alias("pos"), F.count("*").alias("nb"))
         .select(
@@ -511,7 +511,7 @@ def classifier_eval_sql(
              sum(CAST(p - y * {_U} AS HUGEINT) * (p - y * {_U})) AS brier_num
       FROM scored),
     bins AS (
-      SELECT least(p * 10 // {_U}, {EVAL_BINS - 1}) AS bin,
+      SELECT least(p * {EVAL_BINS} // {_U}, {EVAL_BINS - 1}) AS bin,
              sum(p) AS sp, sum(y) AS pos, count(*) AS nb
       FROM scored GROUP BY 1),
     ece AS (
@@ -547,7 +547,7 @@ def calibration_bins_sql(
     un = float(_U)
     return f"""
     WITH {_scored_ctes(table, text_col, id_col, iters)}
-    SELECT CAST(least(p * 10 // {_U}, {EVAL_BINS - 1}) AS BIGINT) AS bin,
+    SELECT CAST(least(p * {EVAL_BINS} // {_U}, {EVAL_BINS - 1}) AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n_docs,
            {floor_round_sql(f"CAST(sum(p) AS DOUBLE) / (count(*) * CAST({_U} AS DOUBLE))", 6)} AS mean_conf,
            {floor_round_sql("CAST(sum(y) AS DOUBLE) / count(*)", 6)} AS pos_rate,

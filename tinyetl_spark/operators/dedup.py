@@ -1118,6 +1118,28 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def _jaccard_pairs_ctes(
+    candidates_cte: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """CTE fragment (leading comma): wsets + pairj(id_a, id_b, jaccard)
+    — the ONE definition of the exact word-set-Jaccard verify metric,
+    shared by the verify filter and the threshold curve so the two can
+    never silently measure different quantities."""
+    w = words_sql(text_col)
+    return f"""
+    , wsets AS (SELECT {id_col} AS jid, list_distinct({w}) AS ws FROM {table}),
+    pairj AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                   / len(list_distinct(list_concat(wa.ws, wb.ws))), 6) AS jaccard
+      FROM {candidates_cte} c
+      JOIN wsets wa ON wa.jid = c.id_a
+      JOIN wsets wb ON wb.jid = c.id_b)"""
+
+
 def jaccard_verify_sql(
     candidates_cte: str,
     table: str = "documents",
@@ -1125,18 +1147,12 @@ def jaccard_verify_sql(
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> str:
-    w = words_sql(text_col)
-    return f"""
-    , wsets AS (SELECT {id_col} AS jid, list_distinct({w}) AS ws FROM {table})
-    SELECT c.id_a, c.id_b,
-           round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
-                 / len(list_distinct(list_concat(wa.ws, wb.ws))), 6) AS jaccard
-    FROM {candidates_cte} c
-    JOIN wsets wa ON wa.jid = c.id_a
-    JOIN wsets wb ON wb.jid = c.id_b
-    WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
-                / len(list_distinct(list_concat(wa.ws, wb.ws))), 6) >= {threshold}
+    return (
+        _jaccard_pairs_ctes(candidates_cte, table, text_col, id_col)
+        + f"""
+    SELECT id_a, id_b, jaccard FROM pairj WHERE jaccard >= {threshold}
     """
+    )
 
 
 # -------------------------------------------------------------- simhash
@@ -1863,7 +1879,6 @@ def jaccard_threshold_curve_sql(
     ctes = _minhash_candidates_ctes(
         table, text_col, id_col, num_perm, bands, max_bucket_size
     )
-    w = words_sql(text_col)
     cols, sel = [], []
     for i, t in enumerate(thresholds):
         cols.append(
@@ -1878,16 +1893,9 @@ def jaccard_threshold_curve_sql(
         )
     rate = floor_round_sql("CAST(t.docs_removed AS DOUBLE) / tot.n", 6)
     union = " UNION ALL ".join(sel)
+    pairs = _jaccard_pairs_ctes("cand", table, text_col, id_col)
     return f"""
-    WITH {ctes},
-    wsets AS (SELECT {id_col} AS jid, list_distinct({w}) AS ws FROM {table}),
-    pairj AS (
-      SELECT c.id_a, c.id_b,
-             round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
-                   / len(list_distinct(list_concat(wa.ws, wb.ws))), 6) AS jaccard
-      FROM cand c
-      JOIN wsets wa ON wa.jid = c.id_a
-      JOIN wsets wb ON wb.jid = c.id_b),
+    WITH {ctes}{pairs},
     one AS (SELECT {", ".join(cols)} FROM pairj),
     tot AS (SELECT count(*) AS n FROM {table})
     SELECT t.threshold, CAST(t.pairs_kept AS BIGINT) AS pairs_kept,
@@ -1954,7 +1962,11 @@ def lsh_parameter_curve(
     )
     parts = []
     for bands, rpb in configs:
-        knee = round((1.0 / bands) ** (1.0 / rpb), 6)
+        if bands * rpb != num_perm:
+            raise ValueError(
+                f"config ({bands},{rpb}) does not tile num_perm={num_perm}"
+            )
+        knee = round(lsh_threshold(bands, rpb), 6)
         cand = _candidates_from_sigs(
             sigs, id_col, num_perm, bands, max_bucket_size
         ).localCheckpoint(eager=False)
@@ -2000,7 +2012,11 @@ def lsh_parameter_curve_sql(
     sig = minhash_signatures_sql("slice_docs", text_col, id_col, num_perm)
     cfg_ctes, selects = [], []
     for bands, rpb in configs:
-        knee = round((1.0 / bands) ** (1.0 / rpb), 6)
+        if bands * rpb != num_perm:
+            raise ValueError(
+                f"config ({bands},{rpb}) does not tile num_perm={num_perm}"
+            )
+        knee = round(lsh_threshold(bands, rpb), 6)
         bsql = lsh_bands_sql("sig_t", id_col, num_perm, bands)
         cfg_ctes.append(f"""
     bands_{bands} AS ({bsql}),
