@@ -37,6 +37,8 @@ NEW = [
     "classifier_threshold_curve",
     "ann_recall_int8",
     "dup_cluster_size_hist",
+    "dedup_quality_impact",
+    "classifier_bias_by_source",
 ]
 
 

@@ -3248,3 +3248,48 @@ def test_dup_cluster_size_hist_planted(spark):
     assert (out[2]["n_clusters"], out[2]["n_docs"]) == (1, 2)
     assert (out[10]["n_clusters"], out[10]["n_docs"]) == (1, 12)  # tail bucket
     assert abs(out[10]["doc_share"] - 12 / 15) < 1e-9
+
+
+def test_dedup_quality_impact_planted(spark):
+    """Planted boilerplate dupes must dominate the removed cohort and
+    drag its mean length below the kept cohort's."""
+    from tinyetl_spark.operators.dedup import dedup_quality_impact
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then keeps "
+            "running through the long meadow toward the river bank"),
+        (2, "a completely different long document with many varied words "
+            "about science history and the world we all share today"),
+        (3, "short spam text here"),
+        (4, "short spam text here extra"),   # near-dup of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = spark.createDataFrame([(3, 4)], "id_a long, id_b long")
+    out = {r["cohort"]: r for r in dedup_quality_impact(df, cands).collect()}
+    assert set(out) == {"kept", "removed"}
+    assert out["removed"]["n_docs"] == 1      # doc 4, the larger id
+    assert out["kept"]["n_docs"] == 3
+    assert out["kept"]["mean_words"] > out["removed"]["mean_words"]
+
+
+def test_classifier_bias_by_source_planted(spark):
+    """Keep rate / accuracy per source from planted margins: a source
+    whose docs all score positive must show keep_rate 1.0."""
+    from pyspark.sql import functions as F
+
+    from tinyetl_spark.operators.classifier import classifier_bias_by_source
+
+    mus = [500_000_000, 900_000_000, -500_000_000, -900_000_000]
+    ys = [1, 0, 0, 0]
+    dummy = spark.createDataFrame(
+        [(1, "x", "A"), (2, "x", "A"), (3, "x", "B"), (4, "x", "B")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in classifier_bias_by_source(
+        dummy, trained=_fake_trained(spark, mus, ys)).collect()}
+    a, b = out["A"], out["B"]
+    assert a["n_docs"] == 2 and b["n_docs"] == 2
+    assert a["keep_rate"] == 1.0 and b["keep_rate"] == 0.0
+    assert abs(a["label_pos_rate"] - 0.5) < 1e-9 and b["label_pos_rate"] == 0.0
+    assert abs(a["accuracy"] - 0.5) < 1e-9 and b["accuracy"] == 1.0
+    assert a["mean_conf"] > 0.5 > b["mean_conf"]

@@ -1392,3 +1392,20 @@ def test_dup_cluster_size_hist_two_groupbys_no_python(spark):
     p = plan_of(spark, "dup_cluster_size_hist")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Join" not in p and "Window" not in p
+
+
+def test_dedup_quality_impact_staged_no_python(spark):
+    """One verify pass off the staged barrier; the removed flag is a
+    left join; quality is in-row; no Python."""
+    p = plan_of(spark, "dedup_quality_impact")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_classifier_bias_by_source_one_groupby_no_python(spark):
+    """Scored base + one source join + one groupBy into |sources|
+    rows; no windows, no Python."""
+    p = plan_of(spark, "classifier_bias_by_source")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p

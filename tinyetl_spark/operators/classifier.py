@@ -668,3 +668,79 @@ def classifier_threshold_curve_sql(
     FROM ({sels}) t
     ORDER BY threshold
     """
+
+
+def classifier_bias_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    trained: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Filter-bias audit BY SOURCE: for each source, the share of its
+    documents the trained filter would keep, its weak-label positive
+    rate, the model's accuracy on it, and its mean confidence — the
+    check that a quality classifier is not silently dropping whole
+    domains (the FineWeb-class failure: a filter tuned on one slice
+    wholesale-rejects another). One broadcast join to attach sources,
+    one map-side-combined groupBy into |sources| rows; all four
+    ratios are exact-integer sums with one final division each."""
+    scored = _scored(df, text_col, id_col, trained)
+    src = df.select(F.col(id_col), F.col(source_col).alias("_src"))
+    un = float(_U)
+    return (
+        scored.join(src, id_col)
+        .groupBy("_src")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("_mu") > 0).cast("bigint")).alias("kept"),
+            F.sum("y").alias("pos"),
+            F.sum(
+                ((F.col("_mu") > 0).cast("bigint") == F.col("y")).cast("bigint")
+            ).alias("correct"),
+            F.sum("p").alias("sp"),
+        )
+        .select(
+            F.col("_src").alias(source_col),
+            F.col("n").cast("bigint").alias("n_docs"),
+            floor_round(F.col("kept").cast("double") / F.col("n"), 6).alias(
+                "keep_rate"
+            ),
+            floor_round(F.col("pos").cast("double") / F.col("n"), 6).alias(
+                "label_pos_rate"
+            ),
+            floor_round(F.col("correct").cast("double") / F.col("n"), 6).alias(
+                "accuracy"
+            ),
+            floor_round(
+                F.col("sp").cast("double") / (F.col("n") * F.lit(un)), 6
+            ).alias("mean_conf"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def classifier_bias_by_source_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    iters: int = ITERS,
+) -> str:
+    return f"""
+    WITH {_scored_ctes(table, text_col, id_col, iters)}
+    SELECT d.{source_col},
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {floor_round_sql(
+               "CAST(sum(CASE WHEN s.mu > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+               " / count(*)", 6)} AS keep_rate,
+           {floor_round_sql("CAST(sum(s.y) AS DOUBLE) / count(*)", 6)} AS label_pos_rate,
+           {floor_round_sql(
+               "CAST(sum(CASE WHEN (s.mu > 0) = (s.y = 1) THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / count(*)", 6)} AS accuracy,
+           {floor_round_sql(
+               f"CAST(sum(s.p) AS DOUBLE) / (count(*) * CAST({_U} AS DOUBLE))", 6)} AS mean_conf
+    FROM scored s JOIN {table} d USING ({id_col})
+    GROUP BY d.{source_col}
+    ORDER BY d.{source_col}
+    """

@@ -2061,3 +2061,93 @@ def lsh_parameter_curve_sql(
     {" UNION ALL ".join(selects)}
     ORDER BY bands
     """
+
+
+def dedup_quality_impact(
+    df: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """What near-dup dedup actually removes: mean heuristic quality and
+    mean length of the REMOVED cohort (greedy keep-smallest-id over
+    verified pairs) vs the KEPT cohort — the sanity audit that a dedup
+    pass is shedding boilerplate, not the corpus's best documents
+    (Lee et al. 2022's motivating analysis). One verify pass over the
+    staged candidates; the removed-id set left-joins back as a flag;
+    per-doc quality is in-row; means are integer micro-unit sums."""
+    from tinyetl_spark.operators.text import floor_round, quality_score
+
+    pairs = jaccard_verify(df, candidates, text_col, id_col, threshold=threshold)
+    removed = pairs.select(F.col("id_b").alias("_rid")).distinct()
+    q = quality_score(df, text_col, id_col).select(
+        F.col(id_col),
+        F.floor(F.col("quality") * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("_qu"),
+        F.col("n_words"),
+    )
+    flagged = q.join(
+        removed, q[id_col] == removed["_rid"], "left"
+    ).select(
+        F.when(F.col("_rid").isNotNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+        .alias("cohort"),
+        "_qu",
+        "n_words",
+    )
+    return (
+        flagged.groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_qu").alias("_qs"),
+            F.sum("n_words").alias("_ws"),
+        )
+        .select(
+            "cohort",
+            "n_docs",
+            floor_round(
+                F.col("_qs").cast("double") / (F.col("n_docs") * F.lit(1e9)), 6
+            ).alias("mean_quality"),
+            floor_round(
+                F.col("_ws").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("mean_words"),
+        )
+        .orderBy("cohort")
+    )
+
+
+def dedup_quality_impact_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+    max_bucket_size: int = 64,
+) -> str:
+    from tinyetl_spark.operators.text import floor_round_sql, quality_score_sql
+
+    ctes = _minhash_candidates_ctes(
+        table, text_col, id_col, num_perm, bands, max_bucket_size
+    )
+    pairs = _jaccard_pairs_ctes("cand", table, text_col, id_col)
+    return f"""
+    WITH {ctes}{pairs},
+    removed AS (
+      SELECT DISTINCT id_b AS rid FROM pairj WHERE jaccard >= {threshold}),
+    q AS (
+      SELECT {id_col},
+             CAST(floor(quality * 1e9 + 0.5) AS BIGINT) AS qu, n_words
+      FROM ({quality_score_sql(table, text_col, id_col)})),
+    flagged AS (
+      SELECT CASE WHEN r.rid IS NOT NULL THEN 'removed' ELSE 'kept' END AS cohort,
+             q.qu, q.n_words
+      FROM q LEFT JOIN removed r ON q.{id_col} = r.rid)
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {floor_round_sql(
+               "CAST(sum(qu) AS DOUBLE) / (count(*) * 1e9)", 6)} AS mean_quality,
+           {floor_round_sql(
+               "CAST(sum(n_words) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_words
+    FROM flagged GROUP BY cohort ORDER BY cohort
+    """

@@ -4334,6 +4334,29 @@ def near_dup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_threshold_curve(docs, cands)
 
 
+@_q("dedup_quality_impact", dedup.dedup_quality_impact_sql())
+def dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What near-dup dedup removes: mean quality and length of the
+    removed vs kept cohorts — the sanity audit that a dedup pass sheds
+    boilerplate, not the corpus's best documents. One verify pass over
+    the SAME staged LSH candidates; means are micro-unit-exact."""
+    docs = load(spark, sf_dir, "documents")
+    cands = _materialized_candidates(spark, sf_dir, docs)
+    return dedup.dedup_quality_impact(docs, cands)
+
+
+@_q("classifier_bias_by_source", classifier.classifier_bias_by_source_sql())
+def classifier_bias_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-bias audit by source: keep rate, weak-label positive
+    rate, accuracy, and mean confidence per source — the check that
+    the trained quality filter is not wholesale-dropping a domain.
+    One broadcast source join + one groupBy into |sources| rows."""
+    return classifier.classifier_bias_by_source(
+        load(spark, sf_dir, "documents"),
+        trained=_trained_classifier(spark, sf_dir),
+    )
+
+
 @_q("near_dup_ngram", dedup.ngram_jaccard_sql(threshold=0.2))
 def near_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-5-gram Jaccard verify over minhash-LSH candidates."""
