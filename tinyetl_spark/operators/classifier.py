@@ -322,6 +322,7 @@ def classifier_eval_summary(
     text_col: str = "text",
     id_col: str = "doc_id",
     trained: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """One-row held-in evaluation of the trained quality classifier:
     accuracy, ROC-AUC, Brier score and expected calibration error —
@@ -353,7 +354,7 @@ def classifier_eval_summary(
 
     from tinyetl_spark.operators.text import _offset_map
 
-    scored = _scored(df, text_col, id_col, trained)
+    scored = scored if scored is not None else _scored(df, text_col, id_col, trained)
     u = F.lit(_U).cast("bigint")
     pred_ok = ((F.col("_mu") > 0).cast("bigint") == F.col("y")).cast("bigint")
     sq = (F.col("p") - F.col("y") * u) * (F.col("p") - F.col("y") * u)
@@ -446,6 +447,7 @@ def calibration_bins(
     text_col: str = "text",
     id_col: str = "doc_id",
     trained: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Reliability diagram for the trained classifier: EVAL_BINS
     equal-width confidence bins, each with its document count, mean
@@ -454,7 +456,7 @@ def calibration_bins(
     0/1 labels); each output ratio is one double division, half-up
     rounded — so the oracle hash-matches. One map-side-combined
     groupBy into <= EVAL_BINS rows; nothing else shuffles."""
-    scored = _scored(df, text_col, id_col, trained)
+    scored = scored if scored is not None else _scored(df, text_col, id_col, trained)
     un = float(_U)
     return (
         scored.groupBy(
@@ -567,6 +569,7 @@ def classifier_threshold_curve(
     id_col: str = "doc_id",
     trained: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     thresholds: tuple[int, ...] = THRESH_CURVE_MU,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Precision / recall / F1 of the trained quality classifier at a
     sweep of decision thresholds (margins in micro-units, i.e. -1.0 to
@@ -576,7 +579,7 @@ def classifier_threshold_curve(
     sweep is ONE conditional aggregate over the scored base (exact
     integer confusion counts per threshold), stack-unpivoted —
     identical cost shape to near_dup_threshold_curve."""
-    scored = _scored(df, text_col, id_col, trained)
+    scored = scored if scored is not None else _scored(df, text_col, id_col, trained)
     aggs = []
     for i, t in enumerate(thresholds):
         pred = F.col("_mu") > F.lit(int(t))
@@ -676,6 +679,7 @@ def classifier_bias_by_source(
     id_col: str = "doc_id",
     source_col: str = "source",
     trained: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Filter-bias audit BY SOURCE: for each source, the share of its
     documents the trained filter would keep, its weak-label positive
@@ -685,7 +689,7 @@ def classifier_bias_by_source(
     wholesale-rejects another). One broadcast join to attach sources,
     one map-side-combined groupBy into |sources| rows; all four
     ratios are exact-integer sums with one final division each."""
-    scored = _scored(df, text_col, id_col, trained)
+    scored = scored if scored is not None else _scored(df, text_col, id_col, trained)
     src = df.select(F.col(id_col), F.col(source_col).alias("_src"))
     un = float(_U)
     return (
