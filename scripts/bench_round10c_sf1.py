@@ -39,6 +39,8 @@ NEW = [
     "dup_cluster_size_hist",
     "dedup_quality_impact",
     "classifier_bias_by_source",
+    "classifier_auc_by_source",
+    "embedding_dim_profile",
 ]
 
 

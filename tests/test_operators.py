@@ -3293,3 +3293,38 @@ def test_classifier_bias_by_source_planted(spark):
     assert abs(a["label_pos_rate"] - 0.5) < 1e-9 and b["label_pos_rate"] == 0.0
     assert abs(a["accuracy"] - 0.5) < 1e-9 and b["accuracy"] == 1.0
     assert a["mean_conf"] > 0.5 > b["mean_conf"]
+
+
+def test_classifier_auc_by_source_planted(spark):
+    """Per-source AUC against brute-force pair counting: a perfectly
+    ranked source reads 1.0, an inverted one 0.0, a coin-flip ~0.5."""
+    from tinyetl_spark.operators.classifier import classifier_auc_by_source
+
+    # source A: margins separate labels perfectly; B: inverted
+    mus = [900, 800, 100, 50, -100, -200, 300, 200]
+    ys = [1, 1, 0, 0, 1, 1, 0, 0]
+    srcs = ["A", "A", "A", "A", "B", "B", "B", "B"]
+    dummy = spark.createDataFrame(
+        [(i + 1, "x", s) for i, s in enumerate(srcs)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in classifier_auc_by_source(
+        dummy, trained=_fake_trained(spark, mus, ys)).collect()}
+    assert out["A"]["auc"] == 1.0      # all pos margins above all neg
+    assert out["B"]["auc"] == 0.0      # all pos margins below all neg
+    assert (out["A"]["n_pos"], out["A"]["n_neg"]) == (2, 2)
+
+
+def test_embedding_dim_profile_planted(spark):
+    """Planted variance concentration: dim 0 varies, dim 1 constant —
+    the profile must put ~all variance share on dim 0 and report the
+    exact mean of the constant dim."""
+    from tinyetl_spark.operators.similarity import embedding_dim_profile
+
+    rows = [(i, [float(i % 5), 2.5]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in embedding_dim_profile(df).collect()}
+    assert set(out) == {0, 1}
+    assert out[1]["variance"] == 0.0 and out[1]["mean"] == 2.5
+    assert out[0]["var_share"] == 1.0 and out[1]["var_share"] == 0.0
+    assert abs(out[0]["variance"] - 2.0) < 1e-6  # var of 0..4 uniform

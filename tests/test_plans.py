@@ -1409,3 +1409,23 @@ def test_classifier_bias_by_source_one_groupby_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Window" not in p
     assert "CartesianProduct" not in p
+
+
+def test_classifier_auc_by_source_two_phase_no_python(spark):
+    """Every prefix-sum window must partition by (source, bucket); the
+    offset lift is a literal map (no offsets join); no Python."""
+    p = plan_of(spark, "classifier_auc_by_source")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    for frag in p.split("Window")[1:]:
+        head = frag[:250]
+        assert "_src" in head and "_b" in head, head
+    assert "CartesianProduct" not in p
+
+
+def test_embedding_dim_profile_one_explode_no_python(spark):
+    """One posexplode groupBy with DECIMAL partial sums into |dims|
+    rows; the total join is a 1-row broadcast; no Python."""
+    p = plan_of(spark, "embedding_dim_profile")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total

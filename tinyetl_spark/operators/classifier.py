@@ -748,3 +748,131 @@ def classifier_bias_by_source_sql(
     GROUP BY d.{source_col}
     ORDER BY d.{source_col}
     """
+
+
+def classifier_auc_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    trained: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    scored: DataFrame | None = None,
+) -> DataFrame:
+    """ROC-AUC per source — the discriminative half of the filter-bias
+    audit: keep_rate says how much of a domain the filter drops,
+    per-source AUC says whether the model can even RANK that domain's
+    documents (an AUC near 0.5 on one source means the filter is a
+    coin flip there however the threshold moves). Same exact-integer
+    Mann-Whitney rank-sum as the global audit, but the per-distinct-
+    margin count table is keyed by (source, margin) and the
+    cumulative-negatives prefix sum runs two-phase WITHIN each source:
+    global margin-quantile buckets partition every window as
+    (source, bucket), and a |sources| x |buckets| literal offset map
+    (driver-side, bounded) lifts local sums — no per-source
+    single-reducer window over a worst-case corpus/|sources|-sized
+    partition."""
+    from pyspark.sql import Window
+
+    scored = scored if scored is not None else _scored(df, text_col, id_col, trained)
+    src = df.select(F.col(id_col), F.col(source_col).alias("_src"))
+    base = scored.join(src, id_col)
+    gm = (
+        base.groupBy("_src", "_mu")
+        .agg(
+            F.sum("y").alias("c_pos"),
+            F.sum(F.lit(1) - F.col("y")).alias("c_neg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = sorted(
+        set(gm.approxQuantile("_mu", [i / 32 for i in range(1, 32)], 0.001))
+    )
+    mcol = F.col("_mu").cast("double")
+    if bounds:
+        barr = F.array(*[F.lit(float(v)) for v in bounds])
+        bucket = F.size(F.filter(barr, lambda v: mcol > v))
+    else:
+        bucket = F.lit(0)
+    gm = gm.withColumn("_b", bucket)
+    counts = {
+        (r["_src"], r["_b"]): r["c"]
+        for r in gm.groupBy("_src", "_b").agg(F.sum("c_neg").alias("c")).collect()
+    }
+    srcs = sorted({s for s, _ in counts})
+    flat = []
+    for s in srcs:
+        acc = 0
+        for bk in range(len(bounds) + 1):
+            flat.append(F.lit(f"{s}#{bk}"))
+            flat.append(F.lit(int(acc)))
+            acc += counts.get((s, bk), 0)
+    off_map = F.create_map(*flat) if flat else F.create_map(F.lit("x"), F.lit(0))
+    w_local = (
+        Window.partitionBy("_src", "_b")
+        .orderBy(F.asc("_mu"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cn = F.element_at(
+        off_map, F.concat_ws("#", F.col("_src"), F.col("_b").cast("string"))
+    ) + F.coalesce(F.sum("c_neg").over(w_local), F.lit(0))
+    per_src = (
+        gm.select(
+            "_src",
+            "c_pos",
+            "c_neg",
+            (
+                F.col("c_pos").cast("decimal(38,0)")
+                * (F.lit(2) * cn + F.col("c_neg"))
+            ).alias("_t"),
+        )
+        .groupBy("_src")
+        .agg(
+            F.sum("c_pos").alias("n_pos"),
+            F.sum("c_neg").alias("n_neg"),
+            F.coalesce(F.sum("_t"), F.lit(0).cast("decimal(38,0)")).alias("num2"),
+        )
+    )
+    return per_src.select(
+        F.col("_src").alias(source_col),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        floor_round(
+            F.col("num2").cast("double")
+            / F.when(
+                (F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None)
+            ).otherwise(2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    ).orderBy(source_col)
+
+
+def classifier_auc_by_source_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    iters: int = ITERS,
+) -> str:
+    return f"""
+    WITH {_scored_ctes(table, text_col, id_col, iters)},
+    gm AS (
+      SELECT d.{source_col} AS src, s.mu,
+             sum(s.y) AS c_pos, sum(1 - s.y) AS c_neg
+      FROM scored s JOIN {table} d USING ({id_col})
+      GROUP BY d.{source_col}, s.mu),
+    cum AS (
+      SELECT src, c_pos, c_neg,
+             coalesce(sum(c_neg) OVER (PARTITION BY src ORDER BY mu ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+      FROM gm),
+    agg AS (
+      SELECT src, CAST(sum(c_pos) AS BIGINT) AS n_pos,
+             CAST(sum(c_neg) AS BIGINT) AS n_neg,
+             coalesce(sum(CAST(c_pos AS HUGEINT) * (2 * cn + c_neg)), 0) AS num2
+      FROM cum GROUP BY src)
+    SELECT src AS {source_col}, n_pos, n_neg,
+           {floor_round_sql(
+               "CAST(num2 AS DOUBLE) / (CASE WHEN n_pos = 0 OR n_neg = 0"
+               " THEN NULL ELSE 2.0 * n_pos * n_neg END)", 6)} AS auc
+    FROM agg ORDER BY src
+    """

@@ -3031,3 +3031,99 @@ def int8_recall_sql(
         + " UNION ALL ".join(parts)
         + " ORDER BY query_id"
     )
+
+
+def embedding_dim_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension mean / variance / variance share of the embedding
+    corpus — the diagnostic read NEXT TO ann_recall_matryoshka: prefix
+    truncation only works when early dimensions carry the variance
+    (MRL training concentrates it there; generic embedders spread it),
+    and this profile is the direct measurement. Also the flat-dims
+    detector before PQ codebook training (a near-zero-variance
+    dimension wastes a subquantizer).
+
+    Exactness: per-dimension sums of x and x² accumulate in
+    DECIMAL(38,12) (the kmeans convention — fold-order-free); variance
+    is ONE fixed expression of the two sums; the variance SHARE sums
+    the 64 per-dim variances as integer micro-units so the final
+    normalization is exact-integer division. ONE n x dim explode
+    shuffle, map-side combined into |dims| rows."""
+    from tinyetl_spark.operators.text import floor_round
+
+    base = df.select(_vec(vec_col).alias("v"))
+    stats = (
+        base.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("val").cast("decimal(38,12)")).alias("s"),
+            F.sum((F.col("val") * F.col("val")).cast("decimal(38,12)")).alias("s2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - (
+        (F.col("s").cast("double") / nd) * (F.col("s").cast("double") / nd)
+    )
+    stats = stats.select(
+        F.col("pos").cast("bigint").alias("dim"),
+        floor_round(mean, 6).alias("mean"),
+        F.floor(var * F.lit(1e6) + F.lit(0.5)).cast("bigint").alias("_vu"),
+    ).localCheckpoint(eager=False)
+    tot = stats.agg(F.sum("_vu").alias("_tot"))
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            "mean",
+            floor_round(F.col("_vu").cast("double") / F.lit(1e6), 6).alias(
+                "variance"
+            ),
+            floor_round(
+                F.col("_vu").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("var_share"),
+        )
+        .orderBy("dim")
+    )
+
+
+def embedding_dim_profile_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    from tinyetl_spark.operators.text import floor_round_sql
+
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    nd = "CAST(n AS DOUBLE)"
+    mean = f"CAST(s AS DOUBLE) / {nd}"
+    var = (
+        f"CAST(s2 AS DOUBLE) / {nd}"
+        f" - ((CAST(s AS DOUBLE) / {nd}) * (CAST(s AS DOUBLE) / {nd}))"
+    )
+    return f"""
+    WITH base AS (SELECT {v} AS v FROM {table}),
+    exploded AS (
+      SELECT i - 1 AS pos, v[i] AS val
+      FROM base, UNNEST(range(1, len(v) + 1)) AS t(i)),
+    stats AS (
+      SELECT pos, count(*) AS n,
+             SUM(CAST(val AS DECIMAL(38,12))) AS s,
+             SUM(CAST(val * val AS DECIMAL(38,12))) AS s2
+      FROM exploded GROUP BY pos),
+    vu AS (
+      SELECT CAST(pos AS BIGINT) AS dim,
+             {floor_round_sql(mean, 6)} AS mean,
+             CAST(floor(({var}) * 1e6 + 0.5) AS BIGINT) AS u
+      FROM stats),
+    tot AS (SELECT sum(u) AS t FROM vu)
+    SELECT dim, mean,
+           {floor_round_sql("CAST(u AS DOUBLE) / 1e6", 6)} AS variance,
+           {floor_round_sql("CAST(u AS DOUBLE) / CAST(tot.t AS DOUBLE)", 6)} AS var_share
+    FROM vu CROSS JOIN tot
+    ORDER BY dim
+    """

@@ -3914,6 +3914,21 @@ def classifier_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("classifier_auc_by_source", classifier.classifier_auc_by_source_sql())
+def classifier_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC per source — the discriminative half of the filter-bias
+    audit (keep_rate says how much of a domain drops; per-source AUC
+    says whether the model can even rank it). Same exact-integer
+    rank-sum as the global audit, prefix sums two-phase WITHIN each
+    source via (source, bucket) windows + a bounded literal offset
+    map."""
+    return classifier.classifier_auc_by_source(
+        load(spark, sf_dir, "documents"),
+        trained=_trained_classifier(spark, sf_dir),
+        scored=_scored_classifier(spark, sf_dir),
+    )
+
+
 @_q("dsir_select_docs", dsir.dsir_select_sql())
 def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): fit hashed unigram+bigram
@@ -4941,6 +4956,16 @@ def ann_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc_df=_materialized_rpq3_codes(spark, sf_dir),
         ivf_df=_materialized_ivf_index(spark, sf_dir),
     )
+
+
+@_q("embedding_dim_profile", similarity.embedding_dim_profile_sql())
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance/variance-share — the diagnostic
+    next to the matryoshka audit (prefix truncation only works when
+    early dims carry variance) and the flat-dims detector before PQ
+    codebook training. One n x dim explode with DECIMAL partial sums
+    into |dims| rows."""
+    return similarity.embedding_dim_profile(load(spark, sf_dir, "embeddings"))
 
 
 @_q("ann_recall_int8", similarity.int8_recall_sql())
