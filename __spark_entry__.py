@@ -86,7 +86,7 @@ _PRIORITY = [
     "lsh_parameter_curve", "kn3_logprob_docs", "classifier_threshold_curve",
     "ann_recall_int8", "dup_cluster_size_hist", "dedup_quality_impact",
     "classifier_bias_by_source", "classifier_auc_by_source",
-    "embedding_dim_profile",
+    "embedding_dim_profile", "lm_ladder_compare",
     "avro_roundtrip", "bigram_logprob_docs",
     "bm25_search_docs", "bm25_top_terms", "bpe_encode_docs",
     "bpe_pair_counts", "bpe_train_merges", "char_entropy_docs",

@@ -41,6 +41,7 @@ NEW = [
     "classifier_bias_by_source",
     "classifier_auc_by_source",
     "embedding_dim_profile",
+    "lm_ladder_compare",
 ]
 
 

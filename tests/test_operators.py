@@ -3328,3 +3328,24 @@ def test_embedding_dim_profile_planted(spark):
     assert out[1]["variance"] == 0.0 and out[1]["mean"] == 2.5
     assert out[0]["var_share"] == 1.0 and out[1]["var_share"] == 0.0
     assert abs(out[0]["variance"] - 2.0) < 1e-6  # var of 0..4 uniform
+
+
+def test_lm_ladder_compare_consistent(spark):
+    """Each ladder row must equal the micro-unit-weighted mean of that
+    tier's own per-doc output (pinning the aggregation), and the KN
+    tiers must beat MLE on real text at this scale."""
+    import math
+
+    from tinyetl_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["model"]: r for r in QUERIES["lm_ladder_compare"](spark, sf).collect()}
+    assert set(rows) == {"1_unigram", "2_bigram_mle", "3_bigram_kn", "4_trigram_kn"}
+    uni = QUERIES["unigram_logprob_docs"](spark, sf).collect()
+    units = sum(math.floor(r["avg_logprob"] * 1e6 + 0.5) * r["n_words"] for r in uni)
+    n = sum(r["n_words"] for r in uni)
+    want = math.floor(units / (1e6 * n) * 1e6 + 0.5) / 1e6
+    assert rows["1_unigram"]["n_ngrams"] == n
+    assert abs(rows["1_unigram"]["mean_logprob"] - want) < 1e-9
+    assert rows["3_bigram_kn"]["mean_logprob"] > rows["2_bigram_mle"]["mean_logprob"]
+    assert rows["4_trigram_kn"]["mean_logprob"] > rows["3_bigram_kn"]["mean_logprob"]

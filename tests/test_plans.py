@@ -1429,3 +1429,11 @@ def test_embedding_dim_profile_one_explode_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total
+
+
+def test_lm_ladder_compare_no_python(spark):
+    """Four scalar aggregates over the LM tiers' own plans; broadcast
+    model joins inside, no Python anywhere."""
+    p = plan_of(spark, "lm_ladder_compare")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p

@@ -3825,6 +3825,70 @@ def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_ladder_sql() -> str:
+    """Oracle for lm_ladder_compare: the corpus-level mean token
+    logprob per LM tier, computed from each tier's OWN per-doc oracle
+    (rounded per-doc means convert to integer micro-units before the
+    corpus sum, so the 4 scalar rows are fold-order-proof)."""
+    rows = []
+    for model, sql, count_col in [
+        ("1_unigram", text.unigram_logprob_sql(top_vocab=16), "n_words"),
+        ("2_bigram_mle", text.bigram_logprob_sql(top_vocab=64), "n_bigrams"),
+        ("3_bigram_kn", text.kn_bigram_logprob_sql(), "n_bigrams"),
+        ("4_trigram_kn", text.kn_trigram_logprob_sql(), "n_trigrams"),
+    ]:
+        units = f"CAST(floor(avg_logprob * 1e6 + 0.5) AS BIGINT) * {count_col}"
+        fr = text.floor_round_sql(
+            f"CAST(sum({units}) AS DOUBLE) / (1e6 * sum({count_col}))", 6
+        )
+        rows.append(
+            f"SELECT '{model}' AS model,\n"
+            f"           CAST(sum({count_col}) AS BIGINT) AS n_ngrams,\n"
+            f"           {fr} AS mean_logprob\n"
+            f"    FROM ({sql})"
+        )
+    return " UNION ALL ".join(rows) + " ORDER BY model"
+
+
+@_q("lm_ladder_compare", _lm_ladder_sql())
+def lm_ladder_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM ladder side by side: corpus-level mean token logprob for
+    unigram, MLE bigram, KN bigram, and KN trigram — the
+    tokenizer_compare of the perplexity-filter tier (which LM a
+    CCNet-style filter should pay for, read off one table). Each row
+    aggregates that tier's per-doc output; rounded per-doc means
+    convert to integer micro-units BEFORE the corpus sum, so the
+    scalars are fold-order-proof."""
+    specs = [
+        ("1_unigram", text.unigram_logprob(load(spark, sf_dir, "documents"), top_vocab=16), "n_words"),
+        ("2_bigram_mle", text.bigram_logprob(load(spark, sf_dir, "documents"), top_vocab=64), "n_bigrams"),
+        ("3_bigram_kn", text.kn_bigram_logprob(load(spark, sf_dir, "documents")), "n_bigrams"),
+        ("4_trigram_kn", text.kn_trigram_logprob(load(spark, sf_dir, "documents")), "n_trigrams"),
+    ]
+    parts = []
+    for model, df, count_col in specs:
+        units = (
+            F.floor(F.col("avg_logprob") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+            * F.col(count_col)
+        ).cast("decimal(38,0)")
+        parts.append(
+            df.agg(
+                F.sum(count_col).alias("_n"),
+                F.sum(units).alias("_us"),
+            ).select(
+                F.lit(model).alias("model"),
+                F.col("_n").cast("bigint").alias("n_ngrams"),
+                text.floor_round(
+                    F.col("_us").cast("double") / (F.lit(1e6) * F.col("_n")), 6
+                ).alias("mean_logprob"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.orderBy("model")
+
+
 @_q("kn3_logprob_docs", text.kn_trigram_logprob_sql())
 def kn3_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney TRIGRAM scoring — the top rung of the
