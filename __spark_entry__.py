@@ -21,81 +21,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver samples the FIRST 50 entries of queries() in
-# dict order. Cumulative driver-green is 229/229 registered queries
-# through round 9 (plus 20 added this round). Round 10's window:
-# (a) the 2 queries whose semantics changed this round
-# (containment_recall_audit gained the per-class excerpt_recall
-# columns; tokenizer_compare gained the unigram_pruned AND wordpiece
-# rows), (b) the 14 queries ADDED in round 10 (likelihood-pruned
-# unigram trainer, the staged tokenized_corpus artifact, the ANN
-# serving budget curve, stdlib JPEG decode, the unigram budget/
-# ambiguity profiles, the WordPiece train + greedy-encode + batch
-# trio, and the loss-based curation quartet: RHO-loss select, DoReMi
-# domain weights, Min-K% membership audit, RRF quality ensemble,
-# concat-chunk packing — each oracle-matched locally before
-# registration) plus 5 more parked just below the cut (binary-
-# quantization ANN pair, wordpiece budget curve, Kneser-Ney bigram
-# scoring, stdlib GIF/LZW decode, per-source duplication report),
-# then (c) the FULL
-# r5-vintage rotation queue (34 — the round-9 verdict's top item),
-# which together exactly fill the 50-cut. The below-cut order is
-# strictly oldest-vintage-first (vintage = newest round whose
-# CORRECTNESS_r*.json carries the query green), so round 11's queue
-# is simply the next 50 names.
+# dict order. Cumulative driver-green through round 10 is 243/268
+# distinct queries (the 25 round-10 additions that missed the r10
+# window have local oracle greens only). Round 11's window:
+# (a) the queries whose SEMANTICS changed this round —
+# tokenizer_compare gains the unk_rate column (byte-fallback mode)
+# and ann_budget_curve gains the codec dimension (verdict items 4/5);
+# new round-11 queries are inserted here as they land, displacing the
+# tail of group (c); (b) the 25 round-10 additions with no driver
+# vintage yet (the round-10 verdict's top item): the binary-
+# quantization ANN pair, wordpiece budget curve, KN bigram/trigram,
+# GIF decode, per-source dup triage, and the evaluation/knob tier;
+# (c) the 22 oldest r6-vintage queries. Below the cut the order stays
+# strictly oldest-vintage-first (r6 tail, then r7, r8, r9, then the
+# 50 queries the round-10 window re-greened), so any larger sample
+# extends the rotation and round 12's queue is simply the next 50
+# names (28 r6 + 22 r7).
 _PRIORITY = [
-    # --- (a) semantics changed in round 10 (2) ---
-    "containment_recall_audit", "tokenizer_compare",
-    # --- (b) NEW in round 10 (14) ---
-    "unigram_prune_vocab", "tokenized_corpus", "ann_budget_curve",
-    "multimodal_decode_jpeg", "unigram_budget_curve", "unigram_ambiguity",
-    "wordpiece_train_merges", "wordpiece_encode_docs", "rho_select_docs",
-    "wordpiece_encode_batch_docs", "doremi_domain_weights", "mink_prob_docs",
-    "quality_ensemble_docs", "concat_chunks_docs",
-    # --- (c) the FULL r5-vintage rotation queue (34): ANN serving
-    # tier, all 11 streaming queries, kmeans/decontam/multimodal/
-    # zorder; after this window no driver green predates round 6 ---
-    "ann_batch_topk", "ann_brute_topk", "ann_indexed_topk",
-    "ann_ivf_pq_topk", "ann_ivf_topk", "ann_lsh_topk",
-    "ann_multiprobe_topk", "ann_pq_rerank_topk", "ann_pq_topk",
-    "ann_recall_ivf", "ann_recall_multiprobe", "ann_rpq_rerank_topk",
-    "ann_rpq_topk", "decontam_overlap", "embedding_near_dups",
-    "kmeans_refine_step", "multimodal_decode_bmp", "multimodal_decode_wav",
-    "rag_ingest_pipeline", "simhash_docs", "streaming_dedup",
-    "streaming_enrich", "streaming_foreachbatch_jdbc", "streaming_hopping",
-    "streaming_index_ingest", "streaming_interval_join",
-    "streaming_sessions", "streaming_sink_parquet", "streaming_tumbling",
-    "streaming_upsert_snapshot", "streaming_user_counts",
-    "temperature_mix_docs", "winnow_decontam", "zorder_key_events",
-    # --- below the 50-cut (the groups above fill it exactly): first
-    # the 20 round-10 additions that did not fit the window (new = no
-    # vintage at all, so they lead round 11's queue — the binary-
-    # quantization ANN pair, wordpiece budget curve, KN bigram, GIF
-    # decode, per-source dup report, then the evaluation/knob tier:
-    # classifier AUC/calibration/threshold-curve, the near-dup and
-    # LSH parameter curves, source log-odds fingerprints, PSI drift
-    # batch+streaming, matryoshka + int8 recall, label-centroid QA,
-    # ANN hard negatives, KN trigram, the duplication-profile
-    # histogram), then oldest-vintage-first (r6, then r7, r8, r9) so
-    # any larger sample extends the rotation ---
+    # --- (a) new in round 11 / semantics changed in round 11 ---
+    "wordpiece_byte_fallback_docs", "tokenizer_compare", "ann_budget_curve",
+    # --- (b) round-10 additions, no driver vintage (25) ---
     "ann_binary_rerank_topk", "ann_recall_binary_rerank",
     "wordpiece_budget_curve", "kn_logprob_docs", "multimodal_decode_gif",
     "dedup_rate_by_source", "classifier_eval_audit",
     "classifier_calibration_bins", "near_dup_threshold_curve",
     "source_logodds_terms", "ann_recall_matryoshka", "source_psi_drift",
     "label_centroid_report", "streaming_psi_drift", "hard_negatives_ann",
-    "lsh_parameter_curve", "kn3_logprob_docs", "classifier_threshold_curve",
-    "ann_recall_int8", "dup_cluster_size_hist", "dedup_quality_impact",
+    "lsh_parameter_curve", "kn3_logprob_docs",
+    "classifier_threshold_curve", "ann_recall_int8",
+    "dup_cluster_size_hist", "dedup_quality_impact",
     "classifier_bias_by_source", "classifier_auc_by_source",
     "embedding_dim_profile", "lm_ladder_compare",
-    "avro_roundtrip", "bigram_logprob_docs",
-    "bm25_search_docs", "bm25_top_terms", "bpe_encode_docs",
-    "bpe_pair_counts", "bpe_train_merges", "char_entropy_docs",
-    "chunk_documents", "cli_job_roundtrip", "cohort_retention",
-    "corpus_overlap_kmv", "corpus_stats_report", "csv_roundtrip",
-    "csv_roundtrip_events", "decontam_report", "duckdb_roundtrip",
-    "dup_ngram_frac_docs", "dup_passage_spans", "epoch_shuffle_docs",
-    "event_outliers", "fk_violations_audit", "funnel_conversion",
-    "gopher_quality_docs", "hash_sample_docs", "hot_keys_audit",
+    # --- (c) oldest r6-vintage rotation queue (22) ---
+    "avro_roundtrip", "bigram_logprob_docs", "bm25_search_docs",
+    "bm25_top_terms", "bpe_encode_docs", "bpe_pair_counts",
+    "bpe_train_merges", "char_entropy_docs", "chunk_documents",
+    "cli_job_roundtrip", "cohort_retention", "corpus_overlap_kmv",
+    "corpus_stats_report", "csv_roundtrip", "csv_roundtrip_events",
+    "decontam_report", "duckdb_roundtrip", "dup_ngram_frac_docs",
+    "dup_passage_spans", "epoch_shuffle_docs", "event_outliers",
+    "fk_violations_audit",
+    # --- below the 50-cut: r6 tail (28), then r7 (48), r8 (47),
+    # r9 (48), then the round-10 window greens (48) ---
+    "funnel_conversion", "gopher_quality_docs", "hash_sample_docs", "hot_keys_audit",
     "jdbc_roundtrip", "json_roundtrip", "line_dedup_docs",
     "multimodal_byte_histogram", "multimodal_decimate_wav",
     "multimodal_dedup", "multimodal_frame_sample", "multimodal_meta",
@@ -113,33 +81,34 @@ _PRIORITY = [
     "inference_batches_docs", "pagerank_dups", "partitioned_scan_prune",
     "perplexity_buckets", "profile_lineitem", "q11_important_parts",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue", "q20_dominant_suppliers",
-    "q21_waiting_supplier", "q22_idle_customers", "q2_min_cost_supplier",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "quality_classifier_docs",
+    "q18_large_orders", "q19_disjunctive_revenue",
+    "q20_dominant_suppliers", "q21_waiting_supplier", "q22_idle_customers",
+    "q2_min_cost_supplier", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "quality_classifier_docs",
     "remove_dup_passages_docs", "rollup_cascade_events",
     "scd2_customer_history", "streaming_classifier_scores",
-    "streaming_count_min", "streaming_rollup_minute", "tokenizer_fertility",
-    "training_mix", "triangle_count_dups", "trigram_search_docs",
-    "unimax_mix_langs", "vocab_coverage_curve", "above_avg_balance",
-    "anti_join_customers", "approx_distinct_users",
+    "streaming_count_min", "streaming_rollup_minute",
+    "tokenizer_fertility", "training_mix", "triangle_count_dups",
+    "trigram_search_docs", "unimax_mix_langs", "vocab_coverage_curve",
+    "above_avg_balance", "anti_join_customers", "approx_distinct_users",
     "approx_percentile_prices", "asof_purchase_view", "asof_tolerance",
     "bucketed_join_orders", "cube_status_priority",
     "cust_order_distribution", "date_multiformat", "dedup_exact",
     "dedup_recall_audit", "doc_fingerprint", "embedding_norms",
     "events_tumbling", "exists_high_qty_orders", "explode_doc_words",
     "full_outer_nation_counts", "grouping_sets_lineitem",
-    "hard_negatives_bm25", "hist_quantiles_prices", "hopping_window_events",
-    "hybrid_search_docs", "json_extract_events", "lang_id",
-    "listagg_nations", "margin_mine_pairs", "minhash_candidates",
-    "mktsegment_stats", "ngram_diversity_sources", "part_brand_stats",
-    "percentile_prices", "pivot_priority_status", "pmi_collocations",
-    "priority_sample_docs", "q12_late_shipments",
+    "hard_negatives_bm25", "hist_quantiles_prices",
+    "hopping_window_events", "hybrid_search_docs", "json_extract_events",
+    "lang_id", "listagg_nations", "margin_mine_pairs",
+    "minhash_candidates", "mktsegment_stats", "ngram_diversity_sources",
+    "part_brand_stats", "percentile_prices", "pivot_priority_status",
+    "pmi_collocations", "priority_sample_docs", "q12_late_shipments",
     "q13_customer_distribution", "q16_supplier_variety",
     "q4_priority_check", "ql_search_docs", "retrieval_ndcg",
-    "rm3_expanded_search", "text_quality", "tfidf_top_terms", "token_stats",
-    "vocab_growth_curve", "zipf_slope_sources", "ann_recall_rpq",
-    "ann_recall_rpq3_rerank", "ann_recall_rpq_rerank",
+    "rm3_expanded_search", "text_quality", "tfidf_top_terms",
+    "token_stats", "vocab_growth_curve", "zipf_slope_sources",
+    "ann_recall_rpq", "ann_recall_rpq3_rerank", "ann_recall_rpq_rerank",
     "ann_rpq3_rerank_topk", "containment_dups", "curation_pipeline",
     "dedup_clusters", "dedup_incremental", "dedup_survivors",
     "fuzzy_decontam", "leakage_safe_split_docs", "minhash_signatures",
@@ -147,15 +116,32 @@ _PRIORITY = [
     "q10_returned_revenue", "q1_pricing_summary", "q3_shipping_priority",
     "range_pairs_events", "revenue_by_nation", "rollup_status_priority",
     "salted_join_orders", "salted_user_stats", "scan_project",
-    "semantic_dedup_survivors", "semantic_dup_pairs", "semi_join_customers",
-    "sessionize_events", "set_except_all_statuses", "set_except_custkeys",
-    "set_intersect_all_statuses", "set_intersect_custkeys",
-    "simhash_near_dups", "top10_orders", "transform_filter",
-    "transform_inline", "transform_luapattern", "transform_pyfile",
-    "transform_script", "unigram_encode_docs", "unigram_train_vocab",
-    "upsert_documents", "validate_events", "window_lag_lead",
-    "window_rank_stats", "window_running_total", "window_time_range",
-    "window_top_order_per_cust",
+    "semantic_dedup_survivors", "semantic_dup_pairs",
+    "semi_join_customers", "sessionize_events", "set_except_all_statuses",
+    "set_except_custkeys", "set_intersect_all_statuses",
+    "set_intersect_custkeys", "simhash_near_dups", "top10_orders",
+    "transform_filter", "transform_inline", "transform_luapattern",
+    "transform_pyfile", "transform_script", "unigram_encode_docs",
+    "unigram_train_vocab", "upsert_documents", "validate_events",
+    "window_lag_lead", "window_rank_stats", "window_running_total",
+    "window_time_range", "window_top_order_per_cust",
+    "containment_recall_audit", "unigram_prune_vocab", "tokenized_corpus",
+    "multimodal_decode_jpeg", "unigram_budget_curve", "unigram_ambiguity",
+    "wordpiece_train_merges", "wordpiece_encode_docs", "rho_select_docs",
+    "wordpiece_encode_batch_docs", "doremi_domain_weights",
+    "mink_prob_docs", "quality_ensemble_docs", "concat_chunks_docs",
+    "ann_batch_topk", "ann_brute_topk", "ann_indexed_topk",
+    "ann_ivf_pq_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "ann_multiprobe_topk", "ann_pq_rerank_topk", "ann_pq_topk",
+    "ann_recall_ivf", "ann_recall_multiprobe", "ann_rpq_rerank_topk",
+    "ann_rpq_topk", "decontam_overlap", "embedding_near_dups",
+    "kmeans_refine_step", "multimodal_decode_bmp", "multimodal_decode_wav",
+    "rag_ingest_pipeline", "simhash_docs", "streaming_dedup",
+    "streaming_enrich", "streaming_foreachbatch_jdbc", "streaming_hopping",
+    "streaming_index_ingest", "streaming_interval_join",
+    "streaming_sessions", "streaming_sink_parquet", "streaming_tumbling",
+    "streaming_upsert_snapshot", "streaming_user_counts",
+    "temperature_mix_docs", "winnow_decontam", "zorder_key_events",
 ]
 
 

@@ -45,13 +45,13 @@ NEW = [
 ]
 
 
-def _run(name: str, sf_dir: str) -> float:
+def _run(spark, name: str, sf_dir: str) -> float:
     t0 = time.time()
     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 
-def _sentinel(sf_dir: str) -> float:
+def _sentinel(spark, sf_dir: str) -> float:
     from pyspark.sql import functions as F
 
     best = None
@@ -75,15 +75,15 @@ if __name__ == "__main__":
     spark.read.parquet(f"{sf01}/region.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
-    print(f"sentinel(sf0.1) = {_sentinel(sf01):.2f}s")
+    print(f"sentinel(sf0.1) = {_sentinel(spark, sf01):.2f}s")
     for name in NEW:
         walls = []
         for sf_dir in (sf01, sf1):
-            _run(name, sf_dir)  # warm-up: JVM/codegen/footers + staging
-            walls.append(_run(name, sf_dir))
+            _run(spark, name, sf_dir)  # warm-up: JVM/codegen/footers + staging
+            walls.append(_run(spark, name, sf_dir))
         ratio = walls[1] / walls[0] if walls[0] else float("nan")
         print(
             f"{name}: sf0.1={walls[0]:.2f}s sf1={walls[1]:.2f}s "
             f"growth={ratio:.1f}x"
         )
-    print(f"sentinel(end) = {_sentinel(sf01):.2f}s")
+    print(f"sentinel(end) = {_sentinel(spark, sf01):.2f}s")

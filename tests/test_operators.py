@@ -3349,3 +3349,68 @@ def test_lm_ladder_compare_consistent(spark):
     assert abs(rows["1_unigram"]["mean_logprob"] - want) < 1e-9
     assert rows["3_bigram_kn"]["mean_logprob"] > rows["2_bigram_mle"]["mean_logprob"]
     assert rows["4_trigram_kn"]["mean_logprob"] > rows["3_bigram_kn"]["mean_logprob"]
+
+
+def test_wordpiece_byte_fallback_rules(spark):
+    """Byte-fallback encode pins the [UNK]-free contract: an unmatched
+    position consumes ONE char as '<0xAB>' uppercase-hex byte tokens
+    and the walk keeps matching afterwards (no whole-word collapse); a
+    word over WP_MAXWORD chars becomes a whole-word byte run; empty
+    docs keep a row at 0; n_byte_tokens counts exactly the fallback
+    tokens."""
+    from tinyetl_spark.operators.tokenizer import wordpiece_encode_bf
+
+    vocab = ["a", "ab", "##b", "##c"]
+    df = spark.createDataFrame(
+        [
+            (1, "ab abc abz"),  # ab; ab+##c; ab + z->byte
+            (2, "b"),           # word-initial 'b' not in vocab -> byte
+            (3, "zab"),         # byte, then ##a? absent -> byte, ##b
+            (4, "a" * 17),      # over the 16-char cap -> 17 byte tokens
+            (5, ""),            # empty doc -> 0 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_byte_tokens"], list(r["tokens"]))
+        for r in wordpiece_encode_bf(df, vocab).collect()
+    }
+    assert out[1] == (5, 1, ["ab", "ab", "##c", "ab", "<0x7A>"])
+    assert out[2] == (1, 1, ["<0x62>"])
+    assert out[3] == (3, 2, ["<0x7A>", "<0x61>", "##b"])
+    assert out[4] == (17, 17, ["<0x61>"] * 17)
+    assert out[5] == (0, 0, [])
+
+
+def test_wordpiece_restricted_vs_byte_fallback(spark):
+    """Under the SAME restricted frozen vocabulary (WP_BF_DROP pieces
+    struck), the BERT rule [UNK]s every word touching a dropped letter
+    while the byte-fallback encode emits zero [UNK] and covers those
+    positions with byte tokens — the exact delta tokenizer_compare's
+    unk_rate column reports."""
+    from tinyetl_spark.operators.tokenizer import (
+        WP_UNK,
+        wordpiece_bf_train_encode,
+        wordpiece_restrict_vocab,
+        wordpiece_restricted_train_encode,
+    )
+
+    assert wordpiece_restrict_vocab(["ro", "##w", "q", "a", "##b"]) == [
+        "ro",
+        "a",
+        "##b",
+    ]
+    rows = [(i, "slow row batch the query scan") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = wordpiece_restricted_train_encode(df).collect()
+    bf = wordpiece_bf_train_encode(df).collect()
+    for r in plain:
+        toks = list(r["tokens"])
+        assert toks.count(WP_UNK) == 3  # slow, row, query
+    for r in bf:
+        toks = list(r["tokens"])
+        assert WP_UNK not in toks
+        # one byte token per dropped-letter occurrence: the 'w' in
+        # slow, the 'w' in row, the 'q' in query
+        assert r["n_byte_tokens"] == 3
+        assert toks.count("<0x77>") == 2 and toks.count("<0x71>") == 1

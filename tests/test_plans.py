@@ -1024,14 +1024,26 @@ def test_unigram_encode_dictionary_join_no_python(spark):
 
 
 def test_tokenizer_compare_staged_scalar_aggs(spark):
-    """The BPE/unigram/pruned/WordPiece comparison reads all four
-    STAGED encode tables (no re-train in this plan) and reduces them to
-    scalar aggregates; the only joins are the 1-row broadcast
-    crosses."""
+    """The six-way tokenizer comparison reads the five STAGED encode
+    tables (no re-train in this plan) plus the inline restricted-vocab
+    encode (a broadcast dictionary join, its totals-only row), and
+    reduces everything to scalar aggregates; the only nested-loop
+    joins are the 1-row broadcast crosses (one per output row)."""
     p = plan_of(spark, "tokenizer_compare")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
-    assert p.count("BroadcastNestedLoopJoin") <= 4  # 1-row metric crosses
+    assert p.count("BroadcastNestedLoopJoin") <= 6  # 1-row metric crosses
+
+
+def test_wordpiece_byte_fallback_is_staged_scan(spark):
+    """The byte-fallback encode artifact is a parquet scan of the
+    staged table (write-once/read-many, same contract as
+    tokenized_corpus): no joins, no Python, no re-train in the
+    consuming plan."""
+    p = plan_of(spark, "wordpiece_byte_fallback_docs")
+    assert "wordpiece_bf_encoded" in p  # reads the staged table
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
 def test_wordpiece_train_merges_no_python(spark):

@@ -367,7 +367,7 @@ def classifier_eval_summary(
     )
     bins = scored.groupBy(
         F.least(F.expr(f"p * {EVAL_BINS} DIV {_U}"), F.lit(EVAL_BINS - 1)).alias("bin")
-    ).agg(F.sum("p").alias("sp"), F.sum("y").alias("pos"), F.count("*").alias("nb"))
+    ).agg(F.sum("p").alias("sp"), F.sum("y").alias("pos"))
     ece = bins.agg(
         F.sum(
             F.abs(F.col("pos").cast("decimal(38,0)") * _U - F.col("sp"))

@@ -2010,7 +2010,7 @@ def lsh_parameter_curve_sql(
 ) -> str:
     w = words_sql(text_col)
     sig = minhash_signatures_sql("slice_docs", text_col, id_col, num_perm)
-    cfg_ctes, selects = [], []
+    cfg_ctes, hit_ctes, selects = [], [], []
     for bands, rpb in configs:
         if bands * rpb != num_perm:
             raise ValueError(
@@ -2030,16 +2030,18 @@ def lsh_parameter_curve_sql(
                      flatten(list_transform(ids, a -> list_transform(ids, c -> [a, c]))),
                      p -> p[1] < p[2])) AS p
             FROM buckets_{bands}))""")
+        hit_ctes.append(f"""
+    hits_{bands} AS (
+      SELECT CAST(count(*) AS BIGINT) AS hp
+      FROM cand_{bands} JOIN truth USING (id_a, id_b))""")
         selects.append(f"""
       SELECT CAST({bands} AS BIGINT) AS bands,
              CAST({rpb} AS BIGINT) AS rows_per_band,
              CAST({float(knee)!r} AS DOUBLE) AS est_threshold,
              (SELECT CAST(count(*) AS BIGINT) FROM cand_{bands}) AS cand_pairs,
-             (SELECT CAST(count(*) AS BIGINT)
-              FROM cand_{bands} JOIN truth USING (id_a, id_b)) AS hit_pairs,
+             (SELECT hp FROM hits_{bands}) AS hit_pairs,
              CASE WHEN (SELECT true_pairs FROM n_true) > 0
-                  THEN CAST((SELECT count(*) FROM cand_{bands}
-                             JOIN truth USING (id_a, id_b)) AS DOUBLE)
+                  THEN CAST((SELECT hp FROM hits_{bands}) AS DOUBLE)
                        / CAST((SELECT true_pairs FROM n_true) AS DOUBLE)
                   ELSE 1.0 END AS recall""")
     return f"""
@@ -2057,7 +2059,7 @@ def lsh_parameter_curve_sql(
       WHERE round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.ws, b.ws))), 6)
             >= {threshold}),
-    n_true AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth)
+    n_true AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth),{",".join(hit_ctes)}
     {" UNION ALL ".join(selects)}
     ORDER BY bands
     """

@@ -2052,6 +2052,318 @@ def wordpiece_encode_batch(
     return src.mapInPandas(_encode_batches, schema=out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Byte-fallback ([UNK]-free) encoding mode
+#
+# Production tokenizers (SentencePiece --byte_fallback, GPT-2's
+# byte-level BPE) never emit [UNK]: a position the vocabulary cannot
+# cover is consumed one character at a time as raw UTF-8 byte tokens
+# '<0xAB>'. The scenario that makes this matter is a FROZEN vocabulary
+# meeting data it was not trained on, so the operators below strike
+# every piece containing a WP_BF_DROP letter from the trained
+# vocabulary (the deterministic stand-in for a shipped vocab that does
+# not cover the serving distribution) and then encode either under the
+# BERT rule (whole word -> [UNK]) or with byte fallback ([UNK]-free).
+# ---------------------------------------------------------------------------
+
+WP_BF_DROP = ("q", "w")  # letters struck from the frozen vocabulary
+
+
+def wordpiece_restrict_vocab(
+    vocab: list[str], drop: tuple[str, ...] = WP_BF_DROP
+) -> list[str]:
+    """The restricted frozen vocabulary: every piece containing a
+    dropped letter removed (including its alphabet entries, so the
+    greedy walk genuinely dead-ends on those characters)."""
+    return [p for p in vocab if not any(ch in p for ch in drop)]
+
+
+def _byte_toks(s: Column) -> Column:
+    """UTF-8 byte tokens of a string: one '<0xAB>' token per byte
+    (SentencePiece byte-fallback convention, uppercase hex)."""
+    hx = F.hex(F.encode(s, "UTF-8"))
+    return F.transform(
+        F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
+        lambda j: F.concat(
+            F.lit("<0x"), hx.substr(j * 2 - 1, F.lit(2)), F.lit(">")
+        ),
+    )
+
+
+def _wp_greedy_bf_toks(word: Column, vocab_map: Column, max_raw: int) -> Column:
+    """Greedy longest-match encode with BYTE FALLBACK: identical walk
+    to :func:`_wp_greedy_toks`, except a position with no vocabulary
+    match consumes exactly ONE character and emits its UTF-8 bytes as
+    '<0xAB>' tokens — the walk always lands at the end of the word and
+    no [UNK] is ever produced. Words over WP_MAXWORD collapse to a
+    whole-word byte run (the deterministic byte-fallback twin of the
+    BERT max_input_chars_per_word rule, and the SQL unroll bound)."""
+    n = F.length(word)
+    empty = F.expr("CAST(array() AS array<string>)")
+    init = F.struct(F.lit(1).cast("long").alias("pos"), empty.alias("toks"))
+
+    def step(acc, i):
+        cands = F.filter(
+            F.transform(
+                F.sequence(F.least(F.lit(max_raw), n - i + 1), F.lit(1), F.lit(-1)),
+                lambda l: F.struct(
+                    l.cast("long").alias("l"),
+                    F.when(i == F.lit(1), word.substr(i, l))
+                    .otherwise(F.concat(F.lit("##"), word.substr(i, l)))
+                    .alias("piece"),
+                ),
+            ),
+            lambda c: F.element_at(vocab_map, c["piece"]).isNotNull(),
+        )
+        best = F.get(cands, 0)
+        advanced = F.when(
+            best.isNull(),
+            F.struct(
+                (acc["pos"] + 1).cast("long").alias("pos"),
+                F.concat(
+                    acc["toks"], _byte_toks(word.substr(i, F.lit(1)))
+                ).alias("toks"),
+            ),
+        ).otherwise(
+            F.struct(
+                (acc["pos"] + best["l"]).cast("long").alias("pos"),
+                F.concat(acc["toks"], F.array(best["piece"])).alias("toks"),
+            )
+        )
+        return F.when(acc["pos"] == i.cast("long"), advanced).otherwise(acc)
+
+    res = F.aggregate(F.sequence(F.lit(1), n), init, step)
+    return F.when(n > F.lit(WP_MAXWORD), _byte_toks(word)).otherwise(res["toks"])
+
+
+def wordpiece_encode_bf(
+    df: DataFrame,
+    vocab: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode a corpus against a frozen vocabulary with byte fallback:
+    (doc_id, n_tokens, n_byte_tokens, tokens[]), all-empty docs kept
+    at n_tokens = 0. Same dictionary-join shape as
+    :func:`wordpiece_encode` — each DISTINCT word segments once via
+    the broadcast vocabulary, the corpus pays one equi-join."""
+    max_raw = max(
+        (len(p) - 2 if p.startswith("##") else len(p)) for p in vocab
+    )
+    vmap = _wp_vocab_map(vocab)
+    words = df.select(
+        F.col(id_col), F.posexplode(words_col(text_col)).alias("_p", "word")
+    ).filter(F.length("word") > 0)
+    vocab_seg = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word", _wp_greedy_bf_toks(F.col("word"), vmap, max_raw).alias("s")
+        )
+    )
+    joined = words.join(F.broadcast(vocab_seg), "word").select(id_col, "_p", "s")
+    toks = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "s"))),
+            lambda e: e["s"],
+        )
+    )
+    grouped = joined.groupBy(id_col).agg(toks.alias("tokens"))
+    empty = F.expr("CAST(array() AS array<string>)")
+    return (
+        df.select(id_col)
+        .join(grouped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.size("tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(
+                F.size(F.filter(F.col("tokens"), lambda t: t.like("<0x%"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_byte_tokens"),
+            F.coalesce(F.col("tokens"), empty).alias("tokens"),
+        )
+    )
+
+
+def wordpiece_bf_train_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = WP_MERGES,
+    drop: tuple[str, ...] = WP_BF_DROP,
+) -> DataFrame:
+    """Train, restrict the frozen vocabulary (strike WP_BF_DROP
+    pieces), then byte-fallback-encode the corpus — the [UNK]-free
+    twin of :func:`wordpiece_restricted_train_encode`."""
+    _, cur = _wp_train_state(df, text_col, n_merges)
+    vocab = wordpiece_restrict_vocab(_wp_vocab(cur), drop)
+    return wordpiece_encode_bf(df, vocab, text_col, id_col)
+
+
+def wordpiece_restricted_train_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = WP_MERGES,
+    drop: tuple[str, ...] = WP_BF_DROP,
+) -> DataFrame:
+    """Train, restrict the frozen vocabulary, then encode under the
+    plain BERT rule — any word touching a dropped letter collapses to
+    [UNK]. The baseline the byte-fallback mode is measured against in
+    tokenizer_compare."""
+    _, cur = _wp_train_state(df, text_col, n_merges)
+    vocab = wordpiece_restrict_vocab(_wp_vocab(cur), drop)
+    return wordpiece_encode(df, vocab, text_col, id_col)
+
+
+def _sql_not_like(col: str, drop: tuple[str, ...]) -> str:
+    return " AND ".join(f"{col} NOT LIKE '%{ch}%'" for ch in drop)
+
+
+def _sql_byte_toks(expr: str) -> str:
+    """DuckDB twin of :func:`_byte_toks` for a VARCHAR expression."""
+    return (
+        f"list_transform(range(0, length(hex(encode({expr}))) // 2),"
+        f" k -> '<0x' || substr(hex(encode({expr})),"
+        f" CAST(k * 2 + 1 AS INT), 2) || '>')"
+    )
+
+
+def _wp_restricted_vocab_cte(
+    n_merges: int, name: str, drop: tuple[str, ...]
+) -> str:
+    return f"""
+    {name} AS MATERIALIZED (
+      SELECT DISTINCT sym FROM (
+        SELECT unnest(s) AS sym FROM wps0
+        UNION ALL
+        SELECT unnest(s) AS sym FROM wps{n_merges})
+      WHERE {_sql_not_like("sym", drop)})"""
+
+
+def _wp_greedy_bf_ctes(
+    n_merges: int, tag: str = "bf", drop: tuple[str, ...] = WP_BF_DROP
+) -> str:
+    """Byte-fallback greedy walk as CTEs ending in wseg{tag}(word,
+    toks): the :func:`_wp_greedy_ctes` unroll against the restricted
+    vocabulary, except a live position with no wedge row consumes one
+    character and appends its byte tokens (so every word that fits the
+    cap settles at pos = length); words over WP_MAXWORD collapse to a
+    whole-word byte run — bit-identical to the Spark fold's rule."""
+    vname = f"wvocab{tag}"
+    edges = f"""{_wp_restricted_vocab_cte(n_merges, vname, drop)},
+    wedge{tag} AS MATERIALIZED (
+      SELECT e.word, e.j, max(e.i) AS i, max_by(e.piece, e.i) AS piece
+      FROM (SELECT word, u.j AS j, u.i AS i,
+                   CASE WHEN u.j = 0
+                        THEN substr(word, 1, CAST(u.i AS INT))
+                        ELSE '##' || substr(word, CAST(u.j AS INT) + 1,
+                                            CAST(u.i - u.j AS INT)) END AS piece
+            FROM (SELECT word,
+                         unnest(flatten(list_transform(range(0, length(word)),
+                           j -> list_transform(range(j + 1, length(word) + 1),
+                                i -> {{'j': j, 'i': i}})))) AS u
+                  FROM wpf WHERE length(word) <= {WP_MAXWORD})) e
+      JOIN {vname} v ON v.sym = e.piece
+      GROUP BY e.word, e.j),
+    wgdp{tag}_0 AS (
+      SELECT word, CAST(0 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS toks
+      FROM wpf WHERE length(word) <= {WP_MAXWORD})"""
+    rounds = []
+    for r in range(1, WP_MAXWORD + 1):
+        fallback = _sql_byte_toks(f"substr(d.word, {r}, 1)")
+        rounds.append(f"""
+    wgdp{tag}_{r} AS MATERIALIZED (
+      SELECT d.word,
+             CASE WHEN NOT live THEN d.pos
+                  WHEN e.i IS NOT NULL THEN e.i
+                  ELSE CAST({r} AS BIGINT) END AS pos,
+             CASE WHEN NOT live THEN d.toks
+                  WHEN e.i IS NOT NULL THEN list_append(d.toks, e.piece)
+                  ELSE list_concat(d.toks, {fallback}) END AS toks
+      FROM (SELECT *, pos = {r - 1} AND pos < length(word) AS live
+            FROM wgdp{tag}_{r - 1}) d
+      LEFT JOIN wedge{tag} e ON e.word = d.word AND e.j = {r - 1})""")
+    seg = f"""
+    wseg{tag} AS MATERIALIZED (
+      SELECT f.word,
+             CASE WHEN g.pos IS NULL THEN {_sql_byte_toks("f.word")}
+                  ELSE g.toks END AS toks
+      FROM wpf f LEFT JOIN wgdp{tag}_{WP_MAXWORD} g ON g.word = f.word)"""
+    return edges + "," + ",".join(rounds) + "," + seg
+
+
+def _wp_doc_join_sql(
+    table: str, text_col: str, id_col: str, seg: str, with_bytes: bool
+) -> str:
+    w = words_sql(text_col)
+    byte_col = (
+        f"""
+             CAST(coalesce(sum(len(list_filter(toks, t -> t LIKE '<0x%'))), 0)
+                  AS BIGINT) AS n_byte_tokens,"""
+        if with_bytes
+        else ""
+    )
+    byte_out = (
+        f"\n           CAST(coalesce(a.n_byte_tokens, 0) AS BIGINT) AS n_byte_tokens,"
+        if with_bytes
+        else ""
+    )
+    return f"""
+    wdw AS (
+      SELECT {id_col},
+             unnest(range(1, len(wl) + 1)) AS pos,
+             unnest(wl) AS word
+      FROM (SELECT {id_col}, {w} AS wl FROM {table})),
+    wencj AS (
+      SELECT wdw.{id_col}, pos, toks FROM wdw JOIN {seg} USING (word)),
+    wagg AS (
+      SELECT {id_col},
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens,{byte_col}
+             array_to_string(flatten(list(toks ORDER BY pos)), ' ') AS tokens
+      FROM wencj GROUP BY {id_col})
+    SELECT d.{id_col},
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,{byte_out}
+           coalesce(a.tokens, '') AS tokens
+    FROM {table} d LEFT JOIN wagg a USING ({id_col})"""
+
+
+def wordpiece_bf_train_encode_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = WP_MERGES,
+    drop: tuple[str, ...] = WP_BF_DROP,
+) -> str:
+    """DuckDB twin of :func:`wordpiece_bf_train_encode`: train CTEs,
+    restricted vocabulary, byte-fallback greedy walk, dictionary join
+    back to documents (tokens space-joined, empty docs at 0)."""
+    return f"""
+    WITH {_wp_train_ctes(table, text_col, n_merges)},
+    {_wp_greedy_bf_ctes(n_merges, "bf", drop)},
+    {_wp_doc_join_sql(table, text_col, id_col, "wsegbf", True)}
+    """
+
+
+def wordpiece_restricted_train_encode_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = WP_MERGES,
+    drop: tuple[str, ...] = WP_BF_DROP,
+) -> str:
+    """DuckDB twin of :func:`wordpiece_restricted_train_encode` — the
+    standard greedy walk against the restricted vocabulary."""
+    return f"""
+    WITH {_wp_train_ctes(table, text_col, n_merges)},
+    {_wp_restricted_vocab_cte(n_merges, "wvocabr", drop)},
+    {_wp_greedy_ctes(n_merges, "r", vocab_cte="wvocabr")},
+    {_wp_doc_join_sql(table, text_col, id_col, "wsegr", False)}
+    """
+
+
 WP_BUDGET_MERGES = (6, 12, 24)  # merge budgets for the curve
 
 

@@ -3390,6 +3390,73 @@ def tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialized_unigram_encoded(spark, sf_dir)
 
 
+def _materialized_wordpiece_bf_encoded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "wordpiece_bf_encoded",
+        tokenizer.wordpiece_bf_train_encode_sql(),
+        lambda: tokenizer.wordpiece_bf_train_encode(
+            load(spark, sf_dir, "documents")
+        ).select(
+            "doc_id",
+            "n_tokens",
+            "n_byte_tokens",
+            F.concat_ws(" ", "tokens").alias("tokens"),
+        ),
+    )
+
+
+@_q("wordpiece_byte_fallback_docs", tokenizer.wordpiece_bf_train_encode_sql())
+def wordpiece_byte_fallback_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-fallback ([UNK]-free) WordPiece encode: train on the
+    corpus, strike every piece containing a WP_BF_DROP letter from the
+    frozen vocabulary (the deterministic stand-in for a shipped vocab
+    that does not cover the serving data — SentencePiece's
+    --byte_fallback scenario), then greedy-encode with unmatched
+    positions consumed as '<0xAB>' UTF-8 byte tokens instead of
+    collapsing whole words to [UNK]. Emits (doc_id, n_tokens,
+    n_byte_tokens, tokens); staged once like the other encode
+    artifacts (tokenizer_compare reads the same table). The greedy
+    walk stays an in-row fold over the broadcast dictionary — byte
+    positions are fixed-width pieces, so the 100 TB shape is unchanged
+    from wordpiece_encode_docs."""
+    return _materialized_wordpiece_bf_encoded(spark, sf_dir)
+
+
+def _tc_unk_sql(cte: str) -> str:
+    return (
+        f"SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
+        f" CAST(coalesce(sum(len(list_filter(string_split(tokens, ' '),"
+        f" t -> t = '[UNK]'))), 0) AS BIGINT) AS unk_tokens FROM {cte}"
+    )
+
+
+def _tc_row_sql(name: str, t: str) -> str:
+    fr = text.floor_round_sql
+    return f"""
+      SELECT '{name}' AS tokenizer, {t}.total_tokens, tot.total_words,
+             {fr(f"CAST({t}.total_tokens AS DOUBLE)"
+                 f" / CAST(tot.total_words AS DOUBLE)", 6)} AS fertility,
+             {fr(f"CAST(tot.total_chars AS DOUBLE)"
+                 f" / CAST({t}.total_tokens AS DOUBLE)", 6)} AS chars_per_token,
+             {fr(f"CAST({t}.unk_tokens AS DOUBLE)"
+                 f" / CAST({t}.total_tokens AS DOUBLE)", 6)} AS unk_rate
+      FROM {t}, tot"""
+
+
+_TC_NAMES = [
+    ("bpe", "encb"),
+    ("unigram", "encu"),
+    ("unigram_pruned", "encp"),
+    ("wordpiece", "encw"),
+    ("wordpiece_bytefallback", "encf"),
+    ("wordpiece_restricted", "encr"),
+]
+
+
 @_q(
     "tokenizer_compare",
     f"""
@@ -3397,6 +3464,8 @@ def tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     encu AS ({tokenizer.unigram_train_encode_sql()}),
     encp AS ({tokenizer.unigram_prune_encode_sql()}),
     encw AS ({tokenizer.wordpiece_train_encode_sql()}),
+    encf AS ({tokenizer.wordpiece_bf_train_encode_sql()}),
+    encr AS ({tokenizer.wordpiece_restricted_train_encode_sql()}),
     base AS (
       SELECT list_filter({text.words_sql("text")}, x -> length(x) > 0) AS w
       FROM documents),
@@ -3405,55 +3474,23 @@ def tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(list_sum(list_transform(w, x -> length(x)))) AS BIGINT)
                AS total_chars
       FROM base),
-    tb AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encb),
-    tu AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encu),
-    tp AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encp),
-    tw AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM encw)
-    SELECT * FROM (
-      SELECT 'bpe' AS tokenizer, tb.total_tokens, tot.total_words,
-             {text.floor_round_sql(
-                 "CAST(tb.total_tokens AS DOUBLE) / CAST(tot.total_words AS DOUBLE)", 6)}
-               AS fertility,
-             {text.floor_round_sql(
-                 "CAST(tot.total_chars AS DOUBLE) / CAST(tb.total_tokens AS DOUBLE)", 6)}
-               AS chars_per_token
-      FROM tb, tot
-      UNION ALL
-      SELECT 'unigram' AS tokenizer, tu.total_tokens, tot.total_words,
-             {text.floor_round_sql(
-                 "CAST(tu.total_tokens AS DOUBLE) / CAST(tot.total_words AS DOUBLE)", 6)}
-               AS fertility,
-             {text.floor_round_sql(
-                 "CAST(tot.total_chars AS DOUBLE) / CAST(tu.total_tokens AS DOUBLE)", 6)}
-               AS chars_per_token
-      FROM tu, tot
-      UNION ALL
-      SELECT 'unigram_pruned' AS tokenizer, tp.total_tokens, tot.total_words,
-             {text.floor_round_sql(
-                 "CAST(tp.total_tokens AS DOUBLE) / CAST(tot.total_words AS DOUBLE)", 6)}
-               AS fertility,
-             {text.floor_round_sql(
-                 "CAST(tot.total_chars AS DOUBLE) / CAST(tp.total_tokens AS DOUBLE)", 6)}
-               AS chars_per_token
-      FROM tp, tot
-      UNION ALL
-      SELECT 'wordpiece' AS tokenizer, tw.total_tokens, tot.total_words,
-             {text.floor_round_sql(
-                 "CAST(tw.total_tokens AS DOUBLE) / CAST(tot.total_words AS DOUBLE)", 6)}
-               AS fertility,
-             {text.floor_round_sql(
-                 "CAST(tot.total_chars AS DOUBLE) / CAST(tw.total_tokens AS DOUBLE)", 6)}
-               AS chars_per_token
-      FROM tw, tot)
+    {",".join(f"t{c} AS ({_tc_unk_sql(c)})" for _, c in _TC_NAMES)}
+    SELECT * FROM ({" UNION ALL ".join(
+        _tc_row_sql(n, "t" + c) for n, c in _TC_NAMES)})
     ORDER BY tokenizer
     """,
 )
 def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vs unigram-LM vs PRUNED unigram-LM vs WordPiece head-to-head
-    on the same corpus: corpus-level fertility (tokens/word) and
-    compression (word chars/token). All four encodes are staged once
-    (frozen-tokenizer pattern shared with tokenizer_fertility); the
-    comparison itself is four scalar aggregates. Note BPE's token count
+    """BPE vs unigram-LM vs PRUNED unigram-LM vs WordPiece vs the
+    restricted-vocab WordPiece pair (BERT [UNK] rule vs byte fallback)
+    head-to-head on the same corpus: corpus-level fertility
+    (tokens/word), compression (word chars/token), and unk_rate
+    ([UNK] tokens / all tokens). The restricted pair encodes under the
+    SAME frozen vocabulary (trained pieces minus WP_BF_DROP letters),
+    so their two rows isolate exactly what byte fallback buys: the
+    [UNK] rate drops to zero while fertility pays for the byte runs.
+    All heavy encodes are staged once (frozen-tokenizer pattern); the
+    comparison itself is six scalar aggregates. Note BPE's token count
     includes its </w> markers (the standard accounting), unigram drops
     words over 16 chars (its DP-unroll contract; none exist in the
     testdata), and WordPiece [UNK]s them (BERT's cap)."""
@@ -3485,9 +3522,23 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     encu = _materialized_unigram_encoded(spark, sf_dir)
     encp = _materialized_unigram_pruned_encoded(spark, sf_dir)
     encw = _materialized_wordpiece_encoded(spark, sf_dir)
+    encf = _materialized_wordpiece_bf_encoded(spark, sf_dir)
+    # the restricted (plain-[UNK]) encode is totals-only here, so it
+    # is not staged: one distinct-word walk + one corpus agg
+    encr = tokenizer.wordpiece_restricted_train_encode(docs).select(
+        "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
+    )
 
     def one(name: str, enc: DataFrame) -> DataFrame:
-        t = enc.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+        unk = F.size(
+            F.filter(
+                F.split(F.col("tokens"), " "), lambda t: t == F.lit("[UNK]")
+            )
+        ).cast("bigint")
+        t = enc.agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.coalesce(F.sum(unk), F.lit(0)).cast("bigint").alias("unk_tokens"),
+        )
         return t.crossJoin(F.broadcast(tot)).select(
             F.lit(name).alias("tokenizer"),
             "total_tokens",
@@ -3502,6 +3553,11 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("total_tokens").cast("double"),
                 6,
             ).alias("chars_per_token"),
+            floor_round(
+                F.col("unk_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("unk_rate"),
         )
 
     return (
@@ -3509,6 +3565,8 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("unigram", encu))
         .unionByName(one("unigram_pruned", encp))
         .unionByName(one("wordpiece", encw))
+        .unionByName(one("wordpiece_bytefallback", encf))
+        .unionByName(one("wordpiece_restricted", encr))
         .orderBy("tokenizer")
     )
 
