@@ -3414,3 +3414,50 @@ def test_wordpiece_restricted_vs_byte_fallback(spark):
         # slow, the 'w' in row, the 'q' in query
         assert r["n_byte_tokens"] == 3
         assert toks.count("<0x77>") == 2 and toks.count("<0x71>") == 1
+
+
+def test_dhash_perceptual_near_dups_planted(spark):
+    """Planted perceptual-pair fixture: a requantized copy (every
+    pixel byte's LSB cleared — luma moves by <= 1) stays within the
+    Hamming radius of its original, a 2x pixel-duplicating upscale
+    block-averages back to the IDENTICAL dHash (hamming 0), and an
+    unrelated image pairs with neither. The banded join finds exactly
+    the planted pairs."""
+    import random
+
+    from tinyetl_spark.operators.dedup import hamming_near_dups
+    from tinyetl_spark.operators.multimodal import dhash_bmp, dhash_media, synth_bmp
+
+    rng = random.Random(7)
+    base_px = bytes(rng.randrange(256) for _ in range(216))
+    requant_px = bytes(b & 0xFE for b in base_px)
+    # 16x18 upscale by pixel duplication: stride 48, rows doubled
+    rows = [base_px[r * 24 : (r + 1) * 24] for r in range(9)]
+    up_rows = []
+    for row in rows:
+        dbl = b"".join(row[c * 3 : c * 3 + 3] * 2 for c in range(8))
+        up_rows.extend([dbl, dbl])
+    resized_px = b"".join(up_rows)
+    other_px = bytes(rng.randrange(256) for _ in range(216))
+
+    base = synth_bmp(base_px, 8, 9)
+    requant = synth_bmp(requant_px, 8, 9)
+    resized = synth_bmp(resized_px, 16, 18)
+    other = synth_bmp(other_px, 8, 9)
+
+    assert dhash_bmp(resized) == dhash_bmp(base)  # resize-invariant
+    ham_rq = bin(
+        (dhash_bmp(base) ^ dhash_bmp(requant)) & ((1 << 64) - 1)
+    ).count("1")
+    assert 0 < ham_rq <= 8  # requantize wiggles a few gradient bits
+    df = spark.createDataFrame(
+        [(1, base), (2, requant), (3, resized), (4, other)],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dups(dhash_media(df), "dhash").collect()
+    }
+    assert pairs[(1, 3)] == 0 and pairs[(1, 2)] == ham_rq
+    assert (2, 3) in pairs  # requant vs resized = same planted family
+    assert not any(4 in p for p in pairs)

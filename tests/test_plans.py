@@ -1449,3 +1449,16 @@ def test_lm_ladder_compare_no_python(spark):
     p = plan_of(spark, "lm_ladder_compare")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_multimodal_near_dups_banded_join_arrow_codec(spark):
+    """The perceptual dedup plan: the dHash fingerprint is the one
+    Arrow MapInPandas (codec-family exception), the pairing is the
+    banded equi-join on (chunk_idx, chunk_val) — never a cartesian or
+    nested-loop pass over images — and the hot-bucket cap's window
+    partitions by the chunk key (no single-partition window)."""
+    p = plan_of(spark, "multimodal_near_dups")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -2153,3 +2153,127 @@ def dedup_quality_impact_sql(
                "CAST(sum(n_words) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_words
     FROM flagged GROUP BY cohort ORDER BY cohort
     """
+
+
+# ---------------------------------------------------------------------------
+# Generic banded Hamming join (shared by SimHash-style text hashes and
+# the multimodal dHash tier)
+# ---------------------------------------------------------------------------
+
+
+def _hamming_chunk_bounds(bits: int, max_hamming: int, min_chunks: int = 4):
+    """(start_bit, width) per LSH chunk over a ``bits``-wide hash —
+    the :func:`_sim_chunk_bounds` pigeonhole generalized: a pair
+    within hamming distance h agrees on >= 1 of h+1 disjoint chunks,
+    so recall is full at any radius; narrower chunks collide more and
+    the bucket cap is what keeps that safe."""
+    n = max(min_chunks, max_hamming + 1)
+    base, rem = divmod(bits, n)
+    bounds, start = [], 0
+    for i in range(n):
+        width = base + (1 if i < rem else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
+def hamming_near_dups(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 8,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, hamming) from any BIGINT bit-hash:
+    pigeonhole chunk explode -> capped buckets -> equi-self-join ->
+    exact bit_count(xor) verify. Identical scale shape to
+    :func:`simhash_near_dups` (one chunk shuffle, never all-pairs;
+    arithmetic shift + mask extracts identical chunk values in both
+    engines even when bit 63 wraps the hash negative, because every
+    masked bit position is a genuine hash bit). The hot-bucket cap drops
+    degenerate-constant images the same way boilerplate text is
+    dropped from simhash buckets — documented recall contract, and the
+    oracle twin applies the same cap so results hash-match."""
+    bounds = _hamming_chunk_bounds(bits, max_hamming)
+    chunks = hashes.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright(F.col(hash_col), start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c, (start, width) in enumerate(bounds)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        id_col,
+        hash_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_val").alias("chunk_val"),
+    )
+    from pyspark.sql import Window
+
+    bw = Window.partitionBy("chunk_idx", "chunk_val")
+    ok = chunks.withColumn("_bsz", F.count("*").over(bw)).filter(
+        F.col("_bsz") <= max_bucket_size
+    )
+    a = ok.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"),
+        "chunk_idx", "chunk_val",
+    )
+    b = ok.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"),
+        "chunk_idx", "chunk_val",
+    )
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def hamming_near_dups_sql(
+    hash_cte: str,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 8,
+    max_bucket_size: int = 64,
+) -> str:
+    """DuckDB twin of :func:`hamming_near_dups` over a CTE named
+    ``hash_cte`` providing (id_col, hash_col) — the banded join
+    mirrored exactly (same chunks, same bucket cap), so the recall
+    contract hash-matches."""
+    bounds = _hamming_chunk_bounds(bits, max_hamming)
+    chunk_rows = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, {hash_col},"
+        f" {c} AS chunk_idx,"
+        f" ({hash_col} >> {start}) & {(1 << width) - 1} AS chunk_val"
+        f" FROM {hash_cte}"
+        for c, (start, width) in enumerate(bounds)
+    )
+    return f"""
+    chunks AS ({chunk_rows}),
+    sized AS (SELECT *, count(*) OVER (PARTITION BY chunk_idx, chunk_val)
+                     AS bsz FROM chunks),
+    ok AS (SELECT * FROM sized WHERE bsz <= {max_bucket_size}),
+    ham_pairs AS (
+      SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+             bit_count(xor(a.{hash_col}, b.{hash_col})) AS hamming
+      FROM ok a JOIN ok b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+      WHERE a.{id_col} < b.{id_col}
+        AND bit_count(xor(a.{hash_col}, b.{hash_col})) <= {max_hamming})"""

@@ -1185,3 +1185,98 @@ def decode_gif(payload: bytes) -> dict:
         "n_samples": None,
         "mean_value": round(total / n, 6) if n else 0.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image fingerprint (dHash) + near-dup tier
+#
+# The LAION-style perceptual dedup a multimodal pipeline runs BEFORE
+# paying for embedding compute: decode -> integer luma downsample ->
+# 64-bit difference hash -> banded Hamming join. Everything is exact
+# integer arithmetic, so the DuckDB oracle twin reproduces the hash
+# bit-for-bit from the synthesized payload bytes.
+# ---------------------------------------------------------------------------
+
+DH_GRID_W = 8   # dHash luma grid: 8 columns x 9 rows ->
+DH_GRID_H = 9   # 8x8 vertical gradient comparisons = 64 bits
+
+
+def _bmp_pixel_rows(payload: bytes) -> tuple[int, int, int, bytes, int, int]:
+    """Header-validated BMP pixel-array access (same contract as
+    :func:`decode_bmp`): (width, height, channels, payload, offset,
+    stride). Rows are read in STORED order — the synth/decode pair
+    round-trips byte order, which is what makes the oracle's direct
+    text-byte arithmetic exact."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if size < 40 or comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError("only uncompressed BI_RGB 24/32-bit BMP")
+    ch = bpp // 8
+    stride = ((w * ch + 3) // 4) * 4
+    return int(w), int(abs(h)), ch, payload, off, stride
+
+
+def dhash_bmp(payload: bytes) -> int:
+    """64-bit difference hash of a BMP payload.
+
+    1. integer luma per pixel: (114*c0 + 587*c1 + 299*c2) // 1000
+       (BMP channel order B,G,R — ITU-R 601 integer weights);
+    2. block-average downsample to the 8x9 grid (floor mean over each
+       cell's pixel block; an 8x9 input is the identity, and any
+       pixel-duplicating upscale block-averages back to the SAME grid,
+       which is the resize robustness the planted fixture pins);
+    3. bit r*8+c set iff grid[r][c] > grid[r+1][c] (vertical
+       gradient), packed two's-complement so bit 63 wraps negative —
+       XOR/bit_count work unchanged on the signed value in both
+       engines."""
+    w, h, ch, buf, off, stride = _bmp_pixel_rows(payload)
+    if w < DH_GRID_W or h < DH_GRID_H:
+        raise ValueError(f"image smaller than the {DH_GRID_W}x{DH_GRID_H} dHash grid")
+    grid = []
+    for r in range(DH_GRID_H):
+        r0, r1 = r * h // DH_GRID_H, (r + 1) * h // DH_GRID_H
+        row = []
+        for c in range(DH_GRID_W):
+            c0, c1 = c * w // DH_GRID_W, (c + 1) * w // DH_GRID_W
+            tot = cnt = 0
+            for y in range(r0, r1):
+                base = off + y * stride
+                for x in range(c0, c1):
+                    p = base + x * ch
+                    tot += (
+                        114 * buf[p] + 587 * buf[p + 1] + 299 * buf[p + 2]
+                    ) // 1000
+                    cnt += 1
+            row.append(tot // cnt)
+        grid.append(row)
+    hsh = 0
+    for r in range(DH_GRID_H - 1):
+        for c in range(DH_GRID_W):
+            if grid[r][c] > grid[r + 1][c]:
+                hsh |= 1 << (r * DH_GRID_W + c)
+    if hsh >= 1 << 63:
+        hsh -= 1 << 64
+    return hsh
+
+
+def dhash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) -> (id, dhash): Arrow-batched perceptual
+    fingerprints via the real BMP decode path. Same mapInPandas shape
+    as the other codecs — linear in payload bytes, zero shuffle; the
+    downstream banded join is where distribution happens."""
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "dhash": [dhash_bmp(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} long, dhash long")

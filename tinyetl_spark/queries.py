@@ -5512,6 +5512,106 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.dedup_by_digest(multimodal.attach_metadata(d))
 
 
+_DH_ORACLE = f"""
+    WITH px AS (
+      SELECT doc_id, list_transform(range(0, 72), k -> (114 * ord(text[((3 * k) % length(text)) + 1]) + 587 * ord(text[((3 * k + 1) % length(text)) + 1]) + 299 * ord(text[((3 * k + 2) % length(text)) + 1])) // 1000) AS lm
+      FROM documents
+      WHERE strlen(text) = length(text) AND length(text) > 0),
+    dh AS (
+      SELECT doc_id,
+             CAST(CASE WHEN lm[1] > lm[9] THEN 1 ELSE 0 END
+             + CASE WHEN lm[2] > lm[10] THEN 2 ELSE 0 END
+             + CASE WHEN lm[3] > lm[11] THEN 4 ELSE 0 END
+             + CASE WHEN lm[4] > lm[12] THEN 8 ELSE 0 END
+             + CASE WHEN lm[5] > lm[13] THEN 16 ELSE 0 END
+             + CASE WHEN lm[6] > lm[14] THEN 32 ELSE 0 END
+             + CASE WHEN lm[7] > lm[15] THEN 64 ELSE 0 END
+             + CASE WHEN lm[8] > lm[16] THEN 128 ELSE 0 END
+             + CASE WHEN lm[9] > lm[17] THEN 256 ELSE 0 END
+             + CASE WHEN lm[10] > lm[18] THEN 512 ELSE 0 END
+             + CASE WHEN lm[11] > lm[19] THEN 1024 ELSE 0 END
+             + CASE WHEN lm[12] > lm[20] THEN 2048 ELSE 0 END
+             + CASE WHEN lm[13] > lm[21] THEN 4096 ELSE 0 END
+             + CASE WHEN lm[14] > lm[22] THEN 8192 ELSE 0 END
+             + CASE WHEN lm[15] > lm[23] THEN 16384 ELSE 0 END
+             + CASE WHEN lm[16] > lm[24] THEN 32768 ELSE 0 END
+             + CASE WHEN lm[17] > lm[25] THEN 65536 ELSE 0 END
+             + CASE WHEN lm[18] > lm[26] THEN 131072 ELSE 0 END
+             + CASE WHEN lm[19] > lm[27] THEN 262144 ELSE 0 END
+             + CASE WHEN lm[20] > lm[28] THEN 524288 ELSE 0 END
+             + CASE WHEN lm[21] > lm[29] THEN 1048576 ELSE 0 END
+             + CASE WHEN lm[22] > lm[30] THEN 2097152 ELSE 0 END
+             + CASE WHEN lm[23] > lm[31] THEN 4194304 ELSE 0 END
+             + CASE WHEN lm[24] > lm[32] THEN 8388608 ELSE 0 END
+             + CASE WHEN lm[25] > lm[33] THEN 16777216 ELSE 0 END
+             + CASE WHEN lm[26] > lm[34] THEN 33554432 ELSE 0 END
+             + CASE WHEN lm[27] > lm[35] THEN 67108864 ELSE 0 END
+             + CASE WHEN lm[28] > lm[36] THEN 134217728 ELSE 0 END
+             + CASE WHEN lm[29] > lm[37] THEN 268435456 ELSE 0 END
+             + CASE WHEN lm[30] > lm[38] THEN 536870912 ELSE 0 END
+             + CASE WHEN lm[31] > lm[39] THEN 1073741824 ELSE 0 END
+             + CASE WHEN lm[32] > lm[40] THEN 2147483648 ELSE 0 END
+             + CASE WHEN lm[33] > lm[41] THEN 4294967296 ELSE 0 END
+             + CASE WHEN lm[34] > lm[42] THEN 8589934592 ELSE 0 END
+             + CASE WHEN lm[35] > lm[43] THEN 17179869184 ELSE 0 END
+             + CASE WHEN lm[36] > lm[44] THEN 34359738368 ELSE 0 END
+             + CASE WHEN lm[37] > lm[45] THEN 68719476736 ELSE 0 END
+             + CASE WHEN lm[38] > lm[46] THEN 137438953472 ELSE 0 END
+             + CASE WHEN lm[39] > lm[47] THEN 274877906944 ELSE 0 END
+             + CASE WHEN lm[40] > lm[48] THEN 549755813888 ELSE 0 END
+             + CASE WHEN lm[41] > lm[49] THEN 1099511627776 ELSE 0 END
+             + CASE WHEN lm[42] > lm[50] THEN 2199023255552 ELSE 0 END
+             + CASE WHEN lm[43] > lm[51] THEN 4398046511104 ELSE 0 END
+             + CASE WHEN lm[44] > lm[52] THEN 8796093022208 ELSE 0 END
+             + CASE WHEN lm[45] > lm[53] THEN 17592186044416 ELSE 0 END
+             + CASE WHEN lm[46] > lm[54] THEN 35184372088832 ELSE 0 END
+             + CASE WHEN lm[47] > lm[55] THEN 70368744177664 ELSE 0 END
+             + CASE WHEN lm[48] > lm[56] THEN 140737488355328 ELSE 0 END
+             + CASE WHEN lm[49] > lm[57] THEN 281474976710656 ELSE 0 END
+             + CASE WHEN lm[50] > lm[58] THEN 562949953421312 ELSE 0 END
+             + CASE WHEN lm[51] > lm[59] THEN 1125899906842624 ELSE 0 END
+             + CASE WHEN lm[52] > lm[60] THEN 2251799813685248 ELSE 0 END
+             + CASE WHEN lm[53] > lm[61] THEN 4503599627370496 ELSE 0 END
+             + CASE WHEN lm[54] > lm[62] THEN 9007199254740992 ELSE 0 END
+             + CASE WHEN lm[55] > lm[63] THEN 18014398509481984 ELSE 0 END
+             + CASE WHEN lm[56] > lm[64] THEN 36028797018963968 ELSE 0 END
+             + CASE WHEN lm[57] > lm[65] THEN 72057594037927936 ELSE 0 END
+             + CASE WHEN lm[58] > lm[66] THEN 144115188075855872 ELSE 0 END
+             + CASE WHEN lm[59] > lm[67] THEN 288230376151711744 ELSE 0 END
+             + CASE WHEN lm[60] > lm[68] THEN 576460752303423488 ELSE 0 END
+             + CASE WHEN lm[61] > lm[69] THEN 1152921504606846976 ELSE 0 END
+             + CASE WHEN lm[62] > lm[70] THEN 2305843009213693952 ELSE 0 END
+             + CASE WHEN lm[63] > lm[71] THEN 4611686018427387904 ELSE 0 END
+             + CASE WHEN lm[64] > lm[72] THEN (-9223372036854775807 - 1) ELSE 0 END AS BIGINT) AS dhash
+      FROM px),
+    {dedup.hamming_near_dups_sql("dh", "dhash")}
+    SELECT id_a, id_b, hamming FROM ham_pairs ORDER BY id_a, id_b
+    """
+
+
+@_q("multimodal_near_dups", _DH_ORACLE)
+def multimodal_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs (LAION-style dHash dedup — the
+    tier a multimodal pipeline runs before paying for embeddings):
+    synthesize a REAL 8x9 24-bit BMP per doc from its text bytes,
+    fingerprint through the actual decode path (header-validated pixel
+    access -> integer ITU-R 601 luma -> block-average downsample ->
+    64-bit vertical-gradient dHash, Arrow-batched like every codec),
+    then pair via the generic pigeonhole-banded Hamming join with
+    SimHash's hot-bucket caps (never all-pairs). Exact integer
+    arithmetic end-to-end, so the oracle rebuilds the hash bit-for-bit
+    from the same byte recurrence and mirrors the banded join. At
+    100 TB: one chunk-explode shuffle of 8-byte hashes + capped bucket
+    self-join — the same documented scale shape as simhash_docs;
+    resize/requantize robustness is pinned by the planted fixture in
+    tests/test_operators.py."""
+    from tinyetl_spark.operators import multimodal
+
+    media = _synth_media_df(spark, sf_dir, "bmp9")
+    hashes = multimodal.dhash_media(media)
+    return dedup.hamming_near_dups(hashes, "dhash").orderBy("id_a", "id_b")
+
+
 @_q("multimodal_frame_sample", multimodal.frame_sample_sql(frame_chars=16, step=2))
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling through mapInPandas (every 2nd 16-char frame,
@@ -5652,6 +5752,9 @@ def _synth_media_df(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                 cyc = bytes(b[i % len(b)] for i in range(96))
                 if kind == "bmp":
                     payloads.append(multimodal.synth_bmp(cyc, 8, 4))
+                elif kind == "bmp9":
+                    c9 = bytes(b[i % len(b)] for i in range(216))
+                    payloads.append(multimodal.synth_bmp(c9, 8, 9))
                 elif kind == "png":
                     payloads.append(multimodal.synth_png(cyc, 8, 4))
                 elif kind == "jpeg":
