@@ -1109,23 +1109,25 @@ def test_rpq3_rerank_staged_codes_takeordered_no_python(spark):
 
 def test_ann_budget_curve_staged_no_reencode_no_python(spark):
     """Every budget point must branch off the STAGED subtrees (ground
-    truth + rpq3 codes + IVF assignment parquet) — 24 points may never
-    re-encode the corpus — with no Python anywhere. The nested-budget
-    restructure bounds the corpus-touching work: exactly ONE ADC
-    shortlist pass (TakeOrdered over the staged codes) and ONE
-    cell-filtered scan per probe serve every budget point, so the
-    staged code table appears once per probe, not once per point."""
+    truth + the rpq3/pq/binary code tables + IVF assignment parquet)
+    — 72 grid points may never re-encode the corpus — with no Python
+    anywhere. The nested-budget restructure bounds the corpus-touching
+    work: exactly ONE codec shortlist pass + ONE rank-retaining exact
+    rerank per (probe, codec) and ONE cell-filtered scan per probe
+    serve every budget point, so the staged code tables sit behind the
+    per-(probe, codec) checkpoint barriers and never appear per
+    point."""
     p = plan_of(spark, "ann_budget_curve")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
-    # every point reads (a) the staged ground truth and (b) its probe's
-    # checkpointed rank pass — a <=50-row ExistingRDD, NOT an inlined
-    # re-run of the ADC/cell subtree (the staged code/index tables sit
-    # behind the 8 per-probe barriers and never appear per point)
-    assert p.count("ann_ground_truth") == 24
-    assert p.count("Scan ExistingRDD") == 24
+    # every point reads (a) the staged ground truth and (b) its
+    # (probe, codec)'s checkpointed rank pass — a <=50-row
+    # ExistingRDD, NOT an inlined re-run of the codec subtree
+    assert p.count("ann_ground_truth") == 72
+    assert p.count("Scan ExistingRDD") == 72
     assert "rpq3_codes" not in p and "ivf_index" not in p
-    assert p.count("TakeOrderedAndProject") >= 12  # per-point final cuts
+    assert "binary_codes" not in p and "pq_codes" not in p
+    assert p.count("TakeOrderedAndProject") >= 36  # per-point final cuts
 
 
 def test_unigram_budget_curve_driver_sized_result(spark):

