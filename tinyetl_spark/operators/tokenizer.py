@@ -2218,6 +2218,62 @@ def wordpiece_restricted_train_encode(
     return wordpiece_encode(df, vocab, text_col, id_col)
 
 
+def wordpiece_restricted_totals(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = WP_MERGES,
+    drop: tuple[str, ...] = WP_BF_DROP,
+    vocab: list[str] | None = None,
+) -> DataFrame:
+    """Corpus totals (total_tokens, unk_tokens) of the restricted-vocab
+    BERT-rule encode WITHOUT materializing per-doc token rows: each
+    DISTINCT word segments once against the broadcast vocabulary and
+    the totals are frequency-weighted sums over the word dictionary —
+    the cheap shape for a rate-only consumer (tokenizer_compare's
+    wordpiece_restricted row). Values equal the per-doc encode's sums
+    by construction. Pass the FROZEN trained ``vocab`` (pre-restriction)
+    to skip the training loop — the frozen-tokenizer pattern every
+    other rate consumer uses."""
+    if vocab is None:
+        _, cur = _wp_train_state(df, text_col, n_merges)
+        vocab = _wp_vocab(cur)
+    vocab = wordpiece_restrict_vocab(vocab, drop)
+    max_raw = max(
+        (len(p) - 2 if p.startswith("##") else len(p)) for p in vocab
+    )
+    vmap = _wp_vocab_map(vocab)
+    seg = word_freq(df, text_col).select(
+        "word",
+        "wcount",
+        _wp_greedy_toks(F.col("word"), vmap, max_raw).alias("toks"),
+    )
+    unk = F.size(F.filter(F.col("toks"), lambda t: t == F.lit(WP_UNK)))
+    return seg.agg(
+        F.sum(F.col("wcount") * F.size("toks")).cast("bigint").alias("total_tokens"),
+        F.sum(F.col("wcount") * unk).cast("bigint").alias("unk_tokens"),
+    )
+
+
+def wordpiece_restricted_totals_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n_merges: int = WP_MERGES,
+    drop: tuple[str, ...] = WP_BF_DROP,
+) -> str:
+    """DuckDB twin of :func:`wordpiece_restricted_totals` — the greedy
+    walk over the word dictionary, frequency-weighted sums, no per-doc
+    assembly."""
+    return f"""
+    WITH {_wp_train_ctes(table, text_col, n_merges)},
+    {_wp_restricted_vocab_cte(n_merges, "wvocabr", drop)},
+    {_wp_greedy_ctes(n_merges, "r", vocab_cte="wvocabr")}
+    SELECT CAST(sum(f.wcount * len(g.toks)) AS BIGINT) AS total_tokens,
+           CAST(sum(f.wcount * len(list_filter(g.toks, t -> t = '{WP_UNK}')))
+                AS BIGINT) AS unk_tokens
+    FROM wpf f JOIN wsegr g USING (word)
+    """
+
+
 def _sql_not_like(col: str, drop: tuple[str, ...]) -> str:
     return " AND ".join(f"{col} NOT LIKE '%{ch}%'" for ch in drop)
 

@@ -3427,10 +3427,14 @@ def wordpiece_byte_fallback_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tc_unk_sql(cte: str) -> str:
+    # [UNK] cannot be a substring of any other token (words are
+    # alphanumeric, pieces are ##-marked, byte tokens are <0x..>), so
+    # the cheap replace-length count equals the per-token filter
     return (
         f"SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
-        f" CAST(coalesce(sum(len(list_filter(string_split(tokens, ' '),"
-        f" t -> t = '[UNK]'))), 0) AS BIGINT) AS unk_tokens FROM {cte}"
+        f" CAST(coalesce(sum((length(tokens)"
+        f" - length(replace(tokens, '[UNK]', ''))) // 5), 0) AS BIGINT)"
+        f" AS unk_tokens FROM {cte}"
     )
 
 
@@ -3465,7 +3469,7 @@ _TC_NAMES = [
     encp AS ({tokenizer.unigram_prune_encode_sql()}),
     encw AS ({tokenizer.wordpiece_train_encode_sql()}),
     encf AS ({tokenizer.wordpiece_bf_train_encode_sql()}),
-    encr AS ({tokenizer.wordpiece_restricted_train_encode_sql()}),
+    encr AS ({tokenizer.wordpiece_restricted_totals_sql()}),
     base AS (
       SELECT list_filter({text.words_sql("text")}, x -> length(x) > 0) AS w
       FROM documents),
@@ -3474,7 +3478,10 @@ _TC_NAMES = [
              CAST(SUM(list_sum(list_transform(w, x -> length(x)))) AS BIGINT)
                AS total_chars
       FROM base),
-    {",".join(f"t{c} AS ({_tc_unk_sql(c)})" for _, c in _TC_NAMES)}
+    {",".join(
+        f"t{c} AS (SELECT total_tokens, unk_tokens FROM {c})"
+        if c == "encr" else f"t{c} AS ({_tc_unk_sql(c)})"
+        for _, c in _TC_NAMES)}
     SELECT * FROM ({" UNION ALL ".join(
         _tc_row_sql(n, "t" + c) for n, c in _TC_NAMES)})
     ORDER BY tokenizer
@@ -3523,22 +3530,8 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     encp = _materialized_unigram_pruned_encoded(spark, sf_dir)
     encw = _materialized_wordpiece_encoded(spark, sf_dir)
     encf = _materialized_wordpiece_bf_encoded(spark, sf_dir)
-    # the restricted (plain-[UNK]) encode is totals-only here, so it
-    # is not staged: one distinct-word walk + one corpus agg
-    encr = tokenizer.wordpiece_restricted_train_encode(docs).select(
-        "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
-    )
 
-    def one(name: str, enc: DataFrame) -> DataFrame:
-        unk = F.size(
-            F.filter(
-                F.split(F.col("tokens"), " "), lambda t: t == F.lit("[UNK]")
-            )
-        ).cast("bigint")
-        t = enc.agg(
-            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.coalesce(F.sum(unk), F.lit(0)).cast("bigint").alias("unk_tokens"),
-        )
+    def one(name: str, t: DataFrame) -> DataFrame:
         return t.crossJoin(F.broadcast(tot)).select(
             F.lit(name).alias("tokenizer"),
             "total_tokens",
@@ -3560,13 +3553,36 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unk_rate"),
         )
 
+    def totals(enc: DataFrame) -> DataFrame:
+        # [UNK] is never a substring of another token (words are
+        # alphanumeric, pieces ##-marked, byte tokens <0x..>), so the
+        # replace-length count equals a per-token filter at a fraction
+        # of the cost — no split/array per doc
+        unk = (
+            (
+                F.length("tokens")
+                - F.length(F.replace(F.col("tokens"), F.lit("[UNK]"), F.lit("")))
+            )
+            / F.lit(5)
+        ).cast("bigint")
+        return enc.agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.coalesce(F.sum(unk), F.lit(0)).cast("bigint").alias("unk_tokens"),
+        )
+
+    # the restricted (plain-[UNK]) row is rate-only, so it never
+    # materializes per-doc rows: frequency-weighted totals over the
+    # word dictionary
+    encr_tot = tokenizer.wordpiece_restricted_totals(
+        docs, vocab=_trained_wordpiece_vocab(spark, sf_dir)
+    )
     return (
-        one("bpe", encb)
-        .unionByName(one("unigram", encu))
-        .unionByName(one("unigram_pruned", encp))
-        .unionByName(one("wordpiece", encw))
-        .unionByName(one("wordpiece_bytefallback", encf))
-        .unionByName(one("wordpiece_restricted", encr))
+        one("bpe", totals(encb))
+        .unionByName(one("unigram", totals(encu)))
+        .unionByName(one("unigram_pruned", totals(encp)))
+        .unionByName(one("wordpiece", totals(encw)))
+        .unionByName(one("wordpiece_bytefallback", totals(encf)))
+        .unionByName(one("wordpiece_restricted", encr_tot))
         .orderBy("tokenizer")
     )
 
