@@ -3426,15 +3426,28 @@ def wordpiece_byte_fallback_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialized_wordpiece_bf_encoded(spark, sf_dir)
 
 
+# Per-tokenizer [UNK] accounting — by the encoders' pinned contracts,
+# not a string scan: BPE and the unigram pair keep their alphabets and
+# emit raw pieces for anything unusual (the literal token '[UNK]'
+# cannot occur), byte-fallback mode is [UNK]-free BY DEFINITION, and
+# full-vocab WordPiece emits exactly one [UNK] per word over the
+# 16-char cap (greedy cannot dead-end when the alphabet is kept), so
+# its count is the >16-char word total the corpus scan already walks.
+# The per-doc token strings are never read — total_tokens is a pruned
+# parquet column scan. The per-doc encode queries' own oracles compare
+# full token strings, which is what keeps these contracts honest.
 def _tc_unk_sql(cte: str) -> str:
-    # [UNK] cannot be a substring of any other token (words are
-    # alphanumeric, pieces are ##-marked, byte tokens are <0x..>), so
-    # the cheap replace-length count equals the per-token filter
+    if cte == "encw":
+        return (
+            f"SELECT (SELECT CAST(sum(n_tokens) AS BIGINT) FROM {cte})"
+            f" AS total_tokens,"
+            f" (SELECT CAST(coalesce(sum(len(list_filter(w,"
+            f" x -> length(x) > 16))), 0) AS BIGINT) FROM base)"
+            f" AS unk_tokens"
+        )
     return (
         f"SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
-        f" CAST(coalesce(sum((length(tokens)"
-        f" - length(replace(tokens, '[UNK]', ''))) // 5), 0) AS BIGINT)"
-        f" AS unk_tokens FROM {cte}"
+        f" CAST(0 AS BIGINT) AS unk_tokens FROM {cte}"
     )
 
 
@@ -3512,11 +3525,16 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda a, x: a + x,
         ).alias("_nc"),
+        F.size(F.filter(words, lambda x: F.length(x) > 16))
+        .cast("bigint")
+        .alias("_nl"),
     )
-    tot = base.agg(
+    tot_all = base.agg(
         F.sum("_nw").cast("bigint").alias("total_words"),
         F.sum("_nc").cast("bigint").alias("total_chars"),
-    )
+        F.sum("_nl").cast("bigint").alias("unk_tokens"),
+    ).localCheckpoint(eager=False)
+    tot = tot_all.select("total_words", "total_chars")
     encb = _stage_once_df(
         spark,
         sf_dir,
@@ -3553,22 +3571,16 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unk_rate"),
         )
 
-    def totals(enc: DataFrame) -> DataFrame:
-        # [UNK] is never a substring of another token (words are
-        # alphanumeric, pieces ##-marked, byte tokens <0x..>), so the
-        # replace-length count equals a per-token filter at a fraction
-        # of the cost — no split/array per doc
-        unk = (
-            (
-                F.length("tokens")
-                - F.length(F.replace(F.col("tokens"), F.lit("[UNK]"), F.lit("")))
-            )
-            / F.lit(5)
-        ).cast("bigint")
-        return enc.agg(
-            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-            F.coalesce(F.sum(unk), F.lit(0)).cast("bigint").alias("unk_tokens"),
-        )
+    def totals(enc: DataFrame, unk: DataFrame | None = None) -> DataFrame:
+        # [UNK] accounting by the encoders' pinned contracts (see the
+        # oracle-side comment at _tc_unk_sql): zero for BPE/unigram/
+        # byte-fallback; the >16-char word total for full WordPiece.
+        # total_tokens is a pruned parquet column scan — the per-doc
+        # token strings are never read here.
+        t = enc.agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+        if unk is None:
+            return t.withColumn("unk_tokens", F.lit(0).cast("bigint"))
+        return t.crossJoin(F.broadcast(unk))
 
     # the restricted (plain-[UNK]) row is rate-only, so it never
     # materializes per-doc rows: frequency-weighted totals over the
@@ -3576,11 +3588,12 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     encr_tot = tokenizer.wordpiece_restricted_totals(
         docs, vocab=_trained_wordpiece_vocab(spark, sf_dir)
     )
+    wp_unk = tot_all.select("unk_tokens")
     return (
         one("bpe", totals(encb))
         .unionByName(one("unigram", totals(encu)))
         .unionByName(one("unigram_pruned", totals(encp)))
-        .unionByName(one("wordpiece", totals(encw)))
+        .unionByName(one("wordpiece", totals(encw, unk=wp_unk)))
         .unionByName(one("wordpiece_bytefallback", totals(encf)))
         .unionByName(one("wordpiece_restricted", encr_tot))
         .orderBy("tokenizer")
