@@ -3461,3 +3461,53 @@ def test_dhash_perceptual_near_dups_planted(spark):
     assert pairs[(1, 3)] == 0 and pairs[(1, 2)] == ham_rq
     assert (2, 3) in pairs  # requant vs resized = same planted family
     assert not any(4 in p for p in pairs)
+
+
+def test_audio_fingerprint_near_dups_planted(spark):
+    """Planted audio-pair fixture: exact amplitude doubling scales
+    every frame energy by exactly 4, so the gradient hash is IDENTICAL
+    (volume invariance — the audio analog of the dHash resize fixture);
+    LSB dither moves energies slightly (small hamming); an unrelated
+    clip pairs with neither."""
+    import random
+    import struct
+
+    from tinyetl_spark.operators.dedup import hamming_near_dups
+    from tinyetl_spark.operators.multimodal import (
+        AF_FRAMES,
+        audio_fingerprint_media,
+        audio_fingerprint_wav,
+        synth_wav,
+    )
+
+    rng = random.Random(11)
+    n = 2 * AF_FRAMES
+    base_s = [rng.randrange(-12000, 12000) for _ in range(n)]
+    loud_s = [2 * v for v in base_s]
+    dith_s = [v + (1 if v % 3 == 0 else 0) for v in base_s]
+    other_s = [rng.randrange(-12000, 12000) for _ in range(n)]
+
+    def wav(samples):
+        return synth_wav(struct.pack(f"<{n}h", *samples))
+
+    base, loud, dith, other = (
+        wav(base_s), wav(loud_s), wav(dith_s), wav(other_s)
+    )
+    assert audio_fingerprint_wav(loud) == audio_fingerprint_wav(base)
+    ham_d = bin(
+        (audio_fingerprint_wav(base) ^ audio_fingerprint_wav(dith))
+        & ((1 << 64) - 1)
+    ).count("1")
+    assert 0 <= ham_d <= 8
+    df = spark.createDataFrame(
+        [(1, base), (2, loud), (3, dith), (4, other)],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dups(
+            audio_fingerprint_media(df), "afp"
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0 and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)

@@ -1453,14 +1453,35 @@ def test_lm_ladder_compare_no_python(spark):
     assert "CartesianProduct" not in p
 
 
-def test_multimodal_near_dups_banded_join_arrow_codec(spark):
-    """The perceptual dedup plan: the dHash fingerprint is the one
-    Arrow MapInPandas (codec-family exception), the pairing is the
-    banded equi-join on (chunk_idx, chunk_val) — never a cartesian or
-    nested-loop pass over images — and the hot-bucket cap's window
-    partitions by the chunk key (no single-partition window)."""
+def test_multimodal_near_dups_staged_pair_scan(spark):
+    """The perceptual pair table is a parquet scan of the staged
+    artifact (pairs -> clusters -> survivors is one DAG with a
+    materialization barrier after the pair join, same as the text
+    side's simhash_pairs): no joins, no Python in the consuming plan."""
     p = plan_of(spark, "multimodal_near_dups")
+    assert "dhash_pairs" in p  # reads the staged table
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_multimodal_audio_near_dups_banded_join_arrow_codec(spark):
+    """The audio near-dup plan: the fingerprint is the one Arrow
+    MapInPandas (codec-family exception), the pairing is the banded
+    equi-join on (chunk_idx, chunk_val) — never a cartesian or
+    nested-loop pass over payloads."""
+    p = plan_of(spark, "multimodal_audio_near_dups")
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_multimodal_dup_survivors_broadcast_anti(spark):
+    """Perceptual survivors = corpus broadcast-ANTI-join against the
+    non-canonical cluster members (the cluster table is dup-involved
+    images only — tiny at any scale); the CC rounds ran before this
+    plan behind eager checkpoints."""
+    p = plan_of(spark, "multimodal_dup_survivors")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

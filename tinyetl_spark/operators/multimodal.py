@@ -1280,3 +1280,75 @@ def dhash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=f"{id_col} long, dhash long")
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (energy-envelope hash) + near-dup tier
+# ---------------------------------------------------------------------------
+
+AF_FRAMES = 65  # 65 two-sample frames -> 64 energy-gradient bits
+
+
+def audio_fingerprint_wav(payload: bytes) -> int:
+    """64-bit energy-envelope fingerprint of a PCM WAV payload — the
+    FFT-free skeleton of a Chromaprint-style audio hash (decode ->
+    frame energies -> gradient bits), kept in exact integer arithmetic
+    so the oracle twin rebuilds it from the raw sample bytes:
+
+    1. RIFF chunk walk + fmt validation (same contract as
+       :func:`decode_wav`: PCM, 16-bit);
+    2. frame f (f = 0..64) energy = s[2f]^2 + s[2f+1]^2 over the
+       signed little-endian samples (exact BIGINT);
+    3. bit f set iff energy[f] > energy[f+1], packed two's-complement
+       (bit 63 wraps negative, XOR/bit_count-safe in both engines).
+
+    Needs at least 2*AF_FRAMES samples; shorter payloads raise, the
+    synth query cycles to exactly that length."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, bits, data = 12, None, b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, _, _, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1:
+                raise NotImplementedError("only PCM WAV")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if bits != 16:
+        raise NotImplementedError("only 16-bit PCM")
+    n = len(data) // 2
+    if n < 2 * AF_FRAMES:
+        raise ValueError(f"need >= {2 * AF_FRAMES} samples, got {n}")
+    s = struct.unpack_from(f"<{2 * AF_FRAMES}h", data, 0)
+    e = [s[2 * f] ** 2 + s[2 * f + 1] ** 2 for f in range(AF_FRAMES)]
+    hsh = 0
+    for f in range(AF_FRAMES - 1):
+        if e[f] > e[f + 1]:
+            hsh |= 1 << f
+    if hsh >= 1 << 63:
+        hsh -= 1 << 64
+    return hsh
+
+
+def audio_fingerprint_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) -> (id, afp): Arrow-batched audio fingerprints via
+    the real WAV decode path — same codec-family mapInPandas shape as
+    :func:`dhash_media`."""
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "afp": [audio_fingerprint_wav(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} long, afp long")

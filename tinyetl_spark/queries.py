@@ -5623,6 +5623,19 @@ _DH_ORACLE = f"""
     """
 
 
+def _materialized_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash near-dup pairs staged once — the perceptual tier's
+    materialization barrier, same DAG shape as the text side's staged
+    simhash pairs (pairs -> clusters -> survivors)."""
+    from tinyetl_spark.operators import multimodal
+
+    def build() -> DataFrame:
+        media = _synth_media_df(spark, sf_dir, "bmp9")
+        return dedup.hamming_near_dups(multimodal.dhash_media(media), "dhash")
+
+    return _stage_once_df(spark, sf_dir, "dhash_pairs", _DH_ORACLE, build)
+
+
 @_q("multimodal_near_dups", _DH_ORACLE)
 def multimodal_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup pairs (LAION-style dHash dedup — the
@@ -5639,11 +5652,140 @@ def multimodal_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — the same documented scale shape as simhash_docs;
     resize/requantize robustness is pinned by the planted fixture in
     tests/test_operators.py."""
+    return _materialized_dhash_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+
+
+@_q(
+    "multimodal_dup_survivors",
+    f"""
+    WITH cc AS ({dedup.connected_components_sql(_DH_ORACLE)})
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE strlen(text) = length(text) AND length(text) > 0
+      AND doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)
+    ORDER BY doc_id
+    """,
+)
+def multimodal_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual dedup pipeline's end product — the image corpus
+    with every dHash near-dup cluster collapsed to its canonical
+    (min-id) member: staged pairs -> union-find star-contraction
+    clusters -> broadcast anti-join, the EXACT pipeline the text side
+    runs (dedup_clusters/dedup_survivors), now over image fingerprints.
+    The cluster table is tiny relative to the corpus (dup-involved
+    images only), so at 100 TB this is a broadcast anti-join at scan
+    speed; the DuckDB twin walks the pair closure with a recursive
+    CTE."""
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+    )
+    losers = (
+        dedup.connected_components(_materialized_dhash_pairs(spark, sf_dir))
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(losers), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_AF_ORACLE = f"""
+    WITH es_t AS (
+      SELECT doc_id, list_transform(range(0, 65), f -> CAST((CASE WHEN (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) END) AS BIGINT) * CAST((CASE WHEN (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) END) AS BIGINT) + CAST((CASE WHEN (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) END) AS BIGINT) * CAST((CASE WHEN (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) END) AS BIGINT)) AS es
+      FROM documents
+      WHERE strlen(text) = length(text) AND length(text) > 0),
+    af AS (
+      SELECT doc_id,
+             CAST(CASE WHEN es[1] > es[2] THEN 1 ELSE 0 END
+             + CASE WHEN es[2] > es[3] THEN 2 ELSE 0 END
+             + CASE WHEN es[3] > es[4] THEN 4 ELSE 0 END
+             + CASE WHEN es[4] > es[5] THEN 8 ELSE 0 END
+             + CASE WHEN es[5] > es[6] THEN 16 ELSE 0 END
+             + CASE WHEN es[6] > es[7] THEN 32 ELSE 0 END
+             + CASE WHEN es[7] > es[8] THEN 64 ELSE 0 END
+             + CASE WHEN es[8] > es[9] THEN 128 ELSE 0 END
+             + CASE WHEN es[9] > es[10] THEN 256 ELSE 0 END
+             + CASE WHEN es[10] > es[11] THEN 512 ELSE 0 END
+             + CASE WHEN es[11] > es[12] THEN 1024 ELSE 0 END
+             + CASE WHEN es[12] > es[13] THEN 2048 ELSE 0 END
+             + CASE WHEN es[13] > es[14] THEN 4096 ELSE 0 END
+             + CASE WHEN es[14] > es[15] THEN 8192 ELSE 0 END
+             + CASE WHEN es[15] > es[16] THEN 16384 ELSE 0 END
+             + CASE WHEN es[16] > es[17] THEN 32768 ELSE 0 END
+             + CASE WHEN es[17] > es[18] THEN 65536 ELSE 0 END
+             + CASE WHEN es[18] > es[19] THEN 131072 ELSE 0 END
+             + CASE WHEN es[19] > es[20] THEN 262144 ELSE 0 END
+             + CASE WHEN es[20] > es[21] THEN 524288 ELSE 0 END
+             + CASE WHEN es[21] > es[22] THEN 1048576 ELSE 0 END
+             + CASE WHEN es[22] > es[23] THEN 2097152 ELSE 0 END
+             + CASE WHEN es[23] > es[24] THEN 4194304 ELSE 0 END
+             + CASE WHEN es[24] > es[25] THEN 8388608 ELSE 0 END
+             + CASE WHEN es[25] > es[26] THEN 16777216 ELSE 0 END
+             + CASE WHEN es[26] > es[27] THEN 33554432 ELSE 0 END
+             + CASE WHEN es[27] > es[28] THEN 67108864 ELSE 0 END
+             + CASE WHEN es[28] > es[29] THEN 134217728 ELSE 0 END
+             + CASE WHEN es[29] > es[30] THEN 268435456 ELSE 0 END
+             + CASE WHEN es[30] > es[31] THEN 536870912 ELSE 0 END
+             + CASE WHEN es[31] > es[32] THEN 1073741824 ELSE 0 END
+             + CASE WHEN es[32] > es[33] THEN 2147483648 ELSE 0 END
+             + CASE WHEN es[33] > es[34] THEN 4294967296 ELSE 0 END
+             + CASE WHEN es[34] > es[35] THEN 8589934592 ELSE 0 END
+             + CASE WHEN es[35] > es[36] THEN 17179869184 ELSE 0 END
+             + CASE WHEN es[36] > es[37] THEN 34359738368 ELSE 0 END
+             + CASE WHEN es[37] > es[38] THEN 68719476736 ELSE 0 END
+             + CASE WHEN es[38] > es[39] THEN 137438953472 ELSE 0 END
+             + CASE WHEN es[39] > es[40] THEN 274877906944 ELSE 0 END
+             + CASE WHEN es[40] > es[41] THEN 549755813888 ELSE 0 END
+             + CASE WHEN es[41] > es[42] THEN 1099511627776 ELSE 0 END
+             + CASE WHEN es[42] > es[43] THEN 2199023255552 ELSE 0 END
+             + CASE WHEN es[43] > es[44] THEN 4398046511104 ELSE 0 END
+             + CASE WHEN es[44] > es[45] THEN 8796093022208 ELSE 0 END
+             + CASE WHEN es[45] > es[46] THEN 17592186044416 ELSE 0 END
+             + CASE WHEN es[46] > es[47] THEN 35184372088832 ELSE 0 END
+             + CASE WHEN es[47] > es[48] THEN 70368744177664 ELSE 0 END
+             + CASE WHEN es[48] > es[49] THEN 140737488355328 ELSE 0 END
+             + CASE WHEN es[49] > es[50] THEN 281474976710656 ELSE 0 END
+             + CASE WHEN es[50] > es[51] THEN 562949953421312 ELSE 0 END
+             + CASE WHEN es[51] > es[52] THEN 1125899906842624 ELSE 0 END
+             + CASE WHEN es[52] > es[53] THEN 2251799813685248 ELSE 0 END
+             + CASE WHEN es[53] > es[54] THEN 4503599627370496 ELSE 0 END
+             + CASE WHEN es[54] > es[55] THEN 9007199254740992 ELSE 0 END
+             + CASE WHEN es[55] > es[56] THEN 18014398509481984 ELSE 0 END
+             + CASE WHEN es[56] > es[57] THEN 36028797018963968 ELSE 0 END
+             + CASE WHEN es[57] > es[58] THEN 72057594037927936 ELSE 0 END
+             + CASE WHEN es[58] > es[59] THEN 144115188075855872 ELSE 0 END
+             + CASE WHEN es[59] > es[60] THEN 288230376151711744 ELSE 0 END
+             + CASE WHEN es[60] > es[61] THEN 576460752303423488 ELSE 0 END
+             + CASE WHEN es[61] > es[62] THEN 1152921504606846976 ELSE 0 END
+             + CASE WHEN es[62] > es[63] THEN 2305843009213693952 ELSE 0 END
+             + CASE WHEN es[63] > es[64] THEN 4611686018427387904 ELSE 0 END
+             + CASE WHEN es[64] > es[65] THEN (-9223372036854775807 - 1) ELSE 0 END AS BIGINT) AS afp
+      FROM es_t),
+    {dedup.hamming_near_dups_sql("af", "afp")}
+    SELECT id_a, id_b, hamming FROM ham_pairs ORDER BY id_a, id_b
+    """
+
+
+@_q("multimodal_audio_near_dups", _AF_ORACLE)
+def multimodal_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup pairs — the audio twin of
+    multimodal_near_dups: synthesize a REAL 130-sample 16-bit PCM WAV
+    per doc from its text bytes, fingerprint through the actual decode
+    path (RIFF walk -> signed samples -> 65 exact-integer two-sample
+    frame energies -> 64-bit energy-gradient hash, the FFT-free
+    skeleton of a Chromaprint-style fingerprint, Arrow-batched), then
+    pair via the same generic pigeonhole-banded Hamming join with
+    hot-bucket caps. Exact integer arithmetic end-to-end — the oracle
+    rebuilds every fingerprint bit-for-bit from the little-endian byte
+    recurrence and mirrors the banded join chunk-for-chunk. Same
+    100 TB shape as the image tier: one chunk-explode shuffle of
+    8-byte hashes + capped bucket self-join."""
     from tinyetl_spark.operators import multimodal
 
-    media = _synth_media_df(spark, sf_dir, "bmp9")
-    hashes = multimodal.dhash_media(media)
-    return dedup.hamming_near_dups(hashes, "dhash").orderBy("id_a", "id_b")
+    media = _synth_media_df(spark, sf_dir, "wav260")
+    hashes = multimodal.audio_fingerprint_media(media)
+    return dedup.hamming_near_dups(hashes, "afp").orderBy("id_a", "id_b")
 
 
 @_q("multimodal_frame_sample", multimodal.frame_sample_sql(frame_chars=16, step=2))
@@ -5789,6 +5931,9 @@ def _synth_media_df(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                 elif kind == "bmp9":
                     c9 = bytes(b[i % len(b)] for i in range(216))
                     payloads.append(multimodal.synth_bmp(c9, 8, 9))
+                elif kind == "wav260":
+                    ca = bytes(b[i % len(b)] for i in range(260))
+                    payloads.append(multimodal.synth_wav(ca))
                 elif kind == "png":
                     payloads.append(multimodal.synth_png(cyc, 8, 4))
                 elif kind == "jpeg":
