@@ -309,3 +309,24 @@ def test_streaming_psi_matches_batch(spark):
         for r in QUERIES["source_psi_drift"](spark, sf).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_perceptual_dedup_matches_batch(spark):
+    """The streamed dHash dedup must emit exactly the batch tier's
+    distinct fingerprint set — the arrival-order-independence the
+    query's docstring claims (state = one row per distinct hash)."""
+    from tinyetl_spark.queries import QUERIES, _synth_media_df
+    from tinyetl_spark.operators import multimodal
+
+    got = {
+        r["dhash"]
+        for r in QUERIES["streaming_perceptual_dedup"](spark, SF_DIR).collect()
+    }
+    batch = {
+        r["dhash"]
+        for r in multimodal.dhash_media(_synth_media_df(spark, SF_DIR, "bmp9"))
+        .select("dhash")
+        .distinct()
+        .collect()
+    }
+    assert got == batch and len(got) > 0

@@ -5546,8 +5546,7 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.dedup_by_digest(multimodal.attach_metadata(d))
 
 
-_DH_ORACLE = f"""
-    WITH px AS (
+_DH_HASH_CTES = """px AS (
       SELECT doc_id, list_transform(range(0, 72), k -> (114 * ord(text[((3 * k) % length(text)) + 1]) + 587 * ord(text[((3 * k + 1) % length(text)) + 1]) + 299 * ord(text[((3 * k + 2) % length(text)) + 1])) // 1000) AS lm
       FROM documents
       WHERE strlen(text) = length(text) AND length(text) > 0),
@@ -5617,7 +5616,11 @@ _DH_ORACLE = f"""
              + CASE WHEN lm[62] > lm[70] THEN 2305843009213693952 ELSE 0 END
              + CASE WHEN lm[63] > lm[71] THEN 4611686018427387904 ELSE 0 END
              + CASE WHEN lm[64] > lm[72] THEN (-9223372036854775807 - 1) ELSE 0 END AS BIGINT) AS dhash
-      FROM px),
+      FROM px)"""
+
+
+_DH_ORACLE = f"""
+    WITH {_DH_HASH_CTES},
     {dedup.hamming_near_dups_sql("dh", "dhash")}
     SELECT id_a, id_b, hamming FROM ham_pairs ORDER BY id_a, id_b
     """
@@ -6667,6 +6670,55 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     fp = stream.select(hash128_col(norm_text_col("text")).alias("fp"))
     return streaming.run_bounded(streaming.streaming_dedup(fp, ["fp"]), spark, mode="append")
+
+
+@_q(
+    "streaming_perceptual_dedup",
+    f"""
+    WITH {_DH_HASH_CTES}
+    SELECT DISTINCT dhash FROM dh
+    """,
+)
+def streaming_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup on a STREAM — the 14th streaming query:
+    documents replayed through Structured Streaming, each micro-batch
+    synthesizing its BMPs and fingerprinting through the SAME Arrow
+    decode path the batch tier uses (stateless mapInPandas composes
+    with streaming), then dropDuplicates on the 64-bit dHash — each
+    distinct perceptual fingerprint is emitted exactly once, which is
+    precisely the ingest-time image dedup a multimodal pipeline runs
+    before paying storage for a frame. State = one row per DISTINCT
+    hash in the state store (bounded by image variety, not stream
+    length); projecting down to the hash makes the result
+    arrival-order-independent, so the batch DISTINCT oracle matches
+    exactly."""
+    from tinyetl_spark import streaming
+    from tinyetl_spark.operators import multimodal
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stage = _stage_table_symlink(sf_dir, "documents")
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    src = stream.filter(
+        (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+    ).select("text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = []
+            for t in pdf["text"]:
+                b = t.encode()
+                c9 = bytes(b[i % len(b)] for i in range(216))
+                hashes.append(
+                    multimodal.dhash_bmp(multimodal.synth_bmp(c9, 8, 9))
+                )
+            yield pd.DataFrame({"dhash": pd.Series(hashes, dtype="int64")})
+
+    hashed = src.mapInPandas(run, schema="dhash long")
+    return streaming.run_bounded(
+        streaming.streaming_dedup(hashed, ["dhash"]), spark, mode="append"
+    )
 
 
 @_q(
