@@ -25,6 +25,9 @@ from tinyetl_spark.session import get_spark
 
 NEW = [
     "multimodal_near_dups",
+    "multimodal_audio_near_dups",
+    "multimodal_dup_survivors",
+    "streaming_perceptual_dedup",
     "wordpiece_byte_fallback_docs",
     "tokenizer_compare",
     "ann_budget_curve",

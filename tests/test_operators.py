@@ -3511,3 +3511,45 @@ def test_audio_fingerprint_near_dups_planted(spark):
     }
     assert pairs[(1, 2)] == 0 and (1, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_wordpiece_bf_encode_batch_equals_fold(spark):
+    """The Arrow-batched encoder's byte_fallback mode is byte-equal to
+    the literal-fold wordpiece_encode_bf on random corpora under a
+    RESTRICTED trained vocabulary (pieces containing 'b' struck, so
+    genuine mid-word fallbacks occur), including the over-cap
+    whole-word byte-run rule."""
+    from hypothesis import given, settings, strategies as st
+
+    from tinyetl_spark.operators.tokenizer import (
+        wordpiece_encode_batch,
+        wordpiece_encode_bf,
+        wordpiece_restrict_vocab,
+        wordpiece_vocab,
+    )
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=6), min_size=1, max_size=8))
+    def check(docs):
+        texts = [" ".join(ws) for ws in docs] + ["a" * 17]  # over-cap row
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        vocab = wordpiece_restrict_vocab(
+            wordpiece_vocab(df, n_merges=5), drop=("b",)
+        )
+        fold = {
+            r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+            for r in wordpiece_encode_bf(df, vocab).collect()
+        }
+        batch = {
+            r["doc_id"]: (r["n_tokens"], list(r["tokens"]))
+            for r in wordpiece_encode_batch(
+                df, vocab, byte_fallback=True
+            ).collect()
+        }
+        assert fold == batch
+
+    check()

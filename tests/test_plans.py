@@ -1485,3 +1485,12 @@ def test_multimodal_dup_survivors_broadcast_anti(spark):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_wordpiece_bf_encode_batch_is_arrow_pure_map(spark):
+    """The byte-fallback production encoder stays a pure Arrow map
+    over the scan (vocabulary ships as task state): no shuffle in the
+    encode subtree, no row-at-a-time Python."""
+    p = plan_of(spark, "wordpiece_bf_encode_batch_docs")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p

@@ -1984,6 +1984,7 @@ def wordpiece_encode_batch(
     vocab: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """Production-vocabulary WordPiece encoder: Arrow-batched
     ``mapInPandas``, byte-equal to :func:`wordpiece_encode`.
@@ -1998,7 +1999,13 @@ def wordpiece_encode_batch(
     work the batch's DISTINCT words. Zero shuffle (pure map), Arrow
     batch transfer, O(vocab) bytes per executor. Use for encoding NEW
     text under a frozen production vocabulary; wordpiece_train_encode
-    remains the cheapest path on the training corpus itself."""
+    remains the cheapest path on the training corpus itself.
+
+    ``byte_fallback=True`` switches the no-match rule from the BERT
+    whole-word [UNK] collapse to the SentencePiece byte escape (the
+    unmatched position is consumed as '<0xAB>' UTF-8 byte tokens and
+    the walk continues; over-cap words become whole-word byte runs) —
+    byte-equal to :func:`wordpiece_encode_bf` by property test."""
     import pandas as pd
 
     vset = set(vocab)
@@ -2011,12 +2018,15 @@ def wordpiece_encode_batch(
     def _encode_batches(batches):
         cache: dict[str, list[str]] = {}
 
+        def byte_toks(frag: str) -> list[str]:
+            return [f"<0x{b:02X}>" for b in frag.encode("utf-8")]
+
         def enc_word(w: str) -> list[str]:
             hit = cache.get(w)
             if hit is not None:
                 return hit
             if len(w) > WP_MAXWORD:
-                out = [WP_UNK]
+                out = byte_toks(w) if byte_fallback else [WP_UNK]
             else:
                 out, pos = [], 0
                 while pos < len(w):
@@ -2031,6 +2041,10 @@ def wordpiece_encode_batch(
                             pos += l
                             break
                     else:
+                        if byte_fallback:
+                            out.extend(byte_toks(w[pos]))
+                            pos += 1
+                            continue
                         out = [WP_UNK]
                         break
             cache[w] = out

@@ -3327,6 +3327,33 @@ def wordpiece_encode_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "wordpiece_bf_encode_batch_docs",
+    tokenizer.wordpiece_bf_train_encode_sql(),
+)
+def wordpiece_bf_encode_batch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched production encoder in byte_fallback mode
+    under the SAME restricted frozen vocabulary as
+    wordpiece_byte_fallback_docs — value-identical to the fold path by
+    construction (and by property test), so it shares that oracle.
+    This is the encoder shape a 32k-piece production vocabulary
+    actually ships with: set-lookup greedy + per-batch word cache +
+    byte escape, zero shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = tokenizer.wordpiece_restrict_vocab(
+        _trained_wordpiece_vocab(spark, sf_dir)
+    )
+    enc = tokenizer.wordpiece_encode_batch(docs, vocab, byte_fallback=True)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.filter(F.col("tokens"), lambda t: t.like("<0x%")))
+        .cast("bigint")
+        .alias("n_byte_tokens"),
+        F.concat_ws(" ", "tokens").alias("tokens"),
+    )
+
+
 @_q("wordpiece_budget_curve", tokenizer.wordpiece_budget_curve_sql())
 def wordpiece_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fertility/compression vs merge budget (6/12/24) for WordPiece —
