@@ -3553,3 +3553,39 @@ def test_wordpiece_bf_encode_batch_equals_fold(spark):
         assert fold == batch
 
     check()
+
+
+def test_phash_affine_invariance_planted(spark):
+    """pHash's defining robustness, EXACT under the integer basis: a
+    grayscale image and its positive affine luma map (2v+10) hash
+    identically (brightness lives in the dropped DC term; contrast
+    scales coefficients and median together), while dHash — gradients
+    only — also survives; an unrelated image pairs with neither."""
+    import random
+
+    from tinyetl_spark.operators.dedup import hamming_near_dups
+    from tinyetl_spark.operators.multimodal import (
+        phash_bmp,
+        phash_media,
+        synth_bmp,
+    )
+
+    rng = random.Random(5)
+    vals = [rng.randrange(0, 120) for _ in range(72)]
+
+    def gray(vs):
+        return synth_bmp(bytes(b for v in vs for b in (v, v, v)), 8, 9)
+
+    base = gray(vals)
+    affine = gray([2 * v + 10 for v in vals])
+    other = gray([rng.randrange(0, 120) for _ in range(72)])
+    assert phash_bmp(affine) == phash_bmp(base)
+    df = spark.createDataFrame(
+        [(1, base), (2, affine), (3, other)], "doc_id long, payload binary"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dups(phash_media(df), "phash", bits=63).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert not any(3 in p for p in pairs)

@@ -1494,3 +1494,14 @@ def test_wordpiece_bf_encode_batch_is_arrow_pure_map(spark):
     p = plan_of(spark, "wordpiece_bf_encode_batch_docs")
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_multimodal_phash_near_dups_banded_join_arrow_codec(spark):
+    """The spectral near-dup plan: one Arrow MapInPandas fingerprint
+    (codec-family exception), banded equi-join pairing — no cartesian,
+    no nested-loop pass over images."""
+    p = plan_of(spark, "multimodal_phash_near_dups")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

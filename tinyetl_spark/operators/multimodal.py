@@ -1352,3 +1352,107 @@ def audio_fingerprint_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=f"{id_col} long, afp long")
+
+
+# ---------------------------------------------------------------------------
+# pHash (exact-integer DCT perceptual hash)
+# ---------------------------------------------------------------------------
+
+PH_SCALE = 1_000_000  # DCT basis fixed-point scale
+
+
+def _phash_basis() -> list[list[int]]:
+    """The 8-point DCT-II basis as EXACT half-up-rounded 1e6-scaled
+    integers: K[u][x] = floor(cos((2x+1)*u*pi/16) * 1e6 + 0.5). Both
+    engines embed these SAME literals, so every coefficient is exact
+    BIGINT arithmetic. The rounding keeps the basis' key identities:
+    rows u >= 1 still sum to zero EXACTLY (the x and x+4 terms are
+    symmetric negatives and half-up rounding negates symmetrically),
+    which is what makes the brightness-shift invariance below exact,
+    not approximate."""
+    import math
+
+    return [
+        [
+            math.floor(math.cos((2 * x + 1) * u * math.pi / 16) * PH_SCALE + 0.5)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+
+PH_BASIS = _phash_basis()
+
+
+def phash_bmp(payload: bytes) -> int:
+    """63-bit spectral perceptual hash (pHash) of a BMP payload — the
+    DCT complement to :func:`dhash_bmp` (dHash sees local gradients,
+    pHash sees global structure):
+
+    1. the same decode -> integer luma -> block-average grid path as
+       dHash, using the TOP 8x8 of the 8x9 grid;
+    2. 2-D DCT-II via the exact-integer basis: S[u][v] =
+       sum_xy K[u][x]*K[v][y]*L[x][y] (|S| < 1e12*255*64 — BIGINT-safe);
+    3. bit k (k = 0..62) set iff AC coefficient k (row-major, DC
+       dropped) exceeds the EXACT median of the 63 AC coefficients
+       (odd count — no midpoint average, pure integer compare).
+
+    Exact invariances (pinned by the planted fixture): brightness
+    shift L+c leaves every AC coefficient unchanged (basis rows sum to
+    zero exactly), and contrast scaling a*L scales coefficients and
+    median together — the hash is invariant under any exact positive
+    affine luma map, which is what pHash is FOR."""
+    w, h, ch, buf, off, stride = _bmp_pixel_rows(payload)
+    if w < DH_GRID_W or h < DH_GRID_H:
+        raise ValueError(f"image smaller than the {DH_GRID_W}x{DH_GRID_H} grid")
+    grid = []
+    for r in range(8):
+        r0, r1 = r * h // DH_GRID_H, (r + 1) * h // DH_GRID_H
+        row = []
+        for c in range(8):
+            c0, c1 = c * w // DH_GRID_W, (c + 1) * w // DH_GRID_W
+            tot = cnt = 0
+            for y in range(r0, r1):
+                base = off + y * stride
+                for x in range(c0, c1):
+                    p = base + x * ch
+                    tot += (
+                        114 * buf[p] + 587 * buf[p + 1] + 299 * buf[p + 2]
+                    ) // 1000
+                    cnt += 1
+            row.append(tot // cnt)
+        grid.append(row)
+    K = PH_BASIS
+    co = [
+        sum(
+            K[u][x] * K[v][y] * grid[x][y]
+            for x in range(8)
+            for y in range(8)
+        )
+        for u in range(8)
+        for v in range(8)
+    ]
+    ac = co[1:]
+    med = sorted(ac)[31]
+    hsh = 0
+    for k, s in enumerate(ac):
+        if s > med:
+            hsh |= 1 << k
+    return hsh  # 63 bits — never touches the sign bit
+
+
+def phash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) -> (id, phash): Arrow-batched spectral
+    fingerprints via the real BMP decode path."""
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "phash": [phash_bmp(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} long, phash long")

@@ -5720,6 +5720,114 @@ def multimodal_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PH_COEFF = (
+    "list_transform(range(0, 64), i -> list_sum(list_transform(range(0, 64),"
+    " j -> CAST((__K__)[CAST(i // 8 + 1 AS INT)][CAST(j // 8 + 1 AS INT)]"
+    " AS BIGINT)"
+    " * CAST((__K__)[CAST(i % 8 + 1 AS INT)][CAST(j % 8 + 1 AS INT)]"
+    " AS BIGINT)"
+    " * CAST(lm[CAST(j + 1 AS INT)] AS BIGINT))))"
+).replace("__K__", repr(multimodal.PH_BASIS))
+
+
+_PH_ORACLE = f"""
+    WITH {_DH_HASH_CTES},
+    ph AS (SELECT doc_id, {_PH_COEFF} AS co FROM px),
+    acm AS (SELECT doc_id, co[2:64] AS ac FROM ph),
+    medt AS (SELECT doc_id, ac, list_sort(ac)[32] AS med FROM acm),
+    phh AS (
+      SELECT doc_id,
+             CAST(CASE WHEN ac[1] > med THEN 1 ELSE 0 END
+             + CASE WHEN ac[2] > med THEN 2 ELSE 0 END
+             + CASE WHEN ac[3] > med THEN 4 ELSE 0 END
+             + CASE WHEN ac[4] > med THEN 8 ELSE 0 END
+             + CASE WHEN ac[5] > med THEN 16 ELSE 0 END
+             + CASE WHEN ac[6] > med THEN 32 ELSE 0 END
+             + CASE WHEN ac[7] > med THEN 64 ELSE 0 END
+             + CASE WHEN ac[8] > med THEN 128 ELSE 0 END
+             + CASE WHEN ac[9] > med THEN 256 ELSE 0 END
+             + CASE WHEN ac[10] > med THEN 512 ELSE 0 END
+             + CASE WHEN ac[11] > med THEN 1024 ELSE 0 END
+             + CASE WHEN ac[12] > med THEN 2048 ELSE 0 END
+             + CASE WHEN ac[13] > med THEN 4096 ELSE 0 END
+             + CASE WHEN ac[14] > med THEN 8192 ELSE 0 END
+             + CASE WHEN ac[15] > med THEN 16384 ELSE 0 END
+             + CASE WHEN ac[16] > med THEN 32768 ELSE 0 END
+             + CASE WHEN ac[17] > med THEN 65536 ELSE 0 END
+             + CASE WHEN ac[18] > med THEN 131072 ELSE 0 END
+             + CASE WHEN ac[19] > med THEN 262144 ELSE 0 END
+             + CASE WHEN ac[20] > med THEN 524288 ELSE 0 END
+             + CASE WHEN ac[21] > med THEN 1048576 ELSE 0 END
+             + CASE WHEN ac[22] > med THEN 2097152 ELSE 0 END
+             + CASE WHEN ac[23] > med THEN 4194304 ELSE 0 END
+             + CASE WHEN ac[24] > med THEN 8388608 ELSE 0 END
+             + CASE WHEN ac[25] > med THEN 16777216 ELSE 0 END
+             + CASE WHEN ac[26] > med THEN 33554432 ELSE 0 END
+             + CASE WHEN ac[27] > med THEN 67108864 ELSE 0 END
+             + CASE WHEN ac[28] > med THEN 134217728 ELSE 0 END
+             + CASE WHEN ac[29] > med THEN 268435456 ELSE 0 END
+             + CASE WHEN ac[30] > med THEN 536870912 ELSE 0 END
+             + CASE WHEN ac[31] > med THEN 1073741824 ELSE 0 END
+             + CASE WHEN ac[32] > med THEN 2147483648 ELSE 0 END
+             + CASE WHEN ac[33] > med THEN 4294967296 ELSE 0 END
+             + CASE WHEN ac[34] > med THEN 8589934592 ELSE 0 END
+             + CASE WHEN ac[35] > med THEN 17179869184 ELSE 0 END
+             + CASE WHEN ac[36] > med THEN 34359738368 ELSE 0 END
+             + CASE WHEN ac[37] > med THEN 68719476736 ELSE 0 END
+             + CASE WHEN ac[38] > med THEN 137438953472 ELSE 0 END
+             + CASE WHEN ac[39] > med THEN 274877906944 ELSE 0 END
+             + CASE WHEN ac[40] > med THEN 549755813888 ELSE 0 END
+             + CASE WHEN ac[41] > med THEN 1099511627776 ELSE 0 END
+             + CASE WHEN ac[42] > med THEN 2199023255552 ELSE 0 END
+             + CASE WHEN ac[43] > med THEN 4398046511104 ELSE 0 END
+             + CASE WHEN ac[44] > med THEN 8796093022208 ELSE 0 END
+             + CASE WHEN ac[45] > med THEN 17592186044416 ELSE 0 END
+             + CASE WHEN ac[46] > med THEN 35184372088832 ELSE 0 END
+             + CASE WHEN ac[47] > med THEN 70368744177664 ELSE 0 END
+             + CASE WHEN ac[48] > med THEN 140737488355328 ELSE 0 END
+             + CASE WHEN ac[49] > med THEN 281474976710656 ELSE 0 END
+             + CASE WHEN ac[50] > med THEN 562949953421312 ELSE 0 END
+             + CASE WHEN ac[51] > med THEN 1125899906842624 ELSE 0 END
+             + CASE WHEN ac[52] > med THEN 2251799813685248 ELSE 0 END
+             + CASE WHEN ac[53] > med THEN 4503599627370496 ELSE 0 END
+             + CASE WHEN ac[54] > med THEN 9007199254740992 ELSE 0 END
+             + CASE WHEN ac[55] > med THEN 18014398509481984 ELSE 0 END
+             + CASE WHEN ac[56] > med THEN 36028797018963968 ELSE 0 END
+             + CASE WHEN ac[57] > med THEN 72057594037927936 ELSE 0 END
+             + CASE WHEN ac[58] > med THEN 144115188075855872 ELSE 0 END
+             + CASE WHEN ac[59] > med THEN 288230376151711744 ELSE 0 END
+             + CASE WHEN ac[60] > med THEN 576460752303423488 ELSE 0 END
+             + CASE WHEN ac[61] > med THEN 1152921504606846976 ELSE 0 END
+             + CASE WHEN ac[62] > med THEN 2305843009213693952 ELSE 0 END
+             + CASE WHEN ac[63] > med THEN 4611686018427387904 ELSE 0 END AS BIGINT) AS phash
+      FROM medt),
+    {dedup.hamming_near_dups_sql("phh", "phash", bits=63)}
+    SELECT id_a, id_b, hamming FROM ham_pairs ORDER BY id_a, id_b
+    """
+
+
+@_q("multimodal_phash_near_dups", _PH_ORACLE)
+def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral perceptual near-dup pairs — pHash beside dHash (dHash
+    sees local gradients, pHash global structure): the same decoded
+    8x8 luma grid runs through an EXACT-INTEGER 2-D DCT-II (1e6-scaled
+    half-up-rounded basis literals shared by both engines), each of
+    the 63 AC coefficients compares against their exact median (odd
+    count — no midpoint float), and the 63-bit hash pairs via the
+    shared banded Hamming join. The integer basis keeps pHash's
+    defining invariance EXACT rather than approximate: any positive
+    affine luma map (brightness shift, contrast scale) produces the
+    identical hash — pinned by the planted fixture. Same 100 TB shape
+    as the other fingerprint tiers."""
+    from tinyetl_spark.operators import multimodal
+
+    media = _synth_media_df(spark, sf_dir, "bmp9")
+    hashes = multimodal.phash_media(media)
+    return dedup.hamming_near_dups(hashes, "phash", bits=63).orderBy(
+        "id_a", "id_b"
+    )
+
+
 _AF_ORACLE = f"""
     WITH es_t AS (
       SELECT doc_id, list_transform(range(0, 65), f -> CAST((CASE WHEN (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) END) AS BIGINT) * CAST((CASE WHEN (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) END) AS BIGINT) + CAST((CASE WHEN (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) END) AS BIGINT) * CAST((CASE WHEN (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) END) AS BIGINT)) AS es
