@@ -25,10 +25,12 @@ from tinyetl_spark.session import get_spark
 
 NEW = [
     "multimodal_near_dups",
+    "multimodal_phash_near_dups",
     "multimodal_audio_near_dups",
     "multimodal_dup_survivors",
     "streaming_perceptual_dedup",
     "wordpiece_byte_fallback_docs",
+    "wordpiece_bf_encode_batch_docs",
     "tokenizer_compare",
     "ann_budget_curve",
 ]

@@ -3589,3 +3589,50 @@ def test_phash_affine_invariance_planted(spark):
     }
     assert pairs[(1, 2)] == 0
     assert not any(3 in p for p in pairs)
+
+
+def test_media_quality_stats_planted(spark):
+    """Planted media-quality fixtures: a constant gray image is flat
+    (zero variance/gradient/range), a checkerboard is not; a full-
+    scale square wave is clipped and not silent, a whisper-level clip
+    is silent and unclipped — with the exact stat values checked."""
+    import struct
+
+    from tinyetl_spark.operators.multimodal import (
+        audio_quality_stats,
+        image_quality_stats,
+        synth_bmp,
+        synth_wav,
+    )
+
+    flat = synth_bmp(bytes([77, 77, 77] * 72), 8, 9)
+    checker = synth_bmp(
+        bytes(
+            b
+            for k in range(72)
+            for b in ((0, 0, 0) if (k + k // 8) % 2 else (200, 200, 200))
+        ),
+        8,
+        9,
+    )
+    idf = spark.createDataFrame(
+        [(1, flat), (2, checker)], "doc_id long, payload binary"
+    )
+    iq = {r["doc_id"]: r for r in image_quality_stats(idf).collect()}
+    assert iq[1]["is_flat"] and iq[1]["var_luma"] == 0.0
+    assert iq[1]["grad_energy"] == 0 and iq[1]["dyn_range"] == 0
+    assert iq[1]["mean_luma"] == 77.0
+    assert not iq[2]["is_flat"] and iq[2]["dyn_range"] == 200
+    # checker: every vertical (64) and horizontal (63) neighbor differs
+    assert iq[2]["grad_energy"] == 200 * (64 + 63)
+
+    loud = synth_wav(struct.pack("<130h", *([32000, -32000] * 65)))
+    quiet = synth_wav(struct.pack("<130h", *([100, -100] * 65)))
+    adf = spark.createDataFrame(
+        [(1, loud), (2, quiet)], "doc_id long, payload binary"
+    )
+    aq = {r["doc_id"]: r for r in audio_quality_stats(adf).collect()}
+    assert aq[1]["is_clipped"] and not aq[1]["is_silent"]
+    assert aq[1]["clip_frac"] == 1.0 and aq[1]["rms"] == 32000.0
+    assert aq[2]["is_silent"] and not aq[2]["is_clipped"]
+    assert aq[2]["silence_frac"] == 1.0 and aq[2]["peak_abs"] == 100

@@ -1505,3 +1505,13 @@ def test_multimodal_phash_near_dups_banded_join_arrow_codec(spark):
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_media_quality_stats_arrow_pure_map(spark):
+    """Both decode-level quality filters are pure Arrow maps over the
+    scan — zero shuffle, zero row-at-a-time Python."""
+    for name in ("multimodal_image_quality", "multimodal_audio_quality"):
+        p = plan_of(spark, name)
+        assert "MapInPandas" in p
+        assert "BatchEvalPython" not in p
+        assert "Exchange hashpartitioning" not in p

@@ -1456,3 +1456,175 @@ def phash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=f"{id_col} long, phash long")
+
+
+# ---------------------------------------------------------------------------
+# Decode-level media QUALITY stats (the filter tier: flat/low-contrast
+# image detection, clipped/silent audio detection)
+# ---------------------------------------------------------------------------
+
+IQ_FLAT_RANGE = 16       # dynamic range below this = flat image
+AQ_CLIP_ABS = 30000      # |sample| at/above this counts as clipped
+AQ_SILENCE_ABS = 2048    # |sample| below this counts as silence
+
+
+def _floor_round(x: float, nd: int = 6) -> float:
+    import math
+
+    scale = 10 ** nd
+    return math.floor(x * scale + 0.5) / scale
+
+
+def image_quality_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) -> per-image quality stats through the real BMP
+    decode path — the pre-embedding image filter a multimodal curation
+    run applies first (LAION-style: drop flat/low-contrast/near-empty
+    frames before paying for CLIP scores):
+
+    mean_luma / var_luma (population), grad_energy (sum of absolute
+    vertical + horizontal neighbor luma deltas — the blur/flatness
+    signal), dyn_range (max - min), is_flat (dyn_range < IQ_FLAT_RANGE).
+    All sums are exact integers; the two floats are single fixed IEEE
+    divisions floor_round-ed at 6dp, so the DuckDB twin reproduces
+    them from the byte recurrence exactly."""
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        rows: dict[str, list] = {
+            id_col: [], "mean_luma": [], "var_luma": [],
+            "grad_energy": [], "dyn_range": [], "is_flat": [],
+        }
+
+        def one(payload: bytes) -> tuple:
+            w, h, ch, buf, off, stride = _bmp_pixel_rows(payload)
+            lm = []
+            for y in range(h):
+                base = off + y * stride
+                for x in range(w):
+                    p = base + x * ch
+                    lm.append(
+                        (114 * buf[p] + 587 * buf[p + 1] + 299 * buf[p + 2])
+                        // 1000
+                    )
+            n = len(lm)
+            s1 = sum(lm)
+            s2 = sum(v * v for v in lm)
+            grad = sum(
+                abs(lm[y * w + x] - lm[(y + 1) * w + x])
+                for y in range(h - 1)
+                for x in range(w)
+            ) + sum(
+                abs(lm[y * w + x] - lm[y * w + x + 1])
+                for y in range(h)
+                for x in range(w - 1)
+            )
+            rng = max(lm) - min(lm)
+            return (
+                _floor_round(s1 / n),
+                _floor_round((n * s2 - s1 * s1) / (n * n)),
+                grad,
+                rng,
+                rng < IQ_FLAT_RANGE,
+            )
+
+        for pdf in batches:
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                m, v, g, r, f = one(payload)
+                rows[id_col].append(rid)
+                rows["mean_luma"].append(m)
+                rows["var_luma"].append(v)
+                rows["grad_energy"].append(g)
+                rows["dyn_range"].append(r)
+                rows["is_flat"].append(f)
+            out = pd.DataFrame(rows)
+            for k in rows:
+                rows[k] = []
+            yield out
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, mean_luma double, var_luma double,"
+            " grad_energy long, dyn_range long, is_flat boolean"
+        ),
+    )
+
+
+def audio_quality_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) -> per-clip audio quality stats through the real
+    WAV decode path — the pre-transcription audio filter (drop clipped
+    or near-silent clips before paying for ASR): rms (floor_round 6dp
+    of one IEEE sqrt over an exact-integer energy sum), clip_frac and
+    silence_frac (exact counts over the sample array, one fixed
+    division each), peak_abs (max |sample|), is_clipped / is_silent
+    flags."""
+    import struct
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        rows: dict[str, list] = {
+            id_col: [], "rms": [], "clip_frac": [], "silence_frac": [],
+            "peak_abs": [], "is_clipped": [], "is_silent": [],
+        }
+
+        def one(payload: bytes) -> tuple:
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a WAV payload")
+            pos, bits, data = 12, None, b""
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                clen = struct.unpack_from("<I", payload, pos + 4)[0]
+                body = payload[pos + 8 : pos + 8 + clen]
+                if cid == b"fmt ":
+                    fmt_code, _, _, _, _, bits = struct.unpack_from(
+                        "<HHIIHH", body, 0
+                    )
+                    if fmt_code != 1:
+                        raise NotImplementedError("only PCM WAV")
+                elif cid == b"data":
+                    data = body
+                pos += 8 + clen + (clen & 1)
+            if bits != 16:
+                raise NotImplementedError("only 16-bit PCM")
+            n = len(data) // 2
+            ss = struct.unpack_from(f"<{n}h", data, 0)
+            e = sum(v * v for v in ss)
+            clip = sum(1 for v in ss if abs(v) >= AQ_CLIP_ABS)
+            sil = sum(1 for v in ss if abs(v) < AQ_SILENCE_ABS)
+            peak = max(abs(v) for v in ss)
+            import math
+
+            rms = _floor_round(math.sqrt(e / n))
+            return (
+                rms,
+                _floor_round(clip / n),
+                _floor_round(sil / n),
+                peak,
+                clip > 0,
+                sil * 2 > n,
+            )
+
+        for pdf in batches:
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                r, c, s, p, fc, fs = one(payload)
+                rows[id_col].append(rid)
+                rows["rms"].append(r)
+                rows["clip_frac"].append(c)
+                rows["silence_frac"].append(s)
+                rows["peak_abs"].append(p)
+                rows["is_clipped"].append(fc)
+                rows["is_silent"].append(fs)
+            out = pd.DataFrame(rows)
+            for k in rows:
+                rows[k] = []
+            yield out
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, rms double, clip_frac double,"
+            " silence_frac double, peak_abs long,"
+            " is_clipped boolean, is_silent boolean"
+        ),
+    )

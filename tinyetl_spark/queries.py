@@ -5828,6 +5828,89 @@ def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IQ_ORACLE = f"""
+    WITH {_DH_HASH_CTES}
+    SELECT doc_id,
+           {text.floor_round_sql("CAST(list_sum(lm) AS DOUBLE) / 72", 6)}
+             AS mean_luma,
+           {text.floor_round_sql(
+               "CAST(72 * list_sum(list_transform(lm, x -> x * x))"
+               " - list_sum(lm) * list_sum(lm) AS DOUBLE) / 5184.0", 6)}
+             AS var_luma,
+           CAST(list_sum(list_transform(range(0, 64),
+                  k -> abs(lm[CAST(k + 1 AS INT)] - lm[CAST(k + 9 AS INT)])))
+                + list_sum(list_transform(range(0, 63),
+                  i -> abs(lm[CAST((i // 7) * 8 + (i % 7) + 1 AS INT)]
+                           - lm[CAST((i // 7) * 8 + (i % 7) + 2 AS INT)])))
+                AS BIGINT) AS grad_energy,
+           CAST(list_max(lm) - list_min(lm) AS BIGINT) AS dyn_range,
+           (list_max(lm) - list_min(lm)) < {multimodal.IQ_FLAT_RANGE}
+             AS is_flat
+    FROM px ORDER BY doc_id
+    """
+
+
+@_q("multimodal_image_quality", _IQ_ORACLE)
+def multimodal_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image quality stats through the REAL decode path — the
+    filter a multimodal curation run applies before paying for
+    embeddings (LAION-style: flat, low-contrast, near-empty frames
+    never reach CLIP): mean/variance of luma, gradient energy (the
+    blur/flatness signal: absolute vertical+horizontal neighbor
+    deltas), dynamic range, and the is_flat verdict. Sums are exact
+    integers; the two floats are single fixed IEEE divisions
+    floor_round-ed at 6dp, so the oracle reproduces them from the byte
+    recurrence exactly. Arrow-batched map over the scan — zero
+    shuffle, linear in payloads."""
+    from tinyetl_spark.operators import multimodal
+
+    media = _synth_media_df(spark, sf_dir, "bmp9")
+    return multimodal.image_quality_stats(media).orderBy("doc_id")
+
+
+_AQ_ORACLE = f"""
+    WITH ss_t AS (
+      SELECT doc_id, list_transform(range(0, 130), i -> CAST((CASE WHEN (ord(text[(((2 * (i))) % length(text)) + 1]) + 256 * ord(text[(((2 * (i)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (i))) % length(text)) + 1]) + 256 * ord(text[(((2 * (i)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (i))) % length(text)) + 1]) + 256 * ord(text[(((2 * (i)) + 1) % length(text)) + 1])) END) AS BIGINT)) AS ss
+      FROM documents
+      WHERE strlen(text) = length(text) AND length(text) > 0)
+    SELECT doc_id,
+           {text.floor_round_sql(
+               "sqrt(CAST(list_sum(list_transform(ss, v -> v * v))"
+               " AS DOUBLE) / 130)", 6)} AS rms,
+           {text.floor_round_sql(
+               "CAST(len(list_filter(ss,"
+               f" v -> abs(v) >= {multimodal.AQ_CLIP_ABS})) AS DOUBLE)"
+               " / 130", 6)} AS clip_frac,
+           {text.floor_round_sql(
+               "CAST(len(list_filter(ss,"
+               f" v -> abs(v) < {multimodal.AQ_SILENCE_ABS})) AS DOUBLE)"
+               " / 130", 6)} AS silence_frac,
+           CAST(list_max(list_transform(ss, v -> abs(v))) AS BIGINT)
+             AS peak_abs,
+           len(list_filter(ss, v -> abs(v) >= {multimodal.AQ_CLIP_ABS})) > 0
+             AS is_clipped,
+           len(list_filter(ss, v -> abs(v) < {multimodal.AQ_SILENCE_ABS}))
+             * 2 > 130 AS is_silent
+    FROM ss_t ORDER BY doc_id
+    """
+
+
+@_q("multimodal_audio_quality", _AQ_ORACLE)
+def multimodal_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio quality stats through the REAL WAV decode path —
+    the filter applied before paying for transcription (clipped or
+    near-silent clips never reach ASR): RMS (one IEEE sqrt over an
+    exact-integer energy sum, floor_round 6dp), clipping fraction,
+    silence fraction, peak amplitude, and the is_clipped/is_silent
+    verdicts. Arrow-batched map over the scan — zero shuffle, linear
+    in payloads; the oracle rebuilds every sample from the
+    little-endian byte recurrence."""
+    from tinyetl_spark.operators import multimodal
+
+    media = _synth_media_df(spark, sf_dir, "wav260")
+    return multimodal.audio_quality_stats(media).orderBy("doc_id")
+
+
 _AF_ORACLE = f"""
     WITH es_t AS (
       SELECT doc_id, list_transform(range(0, 65), f -> CAST((CASE WHEN (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) END) AS BIGINT) * CAST((CASE WHEN (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (2 * f))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f)) + 1) % length(text)) + 1])) END) AS BIGINT) + CAST((CASE WHEN (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) END) AS BIGINT) * CAST((CASE WHEN (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) >= 32768 THEN (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) - 65536 ELSE (ord(text[(((2 * (2 * f + 1))) % length(text)) + 1]) + 256 * ord(text[(((2 * (2 * f + 1)) + 1) % length(text)) + 1])) END) AS BIGINT)) AS es
