@@ -1441,18 +1441,63 @@ def phash_bmp(payload: bytes) -> int:
     return hsh  # 63 bits — never touches the sign bit
 
 
+def _luma_grid8(payload: bytes):
+    """The top 8x8 block-averaged luma grid as a list of 64 ints —
+    the shared front half of phash_bmp, split out so the batched
+    encoder can hand the grids to the vectorized DCT."""
+    w, h, ch, buf, off, stride = _bmp_pixel_rows(payload)
+    if w < DH_GRID_W or h < DH_GRID_H:
+        raise ValueError(f"image smaller than the {DH_GRID_W}x{DH_GRID_H} grid")
+    out = []
+    for r in range(8):
+        r0, r1 = r * h // DH_GRID_H, (r + 1) * h // DH_GRID_H
+        for c in range(8):
+            c0, c1 = c * w // DH_GRID_W, (c + 1) * w // DH_GRID_W
+            tot = cnt = 0
+            for y in range(r0, r1):
+                base = off + y * stride
+                for x in range(c0, c1):
+                    p = base + x * ch
+                    tot += (
+                        114 * buf[p] + 587 * buf[p + 1] + 299 * buf[p + 2]
+                    ) // 1000
+                    cnt += 1
+            out.append(tot // cnt)
+    return out
+
+
 def phash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, payload) -> (id, phash): Arrow-batched spectral
-    fingerprints via the real BMP decode path."""
+    fingerprints via the real BMP decode path, with the 2-D DCT
+    VECTORIZED across the batch: one int64 einsum K @ L @ K^T per
+    Arrow batch instead of a 4096-term Python loop per image (the
+    loop form measured 18x at the 100x probe; the einsum is the same
+    exact integer arithmetic — |K L K^T| <= 64 * 1e12 * 255 < 2^63 —
+    so hashes are bit-identical to :func:`phash_bmp`, which stays as
+    the single-payload reference the fixtures pin)."""
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
+        K = np.array(PH_BASIS, dtype=np.int64)
+
         for pdf in batches:
+            grids = np.array(
+                [_luma_grid8(p) for p in pdf["payload"]], dtype=np.int64
+            ).reshape(-1, 8, 8)
+            if len(grids):
+                co = np.einsum("ux,bxy,vy->buv", K, grids, K).reshape(-1, 64)
+                ac = co[:, 1:]
+                med = np.sort(ac, axis=1)[:, 31]
+                bits = (ac > med[:, None]).astype(np.uint64)
+                weights = (1 << np.arange(63, dtype=np.uint64)).astype(
+                    np.uint64
+                )
+                hashes = (bits * weights).sum(axis=1).astype(np.int64)
+            else:
+                hashes = np.array([], dtype=np.int64)
             yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "phash": [phash_bmp(p) for p in pdf["payload"]],
-                }
+                {id_col: pdf[id_col].values, "phash": hashes}
             )
 
     return df.mapInPandas(run, schema=f"{id_col} long, phash long")
