@@ -32,17 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # vintage yet (the round-10 verdict's top item): the binary-
 # quantization ANN pair, wordpiece budget curve, KN bigram/trigram,
 # GIF decode, per-source dup triage, and the evaluation/knob tier;
-# (c) the 14 oldest r6-vintage queries. Below the cut the order stays
+# (c) the 13 oldest r6-vintage queries. Below the cut the order stays
 # strictly oldest-vintage-first (r6 tail, then r7, r8, r9, then the
 # 50 queries the round-10 window re-greened), so any larger sample
 # extends the rotation and round 12's queue is simply the next 50
-# names (36 r6 + 14 r7).
+# names (37 r6 + 13 r7).
 _PRIORITY = [
     # --- (a) new in round 11 / semantics changed in round 11 ---
     "wordpiece_byte_fallback_docs", "multimodal_near_dups",
     "multimodal_audio_near_dups", "multimodal_dup_survivors",
     "multimodal_phash_near_dups", "multimodal_image_quality",
-    "multimodal_audio_quality", "streaming_perceptual_dedup",
+    "multimodal_audio_quality", "multimodal_video_near_dups",
+    "streaming_perceptual_dedup",
     "wordpiece_bf_encode_batch_docs",
     "tokenizer_compare", "ann_budget_curve",
     # --- (b) round-10 additions, no driver vintage (25) ---
@@ -57,17 +58,21 @@ _PRIORITY = [
     "dup_cluster_size_hist", "dedup_quality_impact",
     "classifier_bias_by_source", "classifier_auc_by_source",
     "embedding_dim_profile", "lm_ladder_compare",
-    # --- (c) oldest r6-vintage rotation queue (14) ---
+    # --- (c) oldest r6-vintage rotation queue (13) ---
     "avro_roundtrip", "bigram_logprob_docs", "bm25_search_docs",
     "bm25_top_terms", "bpe_encode_docs", "bpe_pair_counts",
     "bpe_train_merges", "char_entropy_docs", "chunk_documents",
     "cli_job_roundtrip", "cohort_retention", "corpus_overlap_kmv",
     "corpus_stats_report", "csv_roundtrip", "csv_roundtrip_events",
-    "decontam_report", "duckdb_roundtrip", "dup_ngram_frac_docs",
+    "csv_roundtrip", "csv_roundtrip_events", "decontam_report",
+    "duckdb_roundtrip",
+    "dup_ngram_frac_docs",
     "dup_passage_spans",
-    # --- below the 50-cut: r6 tail (36), then r7 (48), r8 (47),
+    # --- below the 50-cut: r6 tail (37), then r7 (48), r8 (47),
     # r9 (48), then the round-10 window greens (48) ---
-    "decontam_report", "duckdb_roundtrip", "dup_ngram_frac_docs",
+    "csv_roundtrip", "csv_roundtrip_events", "decontam_report",
+    "duckdb_roundtrip",
+    "dup_ngram_frac_docs",
     "dup_passage_spans", "epoch_shuffle_docs",
     "event_outliers",
     "fk_violations_audit",

@@ -3636,3 +3636,46 @@ def test_media_quality_stats_planted(spark):
     assert aq[1]["clip_frac"] == 1.0 and aq[1]["rms"] == 32000.0
     assert aq[2]["is_silent"] and not aq[2]["is_clipped"]
     assert aq[2]["silence_frac"] == 1.0 and aq[2]["peak_abs"] == 100
+
+
+def test_video_frame_near_dups_planted(spark):
+    """Planted video fixtures: a 53-byte rotation of the same text is
+    the temporal-shift case — its sampled frames are the original's
+    frames shifted by one, so 3 of the 5 distinct frame hashes are
+    shared (jaccard 0.6 >= 0.5 pairs them); an unrelated text pairs
+    with neither. Also pins frame_set_near_dups' arithmetic on a
+    hand-built postings table."""
+    from tinyetl_spark.operators.multimodal import (
+        frame_set_near_dups,
+        video_frame_dhash,
+    )
+
+    base = ("spark merge row batch " * 20).strip()  # 439 chars
+    rot = base[53:] + base[:53]
+    other = ("filter hash value scan " * 20).strip()
+    df = spark.createDataFrame(
+        [(1, base), (2, rot), (3, other)], "doc_id long, text string"
+    )
+    fr = video_frame_dhash(df)
+    rows = {(r["doc_id"], r["frame_idx"]): r["fhash"] for r in fr.collect()}
+    # rotation by exactly one stride: frame f of doc2 == frame f+1 of doc1
+    for f in range(3):
+        assert rows[(2, f)] == rows[(1, f + 1)]
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["shared_frames"], r["jaccard"])
+        for r in frame_set_near_dups(fr).collect()
+    }
+    assert pairs[(1, 2)] == (3, 0.6)
+    assert not any(3 in p for p in pairs)
+
+    hand = spark.createDataFrame(
+        [(10, h) for h in (1, 2, 3, 4)]
+        + [(20, h) for h in (1, 2, 3, 9)]
+        + [(30, h) for h in (1, 7, 8, 99)],
+        "doc_id long, fhash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["shared_frames"], r["jaccard"])
+        for r in frame_set_near_dups(hand).collect()
+    }
+    assert got == {(10, 20): (3, 0.6)}

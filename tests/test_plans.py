@@ -1515,3 +1515,16 @@ def test_media_quality_stats_arrow_pure_map(spark):
         assert "MapInPandas" in p
         assert "BatchEvalPython" not in p
         assert "Exchange hashpartitioning" not in p
+
+
+def test_multimodal_video_near_dups_postings_join(spark):
+    """The video tier's plan: one Arrow MapInPandas per-frame
+    fingerprint fan-out, the postings equi-join on the frame hash
+    (with the hot-hash cap window partitioned BY the hash), two
+    key-joins to per-video counts — no cartesian, no nested loop, no
+    row-Python."""
+    p = plan_of(spark, "multimodal_video_near_dups")
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -1673,3 +1673,105 @@ def audio_quality_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             " is_clipped boolean, is_silent boolean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video tier: per-frame perceptual fingerprints + frame-set near-dups
+# ---------------------------------------------------------------------------
+
+VID_FRAMES = 4   # sampled frames per video
+VID_STRIDE = 53  # byte offset between sampled frames (prime, so
+#                  near-dup texts shift content across frames realistically)
+
+
+def video_frame_dhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frames: int = VID_FRAMES,
+    stride: int = VID_STRIDE,
+) -> DataFrame:
+    """Deterministic-fake video -> REAL per-frame fingerprints: frame
+    f of a doc is an 8x9 24-bit BMP whose pixel bytes are the doc's
+    bytes cycled from offset f*stride (the same stand-in-for-a-codec
+    contract as frame_sample: swap the chunker for av/ffmpeg frame
+    extraction and the 1->N fan-out shape, batching, and schema stay).
+    Each frame synthesizes and decodes through the actual BMP path and
+    dHashes exactly like the image tier — one OUTPUT ROW PER FRAME
+    (doc_id, frame_idx, fhash), the row-per-frame shape a video
+    pipeline needs."""
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                b = t.encode()
+                for f in range(frames):
+                    px = bytes(
+                        b[(f * stride + j) % len(b)] for j in range(216)
+                    )
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    hashes.append(dhash_bmp(synth_bmp(px, 8, 9)))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "fhash": hashes}
+            )
+
+    return (
+        df.select(id_col, text_col)
+        .mapInPandas(run, schema=f"{id_col} long, frame_idx long, fhash long")
+    )
+
+
+def frame_set_near_dups(
+    frames_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "fhash",
+    threshold: float = 0.5,
+    max_postings: int = 64,
+) -> DataFrame:
+    """Video near-dup pairs by FRAME-SET overlap — how video dedup
+    actually runs at scale (frame-fingerprint postings, not pixel
+    comparisons): two videos pair when the Jaccard of their DISTINCT
+    frame-hash sets clears ``threshold``. One postings equi-join on
+    the frame hash (a hash shared by more than ``max_postings`` videos
+    is dropped first — the boilerplate-intro/black-frame guard, same
+    contract as every other hot-bucket cap here), per-pair shared
+    counts, then two key-joins back to the per-video distinct-hash
+    counts; jaccard = shared / (n_a + n_b - shared), floor_round 6dp.
+    Never all-pairs; corpus shuffles on the hash then on the video id."""
+    from tinyetl_spark.operators.text import floor_round
+    from pyspark.sql import Window
+
+    post = frames_df.select(F.col(id_col), F.col(hash_col)).distinct()
+    n = post.groupBy(id_col).agg(F.count("*").cast("long").alias("_n"))
+    hw = Window.partitionBy(hash_col)
+    ok = post.withColumn("_hsz", F.count("*").over(hw)).filter(
+        F.col("_hsz") <= max_postings
+    )
+    a = ok.select(F.col(id_col).alias("id_a"), hash_col)
+    b = ok.select(F.col(id_col).alias("id_b"), hash_col)
+    shared = (
+        a.join(b, hash_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared_frames"))
+    )
+    na = n.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    nb = n.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    jac = (
+        F.col("shared_frames").cast("double")
+        / (F.col("_na") + F.col("_nb") - F.col("shared_frames")).cast("double")
+    )
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_frames",
+            floor_round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -5573,13 +5573,10 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.dedup_by_digest(multimodal.attach_metadata(d))
 
 
-_DH_HASH_CTES = """px AS (
-      SELECT doc_id, list_transform(range(0, 72), k -> (114 * ord(text[((3 * k) % length(text)) + 1]) + 587 * ord(text[((3 * k + 1) % length(text)) + 1]) + 299 * ord(text[((3 * k + 2) % length(text)) + 1])) // 1000) AS lm
-      FROM documents
-      WHERE strlen(text) = length(text) AND length(text) > 0),
-    dh AS (
-      SELECT doc_id,
-             CAST(CASE WHEN lm[1] > lm[9] THEN 1 ELSE 0 END
+_DH_LUMA_SQL = """list_transform(range(0, 72), k -> (114 * ord(text[((3 * k) % length(text)) + 1]) + 587 * ord(text[((3 * k + 1) % length(text)) + 1]) + 299 * ord(text[((3 * k + 2) % length(text)) + 1])) // 1000)"""
+
+# 64 vertical-gradient bit terms over a 72-luma list column named lm
+_DH_BITS_SQL = """CASE WHEN lm[1] > lm[9] THEN 1 ELSE 0 END
              + CASE WHEN lm[2] > lm[10] THEN 2 ELSE 0 END
              + CASE WHEN lm[3] > lm[11] THEN 4 ELSE 0 END
              + CASE WHEN lm[4] > lm[12] THEN 8 ELSE 0 END
@@ -5642,7 +5639,16 @@ _DH_HASH_CTES = """px AS (
              + CASE WHEN lm[61] > lm[69] THEN 1152921504606846976 ELSE 0 END
              + CASE WHEN lm[62] > lm[70] THEN 2305843009213693952 ELSE 0 END
              + CASE WHEN lm[63] > lm[71] THEN 4611686018427387904 ELSE 0 END
-             + CASE WHEN lm[64] > lm[72] THEN (-9223372036854775807 - 1) ELSE 0 END AS BIGINT) AS dhash
+             + CASE WHEN lm[64] > lm[72] THEN (-9223372036854775807 - 1) ELSE 0 END"""
+
+_DH_HASH_CTES = f"""
+    px AS (
+      SELECT doc_id, {_DH_LUMA_SQL} AS lm
+      FROM documents
+      WHERE strlen(text) = length(text) AND length(text) > 0),
+    dh AS (
+      SELECT doc_id,
+             CAST({_DH_BITS_SQL} AS BIGINT) AS dhash
       FROM px)"""
 
 
@@ -5826,6 +5832,67 @@ def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.hamming_near_dups(hashes, "phash", bits=63).orderBy(
         "id_a", "id_b"
     )
+
+
+_VID_LUMA_SQL = _DH_LUMA_SQL.replace("3 * k", "f * 53 + 3 * k")
+
+_VID_ORACLE = f"""
+    WITH vf AS (
+      SELECT doc_id, f,
+             CAST({_DH_BITS_SQL} AS BIGINT) AS fhash
+      FROM (
+        SELECT doc_id, f, {_VID_LUMA_SQL} AS lm
+        FROM (SELECT doc_id, text, unnest(range(0, 4)) AS f
+              FROM documents
+              WHERE strlen(text) = length(text) AND length(text) > 0))),
+    post AS (SELECT DISTINCT doc_id, fhash FROM vf),
+    n_t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM post GROUP BY doc_id),
+    okp AS (SELECT doc_id, fhash FROM (
+              SELECT *, count(*) OVER (PARTITION BY fhash) AS hsz FROM post)
+            WHERE hsz <= 64),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared_frames
+      FROM okp a JOIN okp b ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, shared_frames,
+           {text.floor_round_sql(
+               "CAST(shared_frames AS DOUBLE)"
+               " / CAST(na.n + nb.n - shared_frames AS DOUBLE)", 6)}
+             AS jaccard
+    FROM shared
+    JOIN n_t na ON na.doc_id = id_a
+    JOIN n_t nb ON nb.doc_id = id_b
+    WHERE {text.floor_round_sql(
+               "CAST(shared_frames AS DOUBLE)"
+               " / CAST(na.n + nb.n - shared_frames AS DOUBLE)", 6)} >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+@_q("multimodal_video_near_dups", _VID_ORACLE)
+def multimodal_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup pairs by frame-fingerprint overlap — how video
+    dedup actually runs at crawl scale (frame postings, never pixel
+    comparisons): each doc becomes a 4-frame deterministic-fake video
+    (frame f = an 8x9 BMP over the doc's bytes from offset f*53, the
+    frame_sample stand-in contract), every frame decodes and dHashes
+    through the REAL image path (one output row per frame — the video
+    fan-out shape), and two videos pair when the Jaccard of their
+    distinct frame-hash sets clears 0.5. One postings equi-join on the
+    frame hash with the boilerplate-frame cap (a hash in > 64 videos
+    is dropped), per-pair shared counts, two key-joins to per-video
+    frame counts — corpus shuffles on hash then id, never all-pairs."""
+    from tinyetl_spark.operators import multimodal
+
+    fr = multimodal.video_frame_dhash(
+        load(spark, sf_dir, "documents").filter(
+            (F.octet_length("text") == F.length("text"))
+            & (F.length("text") > 0)
+        )
+    )
+    return multimodal.frame_set_near_dups(fr).orderBy("id_a", "id_b")
 
 
 _IQ_ORACLE = f"""
