@@ -29,6 +29,9 @@ NEW = [
     "multimodal_audio_near_dups",
     "multimodal_dup_survivors",
     "streaming_perceptual_dedup",
+    "multimodal_video_near_dups",
+    "multimodal_image_quality",
+    "multimodal_audio_quality",
     "wordpiece_byte_fallback_docs",
     "wordpiece_bf_encode_batch_docs",
     "tokenizer_compare",
