@@ -21,90 +21,58 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The correctness driver samples the FIRST 50 entries of queries() in
-# dict order. Cumulative driver-green through round 10 is 243/268
-# distinct queries (the 25 round-10 additions that missed the r10
-# window have local oracle greens only). Round 11's window:
-# (a) the queries whose SEMANTICS changed this round —
-# tokenizer_compare gains the unk_rate column (byte-fallback mode)
-# and ann_budget_curve gains the codec dimension (verdict items 4/5);
-# new round-11 queries are inserted here as they land, displacing the
-# tail of group (c); (b) the 25 round-10 additions with no driver
-# vintage yet (the round-10 verdict's top item): the binary-
-# quantization ANN pair, wordpiece budget curve, KN bigram/trigram,
-# GIF decode, per-source dup triage, and the evaluation/knob tier;
-# (c) the 13 oldest r6-vintage queries. Below the cut the order stays
-# strictly oldest-vintage-first (r6 tail, then r7, r8, r9, then the
-# 50 queries the round-10 window re-greened), so any larger sample
-# extends the rotation and round 12's queue is simply the next 50
-# names (37 r6 + 13 r7).
+# dict order. Cumulative driver-green through round 11 is 278/278
+# distinct queries (every registered query has been driver-green at
+# least once; zero have ever failed). Round 12's window runs the
+# rotation the round-11 verdict demanded: (a) queries whose semantics
+# change in round 12 plus new round-12 queries, inserted at the head as
+# they land, displacing the tail of group (c); (b) the 37 r6-vintage
+# queries not driver-checked since round 6 (the r6 tail of the queue);
+# (c) the 13 oldest r7-vintage queries. Below the cut the order stays
+# strictly oldest-vintage-first (r7 rest, r8, r9, r10, then the 50
+# queries the round-11 window re-greened), so any larger sample extends
+# the rotation and round 13's queue is simply the next 50 names.
 _PRIORITY = [
-    # --- (a) new in round 11 / semantics changed in round 11 ---
-    "wordpiece_byte_fallback_docs", "multimodal_near_dups",
-    "multimodal_audio_near_dups", "multimodal_dup_survivors",
-    "multimodal_phash_near_dups", "multimodal_image_quality",
-    "multimodal_audio_quality", "multimodal_video_near_dups",
-    "streaming_perceptual_dedup",
-    "wordpiece_bf_encode_batch_docs",
-    "tokenizer_compare", "ann_budget_curve",
-    # --- (b) round-10 additions, no driver vintage (25) ---
-    "ann_binary_rerank_topk", "ann_recall_binary_rerank",
-    "wordpiece_budget_curve", "kn_logprob_docs", "multimodal_decode_gif",
-    "dedup_rate_by_source", "classifier_eval_audit",
-    "classifier_calibration_bins", "near_dup_threshold_curve",
-    "source_logodds_terms", "ann_recall_matryoshka", "source_psi_drift",
-    "label_centroid_report", "streaming_psi_drift", "hard_negatives_ann",
-    "lsh_parameter_curve", "kn3_logprob_docs",
-    "classifier_threshold_curve", "ann_recall_int8",
-    "dup_cluster_size_hist", "dedup_quality_impact",
-    "classifier_bias_by_source", "classifier_auc_by_source",
-    "embedding_dim_profile", "lm_ladder_compare",
-    # --- (c) oldest r6-vintage rotation queue (13) ---
-    "avro_roundtrip", "bigram_logprob_docs", "bm25_search_docs",
-    "bm25_top_terms", "bpe_encode_docs", "bpe_pair_counts",
-    "bpe_train_merges", "char_entropy_docs", "chunk_documents",
-    "cli_job_roundtrip", "cohort_retention", "corpus_overlap_kmv",
-    "corpus_stats_report", "csv_roundtrip", "csv_roundtrip_events",
+    # --- (a) new in round 12 / semantics changed in round 12 are
+    # inserted here as they land, displacing the tail of (c) ---
+    # --- (b) r6-vintage rotation queue (37: the r6 tail) ---
     "csv_roundtrip", "csv_roundtrip_events", "decontam_report",
-    "duckdb_roundtrip",
-    "dup_ngram_frac_docs",
-    "dup_passage_spans",
-    # --- below the 50-cut: r6 tail (37), then r7 (48), r8 (47),
-    # r9 (48), then the round-10 window greens (48) ---
-    "csv_roundtrip", "csv_roundtrip_events", "decontam_report",
-    "duckdb_roundtrip",
-    "dup_ngram_frac_docs",
-    "dup_passage_spans", "epoch_shuffle_docs",
-    "event_outliers",
-    "fk_violations_audit",
-    "funnel_conversion",
-    "gopher_quality_docs", "hash_sample_docs", "hot_keys_audit",
-    "jdbc_roundtrip", "json_roundtrip", "line_dedup_docs",
-    "multimodal_byte_histogram", "multimodal_decimate_wav",
-    "multimodal_dedup", "multimodal_frame_sample", "multimodal_meta",
-    "multimodal_resize_bmp", "multimodal_thumbnail", "ohlc_bars_events",
-    "orc_roundtrip", "pack_sequences_docs", "pii_redact_docs",
-    "pq_encode_vectors", "quality_budget_select", "repetition_stats",
-    "source_overlap_matrix", "sqlite_roundtrip", "stratified_sample_docs",
+    "duckdb_roundtrip", "dup_ngram_frac_docs", "dup_passage_spans",
+    "epoch_shuffle_docs", "event_outliers", "fk_violations_audit",
+    "funnel_conversion", "gopher_quality_docs", "hash_sample_docs",
+    "hot_keys_audit", "jdbc_roundtrip", "json_roundtrip",
+    "line_dedup_docs", "multimodal_byte_histogram",
+    "multimodal_decimate_wav", "multimodal_dedup",
+    "multimodal_frame_sample", "multimodal_meta", "multimodal_resize_bmp",
+    "multimodal_thumbnail", "ohlc_bars_events", "orc_roundtrip",
+    "pack_sequences_docs", "pii_redact_docs", "pq_encode_vectors",
+    "quality_budget_select", "repetition_stats", "source_overlap_matrix",
+    "sqlite_roundtrip", "stratified_sample_docs",
     "streaming_quality_filter", "transform_date_string",
-    "unigram_logprob_docs", "winnow_fingerprints", "ann_recall_ivf_pq",
-    "ann_recall_lsh", "ann_recall_pq", "ann_recall_rerank",
-    "bloom_semi_join_orders", "bpe_encode_batch_docs",
+    "unigram_logprob_docs", "winnow_fingerprints",
+    # --- (c) oldest r7-vintage queries (13) ---
+    "ann_recall_ivf_pq", "ann_recall_lsh", "ann_recall_pq",
+    "ann_recall_rerank", "bloom_semi_join_orders", "bpe_encode_batch_docs",
     "cluster_best_survivor", "corpus_diff", "corpus_overlap_exact",
     "count_min_heavy_hitters", "dsir_select_docs", "embedding_quantize",
-    "epoch_order_manifest", "fuzzy_join_phrases", "hll_distinct_users",
-    "inference_batches_docs", "pagerank_dups", "partitioned_scan_prune",
-    "perplexity_buckets", "profile_lineitem", "q11_important_parts",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue",
-    "q20_dominant_suppliers", "q21_waiting_supplier", "q22_idle_customers",
-    "q2_min_cost_supplier", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "quality_classifier_docs",
-    "remove_dup_passages_docs", "rollup_cascade_events",
-    "scd2_customer_history", "streaming_classifier_scores",
-    "streaming_count_min", "streaming_rollup_minute",
-    "tokenizer_fertility", "training_mix", "triangle_count_dups",
-    "trigram_search_docs", "unimax_mix_langs", "vocab_coverage_curve",
+    "epoch_order_manifest",
+    # --- below the 50-cut: r7 rest (35), then r8 (47), r9 (48),
+    # r10 (48), then the round-11 window greens (50) ---
+    "fuzzy_join_phrases", "hll_distinct_users", "inference_batches_docs",
+    "pagerank_dups", "partitioned_scan_prune", "perplexity_buckets",
+    "profile_lineitem", "q11_important_parts", "q14_promo_revenue",
+    "q15_top_supplier", "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q20_dominant_suppliers",
+    "q21_waiting_supplier", "q22_idle_customers", "q2_min_cost_supplier",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "quality_classifier_docs", "remove_dup_passages_docs",
+    "rollup_cascade_events", "scd2_customer_history",
+    "streaming_classifier_scores", "streaming_count_min",
+    "streaming_rollup_minute", "tokenizer_fertility", "training_mix",
+    "triangle_count_dups", "trigram_search_docs", "unimax_mix_langs",
+    "vocab_coverage_curve",
+    # r8 (47)
     "above_avg_balance", "anti_join_customers", "approx_distinct_users",
     "approx_percentile_prices", "asof_purchase_view", "asof_tolerance",
     "bucketed_join_orders", "cube_status_priority",
@@ -122,6 +90,7 @@ _PRIORITY = [
     "q4_priority_check", "ql_search_docs", "retrieval_ndcg",
     "rm3_expanded_search", "text_quality", "tfidf_top_terms",
     "token_stats", "vocab_growth_curve", "zipf_slope_sources",
+    # r9 (48)
     "ann_recall_rpq", "ann_recall_rpq3_rerank", "ann_recall_rpq_rerank",
     "ann_rpq3_rerank_topk", "containment_dups", "curation_pipeline",
     "dedup_clusters", "dedup_incremental", "dedup_survivors",
@@ -139,6 +108,7 @@ _PRIORITY = [
     "unigram_train_vocab", "upsert_documents", "validate_events",
     "window_lag_lead", "window_rank_stats", "window_running_total",
     "window_time_range", "window_top_order_per_cust",
+    # r10 (48)
     "containment_recall_audit", "unigram_prune_vocab", "tokenized_corpus",
     "multimodal_decode_jpeg", "unigram_budget_curve", "unigram_ambiguity",
     "wordpiece_train_merges", "wordpiece_encode_docs", "rho_select_docs",
@@ -156,7 +126,30 @@ _PRIORITY = [
     "streaming_sessions", "streaming_sink_parquet", "streaming_tumbling",
     "streaming_upsert_snapshot", "streaming_user_counts",
     "temperature_mix_docs", "winnow_decontam", "zorder_key_events",
+    # r11 window greens (50)
+    "wordpiece_byte_fallback_docs", "multimodal_near_dups",
+    "multimodal_audio_near_dups", "multimodal_dup_survivors",
+    "multimodal_phash_near_dups", "multimodal_image_quality",
+    "multimodal_audio_quality", "multimodal_video_near_dups",
+    "streaming_perceptual_dedup", "wordpiece_bf_encode_batch_docs",
+    "tokenizer_compare", "ann_budget_curve", "ann_binary_rerank_topk",
+    "ann_recall_binary_rerank", "wordpiece_budget_curve",
+    "kn_logprob_docs", "multimodal_decode_gif", "dedup_rate_by_source",
+    "classifier_eval_audit", "classifier_calibration_bins",
+    "near_dup_threshold_curve", "source_logodds_terms",
+    "ann_recall_matryoshka", "source_psi_drift", "label_centroid_report",
+    "streaming_psi_drift", "hard_negatives_ann", "lsh_parameter_curve",
+    "kn3_logprob_docs", "classifier_threshold_curve", "ann_recall_int8",
+    "dup_cluster_size_hist", "dedup_quality_impact",
+    "classifier_bias_by_source", "classifier_auc_by_source",
+    "embedding_dim_profile", "lm_ladder_compare", "avro_roundtrip",
+    "bigram_logprob_docs", "bm25_search_docs", "bm25_top_terms",
+    "bpe_encode_docs", "bpe_pair_counts", "bpe_train_merges",
+    "char_entropy_docs", "chunk_documents", "cli_job_roundtrip",
+    "cohort_retention", "corpus_overlap_kmv", "corpus_stats_report",
 ]
+
+assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate names in _PRIORITY"
 
 
 def _ordered(mapping: dict) -> dict:

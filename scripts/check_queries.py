@@ -9,12 +9,13 @@ Usage: python scripts/check_queries.py name [name ...] [--sf dir ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests.conftest import TABLES  # noqa: E402
 from tests.test_oracle import _normalize  # noqa: E402

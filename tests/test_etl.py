@@ -429,5 +429,12 @@ def test_driver_priority_names_all_registered():
 
     unknown = [n for n in entry._PRIORITY if n not in QUERIES]
     assert unknown == [], f"_PRIORITY names not in QUERIES: {unknown}"
+    # the below-cut order is the driver's rotation contract: a
+    # duplicate name silently shifts every later query's window slot
+    # (the round-11 verdict found 6), and a missing name would fall to
+    # insertion order at the dict tail instead of its vintage slot
+    dupes = [n for n in set(entry._PRIORITY) if entry._PRIORITY.count(n) > 1]
+    assert dupes == [], f"duplicate names in _PRIORITY: {dupes}"
+    assert len(entry._PRIORITY) == len(QUERIES)
     # and the window head is exactly the never-checked + new tiers
     assert len(entry._PRIORITY) >= 50

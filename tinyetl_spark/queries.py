@@ -3469,7 +3469,8 @@ def _tc_unk_sql(cte: str) -> str:
             f"SELECT (SELECT CAST(sum(n_tokens) AS BIGINT) FROM {cte})"
             f" AS total_tokens,"
             f" (SELECT CAST(coalesce(sum(len(list_filter(w,"
-            f" x -> length(x) > 16))), 0) AS BIGINT) FROM base)"
+            f" x -> length(x) > {tokenizer.WP_MAXWORD}))), 0) AS BIGINT)"
+            f" FROM base)"
             f" AS unk_tokens"
         )
     return (
@@ -3552,7 +3553,7 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda a, x: a + x,
         ).alias("_nc"),
-        F.size(F.filter(words, lambda x: F.length(x) > 16))
+        F.size(F.filter(words, lambda x: F.length(x) > tokenizer.WP_MAXWORD))
         .cast("bigint")
         .alias("_nl"),
     )
@@ -5573,7 +5574,21 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.dedup_by_digest(multimodal.attach_metadata(d))
 
 
-_DH_LUMA_SQL = """list_transform(range(0, 72), k -> (114 * ord(text[((3 * k) % length(text)) + 1]) + 587 * ord(text[((3 * k + 1) % length(text)) + 1]) + 299 * ord(text[((3 * k + 2) % length(text)) + 1])) // 1000)"""
+def _luma_sql(base: str) -> str:
+    """72-entry ITU-R 601 integer luma list over the text bytes, with
+    pixel k sampling bytes at offsets base+0/1/2 (base is a SQL
+    expression in k, e.g. '3 * k'; the video tier passes a per-frame
+    offset). One builder serves both so the two oracles cannot drift."""
+    return (
+        "list_transform(range(0, 72), k -> ("
+        f"114 * ord(text[(({base}) % length(text)) + 1])"
+        f" + 587 * ord(text[(({base} + 1) % length(text)) + 1])"
+        f" + 299 * ord(text[(({base} + 2) % length(text)) + 1])"
+        ") // 1000)"
+    )
+
+
+_DH_LUMA_SQL = _luma_sql("3 * k")
 
 # 64 vertical-gradient bit terms over a 72-luma list column named lm
 _DH_BITS_SQL = """CASE WHEN lm[1] > lm[9] THEN 1 ELSE 0 END
@@ -5834,7 +5849,7 @@ def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VID_LUMA_SQL = _DH_LUMA_SQL.replace("3 * k", "f * 53 + 3 * k")
+_VID_LUMA_SQL = _luma_sql("f * 53 + 3 * k")
 
 _VID_ORACLE = f"""
     WITH vf AS (
