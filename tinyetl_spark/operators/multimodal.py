@@ -1263,11 +1263,89 @@ def dhash_bmp(payload: bytes) -> int:
     return hsh
 
 
+def _luma_np(payload: bytes):
+    """Full-resolution integer luma plane as an (h, w) int64 ndarray —
+    the EXACT per-pixel arithmetic of :func:`dhash_bmp` step 1
+    ((114*c0 + 587*c1 + 299*c2) // 1000 in stored row order), computed
+    as one np.frombuffer gather instead of a per-pixel Python loop.
+    The round-11 pHash einsum measured this swap at ~10x on the 100x
+    probe; this is the same trick one level deeper (verdict item 4)."""
+    import numpy as np
+
+    w, h, ch, buf, off, stride = _bmp_pixel_rows(payload)
+    a = np.frombuffer(buf, dtype=np.uint8)
+    idx = (
+        off
+        + np.arange(h, dtype=np.int64)[:, None] * stride
+        + np.arange(w, dtype=np.int64)[None, :] * ch
+    )
+    c0 = a[idx].astype(np.int64)
+    c1 = a[idx + 1].astype(np.int64)
+    c2 = a[idx + 2].astype(np.int64)
+    return (114 * c0 + 587 * c1 + 299 * c2) // 1000
+
+
+def _grid_np(lm, gh: int, gw: int):
+    """Block-average an (h, w) int64 luma plane to a (gh, gw) grid with
+    the SAME floor semantics and k*h//gh cell boundaries as the scalar
+    loops in dhash_bmp/_phash: one padded 2-D prefix sum (integral
+    image), then each cell is a 4-corner lookup — O(h*w) numpy instead
+    of O(h*w) Python."""
+    import numpy as np
+
+    h, w = lm.shape
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(lm, axis=0), axis=1, out=integ[1:, 1:])
+    rb = np.array([r * h // gh for r in range(gh + 1)], dtype=np.int64)
+    cb = np.array([c * w // gw for c in range(gw + 1)], dtype=np.int64)
+    tot = (
+        integ[np.ix_(rb[1:], cb[1:])]
+        - integ[np.ix_(rb[:-1], cb[1:])]
+        - integ[np.ix_(rb[1:], cb[:-1])]
+        + integ[np.ix_(rb[:-1], cb[:-1])]
+    )
+    cnt = (rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :]
+    return tot // cnt
+
+
+def _dhash_from_grids(grids):
+    """(n, 9, 8) int64 grid stack -> n dHash values, vectorized: the
+    vertical-gradient compare and the bit pack are one boolean matmul
+    against the 2^k weight vector; two's-complement via the uint64 ->
+    int64 view, bit-identical to the scalar pack in dhash_bmp."""
+    import numpy as np
+
+    diff = (grids[:, :-1, :] > grids[:, 1:, :]).reshape(len(grids), 64)
+    weights = np.left_shift(
+        np.uint64(1), np.arange(64, dtype=np.uint64)
+    )
+    return (diff.astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64
+    ).astype(np.int64)
+
+
+def dhash_bmp_np(payload: bytes) -> int:
+    """Vectorized :func:`dhash_bmp` — same decode contract, same exact
+    integer arithmetic, numpy instead of per-pixel Python. Pinned
+    bit-identical to the scalar reference by a 200-case identity test
+    (tests/test_operators.py)."""
+    import numpy as np
+
+    lm = _luma_np(payload)
+    if lm.shape[1] < DH_GRID_W or lm.shape[0] < DH_GRID_H:
+        raise ValueError(f"image smaller than the {DH_GRID_W}x{DH_GRID_H} dHash grid")
+    grid = _grid_np(lm, DH_GRID_H, DH_GRID_W)
+    return int(_dhash_from_grids(grid[np.newaxis])[0])
+
+
 def dhash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, payload) -> (id, dhash): Arrow-batched perceptual
     fingerprints via the real BMP decode path. Same mapInPandas shape
     as the other codecs — linear in payload bytes, zero shuffle; the
-    downstream banded join is where distribution happens."""
+    downstream banded join is where distribution happens. Per payload
+    the pixel loop is the numpy plane/integral-image path
+    (:func:`dhash_bmp_np`), identity-tested against the scalar
+    reference."""
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -1275,7 +1353,7 @@ def dhash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "dhash": [dhash_bmp(p) for p in pdf["payload"]],
+                    "dhash": [dhash_bmp_np(p) for p in pdf["payload"]],
                 }
             )
 
@@ -1442,28 +1520,17 @@ def phash_bmp(payload: bytes) -> int:
 
 
 def _luma_grid8(payload: bytes):
-    """The top 8x8 block-averaged luma grid as a list of 64 ints —
-    the shared front half of phash_bmp, split out so the batched
-    encoder can hand the grids to the vectorized DCT."""
-    w, h, ch, buf, off, stride = _bmp_pixel_rows(payload)
-    if w < DH_GRID_W or h < DH_GRID_H:
+    """The top 8x8 block-averaged luma grid as a flat (64,) int64
+    ndarray — the shared front half of phash_bmp, split out so the
+    batched encoder can hand the grids to the vectorized DCT. Same
+    k*h//9 row boundaries as the scalar reference (the 9-row dHash
+    grid with the last row dropped); numpy plane + integral image
+    instead of the per-pixel loop (verdict item 4), pinned
+    bit-identical by the phash_bmp identity test."""
+    lm = _luma_np(payload)
+    if lm.shape[1] < DH_GRID_W or lm.shape[0] < DH_GRID_H:
         raise ValueError(f"image smaller than the {DH_GRID_W}x{DH_GRID_H} grid")
-    out = []
-    for r in range(8):
-        r0, r1 = r * h // DH_GRID_H, (r + 1) * h // DH_GRID_H
-        for c in range(8):
-            c0, c1 = c * w // DH_GRID_W, (c + 1) * w // DH_GRID_W
-            tot = cnt = 0
-            for y in range(r0, r1):
-                base = off + y * stride
-                for x in range(c0, c1):
-                    p = base + x * ch
-                    tot += (
-                        114 * buf[p] + 587 * buf[p + 1] + 299 * buf[p + 2]
-                    ) // 1000
-                    cnt += 1
-            out.append(tot // cnt)
-    return out
+    return _grid_np(lm, DH_GRID_H, DH_GRID_W)[:8].reshape(64)
 
 
 def phash_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1541,29 +1608,19 @@ def image_quality_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         }
 
         def one(payload: bytes) -> tuple:
-            w, h, ch, buf, off, stride = _bmp_pixel_rows(payload)
-            lm = []
-            for y in range(h):
-                base = off + y * stride
-                for x in range(w):
-                    p = base + x * ch
-                    lm.append(
-                        (114 * buf[p] + 587 * buf[p + 1] + 299 * buf[p + 2])
-                        // 1000
-                    )
-            n = len(lm)
-            s1 = sum(lm)
-            s2 = sum(v * v for v in lm)
-            grad = sum(
-                abs(lm[y * w + x] - lm[(y + 1) * w + x])
-                for y in range(h - 1)
-                for x in range(w)
-            ) + sum(
-                abs(lm[y * w + x] - lm[y * w + x + 1])
-                for y in range(h)
-                for x in range(w - 1)
+            # numpy luma plane (exact per-pixel integers, verdict item
+            # 4); every sum stays int64 so the two floor_round-ed IEEE
+            # divisions see the same integers as the scalar loop did
+            import numpy as np
+
+            lm = _luma_np(payload)
+            n = lm.size
+            s1 = int(lm.sum())
+            s2 = int((lm * lm).sum())
+            grad = int(np.abs(np.diff(lm, axis=0)).sum()) + int(
+                np.abs(np.diff(lm, axis=1)).sum()
             )
-            rng = max(lm) - min(lm)
+            rng = int(lm.max()) - int(lm.min())
             return (
                 _floor_round(s1 / n),
                 _floor_round((n * s2 - s1 * s1) / (n * n)),
@@ -1633,11 +1690,17 @@ def audio_quality_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             if bits != 16:
                 raise NotImplementedError("only 16-bit PCM")
             n = len(data) // 2
-            ss = struct.unpack_from(f"<{n}h", data, 0)
-            e = sum(v * v for v in ss)
-            clip = sum(1 for v in ss if abs(v) >= AQ_CLIP_ABS)
-            sil = sum(1 for v in ss if abs(v) < AQ_SILENCE_ABS)
-            peak = max(abs(v) for v in ss)
+            # numpy sample scan (verdict item 4): int64 throughout so
+            # the energy sum and counts are the same exact integers as
+            # the struct-unpack loop (abs is safe — int64, not int16)
+            import numpy as np
+
+            ss = np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+            av = np.abs(ss)
+            e = int((ss * ss).sum())
+            clip = int((av >= AQ_CLIP_ABS).sum())
+            sil = int((av < AQ_SILENCE_ABS).sum())
+            peak = int(av.max())
             import math
 
             rms = _floor_round(math.sqrt(e / n))
@@ -1701,21 +1764,46 @@ def video_frame_dhash(
     (doc_id, frame_idx, fhash), the row-per-frame shape a video
     pipeline needs."""
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
+        # An 8x9 frame block-averages to itself (the identity grid), so
+        # a frame's dHash is _dhash_from_grids of its raw luma plane —
+        # the whole Arrow batch hashes as ONE numpy pass over a
+        # (n_docs*frames, 9, 8) stack instead of a per-frame
+        # synth+decode+hash call (the 2M-call loop the round-11 verdict
+        # measured at 13.7x on the 100x probe). Bit-identical to
+        # dhash_bmp(synth_bmp(...)) by the 200-case identity test.
+        jj = np.arange(216, dtype=np.int64)[None, :]
+        ff = np.arange(frames, dtype=np.int64)[:, None] * stride
+
         for pdf in batches:
-            ids, idxs, hashes = [], [], []
-            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
-                b = t.encode()
-                for f in range(frames):
-                    px = bytes(
-                        b[(f * stride + j) % len(b)] for j in range(216)
-                    )
-                    ids.append(doc_id)
-                    idxs.append(f)
-                    hashes.append(dhash_bmp(synth_bmp(px, 8, 9)))
+            planes = []
+            for t in pdf[text_col]:
+                b = np.frombuffer(t.encode(), dtype=np.uint8)
+                if not len(b):
+                    raise ValueError("empty document has no frames")
+                planes.append(b[(ff + jj) % len(b)])
+            if planes:
+                px = (
+                    np.concatenate(planes)
+                    .reshape(-1, 9, 8, 3)
+                    .astype(np.int64)
+                )
+                lm = (
+                    114 * px[..., 0] + 587 * px[..., 1] + 299 * px[..., 2]
+                ) // 1000
+                hashes = _dhash_from_grids(lm)
+            else:
+                hashes = np.array([], dtype=np.int64)
             yield pd.DataFrame(
-                {id_col: ids, "frame_idx": idxs, "fhash": hashes}
+                {
+                    id_col: np.repeat(pdf[id_col].values, frames),
+                    "frame_idx": np.tile(
+                        np.arange(frames, dtype=np.int64), len(pdf)
+                    ),
+                    "fhash": hashes,
+                }
             )
 
     return (
