@@ -33,8 +33,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries the round-11 window re-greened), so any larger sample extends
 # the rotation and round 13's queue is simply the next 50 names.
 _PRIORITY = [
-    # --- (a) new in round 12 / semantics changed in round 12 are
-    # inserted here as they land, displacing the tail of (c) ---
+    # --- (a) new in round 12 / semantics changed in round 12 ---
+    # multimodal_curation_pipeline: the 3-tier staged media pipeline
+    # (verdict item 6); multimodal_video_temporal_dups: order-aware
+    # frame-shingle dedup (verdict item 5); the audio near-dup pairs
+    # moved to a staged table and the video tiers to a staged frame
+    # table (values unchanged, re-greened locally at sf0.001/0.01)
+    "multimodal_curation_pipeline", "multimodal_video_temporal_dups",
     # --- (b) r6-vintage rotation queue (37: the r6 tail) ---
     "csv_roundtrip", "csv_roundtrip_events", "decontam_report",
     "duckdb_roundtrip", "dup_ngram_frac_docs", "dup_passage_spans",

@@ -3807,3 +3807,146 @@ def test_vectorized_video_frame_identity(spark):
         for f in range(4):
             px = bytes(b[(f * VID_STRIDE + j) % len(b)] for j in range(216))
             assert got[(i, f)] == dhash_bmp(synth_bmp(px, 8, 9))
+
+
+def test_frame_shingle_temporal_separation(spark):
+    """The temporal tier's reason to exist, planted: a REORDERED video
+    (same frame set, reversed order) pairs with its source under
+    frame-SET Jaccard (1.0) but shares ZERO order-2 shingles — the
+    re-edit case set overlap cannot see; a one-frame TRIM keeps 2 of 3
+    shingles (jaccard 2/3) and a one-stride temporal SHIFT keeps 2 of
+    4 (exactly 0.5, the threshold); an unrelated video pairs with
+    nothing."""
+    from tinyetl_spark.operators.multimodal import (
+        frame_set_near_dups,
+        frame_shingle_near_dups,
+    )
+
+    rows = (
+        [(1, f, h) for f, h in enumerate((10, 20, 30, 40))]
+        + [(2, f, h) for f, h in enumerate((40, 30, 20, 10))]  # reorder
+        + [(3, f, h) for f, h in enumerate((10, 20, 30))]      # trim
+        + [(4, f, h) for f, h in enumerate((20, 30, 40, 50))]  # shift
+        + [(5, f, h) for f, h in enumerate((7, 8, 9, 11))]     # unrelated
+    )
+    df = spark.createDataFrame(rows, "doc_id long, frame_idx long, fhash long")
+
+    set_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in frame_set_near_dups(df).collect()
+    }
+    assert set_pairs[(1, 2)] == 1.0  # the confusion the verdict cites
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["shared_shingles"], r["jaccard"])
+        for r in frame_shingle_near_dups(df).collect()
+    }
+    assert (1, 2) not in got          # reorder separated
+    assert got[(1, 3)] == (2, 0.666667)  # floor_round(2/3, 6dp)
+    assert got[(1, 4)] == (2, 0.5)
+    assert not any(5 in p for p in got)
+    # order-3 shingles: the shift drops to 1 of 3 shared (0.333) and
+    # falls below threshold, the trim keeps 1 of 2
+    got3 = {
+        (r["id_a"], r["id_b"]): (r["shared_shingles"], r["jaccard"])
+        for r in frame_shingle_near_dups(df, k=3, threshold=0.3).collect()
+    }
+    assert (1, 2) not in got3
+    assert got3[(1, 4)] == (1, 0.333333)
+
+
+def test_shape_stacked_media_identity(spark):
+    """The shape-stacked batch paths (_luma_stacks/_grid_np_batch for
+    images, _pcm_stacks for audio) are bit-identical to the scalar
+    reference formulas — 200 random mixed-size BMPs through the
+    stacked dHash, and the full quality-gate stats (Spark round trip)
+    vs per-payload scalar recomputation."""
+    import math
+    import random
+
+    import numpy as np
+
+    from tinyetl_spark.operators.multimodal import (
+        AQ_CLIP_ABS,
+        AQ_SILENCE_ABS,
+        IQ_FLAT_RANGE,
+        _dhash_from_grids,
+        _floor_round,
+        _grid_np_batch,
+        _luma_np,
+        _luma_stacks,
+        _pcm_stacks,
+        audio_quality_stats,
+        dhash_bmp,
+        image_quality_stats,
+        synth_wav,
+    )
+
+    rng = random.Random(77)
+    # repeat sizes so groups have >1 member (the stacked branch)
+    payloads = []
+    for _ in range(100):
+        payloads.append(_rand_bmp(rng, bpp=24))
+        payloads.append(_rand_bmp(rng, bpp=rng.choice((24, 32))))
+    hashes = np.empty(len(payloads), dtype=np.int64)
+    for idx, lms in _luma_stacks(payloads):
+        hashes[idx] = _dhash_from_grids(_grid_np_batch(lms, 9, 8))
+    for p, hsh in zip(payloads, hashes):
+        assert int(hsh) == dhash_bmp(p)
+
+    # image quality through the real Spark path vs scalar recompute
+    idf = spark.createDataFrame(
+        list(enumerate(payloads[:60])), "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in image_quality_stats(idf).collect()}
+    for i, p in enumerate(payloads[:60]):
+        lm = _luma_np(p)
+        n = lm.size
+        s1, s2 = int(lm.sum()), int((lm * lm).sum())
+        grad = int(np.abs(np.diff(lm, axis=0)).sum()) + int(
+            np.abs(np.diff(lm, axis=1)).sum()
+        )
+        rg = int(lm.max()) - int(lm.min())
+        r = got[i]
+        assert r["mean_luma"] == _floor_round(s1 / n)
+        assert r["var_luma"] == _floor_round((n * s2 - s1 * s1) / (n * n))
+        assert r["grad_energy"] == grad
+        assert r["dyn_range"] == rg
+        assert r["is_flat"] == (rg < IQ_FLAT_RANGE)
+
+    # audio quality: random lengths (some repeated) vs scalar formulas
+    wavs = []
+    for _ in range(60):
+        n = rng.choice((130, 130, 200, rng.randrange(131, 400)))
+        wavs.append(
+            synth_wav(
+                b"".join(
+                    int(rng.randrange(-32768, 32768)).to_bytes(
+                        2, "little", signed=True
+                    )
+                    for _ in range(n)
+                )
+            )
+        )
+    adf = spark.createDataFrame(
+        list(enumerate(wavs)), "doc_id long, payload binary"
+    )
+    agot = {r["doc_id"]: r for r in audio_quality_stats(adf).collect()}
+    stacks = _pcm_stacks(wavs)
+    flat = {}
+    for idx, ss in stacks:
+        for j, i in enumerate(idx):
+            flat[i] = ss[j]
+    for i in range(60):
+        ss = [int(v) for v in flat[i]]
+        n = len(ss)
+        e = sum(v * v for v in ss)
+        clip = sum(1 for v in ss if abs(v) >= AQ_CLIP_ABS)
+        sil = sum(1 for v in ss if abs(v) < AQ_SILENCE_ABS)
+        r = agot[i]
+        assert r["rms"] == _floor_round(math.sqrt(e / n))
+        assert r["clip_frac"] == _floor_round(clip / n)
+        assert r["silence_frac"] == _floor_round(sil / n)
+        assert r["peak_abs"] == max(abs(v) for v in ss)
+        assert r["is_clipped"] == (clip > 0)
+        assert r["is_silent"] == (sil * 2 > n)

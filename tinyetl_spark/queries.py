@@ -5867,15 +5867,19 @@ def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VID_LUMA_SQL = _luma_sql("f * 53 + 3 * k")
 
-_VID_ORACLE = f"""
-    WITH vf AS (
+# one frame-fingerprint CTE serves the set-overlap AND temporal-shingle
+# video oracles (same per-frame dHash recurrence as the Spark side)
+_VID_FRAMES_CTE = f"""vf AS (
       SELECT doc_id, f,
              CAST({_DH_BITS_SQL} AS BIGINT) AS fhash
       FROM (
         SELECT doc_id, f, {_VID_LUMA_SQL} AS lm
         FROM (SELECT doc_id, text, unnest(range(0, 4)) AS f
               FROM documents
-              WHERE strlen(text) = length(text) AND length(text) > 0))),
+              WHERE strlen(text) = length(text) AND length(text) > 0)))"""
+
+_VID_ORACLE = f"""
+    WITH {_VID_FRAMES_CTE},
     post AS (SELECT DISTINCT doc_id, fhash FROM vf),
     n_t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
             FROM post GROUP BY doc_id),
@@ -5917,13 +5921,88 @@ def multimodal_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame counts — corpus shuffles on hash then id, never all-pairs."""
     from tinyetl_spark.operators import multimodal
 
-    fr = multimodal.video_frame_dhash(
-        load(spark, sf_dir, "documents").filter(
-            (F.octet_length("text") == F.length("text"))
-            & (F.length("text") > 0)
-        )
+    return multimodal.frame_set_near_dups(
+        _video_frames(spark, sf_dir)
+    ).orderBy("id_a", "id_b")
+
+
+def _video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-frame fingerprint table both video tiers consume (one
+    row per sampled frame, batched numpy hash pass), STAGED once: the
+    set-overlap and temporal-shingle joins each reference the frame
+    table from several branches (postings + two per-video count
+    joins), and without a materialization barrier every branch re-ran
+    the Arrow decode fan-out (measured 4x at the 100x probe) —
+    fingerprint once, serve every dedup tier, the same
+    write-once/read-many contract as the staged dHash pairs."""
+    from tinyetl_spark.operators import multimodal
+
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "video_frames",
+        _VID_FRAMES_CTE,
+        lambda: multimodal.video_frame_dhash(
+            load(spark, sf_dir, "documents").filter(
+                (F.octet_length("text") == F.length("text"))
+                & (F.length("text") > 0)
+            )
+        ),
     )
-    return multimodal.frame_set_near_dups(fr).orderBy("id_a", "id_b")
+
+
+_VID_TEMPORAL_ORACLE = f"""
+    WITH {_VID_FRAMES_CTE},
+    sh AS (
+      SELECT a.doc_id,
+             CAST(a.fhash AS VARCHAR) || '|' || CAST(b.fhash AS VARCHAR)
+               AS shingle
+      FROM vf a JOIN vf b ON b.doc_id = a.doc_id AND b.f = a.f + 1),
+    post AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    n_t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM post GROUP BY doc_id),
+    okp AS (SELECT doc_id, shingle FROM (
+              SELECT *, count(*) OVER (PARTITION BY shingle) AS hsz FROM post)
+            WHERE hsz <= 64),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS shared_shingles
+      FROM okp a JOIN okp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, shared_shingles,
+           {text.floor_round_sql(
+               "CAST(shared_shingles AS DOUBLE)"
+               " / CAST(na.n + nb.n - shared_shingles AS DOUBLE)", 6)}
+             AS jaccard
+    FROM shared
+    JOIN n_t na ON na.doc_id = id_a
+    JOIN n_t nb ON nb.doc_id = id_b
+    WHERE {text.floor_round_sql(
+               "CAST(shared_shingles AS DOUBLE)"
+               " / CAST(na.n + nb.n - shared_shingles AS DOUBLE)", 6)} >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
+@_q("multimodal_video_temporal_dups", _VID_TEMPORAL_ORACLE)
+def multimodal_video_temporal_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL (order-aware) video near-dups — the tier the round-11
+    verdict asked for above multimodal_video_near_dups: frame-SET
+    Jaccard cannot distinguish a re-edit (same frames, reordered or
+    trimmed) from a true near-dup, so the matching unit becomes the
+    2-gram of CONSECUTIVE per-frame dHashes (one lead() window per
+    video), and two videos pair when their distinct shingle sets clear
+    Jaccard >= 0.5 through the SAME capped postings join as the set
+    tier. A reordered copy shares all frames but no shingles (the
+    planted fixture set-Jaccard confuses and this tier separates); a
+    one-stride temporal shift keeps 2 of 4 distinct shingles = 0.5
+    exactly. Same 100 TB shape: shuffles on video id then shingle,
+    never all-pairs."""
+    from tinyetl_spark.operators import multimodal
+
+    return multimodal.frame_shingle_near_dups(
+        _video_frames(spark, sf_dir)
+    ).orderBy("id_a", "id_b")
 
 
 _IQ_ORACLE = f"""
@@ -5946,6 +6025,23 @@ _IQ_ORACLE = f"""
              AS is_flat
     FROM px ORDER BY doc_id
     """
+
+
+def _materialized_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image quality stats staged once (write-once/read-many, the
+    same contract as the staged dHash pairs) — the curation pipeline
+    consumes the gate verdicts without re-decoding a single payload."""
+    from tinyetl_spark.operators import multimodal
+
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "image_quality",
+        _IQ_ORACLE,
+        lambda: multimodal.image_quality_stats(
+            _synth_media_df(spark, sf_dir, "bmp9")
+        ),
+    )
 
 
 @_q("multimodal_image_quality", _IQ_ORACLE)
@@ -6099,12 +6195,172 @@ def multimodal_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds every fingerprint bit-for-bit from the little-endian byte
     recurrence and mirrors the banded join chunk-for-chunk. Same
     100 TB shape as the image tier: one chunk-explode shuffle of
-    8-byte hashes + capped bucket self-join."""
+    8-byte hashes + capped bucket self-join. Pairs are STAGED (round
+    12, the image tier's write-once contract) so the curation pipeline
+    reuses them without re-fingerprinting."""
+    return _materialized_afp_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+
+
+def _materialized_afp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint near-dup pairs staged once — the audio twin
+    of the staged dHash pair table."""
     from tinyetl_spark.operators import multimodal
 
-    media = _synth_media_df(spark, sf_dir, "wav260")
-    hashes = multimodal.audio_fingerprint_media(media)
-    return dedup.hamming_near_dups(hashes, "afp").orderBy("id_a", "id_b")
+    def build() -> DataFrame:
+        media = _synth_media_df(spark, sf_dir, "wav260")
+        return dedup.hamming_near_dups(
+            multimodal.audio_fingerprint_media(media), "afp"
+        )
+
+    return _stage_once_df(spark, sf_dir, "afp_pairs", _AF_ORACLE, build)
+
+
+def _materialized_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio quality verdicts staged once (write-once/
+    read-many) — the audio half of the curation pipeline's gate."""
+    from tinyetl_spark.operators import multimodal
+
+    return _stage_once_df(
+        spark,
+        sf_dir,
+        "audio_quality",
+        _AQ_ORACLE,
+        lambda: multimodal.audio_quality_stats(
+            _synth_media_df(spark, sf_dir, "wav260")
+        ),
+    )
+
+
+_MM_PIPE_ORACLE = f"""
+    WITH px AS (
+      SELECT doc_id, {_DH_LUMA_SQL} AS lm
+      FROM documents
+      WHERE strlen(text) = length(text) AND length(text) > 0),
+    gate AS (
+      SELECT doc_id FROM ({_IQ_ORACLE}) WHERE NOT is_flat
+      INTERSECT
+      SELECT doc_id FROM ({_AQ_ORACLE})
+      WHERE clip_frac < CAST(0.1 AS DOUBLE) AND NOT is_silent),
+    allp AS (
+      SELECT id_a, id_b FROM ({_DH_ORACLE})
+      UNION SELECT id_a, id_b FROM ({_AF_ORACLE})
+      UNION SELECT id_a, id_b FROM ({_VID_ORACLE})),
+    gp AS (SELECT id_a, id_b FROM allp
+           WHERE id_a IN (SELECT doc_id FROM gate)
+             AND id_b IN (SELECT doc_id FROM gate)),
+    cc AS ({dedup.connected_components_sql("SELECT id_a, id_b FROM gp")}),
+    losers AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+    n AS (SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total,
+      (SELECT CAST(count(*) AS BIGINT) FROM px) AS n_decode,
+      (SELECT CAST(count(*) AS BIGINT) FROM gate) AS n_gate,
+      (SELECT CAST(count(*) AS BIGINT) FROM gate
+       WHERE doc_id NOT IN (SELECT doc_id FROM losers)) AS n_surv)
+    SELECT CAST(1 AS BIGINT) AS stage, 'decode' AS stage_name,
+           n_total AS docs_in, n_total - n_decode AS dropped,
+           n_decode AS docs_out FROM n
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'quality_gate', n_decode,
+           n_decode - n_gate, n_gate FROM n
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'perceptual_dedup', n_gate,
+           n_gate - n_surv, n_surv FROM n
+    ORDER BY stage
+    """
+
+
+@_q("multimodal_curation_pipeline", _MM_PIPE_ORACLE)
+def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEDIA twin of curation_pipeline (round-11 verdict item 6):
+    decode gate -> quality gates -> perceptual dedup across ALL THREE
+    media tiers -> survivor manifest, ONE staged flow with per-stage
+    drop accounting — the end-to-end artifact a multimodal
+    training-data run ships. Stage 1 keeps payloads the decoders
+    accept (the single-byte-text stand-in for decodable media); stage
+    2 drops flat images, clip-heavy clips (clip_frac >= 10% — the
+    fraction, not the any-sample flag, is the production gate) and
+    majority-silent clips via the STAGED image/audio quality tables;
+    stage 3 unions the STAGED dHash pair
+    table, the STAGED audio-fingerprint pair table, and the frame-set
+    video pairs built from the STAGED frame table, restricts to gate
+    survivors (dedup runs AFTER the gate, so a cluster whose canonical
+    member was quality-dropped keeps its next member — real pipeline
+    order), collapses clusters by star-contraction CC, and anti-joins
+    the losers. NO payload is re-decoded in this plan (plan-pinned:
+    zero Arrow/Python nodes — every decode happened at staging time);
+    at 100 TB every stage is a parquet scan of a write-once artifact
+    plus capped joins and one broadcast anti-join. Output: (stage,
+    stage_name, docs_in, dropped, docs_out) — the drop ledger reviewed
+    before a run ships."""
+    from tinyetl_spark.operators import multimodal
+
+    docs_all = load(spark, sf_dir, "documents")
+    media_base = docs_all.filter(
+        (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+    )
+    iq = _materialized_image_quality(spark, sf_dir)
+    aq = _materialized_audio_quality(spark, sf_dir)
+    # keep = not flat, clip fraction under 10% (a single clipped
+    # sample shouldn't kill a clip — the FRACTION is the real gate;
+    # clip_frac is floor_round-ed 6dp on both engines so the boundary
+    # compare is deterministic), and not majority-silent
+    gate = (
+        iq.filter(~F.col("is_flat"))
+        .select("doc_id")
+        .join(
+            aq.filter(
+                (F.col("clip_frac") < 0.1) & ~F.col("is_silent")
+            ).select("doc_id"),
+            "doc_id",
+        )
+    )
+    vid_pairs = multimodal.frame_set_near_dups(_video_frames(spark, sf_dir))
+    allp = (
+        _materialized_dhash_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .union(_materialized_afp_pairs(spark, sf_dir).select("id_a", "id_b"))
+        .union(vid_pairs.select("id_a", "id_b"))
+    )
+    gp = (
+        allp.join(gate.select(F.col("doc_id").alias("id_a")), "id_a")
+        .join(gate.select(F.col("doc_id").alias("id_b")), "id_b")
+        .select("id_a", "id_b")
+    )
+    losers = (
+        dedup.connected_components(gp)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    survivors = gate.join(F.broadcast(losers), "doc_id", "left_anti")
+    counts = (
+        docs_all.agg(F.count("*").cast("long").alias("n_total"))
+        .crossJoin(media_base.agg(F.count("*").cast("long").alias("n_decode")))
+        .crossJoin(gate.agg(F.count("*").cast("long").alias("n_gate")))
+        .crossJoin(survivors.agg(F.count("*").cast("long").alias("n_surv")))
+    )
+
+    def _stage(k: int, name: str, n_in: str, n_out: str):
+        return F.struct(
+            F.lit(k).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col(n_in).alias("docs_in"),
+            (F.col(n_in) - F.col(n_out)).alias("dropped"),
+            F.col(n_out).alias("docs_out"),
+        )
+
+    return (
+        counts.select(
+            F.explode(
+                F.array(
+                    _stage(1, "decode", "n_total", "n_decode"),
+                    _stage(2, "quality_gate", "n_decode", "n_gate"),
+                    _stage(3, "perceptual_dedup", "n_gate", "n_surv"),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("stage")
+    )
 
 
 @_q("multimodal_frame_sample", multimodal.frame_sample_sql(frame_chars=16, step=2))
