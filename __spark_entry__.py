@@ -39,7 +39,11 @@ _PRIORITY = [
     # frame-shingle dedup (verdict item 5); the audio near-dup pairs
     # moved to a staged table and the video tiers to a staged frame
     # table (values unchanged, re-greened locally at sf0.001/0.01)
+    # perceptual_recall_audit: pixel-L1 truth vs both hash tiers'
+    # banded candidates on the capped slice (the media twin of
+    # dedup_recall_audit)
     "multimodal_curation_pipeline", "multimodal_video_temporal_dups",
+    "perceptual_recall_audit",
     # --- (b) r6-vintage rotation queue (37: the r6 tail) ---
     "csv_roundtrip", "csv_roundtrip_events", "decontam_report",
     "duckdb_roundtrip", "dup_ngram_frac_docs", "dup_passage_spans",

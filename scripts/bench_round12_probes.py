@@ -24,8 +24,11 @@ from tinyetl_spark.session import get_spark
 
 NEW = [
     "multimodal_video_near_dups",
+    "multimodal_video_temporal_dups",
     "multimodal_image_quality",
     "multimodal_audio_quality",
+    "multimodal_audio_near_dups",
+    "multimodal_curation_pipeline",
     "streaming_perceptual_dedup",
 ]
 

@@ -3950,3 +3950,33 @@ def test_shape_stacked_media_identity(spark):
         assert r["peak_abs"] == max(abs(v) for v in ss)
         assert r["is_clipped"] == (clip > 0)
         assert r["is_silent"] == (sil * 2 > n)
+
+
+def test_perceptual_audit_affine_asymmetry():
+    """The dimension perceptual_recall_audit's precision column
+    measures, planted: a positive affine luma map (2v+10) produces
+    IDENTICAL dHash and pHash values (gradient signs and AC-vs-median
+    comparisons are affine-invariant) while sitting far outside the
+    pixel-L1 truth band — hash-candidate pairs that are NOT pixel-near
+    exist by construction, so precision < 1 is a real outcome the
+    audit can report, not a bug."""
+    import numpy as np
+
+    from tinyetl_spark.operators.multimodal import (
+        _luma_np,
+        dhash_bmp,
+        phash_bmp,
+        synth_bmp,
+    )
+
+    vals = [(7 * i * i + 13 * i) % 100 for i in range(72)]
+
+    def gray(vs):
+        return synth_bmp(bytes(b for v in vs for b in (v, v, v)), 8, 9)
+
+    base = gray(vals)
+    affine = gray([2 * v + 10 for v in vals])
+    assert dhash_bmp(affine) == dhash_bmp(base)
+    assert phash_bmp(affine) == phash_bmp(base)
+    l1 = int(np.abs(_luma_np(affine) - _luma_np(base)).sum())
+    assert l1 > 720  # outside the audit's pixel-truth band

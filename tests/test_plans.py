@@ -1564,3 +1564,13 @@ def test_multimodal_video_temporal_dups_postings_join(spark):
         j in p
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_perceptual_recall_audit_capped_brute_force(spark):
+    """The audit's contract: quadratic only in the id<cap slice (the
+    inequality pair join over the checkpointed grid table), hashes and
+    grids through Arrow batches, candidate/truth intersections as
+    hash joins — no row-at-a-time Python."""
+    p = plan_of(spark, "perceptual_recall_audit")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Scan ExistingRDD" in p  # checkpointed truth/cand stages

@@ -5767,9 +5767,9 @@ _PH_COEFF = (
 ).replace("__K__", repr(multimodal.PH_BASIS))
 
 
-_PH_ORACLE = f"""
-    WITH {_DH_HASH_CTES},
-    ph AS (SELECT doc_id, {_PH_COEFF} AS co FROM px),
+# the pHash chain from a CTE named px (doc_id, lm) to phh (doc_id,
+# phash) — shared by the near-dup oracle and the recall audit
+_PH_HASH_CTES = f"""ph AS (SELECT doc_id, {_PH_COEFF} AS co FROM px),
     acm AS (SELECT doc_id, co[2:64] AS ac FROM ph),
     medt AS (SELECT doc_id, ac, list_sort(ac)[32] AS med FROM acm),
     phh AS (
@@ -5837,7 +5837,11 @@ _PH_ORACLE = f"""
              + CASE WHEN ac[61] > med THEN 1152921504606846976 ELSE 0 END
              + CASE WHEN ac[62] > med THEN 2305843009213693952 ELSE 0 END
              + CASE WHEN ac[63] > med THEN 4611686018427387904 ELSE 0 END AS BIGINT) AS phash
-      FROM medt),
+      FROM medt)"""
+
+_PH_ORACLE = f"""
+    WITH {_DH_HASH_CTES},
+    {_PH_HASH_CTES},
     {dedup.hamming_near_dups_sql("phh", "phash", bits=63)}
     SELECT id_a, id_b, hamming FROM ham_pairs ORDER BY id_a, id_b
     """
@@ -5862,6 +5866,163 @@ def multimodal_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = multimodal.phash_media(media)
     return dedup.hamming_near_dups(hashes, "phash", bits=63).orderBy(
         "id_a", "id_b"
+    )
+
+
+_PRA_CAP = 300   # audit slice (same knob class as DEDUP_AUDIT_CAP)
+_PRA_L1 = 720    # pixel truth: grid L1 <= 720 (mean 10 luma/cell)
+
+_PRA_ORACLE = f"""
+    WITH px AS (
+      SELECT doc_id, {_DH_LUMA_SQL} AS lm
+      FROM documents
+      WHERE strlen(text) = length(text) AND length(text) > 0
+        AND doc_id < {_PRA_CAP}),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM px a JOIN px b ON a.doc_id < b.doc_id
+      WHERE list_sum(list_transform(range(0, 72),
+              i -> abs(a.lm[CAST(i + 1 AS INT)] - b.lm[CAST(i + 1 AS INT)])))
+            <= {_PRA_L1}),
+    dcand AS (SELECT id_a, id_b FROM (
+      WITH dh AS (SELECT doc_id, CAST({_DH_BITS_SQL} AS BIGINT) AS dhash
+                  FROM px),
+      {dedup.hamming_near_dups_sql("dh", "dhash")}
+      SELECT id_a, id_b FROM ham_pairs)),
+    pcand AS (SELECT id_a, id_b FROM (
+      WITH {_PH_HASH_CTES},
+      {dedup.hamming_near_dups_sql("phh", "phash", bits=63)}
+      SELECT id_a, id_b FROM ham_pairs)),
+    n_true AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth),
+    s AS (
+      SELECT 'dhash' AS tier,
+             (SELECT CAST(count(*) AS BIGINT) FROM dcand) AS cand_pairs,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM dcand JOIN truth USING (id_a, id_b)) AS hit_pairs
+      UNION ALL
+      SELECT 'phash',
+             (SELECT CAST(count(*) AS BIGINT) FROM pcand),
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM pcand JOIN truth USING (id_a, id_b)))
+    SELECT tier, CAST({_PRA_L1} AS BIGINT) AS l1_cap, true_pairs,
+           cand_pairs, hit_pairs,
+           CASE WHEN cand_pairs > 0
+                THEN CAST(hit_pairs AS DOUBLE) / CAST(cand_pairs AS DOUBLE)
+                ELSE 1.0 END AS precision,
+           CASE WHEN true_pairs > 0
+                THEN CAST(hit_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE)
+                ELSE 1.0 END AS recall
+    FROM s CROSS JOIN n_true
+    ORDER BY tier
+    """
+
+
+@_q("perceptual_recall_audit", _PRA_ORACLE)
+def perceptual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit of the PERCEPTUAL hash tiers — the media twin of
+    dedup_recall_audit, and the number a 100 TB multimodal dedup run
+    reads before trusting a 64-bit fingerprint: on a deterministic
+    capped slice (id < {cap}), brute-force ground truth = ALL pairs
+    whose 72-cell decoded luma grids sit within L1 <= 720 (mean 10
+    luma levels per cell — pixel-space near-identity, the quantity the
+    hashes EXIST to approximate), then candidate precision and truth
+    recall for BOTH tiers' banded joins (dHash radius 8/64, pHash
+    radius 8/63). Recall shows what the 8-bit radius misses of true
+    pixel-near pairs; precision shows how much structural/affine match
+    each hash admits beyond raw pixel identity (pHash, by design,
+    admits more — that asymmetry is the audit's point). The brute
+    force is quadratic ONLY in the slice (the documented audit-cap
+    contract); the grids come through the real decode path
+    (shape-stacked Arrow batches)."""
+    from tinyetl_spark.operators import multimodal
+
+    media = _synth_media_df(spark, sf_dir, "bmp9").filter(
+        F.col("doc_id") < _PRA_CAP
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            grids = np.empty((len(pdf), 72), dtype=np.int64)
+            for idx, lms in multimodal._luma_stacks(pdf["payload"]):
+                grids[idx] = multimodal._grid_np_batch(lms, 9, 8).reshape(
+                    len(idx), 72
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "lm": list(grids)}
+            )
+
+    lmdf = media.mapInPandas(
+        run, schema="doc_id long, lm array<bigint>"
+    ).localCheckpoint(eager=False)
+    a, b = lmdf.alias("a"), lmdf.alias("b")
+    l1 = F.aggregate(
+        F.zip_with("a.lm", "b.lm", lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            l1.alias("l1"),
+        )
+        .filter(F.col("l1") <= _PRA_L1)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    dcand = (
+        dedup.hamming_near_dups(multimodal.dhash_media(media), "dhash")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    pcand = (
+        dedup.hamming_near_dups(
+            multimodal.phash_media(media), "phash", bits=63
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    n_true = truth.agg(F.count("*").cast("long").alias("true_pairs"))
+
+    def _tier(name: str, cand: DataFrame) -> DataFrame:
+        hits = cand.join(truth, ["id_a", "id_b"]).agg(
+            F.count("*").cast("long").alias("hit_pairs")
+        )
+        return (
+            cand.agg(F.count("*").cast("long").alias("cand_pairs"))
+            .crossJoin(F.broadcast(hits))
+            .select(F.lit(name).alias("tier"), "cand_pairs", "hit_pairs")
+        )
+
+    s = _tier("dhash", dcand).unionByName(_tier("phash", pcand))
+    return (
+        s.crossJoin(F.broadcast(n_true))
+        .select(
+            "tier",
+            F.lit(_PRA_L1).cast("long").alias("l1_cap"),
+            "true_pairs",
+            "cand_pairs",
+            "hit_pairs",
+            F.when(
+                F.col("cand_pairs") > 0,
+                F.col("hit_pairs").cast("double")
+                / F.col("cand_pairs").cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("precision"),
+            F.when(
+                F.col("true_pairs") > 0,
+                F.col("hit_pairs").cast("double")
+                / F.col("true_pairs").cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+        .orderBy("tier")
     )
 
 
@@ -6496,19 +6657,24 @@ def _synth_media_df(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     def run(batches):
         import pandas as pd
 
+        def _cyc(b: bytes, n: int) -> bytes:
+            # cycling from offset 0 is bytes REPETITION — C speed;
+            # bit-identical to bytes(b[i % len(b)] for i in range(n)),
+            # which measured as the dominant 100x-probe cost once the
+            # decoders were vectorized (130M Python iterations at sf10)
+            return (b * (n // len(b) + 1))[:n]
+
         for pdf in batches:
             payloads = []
             for t in pdf["text"]:
                 b = t.encode()
-                cyc = bytes(b[i % len(b)] for i in range(96))
+                cyc = _cyc(b, 96)
                 if kind == "bmp":
                     payloads.append(multimodal.synth_bmp(cyc, 8, 4))
                 elif kind == "bmp9":
-                    c9 = bytes(b[i % len(b)] for i in range(216))
-                    payloads.append(multimodal.synth_bmp(c9, 8, 9))
+                    payloads.append(multimodal.synth_bmp(_cyc(b, 216), 8, 9))
                 elif kind == "wav260":
-                    ca = bytes(b[i % len(b)] for i in range(260))
-                    payloads.append(multimodal.synth_wav(ca))
+                    payloads.append(multimodal.synth_wav(_cyc(b, 260)))
                 elif kind == "png":
                     payloads.append(multimodal.synth_png(cyc, 8, 4))
                 elif kind == "jpeg":
