@@ -43,7 +43,7 @@ _PRIORITY = [
     # banded candidates on the capped slice (the media twin of
     # dedup_recall_audit)
     "multimodal_curation_pipeline", "multimodal_video_temporal_dups",
-    "perceptual_recall_audit",
+    "perceptual_recall_audit", "perceptual_radius_curve",
     # --- (b) r6-vintage rotation queue (37: the r6 tail) ---
     "csv_roundtrip", "csv_roundtrip_events", "decontam_report",
     "duckdb_roundtrip", "dup_ngram_frac_docs", "dup_passage_spans",

@@ -1574,3 +1574,16 @@ def test_perceptual_recall_audit_capped_brute_force(spark):
     p = plan_of(spark, "perceptual_recall_audit")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Scan ExistingRDD" in p  # checkpointed truth/cand stages
+
+
+def test_perceptual_radius_curve_single_join_nested(spark):
+    """The curve's nesting contract: ONE banded join per tier at the
+    max radius serves every radius row (the radius dim is a broadcast
+    theta-join over the checkpointed candidate table — no per-radius
+    re-join of the hash tables), no row-Python anywhere."""
+    p = plan_of(spark, "perceptual_radius_curve")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Scan ExistingRDD" in p  # the checkpointed one-join cands
+    # hash-table subtrees must NOT appear once per radius: the only
+    # MapInPandas allowed is zero (cands checkpointed upstream)
+    assert "MapInPandas" not in p

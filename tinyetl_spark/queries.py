@@ -5917,28 +5917,21 @@ _PRA_ORACLE = f"""
     """
 
 
-@_q("perceptual_recall_audit", _PRA_ORACLE)
-def perceptual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality audit of the PERCEPTUAL hash tiers — the media twin of
-    dedup_recall_audit, and the number a 100 TB multimodal dedup run
-    reads before trusting a 64-bit fingerprint: on a deterministic
-    capped slice (id < {cap}), brute-force ground truth = ALL pairs
-    whose 72-cell decoded luma grids sit within L1 <= 720 (mean 10
-    luma levels per cell — pixel-space near-identity, the quantity the
-    hashes EXIST to approximate), then candidate precision and truth
-    recall for BOTH tiers' banded joins (dHash radius 8/64, pHash
-    radius 8/63). Recall shows what the 8-bit radius misses of true
-    pixel-near pairs; precision shows how much structural/affine match
-    each hash admits beyond raw pixel identity (pHash, by design,
-    admits more — that asymmetry is the audit's point). The brute
-    force is quadratic ONLY in the slice (the documented audit-cap
-    contract); the grids come through the real decode path
-    (shape-stacked Arrow batches)."""
-    from tinyetl_spark.operators import multimodal
-
-    media = _synth_media_df(spark, sf_dir, "bmp9").filter(
+def _pra_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit slice's media payloads (id < cap)."""
+    return _synth_media_df(spark, sf_dir, "bmp9").filter(
         F.col("doc_id") < _PRA_CAP
     )
+
+
+def _pra_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force pixel-space ground truth on the audit slice: all
+    pairs whose decoded 72-cell luma grids sit within L1 <= _PRA_L1.
+    Quadratic only in the slice; shared by the recall audit and the
+    radius curve (checkpointed once per plan)."""
+    from tinyetl_spark.operators import multimodal
+
+    media = _pra_media(spark, sf_dir)
 
     def run(batches):
         import numpy as np
@@ -5963,7 +5956,7 @@ def perceptual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    truth = (
+    return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"),
@@ -5974,6 +5967,29 @@ def perceptual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
+
+
+@_q("perceptual_recall_audit", _PRA_ORACLE)
+def perceptual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit of the PERCEPTUAL hash tiers — the media twin of
+    dedup_recall_audit, and the number a 100 TB multimodal dedup run
+    reads before trusting a 64-bit fingerprint: on a deterministic
+    capped slice (id < {cap}), brute-force ground truth = ALL pairs
+    whose 72-cell decoded luma grids sit within L1 <= 720 (mean 10
+    luma levels per cell — pixel-space near-identity, the quantity the
+    hashes EXIST to approximate), then candidate precision and truth
+    recall for BOTH tiers' banded joins (dHash radius 8/64, pHash
+    radius 8/63). Recall shows what the 8-bit radius misses of true
+    pixel-near pairs; precision shows how much structural/affine match
+    each hash admits beyond raw pixel identity (pHash, by design,
+    admits more — that asymmetry is the audit's point). The brute
+    force is quadratic ONLY in the slice (the documented audit-cap
+    contract); the grids come through the real decode path
+    (shape-stacked Arrow batches)."""
+    truth = _pra_truth(spark, sf_dir)
+    media = _pra_media(spark, sf_dir)
+    from tinyetl_spark.operators import multimodal
+
     dcand = (
         dedup.hamming_near_dups(multimodal.dhash_media(media), "dhash")
         .select("id_a", "id_b")
@@ -6023,6 +6039,151 @@ def perceptual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
         .orderBy("tier")
+    )
+
+
+_PRC_RADII = (2, 4, 6, 8, 10, 12)
+_PRC_MAXH = 12
+
+_PRC_ORACLE = f"""
+    WITH px AS (
+      SELECT doc_id, {_DH_LUMA_SQL} AS lm
+      FROM documents
+      WHERE strlen(text) = length(text) AND length(text) > 0
+        AND doc_id < {_PRA_CAP}),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM px a JOIN px b ON a.doc_id < b.doc_id
+      WHERE list_sum(list_transform(range(0, 72),
+              i -> abs(a.lm[CAST(i + 1 AS INT)] - b.lm[CAST(i + 1 AS INT)])))
+            <= {_PRA_L1}),
+    dcand AS (SELECT id_a, id_b, hamming FROM (
+      WITH dh AS (SELECT doc_id, CAST({_DH_BITS_SQL} AS BIGINT) AS dhash
+                  FROM px),
+      {dedup.hamming_near_dups_sql("dh", "dhash", max_hamming=_PRC_MAXH)}
+      SELECT id_a, id_b, hamming FROM ham_pairs)),
+    pcand AS (SELECT id_a, id_b, hamming FROM (
+      WITH {_PH_HASH_CTES},
+      {dedup.hamming_near_dups_sql("phh", "phash", bits=63, max_hamming=_PRC_MAXH)}
+      SELECT id_a, id_b, hamming FROM ham_pairs)),
+    cands AS (
+      SELECT 'dhash' AS tier, id_a, id_b, hamming FROM dcand
+      UNION ALL
+      SELECT 'phash' AS tier, id_a, id_b, hamming FROM pcand),
+    marked AS (
+      SELECT c.tier, c.hamming,
+             CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+      FROM cands c LEFT JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b),
+    radii AS (SELECT unnest({list(_PRC_RADII)}) AS radius),
+    dim AS (SELECT tier, radius
+            FROM (SELECT 'dhash' AS tier UNION ALL SELECT 'phash') t
+            CROSS JOIN radii),
+    st AS (SELECT m.tier, r.radius,
+                  CAST(count(*) AS BIGINT) AS cand_pairs,
+                  CAST(coalesce(sum(m.is_true), 0) AS BIGINT) AS hit_pairs
+           FROM marked m JOIN radii r ON m.hamming <= r.radius
+           GROUP BY 1, 2),
+    n_true AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth)
+    SELECT d.tier, CAST(d.radius AS BIGINT) AS radius, true_pairs,
+           CAST(coalesce(st.cand_pairs, 0) AS BIGINT) AS cand_pairs,
+           CAST(coalesce(st.hit_pairs, 0) AS BIGINT) AS hit_pairs,
+           CASE WHEN coalesce(st.cand_pairs, 0) > 0
+                THEN CAST(st.hit_pairs AS DOUBLE)
+                     / CAST(st.cand_pairs AS DOUBLE)
+                ELSE 1.0 END AS precision,
+           CASE WHEN true_pairs > 0
+                THEN CAST(coalesce(st.hit_pairs, 0) AS DOUBLE)
+                     / CAST(true_pairs AS DOUBLE)
+                ELSE 1.0 END AS recall
+    FROM dim d
+    LEFT JOIN st ON st.tier = d.tier AND st.radius = d.radius
+    CROSS JOIN n_true
+    ORDER BY 1, 2
+    """
+
+
+@_q("perceptual_radius_curve", _PRC_ORACLE)
+def perceptual_radius_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision vs Hamming RADIUS for both perceptual tiers —
+    the radius-sizing knob curve (the perceptual twin of
+    ann_budget_curve and lsh_parameter_curve): on the same capped
+    slice and pixel-L1 ground truth as perceptual_recall_audit, sweep
+    radius 2..12 per tier. The radii NEST off ONE banded join per tier
+    at the max radius (a pair within radius r <= 12 is found by the
+    radius-12 pigeonhole bounds, so the radius-r row is the
+    hamming <= r slice of the one join — the exact ann_budget_curve
+    nesting trick; the oracle runs the same single-join-then-filter,
+    so cap behavior matches bit-for-bit). 12 rows: (tier, radius,
+    true_pairs, cand_pairs, hit_pairs, precision, recall) — the table
+    read to pick the radius before a 100 TB perceptual dedup run."""
+    from tinyetl_spark.operators import multimodal
+
+    truth = _pra_truth(spark, sf_dir)
+    media = _pra_media(spark, sf_dir)
+    dc = (
+        dedup.hamming_near_dups(
+            multimodal.dhash_media(media), "dhash", max_hamming=_PRC_MAXH
+        )
+        .select("id_a", "id_b", "hamming")
+        .withColumn("tier", F.lit("dhash"))
+    )
+    pc = (
+        dedup.hamming_near_dups(
+            multimodal.phash_media(media),
+            "phash",
+            bits=63,
+            max_hamming=_PRC_MAXH,
+        )
+        .select("id_a", "id_b", "hamming")
+        .withColumn("tier", F.lit("phash"))
+    )
+    cands = dc.unionByName(pc).localCheckpoint(eager=False)
+    marked = cands.join(
+        truth.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left"
+    ).select("tier", "hamming", F.coalesce("_t", F.lit(0)).alias("is_true"))
+    radii = spark.createDataFrame(
+        [(r,) for r in _PRC_RADII], "radius long"
+    )
+    st = (
+        marked.join(
+            F.broadcast(radii), marked["hamming"] <= radii["radius"]
+        )
+        .groupBy("tier", "radius")
+        .agg(
+            F.count("*").cast("long").alias("cand_pairs"),
+            F.sum("is_true").cast("long").alias("hit_pairs"),
+        )
+    )
+    dim = spark.createDataFrame(
+        [("dhash",), ("phash",)], "tier string"
+    ).crossJoin(F.broadcast(radii))
+    n_true = truth.agg(F.count("*").cast("long").alias("true_pairs"))
+    return (
+        dim.join(st, ["tier", "radius"], "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "tier",
+            F.col("radius").cast("long").alias("radius"),
+            "true_pairs",
+            F.coalesce("cand_pairs", F.lit(0)).cast("long").alias("cand_pairs"),
+            F.coalesce("hit_pairs", F.lit(0)).cast("long").alias("hit_pairs"),
+            F.when(
+                F.coalesce("cand_pairs", F.lit(0)) > 0,
+                F.col("hit_pairs").cast("double")
+                / F.col("cand_pairs").cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("precision"),
+            F.when(
+                F.col("true_pairs") > 0,
+                F.coalesce("hit_pairs", F.lit(0)).cast("double")
+                / F.col("true_pairs").cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+        .orderBy("tier", "radius")
     )
 
 
