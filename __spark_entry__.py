@@ -44,6 +44,7 @@ _PRIORITY = [
     # dedup_recall_audit)
     "multimodal_curation_pipeline", "multimodal_video_temporal_dups",
     "perceptual_recall_audit", "perceptual_radius_curve",
+    "streaming_media_quality",
     # --- (b) r6-vintage rotation queue (37: the r6 tail) ---
     "csv_roundtrip", "csv_roundtrip_events", "decontam_report",
     "duckdb_roundtrip", "dup_ngram_frac_docs", "dup_passage_spans",

@@ -7602,22 +7602,84 @@ def streaming_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("text")
 
     def run(batches):
+        # one (n, 9, 8) luma stack per micro-batch (the synth/decode
+        # round-trip is the identity on stored pixel bytes, so the
+        # stack path is bit-identical to dhash_bmp(synth_bmp(...)) —
+        # the same equivalence the video-tier identity test pins)
+        import numpy as np
         import pandas as pd
 
+        jj = np.arange(216, dtype=np.int64)
         for pdf in batches:
-            hashes = []
+            planes = []
             for t in pdf["text"]:
-                b = t.encode()
-                c9 = bytes(b[i % len(b)] for i in range(216))
-                hashes.append(
-                    multimodal.dhash_bmp(multimodal.synth_bmp(c9, 8, 9))
-                )
-            yield pd.DataFrame({"dhash": pd.Series(hashes, dtype="int64")})
+                b = np.frombuffer(t.encode(), dtype=np.uint8)
+                planes.append(b[jj % len(b)])
+            if planes:
+                px = np.stack(planes).reshape(-1, 9, 8, 3).astype(np.int64)
+                lm = (
+                    114 * px[..., 0] + 587 * px[..., 1] + 299 * px[..., 2]
+                ) // 1000
+                hashes = multimodal._dhash_from_grids(lm)
+            else:
+                hashes = np.array([], dtype=np.int64)
+            yield pd.DataFrame({"dhash": hashes})
 
     hashed = src.mapInPandas(run, schema="dhash long")
     return streaming.run_bounded(
         streaming.streaming_dedup(hashed, ["dhash"]), spark, mode="append"
     )
+
+
+@_q(
+    "streaming_media_quality",
+    f"""
+    SELECT doc_id, mean_luma, var_luma, grad_energy, dyn_range
+    FROM ({_IQ_ORACLE}) WHERE NOT is_flat ORDER BY doc_id
+    """,
+)
+def streaming_media_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time media quality gate on a STREAM — the 15th streaming
+    query: documents replayed through Structured Streaming, each
+    micro-batch synthesizing its BMPs and running the SAME
+    shape-stacked Arrow quality stats as the batch tier
+    (image_quality_stats composes with streaming — it is a stateless
+    mapInPandas), then dropping flat frames before they reach storage
+    or embedding compute. Stateless (no state store); per-doc keyed
+    rows make the result arrival-order independent, so the batch
+    oracle (the image-quality oracle filtered to gate passers)
+    matches exactly."""
+    from tinyetl_spark import streaming
+    from tinyetl_spark.operators import multimodal
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stage = _stage_table_symlink(sf_dir, "documents")
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    src = stream.filter(
+        (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+    ).select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                multimodal.synth_bmp(
+                    (t.encode() * (216 // len(t.encode()) + 1))[:216], 8, 9
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = src.mapInPandas(synth, schema="doc_id long, payload binary")
+    gated = (
+        multimodal.image_quality_stats(media)
+        .filter(~F.col("is_flat"))
+        .drop("is_flat")
+    )
+    return streaming.run_bounded(gated, spark, mode="append")
 
 
 @_q(
