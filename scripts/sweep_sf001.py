@@ -11,13 +11,14 @@ Usage: python scripts/sweep_sf001.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests.conftest import TABLES  # noqa: E402
 from tests.test_oracle import _normalize  # noqa: E402
