@@ -3980,3 +3980,43 @@ def test_perceptual_audit_affine_asymmetry():
     assert phash_bmp(affine) == phash_bmp(base)
     l1 = int(np.abs(_luma_np(affine) - _luma_np(base)).sum())
     assert l1 > 720  # outside the audit's pixel-truth band
+
+
+def test_curation_gate_before_dedup_ordering(spark):
+    """multimodal_curation_pipeline's stage-3 contract, planted: dedup
+    runs on GATE SURVIVORS, so when a cluster's canonical (min-id)
+    member is quality-dropped, the next member survives instead of
+    the whole cluster dying. Pairs (1,2),(2,3) form one cluster; the
+    gate drops doc 1; CC over the gate-restricted pairs must elect 2
+    as canonical and drop only 3."""
+    from pyspark.sql import functions as F
+
+    from tinyetl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    gate = spark.createDataFrame(
+        [(2,), (3,), (4,), (7,), (8,)], "doc_id long"
+    )
+    gp = (
+        pairs.join(gate.select(F.col("doc_id").alias("id_a")), "id_a")
+        .join(gate.select(F.col("doc_id").alias("id_b")), "id_b")
+        .select("id_a", "id_b")
+    )
+    losers = {
+        r["doc_id"]
+        for r in connected_components(gp)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .collect()
+    }
+    assert losers == {3, 8}  # 2 survives (1 was gate-dropped), 7 canonical
+    survivors = {
+        r["doc_id"]
+        for r in gate.join(
+            spark.createDataFrame([(i,) for i in losers], "doc_id long"),
+            "doc_id",
+            "left_anti",
+        ).collect()
+    }
+    assert survivors == {2, 4, 7}
