@@ -1319,9 +1319,14 @@ def _dhash_from_grids(grids):
     weights = np.left_shift(
         np.uint64(1), np.arange(64, dtype=np.uint64)
     )
-    return (diff.astype(np.uint64) * weights).sum(
-        axis=1, dtype=np.uint64
-    ).astype(np.int64)
+    # .view, not .astype: values with bit 63 set are >= 2^63, where a
+    # uint64 -> int64 astype is undefined-behavior territory; the view
+    # is a guaranteed bit reinterpretation (two's complement)
+    return (
+        (diff.astype(np.uint64) * weights)
+        .sum(axis=1, dtype=np.uint64)
+        .view(np.int64)
+    )
 
 
 def _luma_stacks(payloads):
