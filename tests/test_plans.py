@@ -1464,16 +1464,16 @@ def test_multimodal_near_dups_staged_pair_scan(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_multimodal_audio_near_dups_banded_join_arrow_codec(spark):
-    """The audio near-dup plan: the fingerprint is the one Arrow
-    MapInPandas (codec-family exception), the pairing is the banded
-    equi-join on (chunk_idx, chunk_val) — never a cartesian or
-    nested-loop pass over payloads."""
+def test_multimodal_audio_near_dups_staged_pair_scan(spark):
+    """The audio pair table is a parquet scan of the staged artifact
+    (round 12 — the same write-once contract as the image tier's
+    dhash_pairs): the Arrow fingerprint codec and the banded join ran
+    at staging time, so the consuming plan is a pure scan."""
     p = plan_of(spark, "multimodal_audio_near_dups")
-    assert "MapInPandas" in p
-    assert "BatchEvalPython" not in p
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    assert "afp_pairs" in p  # reads the staged table
+    assert "Join" not in p
+    assert "MapInPandas" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
 def test_multimodal_dup_survivors_broadcast_anti(spark):
