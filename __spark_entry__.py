@@ -42,6 +42,10 @@ _PRIORITY = [
     # perceptual_recall_audit: pixel-L1 truth vs both hash tiers'
     # banded candidates on the capped slice (the media twin of
     # dedup_recall_audit)
+    # c4_quality_docs: the C4 cleaning-heuristics tier (Raffel et al.
+    # 2020 §2.2) alongside the Gopher rules; split_ngram_leakage: the
+    # post-split near-verbatim contamination audit
+    "c4_quality_docs", "split_ngram_leakage",
     "multimodal_curation_pipeline", "multimodal_video_temporal_dups",
     "perceptual_recall_audit", "perceptual_radius_curve",
     "streaming_media_quality",

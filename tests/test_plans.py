@@ -374,6 +374,27 @@ def test_gopher_rules_in_row_no_shuffle_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_c4_rules_in_row_no_shuffle_no_python(spark):
+    """Every C4 rule (line keep counts, bad-word/lorem/brace page
+    signals, keep flag) is a per-row HOF/regex expression over one
+    word-array projection — scan-speed, no Exchange, no Python, no
+    explode (the line table never materializes)."""
+    p = plan_of(spark, "c4_quality_docs")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Generate" not in p
+
+
+def test_split_ngram_leakage_shingle_join_no_cartesian(spark):
+    """The leakage audit meets in shingle-keyed equi-joins (train side
+    distinct-collapsed first): no cartesian/nested-loop anywhere, no
+    Python, and the split assignment is an in-row hash (no join back
+    to a split summary table)."""
+    p = plan_of(spark, "split_ngram_leakage")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_bm25_search_filters_before_shuffle_and_takeordered(spark):
     """The exploded term stream must be joined (broadcast) against the
     query terms BEFORE any aggregation shuffle, and the global top-k

@@ -468,6 +468,117 @@ def leakage_safe_split_sql(
     """
 
 
+def split_ngram_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (90, 5, 5),
+    salt: str = "split",
+    k: int | None = None,
+) -> DataFrame:
+    """Post-split NEAR-verbatim leakage audit: the fingerprint split
+    (``leakage_safe_split``) guarantees verbatim copies share a split,
+    but a val/test document that is a near-copy of a training document
+    (edited boilerplate, shuffled paragraphs) still leaks evaluation
+    signal. Per val/test doc, count its distinct k-word shingles also
+    present in ANY training doc — the GPT-3-style n-gram contamination
+    check run against the pipeline's own split instead of an external
+    benchmark. Output: (doc_id, split, n_shingles, n_leaked,
+    leak_frac, flagged) with flagged = leak_frac >= 0.2 (integer-
+    compared as n_leaked * 5 >= n_shingles — no float threshold).
+
+    Scale shape: split assignment is an in-row hash (no join back to
+    the split summary); both sides then meet in ONE shingle-keyed
+    equi-join — the train side pre-collapsed to DISTINCT shingles with
+    map-side combine, the eval side ~10% of the corpus. When the eval
+    set is benchmark-sized rather than a split, broadcast it like
+    ``decontam_overlap`` and the training corpus is never shuffled."""
+    k = DECONTAM_K if k is None else k
+    w_train, w_val, _w_test = weights
+    buckets = sum(weights)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    b = hash64_col(hash128_col(norm), seed=salt) % buckets
+    split = (
+        F.when(b < w_train, F.lit("train"))
+        .when(b < w_train + w_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    ws = df.select(
+        F.col(id_col), split.alias("split"), words_col(text_col).alias("_ws")
+    ).filter(F.size("_ws") >= k)
+    sh = ws.select(
+        F.col(id_col), "split", F.explode(_shingle_col("_ws", k)).alias("s")
+    )
+    eval_sh = sh.filter(F.col("split") != "train")
+    train_sh = sh.filter(F.col("split") == "train").select("s").distinct()
+    per_doc = eval_sh.groupBy(id_col, "split").agg(
+        F.count_distinct("s").cast("bigint").alias("n_shingles")
+    )
+    leaked = (
+        eval_sh.select(id_col, "split", "s")
+        .distinct()
+        .join(train_sh, "s")
+        .groupBy(id_col, "split")
+        .agg(F.count_distinct("s").cast("bigint").alias("n_leaked"))
+    )
+    nl = F.coalesce(F.col("n_leaked"), F.lit(0).cast("bigint"))
+    return per_doc.join(leaked, [id_col, "split"], "left").select(
+        F.col(id_col),
+        "split",
+        "n_shingles",
+        nl.alias("n_leaked"),
+        F.round((nl / F.col("n_shingles")).cast("double"), 6).alias("leak_frac"),
+        (nl * 5 >= F.col("n_shingles")).alias("flagged"),
+    )
+
+
+def split_ngram_leakage_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (90, 5, 5),
+    salt: str = "split",
+    k: int | None = None,
+) -> str:
+    k = DECONTAM_K if k is None else k
+    w_train, w_val, _w_test = weights
+    buckets = sum(weights)
+    w = words_sql(text_col)
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    fp = hash128_sql(norm)
+    b = f"({hash64_sql(fp, seed=salt)} % {buckets})"
+    return f"""
+    WITH ws AS (
+      SELECT {id_col},
+             CASE WHEN {b} < {w_train} THEN 'train'
+                  WHEN {b} < {w_train + w_val} THEN 'val'
+                  ELSE 'test' END AS split,
+             {w} AS arr
+      FROM {table}
+      WHERE len({w}) >= {k}),
+    sh AS (
+      SELECT {id_col}, split,
+             unnest(list_transform(range(1, len(arr) - {k - 1} + 1),
+                                   i -> array_to_string(arr[i:i+{k - 1}], ' '))) AS s
+      FROM ws),
+    tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+    per_doc AS (
+      SELECT {id_col}, split, CAST(count(DISTINCT s) AS BIGINT) AS n_shingles
+      FROM sh WHERE split <> 'train' GROUP BY {id_col}, split),
+    leaked AS (
+      SELECT e.{id_col}, e.split, CAST(count(DISTINCT e.s) AS BIGINT) AS n_leaked
+      FROM (SELECT DISTINCT {id_col}, split, s FROM sh WHERE split <> 'train') e
+      JOIN tr USING (s)
+      GROUP BY e.{id_col}, e.split)
+    SELECT p.{id_col}, p.split, p.n_shingles,
+           CAST(coalesce(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+           round(CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / p.n_shingles, 6) AS leak_frac,
+           coalesce(l.n_leaked, 0) * 5 >= p.n_shingles AS flagged
+    FROM per_doc p LEFT JOIN leaked l
+      ON p.{id_col} = l.{id_col} AND p.split = l.split
+    """
+
+
 # hash64 values lie in [0, 2^60); (h + 1) / 2^60 is a uniform in (0, 1]
 _PRI_POW2_60 = float(1 << 60)
 
@@ -2294,6 +2405,122 @@ def gopher_rules_sql(table: str = "documents", text_col: str = "text", id_col: s
              AND (CAST(aw AS DOUBLE) / nw) >= {GOPHER_MIN_ALPHA_WORD_FRAC}
              AND sh >= {GOPHER_MIN_STOP_HITS}
            END AS keep
+    FROM base
+    """
+
+
+# ------------------------------------------------------ C4 line rules
+
+# Rule constants (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning with a Unified Text-to-Text Transformer" — the C4 cleaning
+# heuristics, §2.2: terminal-punctuation line filter, minimum words per
+# line, minimum retained sentences per page, bad-word / "lorem ipsum" /
+# curly-brace page drops). The corpus is newline- and punctuation-free,
+# so the query instantiates the generic predicates with reline()d
+# 8-word lines and a vocabulary terminal-token set — thresholds tuned
+# so ``keep`` actually splits; the RULES are the deliverable (same
+# convention as the Gopher tier above).
+C4_LINE_MIN_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_LINE_END_RE = r"(^| )(data|table|row|key|value|column|line|batch)$"
+C4_BAD_WORDS: tuple[str, ...] = ("dup",)
+C4_LOREM = "lorem ipsum"
+C4_BRACE = "{"
+
+
+def c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_min_words: int = C4_LINE_MIN_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+    line_end_re: str = C4_LINE_END_RE,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+) -> DataFrame:
+    """C4-style page cleaning metrics: per-document line counts before/
+    after the line rules (>= ``line_min_words`` words AND the terminal-
+    token regex — C4's "ends in terminal punctuation" slot), the page-
+    level drop signals (bad-word hit, "lorem ipsum", curly brace), and
+    the composite ``keep`` flag (>= ``min_kept_lines`` surviving lines
+    and no page-level hit).
+
+    Scale shape: lines derive from one in-row transform over the word
+    array and every metric is a higher-order-function fold over that
+    array — no explode, no shuffle, no Python. At 100 TB this is a
+    scan-speed map that fuses with the downstream projection, exactly
+    like the Gopher tier."""
+    ws = words_col(text_col)
+    lines = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size("_ws") / F.lit(RELINE_WORDS)).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("_ws"), (i - 1) * RELINE_WORDS + 1, RELINE_WORDS)
+        ),
+    )
+    kept = F.filter(
+        F.col("_lines"),
+        lambda l: (F.size(F.split(l, " ")) >= line_min_words) & l.rlike(line_end_re),
+    )
+    badarr = F.array(*[F.lit(b) for b in bad_words])
+    base = (
+        df.select(id_col, text_col)
+        .withColumn("_ws", ws)
+        .withColumn("_lines", lines)
+        .withColumn("_kept", kept)
+    )
+    n_kept = F.size("_kept")
+    bad_hit = F.size(F.array_intersect("_ws", badarr)) > 0
+    lorem = F.col(text_col).contains(C4_LOREM)
+    brace = F.col(text_col).contains(C4_BRACE)
+    return base.select(
+        F.col(id_col),
+        F.size("_lines").cast("bigint").alias("n_lines"),
+        n_kept.cast("bigint").alias("n_kept_lines"),
+        F.aggregate(
+            "_kept",
+            F.lit(0).cast("bigint"),
+            lambda a, l: a + F.size(F.split(l, " ")),
+        ).alias("n_kept_words"),
+        bad_hit.alias("bad_word_hit"),
+        lorem.alias("has_lorem"),
+        brace.alias("has_brace"),
+        ((n_kept >= min_kept_lines) & ~bad_hit & ~lorem & ~brace).alias("keep"),
+    )
+
+
+def c4_rules_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_min_words: int = C4_LINE_MIN_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+    line_end_re: str = C4_LINE_END_RE,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+) -> str:
+    w = words_sql(text_col)
+    reline = (
+        f"list_transform(range(1, (len({w}) + {RELINE_WORDS - 1}) // {RELINE_WORDS} + 1), "
+        f"i -> array_to_string(({w})[(i-1)*{RELINE_WORDS}+1:(i-1)*{RELINE_WORDS}+{RELINE_WORDS}], ' '))"
+    )
+    bads = ", ".join(f"'{b}'" for b in bad_words)
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             {reline} AS ls,
+             list_filter({reline},
+               l -> len(string_split(l, ' ')) >= {line_min_words}
+                    AND regexp_matches(l, '{line_end_re}')) AS kept,
+             len(list_intersect({w}, [{bads}])) > 0 AS bad_word_hit,
+             contains({text_col}, '{C4_LOREM}') AS has_lorem,
+             contains({text_col}, '{C4_BRACE.replace("'", "''")}') AS has_brace
+      FROM {table})
+    SELECT {id_col},
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(coalesce(list_sum(list_transform(kept,
+                l -> len(string_split(l, ' ')))), 0) AS BIGINT) AS n_kept_words,
+           bad_word_hit, has_lorem, has_brace,
+           len(kept) >= {min_kept_lines}
+             AND NOT bad_word_hit AND NOT has_lorem AND NOT has_brace AS keep
     FROM base
     """
 

@@ -2638,6 +2638,18 @@ def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_rules(load(spark, sf_dir, "documents"))
 
 
+@_q("c4_quality_docs", text.c4_rules_sql())
+def c4_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): line-level
+    keep rules (min words per line + terminal-token regex — the
+    terminal-punctuation slot, instantiated for the punctuation-free
+    corpus) and page-level drops (bad-word list, "lorem ipsum", curly
+    brace), composed into per-doc retained-line counts and a ``keep``
+    flag. Pure per-row higher-order-function codegen over one word
+    array — no explode, no shuffle; scan-speed at any corpus size."""
+    return text.c4_rules(load(spark, sf_dir, "documents"))
+
+
 @_q("bm25_search_docs", text.bm25_search_sql())
 def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide BM25 retrieval for a fixed query: the exploded term
@@ -4315,6 +4327,17 @@ def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output's leaked_fingerprints column measures the guarantee (0 by
     construction) instead of asserting it."""
     return text.leakage_safe_split(load(spark, sf_dir, "documents"))
+
+
+@_q("split_ngram_leakage", text.split_ngram_leakage_sql())
+def split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-verbatim leakage audit over the fingerprint split: per
+    val/test doc, the fraction of its 5-word shingles present in any
+    training doc (GPT-3-style n-gram contamination, aimed at the
+    pipeline's own split — catches the edited near-copies the exact-
+    fingerprint guarantee can't). One shingle-keyed equi-join; the
+    train side collapses to distinct shingles map-side first."""
+    return text.split_ngram_leakage(load(spark, sf_dir, "documents"))
 
 
 @_q("hash_sample_docs", text.hash_sample_sql(pct=10))
