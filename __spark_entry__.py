@@ -45,7 +45,8 @@ _PRIORITY = [
     # c4_quality_docs: the C4 cleaning-heuristics tier (Raffel et al.
     # 2020 §2.2) alongside the Gopher rules; split_ngram_leakage: the
     # post-split near-verbatim contamination audit
-    "c4_quality_docs", "split_ngram_leakage",
+    # ivf_balance_audit: IVF cell-skew audit (empty cells included)
+    "c4_quality_docs", "split_ngram_leakage", "ivf_balance_audit",
     "multimodal_curation_pipeline", "multimodal_video_temporal_dups",
     "perceptual_recall_audit", "perceptual_radius_curve",
     "streaming_media_quality",

@@ -395,6 +395,17 @@ def test_split_ngram_leakage_shingle_join_no_cartesian(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_ivf_balance_single_groupby_no_python(spark):
+    """Cell assignment is an in-row distance fold; the audit is ONE
+    map-side-combined groupBy on the cell id (one hashpartitioning
+    exchange) with the cell table and 1-row total broadcast — no
+    Python, no sort-merge join."""
+    p = plan_of(spark, "ivf_balance_audit")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "SortMergeJoin" not in p
+
+
 def test_bm25_search_filters_before_shuffle_and_takeordered(spark):
     """The exploded term stream must be joined (broadcast) against the
     query terms BEFORE any aggregation shuffle, and the global top-k

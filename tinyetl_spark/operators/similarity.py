@@ -365,6 +365,78 @@ def ivf_assign_sql(vec_expr: str, centroids: list[list[float]]) -> str:
     )
 
 
+def ivf_balance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    hot_factor: int = 2,
+) -> DataFrame:
+    """IVF cell-balance audit: per-cell vector counts (EMPTY cells
+    included), each cell's share of the corpus, and its load relative
+    to the uniform share — the partition-skew check run BEFORE
+    deploying an IVF index, because a hot cell is simultaneously a
+    skewed shuffle partition at build time and a slow probe at query
+    time (nprobe cells dominate latency via the largest one). ``hot``
+    flags cells at >= ``hot_factor``x the uniform load, integer-
+    compared (n_vecs * n_cells >= hot_factor * total — no float
+    threshold).
+
+    Scale shape: assignment is the same in-row distance fold the IVF
+    tier shares, then ONE map-side-combined groupBy on the cell id;
+    the cell table (n_cells rows) and the 1-row total broadcast into
+    the report join. At 100 TB the only corpus-sized cost is the scan."""
+    cents = centroids or _ivf_seeded_centroids()
+    n = len(cents)
+    assigned = ivf_assign(df.select(id_col, vec_col), vec_col, cents)
+    counts = assigned.groupBy(F.col("_cell").alias("cell")).agg(
+        F.count("*").cast("bigint").alias("n_vecs")
+    )
+    cells = (
+        df.sparkSession.range(n).select(F.col("id").cast("int").alias("cell"))
+    )
+    tot = df.agg(F.count("*").cast("bigint").alias("_total"))
+    nv = F.coalesce(F.col("n_vecs"), F.lit(0).cast("bigint"))
+    return (
+        cells.join(F.broadcast(counts), "cell", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            nv.alias("n_vecs"),
+            F.round((nv / F.col("_total")).cast("double"), 6).alias("load_frac"),
+            F.round((nv * n / F.col("_total")).cast("double"), 6).alias("rel_load"),
+            (nv * n >= hot_factor * F.col("_total")).alias("hot"),
+        )
+    )
+
+
+def ivf_balance_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    hot_factor: int = 2,
+) -> str:
+    cents = centroids or _ivf_seeded_centroids()
+    n = len(cents)
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH assigned AS (
+      SELECT {ivf_assign_sql(v, cents)} AS cell FROM {table}),
+    counts AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY cell),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM {table}),
+    cells AS (SELECT unnest(range(0, {n})) AS cell)
+    SELECT CAST(c.cell AS INT) AS cell,
+           CAST(coalesce(k.n_vecs, 0) AS BIGINT) AS n_vecs,
+           round(CAST(coalesce(k.n_vecs, 0) AS DOUBLE) / t.total, 6) AS load_frac,
+           round(CAST(coalesce(k.n_vecs, 0) * {n} AS DOUBLE) / t.total, 6) AS rel_load,
+           coalesce(k.n_vecs, 0) * {n} >= {hot_factor} * t.total AS hot
+    FROM cells c LEFT JOIN counts k ON c.cell = k.cell CROSS JOIN tot t
+    """
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int,

@@ -4902,6 +4902,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@_q("ivf_balance_audit", similarity.ivf_balance_sql())
+def ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance audit: per-cell counts (empty cells included),
+    corpus share, and load relative to uniform, with a hot-cell flag —
+    the skew check run before deploying an IVF index (a hot cell is a
+    skewed build partition AND the probe-latency ceiling). One in-row
+    assignment + one map-side-combined groupBy; the cell table and the
+    1-row total broadcast."""
+    return similarity.ivf_balance(load(spark, sf_dir, "embeddings"))
+
+
 def _materialized_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF float index (id, embedding, cell) staged once,
     PARTITIONED BY cell — probes prune at planning time and never
