@@ -265,9 +265,12 @@ def bpe_train(
     count whose single winning row is the only thing the driver sees.
     Iteration i recomputes i in-row folds from that checkpoint —
     O(n_merges^2) folds over the VOCABULARY table, the cheap side of
-    the trade at the default 12 merges. A production 32k-merge run
-    would stage the symbol table to parquet periodically (same swap
-    point as the dedup pipeline)."""
+    the trade at the default 12 merges (measured in the r12
+    optimization round: a per-iteration localCheckpoint costs MORE in
+    materialization jobs than the replayed folds save — 6.4s -> 14.7s
+    at sf0.1 — so the single-checkpoint form stands). A production
+    32k-merge run would stage the symbol table to parquet periodically
+    (same swap point as the dedup pipeline)."""
     merges, _ = _train(df, text_col, n_merges)
     return df.sparkSession.createDataFrame(
         merges, "rank bigint, lsym string, rsym string, total bigint"
@@ -1551,45 +1554,70 @@ def _wp_merge_out(a: str, b: str) -> str:
     return a + (b[2:] if b.startswith("##") else b)
 
 
-def _wp_scored_pairs(syms: DataFrame) -> DataFrame:
-    """Adjacent-pair rows scored by the WordPiece likelihood rule:
-    (lsym, rsym, total, score_nano) with score_nano the exact BIGINT
-    floor(1e9 * total / (cnt_l * cnt_r)). Both joins are
-    vocabulary-sized — symbol counts and pair totals live in the
-    dictionary domain, never the corpus."""
-    totals = _pair_totals(syms)
-    cnts = (
-        syms.select("wcount", F.explode("s").alias("sym"))
-        .groupBy("sym")
-        .agg(F.sum("wcount").cast("bigint").alias("cnt"))
+def _wp_pair_and_sym_totals(syms: DataFrame) -> list:
+    """Adjacent-pair totals AND symbol totals in ONE explode+groupBy
+    job: rows (lsym, rsym, total) where rsym IS NULL marks a symbol
+    count. Both live in the dictionary domain, never the corpus — the
+    same vocabulary-sized driver collect as the unigram EM loop. One
+    shuffle per training iteration, replacing the r11 shape's separate
+    pair/symbol aggregations plus two vocabulary joins and a global
+    sort (measured 0.5s -> 0.25s per iteration at sf0.1 local[32];
+    the win is pure stage-count, so it holds wherever the dictionary
+    aggregation is cheap relative to stage overhead)."""
+    pair_structs = F.when(
+        F.size("s") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("s") - 1),
+            lambda i: F.struct(
+                F.element_at("s", i).alias("lsym"),
+                F.element_at("s", i + 1).alias("rsym"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<lsym:string,rsym:string>>)"))
+    sym_structs = F.transform(
+        F.col("s"),
+        lambda x: F.struct(
+            x.alias("lsym"), F.lit(None).cast("string").alias("rsym")
+        ),
     )
     return (
-        totals.join(
-            cnts.select(F.col("sym").alias("lsym"), F.col("cnt").alias("lcnt")),
-            "lsym",
+        syms.select(
+            "wcount", F.explode(F.concat(pair_structs, sym_structs)).alias("p")
         )
-        .join(
-            cnts.select(F.col("sym").alias("rsym"), F.col("cnt").alias("rcnt")),
-            "rsym",
-        )
-        .select(
-            "lsym",
-            "rsym",
-            "total",
-            F.expr(
-                f"CAST((total * CAST({WP_SCALE} AS BIGINT))"
-                " DIV (lcnt * rcnt) AS BIGINT)"
-            ).alias("score_nano"),
-        )
+        .groupBy("p.lsym", "p.rsym")
+        .agg(F.sum("wcount").cast("bigint").alias("total"))
+        .collect()
     )
+
+
+def _wp_best_merge(rows: list) -> tuple[str, str, int, int] | None:
+    """Driver-side WordPiece likelihood argmax over the one-job stats:
+    score_nano = floor(1e9 * total / (cnt_l * cnt_r)) in exact BIGINT
+    arithmetic (Python // == Spark's DIV on positive bigints), ties by
+    pair ascending (Python str ordering == Spark's UTF8 binary string
+    ordering: UTF-8 byte order preserves code-point order)."""
+    cnts = {r["lsym"]: int(r["total"]) for r in rows if r["rsym"] is None}
+    best = None
+    for r in rows:
+        if r["rsym"] is None or int(r["total"]) < 2:
+            continue
+        total = int(r["total"])
+        score = (total * WP_SCALE) // (cnts[r["lsym"]] * cnts[r["rsym"]])
+        key = (-score, r["lsym"], r["rsym"])
+        if best is None or key < best[0]:
+            best = (key, (r["lsym"], r["rsym"], total, score))
+    return best[1] if best else None
 
 
 def _wp_train_state(
     df: DataFrame, text_col: str, n_merges: int
 ) -> tuple[list[tuple[int, str, str, int, int]], DataFrame]:
     """Shared WordPiece training loop: returns (merge rows, final
-    per-word symbol table (word, wcount, s)). Same driver contract as
-    bpe_train: one winning row crosses per iteration."""
+    per-word symbol table (word, wcount, s)). Driver contract: one
+    vocabulary-sized pair/symbol stats table crosses per iteration
+    (the unigram EM loop's contract) and the likelihood argmax runs on
+    the driver in exact integer arithmetic — one explode+groupBy job
+    per iteration instead of the r11 shape's joins + global sort."""
     cur = (
         word_freq(df, text_col)
         .select("word", "wcount", _wp_sym_init(F.col("word")).alias("s"))
@@ -1597,19 +1625,11 @@ def _wp_train_state(
     )
     merges: list[tuple[int, str, str, int, int]] = []
     for rank in range(1, n_merges + 1):
-        top = (
-            _wp_scored_pairs(cur)
-            .filter(F.col("total") >= 2)
-            .orderBy(F.desc("score_nano"), F.asc("lsym"), F.asc("rsym"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        top = _wp_best_merge(_wp_pair_and_sym_totals(cur))
+        if top is None:
             break
-        a, b = top[0]["lsym"], top[0]["rsym"]
-        merges.append(
-            (rank, a, b, int(top[0]["total"]), int(top[0]["score_nano"]))
-        )
+        a, b, total, score = top
+        merges.append((rank, a, b, total, score))
         cur = cur.withColumn(
             "s", _apply_merge(F.col("s"), a, b, _wp_merge_out(a, b))
         )
@@ -2469,24 +2489,42 @@ def wordpiece_budget_curve(
         .distinct()
         .collect()
     )
-    rows = []
+    # ONE dictionary pass computes every budget's totals: per budget a
+    # greedy-fold token count column (same folds as before), aggregated
+    # together — the per-budget jobs each replayed the dictionary scan
+    # for identical sums of the shared wcount/wlen terms (r12: 3 jobs +
+    # 3 scans -> 1 job + 1 scan; the folds themselves are unchanged, so
+    # every total is bit-identical).
+    tok_cols = []
     for b in budgets:
         vocab = sorted(set(alphabet) | set(outs[:b]))
         max_raw = max(
             (len(p) - 2 if p.startswith("##") else len(p)) for p in vocab
         )
         vmap = _wp_vocab_map(vocab)
-        seg = cur.select(
-            F.col("wcount").cast("bigint").alias("wcount"),
-            F.length("word").cast("bigint").alias("wlen"),
-            _wp_greedy_toks(F.col("word"), vmap, max_raw).alias("toks"),
+        tok_cols.append(
+            F.size(_wp_greedy_toks(F.col("word"), vmap, max_raw))
+            .cast("bigint")
+            .alias(f"_nt{b}")
         )
-        r = seg.agg(
-            F.sum(F.col("wcount") * F.size("toks")).cast("bigint").alias("t"),
-            F.sum("wcount").cast("bigint").alias("w"),
-            F.sum(F.col("wcount") * F.col("wlen")).cast("bigint").alias("c"),
-        ).collect()[0]
-        rows.append((int(b), int(r["t"]), int(r["w"]), int(r["c"])))
+    seg = cur.select(
+        F.col("wcount").cast("bigint").alias("wcount"),
+        F.length("word").cast("bigint").alias("wlen"),
+        *tok_cols,
+    )
+    r = seg.agg(
+        *[
+            F.sum(F.col("wcount") * F.col(f"_nt{b}"))
+            .cast("bigint")
+            .alias(f"_t{b}")
+            for b in budgets
+        ],
+        F.sum("wcount").cast("bigint").alias("w"),
+        F.sum(F.col("wcount") * F.col("wlen")).cast("bigint").alias("c"),
+    ).collect()[0]
+    rows = [
+        (int(b), int(r[f"_t{b}"]), int(r["w"]), int(r["c"])) for b in budgets
+    ]
     out = df.sparkSession.createDataFrame(
         rows,
         "n_merges bigint, total_tokens bigint, total_words bigint, "

@@ -3301,8 +3301,16 @@ def wordpiece_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy-matches once via an in-row fold over the broadcast
     vocabulary map; the corpus pays one equi-join. The DuckDB twin
     unrolls the greedy walk as 16 settled-position rounds over a
-    longest-edge table — bit-identical by construction."""
-    enc = tokenizer.wordpiece_train_encode(load(spark, sf_dir, "documents"))
+    longest-edge table — bit-identical by construction. Encodes under
+    the memoized frozen vocabulary (_trained_wordpiece_vocab) — the
+    same one-train-per-process share the staged builders use since
+    r12 (commit 27bf536); value-identical to training inline (same
+    word dictionary, same greedy fold; the oracle twin still re-trains
+    from scratch and hash-matches)."""
+    enc = tokenizer.wordpiece_encode(
+        load(spark, sf_dir, "documents"),
+        _trained_wordpiece_vocab(spark, sf_dir),
+    )
     return enc.select(
         "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
     )
