@@ -984,12 +984,12 @@ def _pq_dtab(q: list[float], books: list[list[list[float]]]) -> list[list[float]
     ]
 
 
-def _adc_topk(enc: DataFrame, dtab: list[list[float]], k: int, id_col: str) -> DataFrame:
-    """Asymmetric-distance top-k over a (id, codes) relation: m table
-    lookups + adds per row against the inlined dtab literal."""
+def _adc_expr(dtab: list[list[float]]) -> Column:
+    """ADC distance expression over a ``codes`` column against the
+    inlined query-to-subcentroid table (unrounded fold)."""
     m = len(dtab)
     dtab_lit = _lit_array(dtab)
-    adc = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             F.col("codes"),
             F.sequence(F.lit(0), F.lit(m - 1)),
@@ -998,8 +998,13 @@ def _adc_topk(enc: DataFrame, dtab: list[list[float]], k: int, id_col: str) -> D
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _adc_topk(enc: DataFrame, dtab: list[list[float]], k: int, id_col: str) -> DataFrame:
+    """Asymmetric-distance top-k over a (id, codes) relation: m table
+    lookups + adds per row against the inlined dtab literal."""
     return (
-        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        enc.select(F.col(id_col), F.round(_adc_expr(dtab), 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
@@ -1887,7 +1892,9 @@ def _rpqn_tabs(q: list[float], stages) -> tuple[list, dict]:
     return dtabs, crosses
 
 
-def _rpqn_adc_topk(enc: DataFrame, tabs: tuple, k: int, id_col: str) -> DataFrame:
+def _rpqn_adc_expr(tabs: tuple) -> Column:
+    """N-stage residual ADC distance expression over a ``codes``
+    column (unrounded fold)."""
     dtabs, crosses = tabs
     m = len(dtabs[0])
     dl = [_lit_array(d) for d in dtabs]
@@ -1905,9 +1912,14 @@ def _rpqn_adc_topk(enc: DataFrame, tabs: tuple, k: int, id_col: str) -> DataFram
             )
         return e
 
-    adc = F.aggregate(F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), step)
+    return F.aggregate(F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), step)
+
+
+def _rpqn_adc_topk(enc: DataFrame, tabs: tuple, k: int, id_col: str) -> DataFrame:
     return (
-        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        enc.select(
+            F.col(id_col), F.round(_rpqn_adc_expr(tabs), 6).alias("adc_dist")
+        )
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
@@ -2195,7 +2207,26 @@ def ann_budget_curve(
     shortlist under that codec's total order (metric, id), and ONE
     rank-retaining 50-wide exact rerank serves every narrower budget
     as a <=50-row filter + top-k. The per-point oracle twins still
-    recompute each budget independently and hash-match."""
+    recompute each budget independently and hash-match.
+
+    r12 shape: the whole grid is ONE plan. Per codec, ONE scan of its
+    staged code table computes all |probes| metrics (probe-tagged
+    struct array -> explode), ranked per probe by row_number over the
+    codec's (metric, id) order — the rank<=wmax filter compiles to
+    WindowGroupLimit, i.e. a map-side partial top-wmax per probe
+    BEFORE the exchange, so the probe-partitioned window is never a
+    skewed full sort at scale. The 5 ranked shortlists union into one
+    <=|codecs|*|probes|*wmax-row table, broadcast-join the embeddings
+    for ONE exact rerank, explode the nested budgets, per-cell top-k
+    (same WindowGroupLimit), left-join the broadcast ground truth and
+    aggregate hits. The r11 form built the same 72 grid points as 72
+    independent union branches (24 shortlist scans + 29 lazy
+    checkpoints, a ~190 KB physical plan); values are identical —
+    same metrics, same 6dp rounding, same deterministic (metric, id)
+    and (cosine desc, id) orders, same hits/k at 4dp."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
     qvs = {
         int(r[0]): [float(x) for x in r[1]]
         for r in df.filter(F.col(id_col).isin(*[int(p) for p in probes]))
@@ -2220,151 +2251,239 @@ def ann_budget_curve(
             _ivf_seeded_centroids(), out_col="cell",
         )
     cents = _ivf_seeded_centroids()
-    parts = []
+    wmax = max(shortlists)
+    pbig = [int(q) for q in probes]
 
-    def one(
-        codec: str, bpv: int, budget: int, q: int, approx: DataFrame
-    ) -> DataFrame:
-        if exact_df is not None:
-            exact = exact_df.filter(F.col("query_id") == int(q)).select(id_col)
-        else:
-            exact = brute_topk(df, q, k).select(id_col)
-        hits = exact.join(approx.select(id_col), id_col, "inner")
-        knob = "ivf_nprobe" if codec == "float32" else "shortlist_rerank"
-        return hits.agg(F.count("*").alias("_hits")).select(
-            F.lit(knob).alias("knob"),
+    def shortlist_ranked(src: DataFrame, metric_by_probe: dict, asc: bool):
+        """ONE scan of a codec's code table -> (query_id, id, _r) with
+        _r the 1-based rank under the codec's (metric, id) total order,
+        kept to _r <= wmax (row_number + filter = WindowGroupLimit:
+        map-side partial top-wmax per probe before the exchange)."""
+        entries = [
+            F.struct(
+                F.lit(q).cast("bigint").alias("query_id"), m.alias("_m")
+            )
+            for q, m in metric_by_probe.items()
+        ]
+        e = (
+            src.select(F.col(id_col), F.explode(F.array(*entries)).alias("_e"))
+            .select(
+                id_col,
+                F.col("_e.query_id").alias("query_id"),
+                F.col("_e._m").alias("_m"),
+            )
+            .filter(F.col(id_col) != F.col("query_id"))
+        )
+        order = [F.asc("_m") if asc else F.desc("_m"), F.asc(id_col)]
+        w = Window.partitionBy("query_id").orderBy(*order)
+        return (
+            e.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= wmax)
+            .select("query_id", id_col, "_r")
+        )
+
+    def tag(sdf: DataFrame, codec: str, bpv: int) -> DataFrame:
+        return sdf.select(
             F.lit(codec).alias("codec"),
             F.lit(int(bpv)).cast("bigint").alias("bytes_per_vec"),
-            F.lit(int(budget)).cast("bigint").alias("budget"),
-            F.lit(int(q)).cast("bigint").alias("query_id"),
-            F.round(F.col("_hits") / F.lit(float(k)), 4).alias("recall"),
+            "query_id", id_col, "_r",
         )
 
-    from pyspark.sql import Window
+    rpq3_stages = _rpq3_seeded_stages()
+    pq_books = _pq_seeded_codebooks()
+    shorts = tag(
+        shortlist_ranked(
+            enc,
+            {q: F.round(_rpqn_adc_expr(_rpqn_tabs(qvs[q], rpq3_stages)), 6)
+             for q in pbig},
+            asc=True,
+        ), "rpq3", 24,
+    )
+    shorts = shorts.unionByName(tag(
+        shortlist_ranked(
+            pcodes,
+            {q: F.round(_adc_expr(_pq_dtab(qvs[q], pq_books)), 6)
+             for q in pbig},
+            asc=True,
+        ), "pq8", 8,
+    ))
 
-    wmax = max(shortlists)
-
-    def nested_rerank(codec: str, bpv: int, q: int, qv, short: DataFrame, order):
-        """short = (id, metric) limited to wmax rows; rank under the
-        codec's total order, ONE exact rerank, slice per budget."""
-        ranked = short.withColumn(
-            "_r", F.row_number().over(Window.orderBy(*order))
-        ).select(id_col, "_r")
-        vec = _vec("embedding")
-        lit_q = _lit_array([float(x) for x in qv])
-        rer = (
-            df.join(ranked, id_col, "inner")
-            .select(
-                F.col(id_col), F.col("_r"),
-                F.round(cosine_col(vec, lit_q), 6).alias("cosine"),
-            )
-            .localCheckpoint(eager=False)  # <=wmax rows, reused per budget
-        )
-        for b in shortlists:
-            approx = (
-                rer.filter(F.col("_r") <= b)
-                .orderBy(F.desc("cosine"), F.asc(id_col))
-                .limit(k)
-            )
-            parts.append(one(codec, bpv, b, q, approx))
-
-    for q in probes:
-        qv = qvs[int(q)]
-        # rpq3: ADC shortlist off the staged 3-stage codes
-        short = rpq3_topk(df, q, wmax, id_col=id_col, q_vec=qv, enc=enc)
-        nested_rerank(
-            "rpq3", 24, q, qv, short,
-            (F.asc("adc_dist"), F.asc(id_col)),
-        )
-        # pq8: single-stage ADC shortlist off the staged codes
-        short = pq_topk(df, q, wmax, id_col=id_col, q_vec=qv, enc=pcodes)
-        nested_rerank(
-            "pq8", 8, q, qv, short,
-            (F.asc("adc_dist"), F.asc(id_col)),
-        )
-        # binary: Hamming shortlist off the staged sign bits
-        qlo, qhi = _py_sign_bits(qv)
-        ham = (
+    def ham_m(q: int) -> Column:
+        qlo, qhi = _py_sign_bits(qvs[q])
+        return (
             F.bit_count(F.col("blo").bitwiseXOR(F.lit(qlo).cast("long")))
             + F.bit_count(F.col("bhi").bitwiseXOR(F.lit(qhi).cast("long")))
+        ).cast("double")
+
+    shorts = shorts.unionByName(tag(
+        shortlist_ranked(bcodes, {q: ham_m(q) for q in pbig}, asc=True),
+        "binary", 8,
+    ))
+
+    def int8_m(q: int) -> Column:
+        # one parsed literal, not 64 py4j lit calls (same doubles:
+        # every int8 code converts to double exactly)
+        qarr = _lit_array([float(x) for x in qcodes[q]])
+        return F.round(cosine_col(_vec(F.col("q")), qarr), 6)
+
+    shorts = shorts.unionByName(tag(
+        shortlist_ranked(icodes, {q: int8_m(q) for q in pbig}, asc=False),
+        "int8", 64,
+    ))
+
+    def mrl_m(q: int) -> Column:
+        q16 = _lit_array([float(x) for x in qvs[q][:16]])
+        return F.round(
+            cosine_col(_vec(F.slice(F.col("embedding"), 1, 16)), q16), 6
         )
-        short = (
-            bcodes.filter(F.col(id_col) != int(q))
-            .select(F.col(id_col), ham.alias("_m"))
-            .orderBy(F.asc("_m"), F.asc(id_col))
-            .limit(wmax)
-        )
-        nested_rerank(
-            "binary", 8, q, qv, short, (F.asc("_m"), F.asc(id_col))
-        )
-        # int8: code-cosine shortlist (exact integer dots)
-        qarr = F.array(*[F.lit(int(x)).cast("double") for x in qcodes[int(q)]])
-        short = (
-            icodes.filter(F.col(id_col) != int(q))
-            .select(
-                F.col(id_col),
-                F.round(cosine_col(_vec(F.col("q")), qarr), 6).alias("_m"),
-            )
-            .orderBy(F.desc("_m"), F.asc(id_col))
-            .limit(wmax)
-        )
-        nested_rerank(
-            "int8", 64, q, qv, short, (F.desc("_m"), F.asc(id_col))
-        )
-        # mrl16: prefix-truncated cosine shortlist (first 16 dims)
-        q16 = _lit_array([float(x) for x in qv[:16]])
-        short = (
-            df.filter(F.col(id_col) != int(q))
-            .select(
-                F.col(id_col),
-                F.round(
-                    cosine_col(_vec(F.slice(F.col("embedding"), 1, 16)), q16), 6
-                ).alias("_m"),
-            )
-            .orderBy(F.desc("_m"), F.asc(id_col))
-            .limit(wmax)
-        )
-        nested_rerank(
-            "mrl16", 64, q, qv, short, (F.desc("_m"), F.asc(id_col))
-        )
-        # IVF: rank this probe's cells once; nested cell sets by rank
-        vec = _vec("embedding")
-        lit_q = _lit_array([float(x) for x in qv])
-        dists = [_seq_sqdist(qv, c) for c in cents]
+
+    shorts = shorts.unionByName(tag(
+        shortlist_ranked(df, {q: mrl_m(q) for q in pbig}, asc=False),
+        "mrl16", 64,
+    ))
+
+    # per-row probe vector: a |probes|-way literal CASE keyed on the
+    # exploded query_id — same doubles as the per-branch literals, so
+    # the rerank cosine is bit-identical
+    qexpr = None
+    for q in pbig:
+        lit = _lit_array([float(x) for x in qvs[q]])
+        cond = F.col("query_id") == q
+        qexpr = F.when(cond, lit) if qexpr is None else qexpr.when(cond, lit)
+    cosine = F.round(cosine_col(_vec("embedding"), qexpr), 6)
+
+    rer = df.join(F.broadcast(shorts), id_col).select(
+        "codec", "bytes_per_vec", "query_id", F.col(id_col), "_r",
+        cosine.alias("cosine"),
+    )
+    bud = rer.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(int(b)).cast("bigint") for b in shortlists])
+        ).alias("budget"),
+    ).filter(F.col("_r") <= F.col("budget"))
+    w2 = Window.partitionBy("codec", "query_id", "budget").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    topk_s = bud.withColumn("_rk", F.row_number().over(w2)).filter(
+        F.col("_rk") <= k
+    )
+
+    gt = exact_df if exact_df is not None else brute_ground_truth(df, probes, k)
+    gt_b = F.broadcast(gt.select("query_id", id_col, F.lit(1).alias("_hit")))
+    s_agg = (
+        topk_s.join(gt_b, ["query_id", id_col], "left")
+        .groupBy("codec", "bytes_per_vec", "query_id", "budget")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("_hits"))
+    )
+
+    # IVF tier: one scan, probe-exploded cell ranks, nprobe-nested
+    pmax = max(nprobes)
+    iv_entries = []
+    for q in pbig:
+        dists = [_seq_sqdist(qvs[q], c) for c in cents]
         cell_rank = {
             cell: r + 1
             for r, (cell, _) in enumerate(
                 sorted(enumerate(dists), key=lambda t: (t[1], t[0]))
             )
         }
-        pmax = max(nprobes)
         keep = [c for c, r in cell_rank.items() if r <= pmax]
         rank_expr = F.lit(pmax + 1)
         for c in keep:
-            rank_expr = F.when(F.col("cell") == c, F.lit(cell_rank[c])).otherwise(
-                rank_expr
-            )
-        scan = (
-            ivf.filter(F.col(id_col) != int(q))
-            .filter(F.col("cell").isin(*keep))
-            .select(
-                F.col(id_col),
+            rank_expr = F.when(
+                F.col("cell") == c, F.lit(cell_rank[c])
+            ).otherwise(rank_expr)
+        iv_entries.append(
+            F.struct(
+                F.lit(q).cast("bigint").alias("query_id"),
                 rank_expr.alias("_cr"),
-                F.round(cosine_col(vec, lit_q), 6).alias("cosine"),
             )
-            .localCheckpoint(eager=False)  # pmax cells' rows, reused per nprobe
         )
-        for pnum in nprobes:
-            approx = (
-                scan.filter(F.col("_cr") <= pnum)
-                .orderBy(F.desc("cosine"), F.asc(id_col))
-                .limit(k)
-            )
-            parts.append(one("float32", 256, pnum, q, approx))
-    out = parts[0]
-    for pt in parts[1:]:
-        out = out.unionByName(pt)
-    return out.orderBy("knob", "codec", "budget", "query_id")
+    iv = (
+        ivf.select(
+            F.col(id_col), F.col("embedding"),
+            F.explode(F.array(*iv_entries)).alias("_e"),
+        )
+        .select(
+            id_col, "embedding",
+            F.col("_e.query_id").alias("query_id"),
+            F.col("_e._cr").alias("_cr"),
+        )
+        .filter((F.col(id_col) != F.col("query_id")) & (F.col("_cr") <= pmax))
+        .select(
+            "query_id", F.col(id_col), "_cr",
+            F.round(cosine_col(_vec("embedding"), qexpr), 6).alias("cosine"),
+        )
+    )
+    ivb = iv.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("bigint") for p in nprobes])
+        ).alias("budget"),
+    ).filter(F.col("_cr") <= F.col("budget"))
+    w3 = Window.partitionBy("query_id", "budget").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    topk_i = ivb.withColumn("_rk", F.row_number().over(w3)).filter(
+        F.col("_rk") <= k
+    )
+    i_agg = (
+        topk_i.join(gt_b, ["query_id", id_col], "left")
+        .groupBy("query_id", "budget")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("_hits"))
+        .select(
+            F.lit("float32").alias("codec"),
+            F.lit(256).cast("bigint").alias("bytes_per_vec"),
+            "query_id", "budget", "_hits",
+        )
+    )
+
+    grid = s_agg.select(
+        F.lit("shortlist_rerank").alias("knob"),
+        "codec", "bytes_per_vec", "budget", "query_id", "_hits",
+    ).unionByName(
+        i_agg.select(
+            F.lit("ivf_nprobe").alias("knob"),
+            "codec", "bytes_per_vec", "budget", "query_id", "_hits",
+        )
+    )
+
+    # dimension frame: every grid point emits a row even when its
+    # candidate set is empty (recall 0.0), exactly as the per-branch
+    # aggregations did
+    dim_rows = [
+        ("shortlist_rerank", codec, bpv, int(b), q)
+        for codec, bpv in (
+            ("rpq3", 24), ("pq8", 8), ("binary", 8), ("int8", 64),
+            ("mrl16", 64),
+        )
+        for b in shortlists
+        for q in pbig
+    ] + [
+        ("ivf_nprobe", "float32", 256, int(p), q)
+        for p in nprobes
+        for q in pbig
+    ]
+    dims = spark.createDataFrame(
+        dim_rows,
+        "knob string, codec string, bytes_per_vec bigint, budget bigint, "
+        "query_id bigint",
+    )
+    return (
+        dims.join(
+            F.broadcast(grid),
+            ["knob", "codec", "bytes_per_vec", "budget", "query_id"],
+            "left",
+        )
+        .select(
+            "knob", "codec", "bytes_per_vec", "budget", "query_id",
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(float(k)), 4
+            ).alias("recall"),
+        )
+        .orderBy("knob", "codec", "budget", "query_id")
+    )
 
 
 def ann_budget_curve_sql(
