@@ -1032,15 +1032,37 @@ def test_hard_negatives_batched_single_corpus_pass(spark):
 
 
 def test_containment_recall_audit_bounded_bruteforce_no_python(spark):
-    """The containment audit mirrors dedup_recall_audit's cost
-    contract: the only nested-loop joins are the cap-bounded
-    brute-force truth join and the 1-row metric cross joins; the union
-    candidate generator contributes only equi-joins (posting join +
-    bucket-cap semi); no Python anywhere."""
+    """The containment audit's brute-force truth runs as ONE
+    cap-bounded Arrow kernel (MapInPandas over the coalesced slice —
+    the designed Pandas-UDF set, r12: replaced the JVM nested-loop
+    join whose per-pair array_intersect rebuilt string hash sets); the
+    union candidate generator contributes only equi-joins (posting
+    join + bucket-cap semi), the remaining nested-loop joins are the
+    1-row metric cross joins, and nothing is row-at-a-time Python."""
     p = plan_of(spark, "containment_recall_audit")
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    assert p.count("BroadcastNestedLoopJoin") <= 3
+    assert "BatchEvalPython" not in p
+    # the truth table sits behind its checkpoint barrier (the Arrow
+    # kernel itself is value-pinned by the planted-fixture tests); the
+    # r11 form's cap^2 BroadcastNestedLoopJoin truth join is GONE —
+    # only the 1-row metric cross joins remain
+    assert "Scan ExistingRDD" in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2  # 1-row metric crosses
     assert "CartesianProduct" not in p
+    # the kernel is in the TRUTH subtree: one MapInPandas, one task
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators import dedup
+    from tinyetl_spark.queries import load
+    from pyspark.sql import functions as F
+
+    docs = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 300)
+    gs = docs.select(
+        F.col("doc_id").alias("jid"),
+        dedup.norm_text_col("text").alias("_nt"),
+    ).select("jid", dedup._char_ngrams_from("_nt").alias("gs"))
+    tp = dedup._containment_truth_pairs(gs, 0.8)
+    tpp = tp._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in tpp
+    assert "BatchEvalPython" not in tpp and "Join" not in tpp
 
 
 def test_unigram_encode_dictionary_join_no_python(spark):

