@@ -557,13 +557,15 @@ def test_source_overlap_matrix_pairs_never_touch_corpus(spark):
 
 def test_bpe_encode_is_dictionary_join_no_python(spark):
     """The registered encode is the DICTIONARY-JOIN form: doc words
-    equi-join the trained word->symbols table (each word's merge folds
-    ran once in training, not per occurrence), then one per-doc
-    regroup. The plan must show a hash join against the checkpointed
-    vocabulary (LogicalRDD), no nested-loop cross, and no Python."""
+    equi-join the word->symbols table (r12: rebuilt by folding the
+    memoized frozen merge list over the word dictionary — one
+    HashAggregate + in-row folds, so the per-process train is shared
+    instead of re-run; each word's folds still run once per DISTINCT
+    word, not per occurrence), then one per-doc regroup. No
+    nested-loop cross, no Python."""
     p = plan_of(spark, "bpe_encode_docs")
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
-    assert "Scan ExistingRDD" in p
+    assert "HashAggregate" in p  # the word_freq dictionary build
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 

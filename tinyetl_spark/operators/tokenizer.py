@@ -1377,25 +1377,97 @@ def unigram_budget_curve(
     wf = _uni_word_freq(df, text_col).localCheckpoint()
     from tinyetl_spark.operators.text import floor_round
 
-    rows = []
-    for n_multi in sizes:
-        seed = _uni_seed_rows(wf, n_multi=n_multi)
-        vocab = [p for p, _ in seed]
+    # r12 batching, three independent levers with identical values:
+    # (a) the per-size seed vocabularies NEST — the multi-char pieces
+    #     are the top-n by the same (freq desc, piece asc) order, so
+    #     ONE seed collect at max(sizes) serves every size as a prefix
+    #     slice (alphabet rows are size-independent);
+    # (b) the EM iterations run in LOCKSTEP — iteration k's E-step for
+    #     all sizes is ONE dictionary job (one Viterbi column per size,
+    #     size-tagged explode, one groupBy) because the chains only
+    #     depend on their OWN previous costs;
+    # (c) the final totals aggregate in ONE pass (below).
+    # 9 dictionary jobs -> 3 (1 seed + n_iters).
+    szs = [int(s) for s in sizes]
+    n_max = max(szs)
+    seed_all = _uni_seed_rows(wf, n_multi=n_max)
+    alpha = [(p, f) for p, f in seed_all if len(p) == 1]
+    # re-establish the (freq desc, piece asc) total order driver-side:
+    # collect order after the union is not guaranteed, and the prefix
+    # slice below relies on it (top-s of the top-n_max = the LIMIT s
+    # result, because the order is total)
+    multi = sorted(
+        ((p, f) for p, f in seed_all if len(p) > 1),
+        key=lambda pf: (-pf[1], pf[0]),
+    )
+    vocabs: dict[int, list] = {}
+    cost_maps: dict[int, dict] = {}
+    for s in szs:
+        seed = alpha + multi[:s]
+        vocabs[s] = [p for p, _ in seed]
         tot = sum(f for _, f in seed)
-        costs = {p: _micro(1e6 * math.log10(tot / f)) for p, f in seed}
-        for _ in range(n_iters):
-            _usage, costs = _uni_em_iter(wf, costs, vocab)
-        seg = wf.select(
-            F.col("wcount").cast("bigint").alias("wcount"),
-            F.length("word").cast("bigint").alias("wlen"),
-            _viterbi_toks(F.col("word"), _cost_map_lit(costs)).alias("toks"),
+        cost_maps[s] = {p: _micro(1e6 * math.log10(tot / f)) for p, f in seed}
+    for _ in range(n_iters):
+        seg_cols = [
+            _viterbi_toks(F.col("word"), _cost_map_lit(cost_maps[s])).alias(
+                f"_tk{s}"
+            )
+            for s in szs
+        ]
+        def _tag(sz: int):
+            # one-arg lambda: a two-arg one would receive (element,
+            # index) from F.transform and shadow the default
+            return lambda x: F.struct(
+                F.lit(sz).alias("sz"), x.alias("piece")
+            )
+
+        tagged = F.concat(
+            *[F.transform(F.col(f"_tk{s}"), _tag(s)) for s in szs]
         )
-        r = seg.agg(
-            F.sum(F.col("wcount") * F.size("toks")).cast("bigint").alias("t"),
-            F.sum("wcount").cast("bigint").alias("w"),
-            F.sum(F.col("wcount") * F.col("wlen")).cast("bigint").alias("c"),
-        ).collect()[0]
-        rows.append((int(n_multi), int(r["t"]), int(r["w"]), int(r["c"])))
+        rows_ = (
+            wf.select("wcount", *seg_cols)
+            .select("wcount", F.explode(tagged).alias("p"))
+            .groupBy("p.sz", "p.piece")
+            .agg(F.sum("wcount").cast("bigint").alias("usage"))
+            .collect()
+        )
+        usage_by_size: dict[int, dict] = {s: {} for s in szs}
+        for r_ in rows_:
+            usage_by_size[int(r_["sz"])][r_["piece"]] = int(r_["usage"])
+        for s in szs:
+            usage = usage_by_size[s]
+            total = sum(usage.values())
+            nv = len(vocabs[s])
+            cost_maps[s] = {
+                p: _micro(1e6 * math.log10((total + nv) / (usage.get(p, 0) + 1)))
+                for p in vocabs[s]
+            }
+    seg = wf.select(
+        F.col("wcount").cast("bigint").alias("wcount"),
+        F.length("word").cast("bigint").alias("wlen"),
+        *[
+            F.size(
+                _viterbi_toks(F.col("word"), _cost_map_lit(cost_maps[int(s)]))
+            )
+            .cast("bigint")
+            .alias(f"_nt{int(s)}")
+            for s in sizes
+        ],
+    )
+    r = seg.agg(
+        *[
+            F.sum(F.col("wcount") * F.col(f"_nt{int(s)}"))
+            .cast("bigint")
+            .alias(f"_t{int(s)}")
+            for s in sizes
+        ],
+        F.sum("wcount").cast("bigint").alias("w"),
+        F.sum(F.col("wcount") * F.col("wlen")).cast("bigint").alias("c"),
+    ).collect()[0]
+    rows = [
+        (int(s), int(r[f"_t{int(s)}"]), int(r["w"]), int(r["c"]))
+        for s in sizes
+    ]
     out = df.sparkSession.createDataFrame(
         rows,
         "vocab_multi bigint, total_tokens bigint, total_words bigint, "
@@ -1455,6 +1527,7 @@ def bpe_train_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_merges: int = BPE_MERGES,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Train on the corpus, then encode the corpus with what was
     learned — the end-to-end tokenizer path a data pipeline actually
@@ -1468,9 +1541,22 @@ def bpe_train_encode(
     the word occurs — measured 10x faster than literal-folded re-encode
     at sf0.1 and the gap widens with corpus size. ``bpe_encode`` stays
     the merge-list form for encoding NEW text with a frozen
-    tokenizer."""
-    merges, vocab = _train(df, text_col, n_merges)
-    del merges  # the dictionary already embodies them
+    tokenizer.
+
+    Pass ``merges`` (an already-learned ordered merge list — e.g. the
+    per-process frozen-tokenizer memo) to skip the training loop: the
+    symbol table is rebuilt by folding those merges in learned order
+    over the word dictionary's initial symbols, which is exactly what
+    the training loop's final state holds, so the encode is
+    value-identical while the training jobs are paid once per process
+    instead of once per consumer (r12)."""
+    if merges is None:
+        _, vocab = _train(df, text_col, n_merges)
+    else:
+        s = _sym_init(F.col("word"))
+        for a, b in merges:
+            s = _apply_merge(s, a, b)
+        vocab = word_freq(df, text_col).select("word", s.alias("s"))
     words = df.select(
         F.col(id_col), F.posexplode(words_col(text_col)).alias("_p", "word")
     ).filter(F.length("word") > 0)
