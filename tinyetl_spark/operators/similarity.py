@@ -3232,7 +3232,7 @@ def hard_negatives_ann(
     parts = []
     for q in probes:
         qv, qlab = qrows[int(q)]
-        qarr = F.array(*[F.lit(float(x)) for x in qv])
+        qarr = _lit_array([float(x) for x in qv])
         scored = (
             df.filter(
                 (F.col(label_col) != qlab) & (F.col(id_col) != int(q))
@@ -3323,7 +3323,8 @@ def int8_recall(
             exact = exact_df.filter(F.col("query_id") == int(q)).select(id_col)
         else:
             exact = brute_topk(df, q, k, vec_col, id_col).select(id_col)
-        qarr = F.array(*[F.lit(int(x)).cast("double") for x in qrows[int(q)]])
+        # int codes as double literals: exact for |x| <= 127, one parse
+        qarr = _lit_array([float(x) for x in qrows[int(q)]])
         approx = (
             codes.filter(F.col(id_col) != int(q))
             .select(
