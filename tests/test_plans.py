@@ -1502,10 +1502,15 @@ def test_embedding_dim_profile_one_explode_no_python(spark):
 
 def test_lm_ladder_compare_no_python(spark):
     """Four scalar aggregates over the LM tiers' own plans; broadcast
-    model joins inside, no Python anywhere."""
+    model joins inside, no Python anywhere. Since r12 the four tiers
+    share ONE checkpointed tokenized word-array base — the plan must
+    read the materialized RDD, never re-scan + re-tokenize the corpus
+    per tier (30 parquet-scan subtrees before the change, 0 after)."""
     p = plan_of(spark, "lm_ladder_compare")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+    assert "Scan parquet" not in p  # tokenize once: tiers read the checkpoint
+    assert "ExistingRDD" in p
 
 
 def test_multimodal_near_dups_staged_pair_scan(spark):

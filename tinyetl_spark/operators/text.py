@@ -1318,6 +1318,7 @@ def unigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_vocab: int = 65536,
+    words_base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean unigram log-probability — the cheap stand-in
     for the perplexity filter of CCNet-style pipelines (Wenzek et al.
@@ -1333,8 +1334,13 @@ def unigram_logprob(
     Per-word log-probs round to 9dp and sum as DECIMAL(38,9), so the
     per-doc mean is summation-order-independent and hashes identically
     on both engines."""
-    w = F.explode(words_col(F.lower(F.col(text_col)))).alias("w")
-    words = df.select(F.col(id_col), w)
+    if words_base is None:
+        w = F.explode(words_col(F.lower(F.col(text_col)))).alias("w")
+        words = df.select(F.col(id_col), w)
+    else:
+        # words_base: (id_col, _ws) pre-tokenized arrays — same values
+        # as words_col(lower(text)), shared across the LM ladder tiers
+        words = words_base.select(F.col(id_col), F.explode("_ws").alias("w"))
     freq = words.groupBy("w").agg(F.count("*").alias("cnt"))
     total = int(freq.agg(F.sum("cnt").alias("t")).collect()[0]["t"] or 1)
     vocab = freq.orderBy(F.desc("cnt"), F.asc("w")).limit(top_vocab)
@@ -1848,6 +1854,7 @@ def bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_vocab: int = 65536,
+    words_base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean bigram log-probability, p(w2|w1) =
     c(w1 w2)/c(w1·) — one step closer to CCNet's KenLM than the
@@ -1860,8 +1867,10 @@ def bigram_logprob(
     desc, bigram asc — deterministic) and broadcast; everything else
     backs off to the 0.5/total floor. Per-position log-probs round to
     9dp and sum as DECIMAL(38,9) — order-independent, engine-equal."""
-    ws = words_col(F.lower(F.col(text_col)))
-    base = df.select(F.col(id_col), ws.alias("_ws")).filter(F.size("_ws") >= 2)
+    if words_base is None:
+        ws = words_col(F.lower(F.col(text_col)))
+        words_base = df.select(F.col(id_col), ws.alias("_ws"))
+    base = words_base.filter(F.size("_ws") >= 2)
     pos = base.select(
         F.col(id_col),
         F.col("_ws"),
@@ -4706,6 +4715,7 @@ def kn_bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_vocab: int = 65536,
+    words_base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean INTERPOLATED KNESER-NEY bigram log-probability
     (Chen & Goodman 1999) — the smoothing the KenLM models of
@@ -4729,8 +4739,10 @@ def kn_bigram_logprob(
     is an exact integer, the probability expression evaluates in ONE
     fixed parenthesization of IEEE doubles (bit-equal on both
     engines), logs round at 9dp and sum as DECIMAL(38,9)."""
-    ws = words_col(F.lower(F.col(text_col)))
-    base = df.select(F.col(id_col), ws.alias("_ws")).filter(F.size("_ws") >= 2)
+    if words_base is None:
+        ws = words_col(F.lower(F.col(text_col)))
+        words_base = df.select(F.col(id_col), ws.alias("_ws"))
+    base = words_base.filter(F.size("_ws") >= 2)
     pos = base.select(
         F.col(id_col),
         F.col("_ws"),
@@ -5220,6 +5232,7 @@ def kn_trigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_vocab: int = 65536,
+    words_base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean interpolated Kneser-Ney TRIGRAM
     log-probability — the top rung of the LM ladder (unigram → MLE
@@ -5243,8 +5256,10 @@ def kn_trigram_logprob(
     that order. Same exactness contract as the bigram: integer counts,
     ONE fixed parenthesization of IEEE doubles, logs at 9dp, DECIMAL
     mean."""
-    ws = words_col(F.lower(F.col(text_col)))
-    base = df.select(F.col(id_col), ws.alias("_ws")).filter(F.size("_ws") >= 3)
+    if words_base is None:
+        ws = words_col(F.lower(F.col(text_col)))
+        words_base = df.select(F.col(id_col), ws.alias("_ws"))
+    base = words_base.filter(F.size("_ws") >= 3)
     pos = base.select(
         F.col(id_col),
         F.col("_ws"),

@@ -4022,12 +4022,24 @@ def lm_ladder_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     CCNet-style filter should pay for, read off one table). Each row
     aggregates that tier's per-doc output; rounded per-doc means
     convert to integer micro-units BEFORE the corpus sum, so the
-    scalars are fold-order-proof."""
+    scalars are fold-order-proof.
+
+    Shape at scale: the four tiers share ONE tokenized word-array base
+    (scan + lower + regex split happen once, checkpointed) instead of
+    each tier re-reading and re-tokenizing the corpus — every model
+    table, scalar total, and scoring join across all four tiers reads
+    the materialized arrays. Results are bit-identical to the
+    standalone tiers (same arrays in, same arithmetic)."""
+    docs = load(spark, sf_dir, "documents")
+    wb = docs.select(
+        F.col("doc_id"),
+        text.words_col(F.lower(F.col("text"))).alias("_ws"),
+    ).localCheckpoint(eager=False)
     specs = [
-        ("1_unigram", text.unigram_logprob(load(spark, sf_dir, "documents"), top_vocab=16), "n_words"),
-        ("2_bigram_mle", text.bigram_logprob(load(spark, sf_dir, "documents"), top_vocab=64), "n_bigrams"),
-        ("3_bigram_kn", text.kn_bigram_logprob(load(spark, sf_dir, "documents")), "n_bigrams"),
-        ("4_trigram_kn", text.kn_trigram_logprob(load(spark, sf_dir, "documents")), "n_trigrams"),
+        ("1_unigram", text.unigram_logprob(docs, top_vocab=16, words_base=wb), "n_words"),
+        ("2_bigram_mle", text.bigram_logprob(docs, top_vocab=64, words_base=wb), "n_bigrams"),
+        ("3_bigram_kn", text.kn_bigram_logprob(docs, words_base=wb), "n_bigrams"),
+        ("4_trigram_kn", text.kn_trigram_logprob(docs, words_base=wb), "n_trigrams"),
     ]
     parts = []
     for model, df, count_col in specs:
