@@ -2539,6 +2539,25 @@ def c4_rules_sql(
 BM25_QUERY_TERMS: tuple[str, ...] = ("spark", "join", "window")
 
 
+def corpus_stats(base: DataFrame) -> tuple[int, float, int]:
+    """(n_docs, avgdl, n_tokens) of a tokenized (id, _ws, dl) base in
+    ONE aggregate job. BM25 needs (n_docs, avgdl), Dirichlet QL needs
+    n_tokens — computed separately that was three scalar jobs over the
+    same checkpoint per multi-retriever query (count, avg, sum); one
+    count+sum pass serves all three. avgdl divides the exact bigint
+    sum by the exact bigint count in IEEE doubles — bit-identical to
+    Spark's sum(dl)/count(*) Divide (both operands cast to double,
+    one division). Empty corpus keeps the retrievers' documented
+    fallbacks: n_docs 1, avgdl 1.0, n_tokens 1."""
+    row = base.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    n_docs = int(row["n"] or 0)
+    total = row["t"]
+    avgdl = (float(total) / float(n_docs)) if (n_docs and total is not None) else 1.0
+    return n_docs or 1, avgdl, int(total or 1)
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
@@ -2548,6 +2567,7 @@ def bm25_search(
     k1: float = BM25_K1,
     b: float = BM25_B,
     base: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Full-corpus BM25 retrieval for a fixed query: score every
     document by the sum of its matched-term BM25 contributions, return
@@ -2562,18 +2582,21 @@ def bm25_search(
 
     ``base``: optionally a PRE-TOKENIZED (id_col, _ws, dl) frame
     (already checkpoint-pinned) — multi-pass callers (RM3) tokenize the
-    corpus once and share it across passes instead of re-splitting."""
+    corpus once and share it across passes instead of re-splitting.
+    ``stats``: optionally precomputed (n_docs, avgdl) — multi-retriever
+    callers fold every corpus scalar into ONE shared aggregate job (see
+    corpus_stats) instead of each retriever running its own."""
     terms = F.array(*[F.lit(t) for t in query_terms])
     if base is None:
         base = df.select(
             F.col(id_col), words_col(text_col).alias("_ws")
         ).select(
             F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
-        ).localCheckpoint(eager=False)  # feeds the avgdl scalar job AND the scored plan
-    n_docs = base.count() or 1  # empty corpus: plan yields 0 rows
-    stats = base.agg((F.sum("dl") / F.count("*")).alias("a")).collect()[0]["a"]
+        ).localCheckpoint(eager=False)  # feeds the stats scalar job AND the scored plan
     if stats is None:
-        stats = 1.0
+        n_docs, stats, _ = corpus_stats(base)
+    else:
+        n_docs, stats = stats
     tf = (
         base.select(F.col(id_col), F.col("dl"), F.explode("_ws").alias("term"))
         .join(F.broadcast(base.sparkSession.createDataFrame([(t,) for t in query_terms], "term string")), "term")
@@ -2645,6 +2668,7 @@ def ql_search(
     top_k: int = 15,
     mu: float = QL_MU,
     base: DataFrame | None = None,
+    n_tokens: int | None = None,
 ) -> DataFrame:
     """Query-likelihood retrieval with Dirichlet smoothing (Ponte &
     Croft 1998; Zhai & Lafferty 2001) — the language-modeling scoring
@@ -2661,7 +2685,9 @@ def ql_search(
     everything before each log is IEEE-exact double arithmetic.
 
     ``base``: optionally a PRE-TOKENIZED (id_col, _ws, dl) frame shared
-    by a multi-retriever caller (nDCG harness, RM3) — see bm25_search."""
+    by a multi-retriever caller (nDCG harness, RM3) — see bm25_search.
+    ``n_tokens``: optionally the precomputed corpus token total (from
+    corpus_stats) so multi-retriever callers run one stats job."""
     qlen = len(query_terms)
     if base is None:
         base = df.select(
@@ -2669,9 +2695,8 @@ def ql_search(
         ).select(
             F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
         ).localCheckpoint(eager=False)
-    n_tokens = int(
-        base.agg(F.sum("dl").alias("t")).collect()[0]["t"] or 1
-    )
+    if n_tokens is None:
+        n_tokens = corpus_stats(base)[2]
     qdf = base.sparkSession.createDataFrame(
         [(t,) for t in query_terms], "term string"
     )
@@ -2850,12 +2875,16 @@ def retrieval_ndcg(
 
     # one corpus pass per retriever: the 50-row pools feed BOTH the
     # fusion and the per-system top-10 (a prefix of the same
-    # deterministic ordering), pinned by a lazy checkpoint
+    # deterministic ordering), pinned by a lazy checkpoint; all three
+    # corpus scalars (n_docs, avgdl, n_tokens) come from ONE stats job
+    n_docs, avgdl, n_tokens = corpus_stats(shared)
     b50 = bm25_search(
-        df, query_terms, text_col, id_col, top_k=50, base=shared
+        df, query_terms, text_col, id_col, top_k=50, base=shared,
+        stats=(n_docs, avgdl),
     ).localCheckpoint(eager=False)
     q50 = ql_search(
-        df, query_terms, text_col, id_col, top_k=50, base=shared
+        df, query_terms, text_col, id_col, top_k=50, base=shared,
+        n_tokens=n_tokens,
     ).localCheckpoint(eager=False)
     systems = {
         "bm25": dcg_of(b50, [F.desc("score"), F.asc(id_col)]),
@@ -2972,8 +3001,15 @@ def hybrid_search_rrf(
         ).select(
             F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
         ).localCheckpoint(eager=False)
-        b = bm25_search(df, query_terms, text_col, id_col, top_k=pool_k, base=shared)
-        ql = ql_search(df, query_terms, text_col, id_col, top_k=pool_k, base=shared)
+        n_docs, avgdl, n_tokens = corpus_stats(shared)
+        b = bm25_search(
+            df, query_terms, text_col, id_col, top_k=pool_k, base=shared,
+            stats=(n_docs, avgdl),
+        )
+        ql = ql_search(
+            df, query_terms, text_col, id_col, top_k=pool_k, base=shared,
+            n_tokens=n_tokens,
+        )
     rb = b.select(
         F.col(id_col),
         F.row_number()
@@ -4137,8 +4173,8 @@ def hard_negatives_bm25(
     ).select(
         F.col(id_col), F.col("_ws"), F.size("_ws").alias("dl")
     ).localCheckpoint(eager=False)  # feeds the scalar stats AND the scored plan
-    n_docs = base.count() or 1
-    avgdl = base.agg((F.sum("dl") / F.count("*")).alias("a")).collect()[0]["a"] or 1.0
+    n_docs, avgdl, _ = corpus_stats(base)
+    avgdl = avgdl or 1.0
     matched = (
         base.select(F.col(id_col), F.col("dl"), F.explode("_ws").alias("term"))
         .join(F.broadcast(qdf), "term")
