@@ -4020,3 +4020,78 @@ def test_curation_gate_before_dedup_ordering(spark):
         ).collect()
     }
     assert survivors == {2, 4, 7}
+
+
+def test_expr_built_vector_folds_match_hof_build(spark):
+    # r12 construction fix: dot/norm/cosine build as ONE parsed SQL
+    # expression instead of per-operator HOF lambdas. Pin (a) bit-exact
+    # value equality against the lambda build, (b) the fallback path on
+    # a Column whose .sql() rendering does not re-parse (F.when chains
+    # render prefix "=(a, b)" comparisons).
+    from tinyetl_spark.operators.similarity import (
+        _lit_array,
+        _vec,
+        cosine_col,
+        dot_col,
+        norm_col,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0, 4.0]),
+            (7, [0.5, 0.25, -1.0, 2.0]),
+            (9, [-3.0, 0.0, 1e-7, 9.9]),
+        ],
+        "query_id long, embedding array<double>",
+    )
+
+    def hof_vec(col):
+        c = F.col(col) if isinstance(col, str) else col
+        return F.transform(c, lambda x: x.cast("double"))
+
+    def hof_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def hof_norm(a):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    q = _lit_array([1.5, -2.0, 0.75, 3.25])
+    # F.when chain: exercises the non-round-trippable fallback
+    qcase = F.when(F.col("query_id") == 0, _lit_array([1.0, 0.0, 0.0, 0.0])).when(
+        F.col("query_id") == 7, _lit_array([0.0, 1.0, 0.0, 0.0])
+    )
+    pairs = [
+        (dot_col(_vec("embedding"), q), hof_dot(hof_vec("embedding"), q)),
+        (norm_col(_vec("embedding")), hof_norm(hof_vec("embedding"))),
+        (
+            cosine_col(_vec("embedding"), q),
+            hof_dot(hof_vec("embedding"), q)
+            / (hof_norm(hof_vec("embedding")) * hof_norm(q)),
+        ),
+        (
+            cosine_col(_vec("embedding"), qcase),
+            hof_dot(hof_vec("embedding"), qcase)
+            / (hof_norm(hof_vec("embedding")) * hof_norm(qcase)),
+        ),
+    ]
+    sel = df.select(
+        *[c.alias(f"n{i}") for i, (c, _) in enumerate(pairs)],
+        *[c.alias(f"o{i}") for i, (_, c) in enumerate(pairs)],
+    ).collect()
+    for row in sel:
+        for i in range(len(pairs)):
+            n, o = row[f"n{i}"], row[f"o{i}"]
+            if n is None or o is None:
+                assert n is None and o is None
+            else:
+                assert n.hex() == o.hex()

@@ -1577,6 +1577,15 @@ def fuzzy_decontam(
     (id_a = flagged training doc, id_b = matched held-out doc,
     jaccard)."""
     cand = fuzzy_decontam_candidates(df, heldout_pred, text_col, id_col, num_perm, bands)
+    # materialization barrier before the verify: jaccard_verify
+    # references the candidate table TWICE (id prefilter + pair join)
+    # and exchange reuse does not cross its checkpoint subtrees, so an
+    # un-staged candidate frame would run (and Catalyst would analyze)
+    # the whole signature+band-join pass once per reference. Every
+    # other verify consumer reads candidates from a parquet stage; this
+    # query is single-shot, so a lazy localCheckpoint is the same
+    # barrier without the write.
+    cand = cand.localCheckpoint(eager=False)
     return jaccard_verify(df, cand, text_col, id_col, threshold)
 
 

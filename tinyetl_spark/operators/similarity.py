@@ -28,6 +28,18 @@ from pyspark.sql import functions as F
 SIGN_BITS = 6  # coarse buckets = 2^6 = 64
 
 
+def _lit_sql(data) -> str:
+    """Nested Python numbers → ONE array-literal SQL string. Floats use
+    the ``D`` suffix so Spark parses DOUBLE, not DECIMAL."""
+    if isinstance(data, (list, tuple)):
+        return "array(" + ",".join(_lit_sql(v) for v in data) + ")"
+    if isinstance(data, bool) or not isinstance(data, (int, float)):
+        raise TypeError(f"unsupported literal: {data!r}")
+    if isinstance(data, int):
+        return str(data)
+    return f"{float(data)!r}D"
+
+
 def _lit_array(data) -> Column:
     """Nested Python numbers → ONE parsed array literal.
 
@@ -35,37 +47,109 @@ def _lit_array(data) -> Column:
     py4j round-trip per element; the PQ/RPQ tables are tens of
     thousands of elements per query and measured 8-20 s of pure plan
     CONSTRUCTION per recall query. One ``F.expr`` string is one
-    round-trip. Floats use the ``D`` suffix so Spark parses DOUBLE,
-    not DECIMAL."""
+    round-trip."""
+    return F.expr(_lit_sql(data))
 
-    def fmt(x) -> str:
-        if isinstance(x, (list, tuple)):
-            return "array(" + ",".join(fmt(v) for v in x) + ")"
-        if isinstance(x, bool) or not isinstance(x, (int, float)):
-            raise TypeError(f"unsupported literal: {x!r}")
-        if isinstance(x, int):
-            return str(x)
-        return f"{float(x)!r}D"
 
-    return F.expr(fmt(data))
+def _expr_sql(c: Column | str) -> str:
+    """Render a Column back to ONE re-parseable SQL string (a single
+    py4j call) so composite folds can be built as one ``F.expr`` parse
+    instead of one JVM round-trip per operator. Construction-side only:
+    the parsed tree is the same expression (verified by analyzed-plan
+    comparison in tests), so plans and values are unchanged — the same
+    treatment the minhash signature folds got in r12 (~7x less build
+    time for identical ArrayAggregate plans)."""
+    if isinstance(c, str):
+        return f"`{c}`"
+    return c._jc.node().sql()
+
+
+def _parsed_expr(sql_str: str) -> Column:
+    """``F.expr`` with EAGER parse validation: classic PySpark defers
+    the parse to first plan use, so a non-round-trippable rendering
+    (see ``_expr_sql``) would otherwise blow up far from its builder —
+    validating here lets the builders fall back to the HOF-lambda
+    construction instead."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        # raises ParseException on bad SQL; result discarded
+        spark._jsparkSession.sessionState().sqlParser().parseExpression(sql_str)
+    return F.expr(sql_str)
 
 
 def _vec(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: x.cast("double"))
+    try:
+        return _parsed_expr(f"transform({_expr_sql(col)}, x -> CAST(x AS DOUBLE))")
+    except Exception:  # noqa: BLE001 — non-round-trippable rendering
+        c = F.col(col) if isinstance(col, str) else col
+        return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    # lambda bodies here never lexically nest another lambda, so the
+    # bare variable names cannot capture anything from the (argument-
+    # position) input expressions
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a_sql: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a_sql}, x -> x * x), "
+        f"0.0D, (acc, v) -> acc + v))"
+    )
+
+
+def _dot_hof(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm_hof(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
 
 
 def dot_col(a: Column, b: Column) -> Column:
-    """Dot product via zip_with + aggregate (left-to-right fold)."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    """Dot product via zip_with + aggregate (left-to-right fold).
+
+    Built as ONE parsed SQL expression when both inputs render back to
+    SQL (every internal call site: column refs, transforms, slices,
+    literal arrays) — the analyzed tree is the same expression as the
+    HOF-lambda build, modulo lambda-variable names, at a fraction of
+    the py4j round-trips. Falls back to the lambda build for Columns
+    whose ``.sql()`` rendering does not re-parse (e.g. ``F.when``
+    chains render ``=(a, b)`` prefix comparisons)."""
+    try:
+        return _parsed_expr(_dot_sql(_expr_sql(a), _expr_sql(b)))
+    except Exception:  # noqa: BLE001
+        return _dot_hof(a, b)
 
 
 def norm_col(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    try:
+        return _parsed_expr(_norm_sql(_expr_sql(a)))
+    except Exception:  # noqa: BLE001
+        return _norm_hof(a)
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    try:
+        a_sql, b_sql = _expr_sql(a), _expr_sql(b)
+        return _parsed_expr(
+            f"({_dot_sql(a_sql, b_sql)}) / "
+            f"(({_norm_sql(a_sql)}) * ({_norm_sql(b_sql)}))"
+        )
+    except Exception:  # noqa: BLE001
+        return _dot_hof(a, b) / (_norm_hof(a) * _norm_hof(b))
 
 
 def dot_sql(a: str, b: str) -> str:
@@ -2344,12 +2428,19 @@ def ann_budget_curve(
 
     # per-row probe vector: a |probes|-way literal CASE keyed on the
     # exploded query_id — same doubles as the per-branch literals, so
-    # the rerank cosine is bit-identical
-    qexpr = None
-    for q in pbig:
-        lit = _lit_array([float(x) for x in qvs[q]])
-        cond = F.col("query_id") == q
-        qexpr = F.when(cond, lit) if qexpr is None else qexpr.when(cond, lit)
+    # the rerank cosine is bit-identical. Built as ONE parsed SQL CASE
+    # (the same CaseWhen tree an F.when chain builds) because F.expr
+    # columns render back verbatim, keeping cosine_col's expr-string
+    # fast path usable for the rerank fold.
+    qexpr = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN query_id = {q} THEN "
+            f"{_lit_sql([float(x) for x in qvs[q]])}"
+            for q in pbig
+        )
+        + " END"
+    )
     cosine = F.round(cosine_col(_vec("embedding"), qexpr), 6)
 
     rer = df.join(F.broadcast(shorts), id_col).select(
