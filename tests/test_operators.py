@@ -2359,6 +2359,37 @@ def test_wordpiece_train_matches_python_reference_random(spark):
     check()
 
 
+def test_wordpiece_train_prefix_nesting(spark):
+    """The shared-train contract: a max-budget WordPiece run's first b
+    merges equal a direct b-merge run (iteration i's stats depend only
+    on merges 1..i-1), and the b-merge vocabulary replayed off the
+    max-budget base equals the directly trained one. This is what lets
+    wordpiece_train_merges / _trained_wordpiece_vocab /
+    wordpiece_budget_curve consume ONE per-process train."""
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators.tokenizer import (
+        _wp_train_state,
+        _wp_vocab,
+        wordpiece_vocab,
+        wp_replay_merges,
+        wp_train_state_full,
+    )
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges24, base, _ = wp_train_state_full(df, "text", 24)
+    merges12, cur12_direct = _wp_train_state(df, "text", 12)
+    assert merges24[:12] == merges12
+    cur12_replayed = wp_replay_merges(base, merges24, 12)
+    got = sorted(
+        tuple(r) for r in cur12_replayed.select("word", "wcount", "s").collect()
+    )
+    want = sorted(
+        tuple(r) for r in cur12_direct.select("word", "wcount", "s").collect()
+    )
+    assert got == want
+    assert _wp_vocab(cur12_replayed) == wordpiece_vocab(df, "text", 12)
+
+
 def test_wordpiece_encode_matches_python_reference(spark):
     """The train-then-encode path reproduces BERT's greedy
     longest-match-first rule (NOT merge replay) over the learned

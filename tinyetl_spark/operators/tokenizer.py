@@ -1704,11 +1704,26 @@ def _wp_train_state(
     (the unigram EM loop's contract) and the likelihood argmax runs on
     the driver in exact integer arithmetic — one explode+groupBy job
     per iteration instead of the r11 shape's joins + global sort."""
-    cur = (
+    merges, _, cur = wp_train_state_full(df, text_col, n_merges)
+    return merges, cur
+
+
+def wp_train_state_full(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[tuple[int, str, str, int, int]], DataFrame, DataFrame]:
+    """The training loop with its BASE retained: returns (merge rows,
+    checkpointed initial symbol table, final symbol table). WordPiece
+    merges are PREFIX-NESTED — iteration i's stats depend only on
+    merges 1..i-1 — so one max-budget state serves every smaller
+    budget: the b-merge train is rows 1..b, and the b-merge final
+    symbol table is ``wp_replay_merges(base, merges, b)`` (pinned by
+    test_wordpiece_train_prefix_nesting)."""
+    base = (
         word_freq(df, text_col)
         .select("word", "wcount", _wp_sym_init(F.col("word")).alias("s"))
         .localCheckpoint()
     )
+    cur = base
     merges: list[tuple[int, str, str, int, int]] = []
     for rank in range(1, n_merges + 1):
         top = _wp_best_merge(_wp_pair_and_sym_totals(cur))
@@ -1719,7 +1734,21 @@ def _wp_train_state(
         cur = cur.withColumn(
             "s", _apply_merge(F.col("s"), a, b, _wp_merge_out(a, b))
         )
-    return merges, cur
+    return merges, base, cur
+
+
+def wp_replay_merges(
+    base: DataFrame, merges: list[tuple[int, str, str, int, int]], n: int
+) -> DataFrame:
+    """Rebuild the symbol table after the first ``n`` merges by folding
+    them over the base — exactly the training loop's state at iteration
+    n (same folds in the same order), with zero training jobs."""
+    cur = base
+    for _, a, b, _, _ in merges[:n]:
+        cur = cur.withColumn(
+            "s", _apply_merge(F.col("s"), a, b, _wp_merge_out(a, b))
+        )
+    return cur
 
 
 def wordpiece_train(
@@ -2547,6 +2576,7 @@ def wordpiece_budget_curve(
     df: DataFrame,
     budgets: tuple[int, ...] = WP_BUDGET_MERGES,
     text_col: str = "text",
+    train_state: tuple[list, DataFrame] | None = None,
 ) -> DataFrame:
     """Fertility / compression vs MERGE BUDGET for WordPiece — the
     wordpiece twin of unigram_budget_curve, exploiting that WordPiece
@@ -2565,7 +2595,14 @@ def wordpiece_budget_curve(
     distinct words) — no budget re-scans the corpus."""
     from tinyetl_spark.operators.text import floor_round
 
-    merges, cur = _wp_train_state(df, text_col, max(budgets))
+    # ``train_state``: a (merges, final symbol table) pair trained at
+    # >= max(budgets) merges — the per-process frozen-train share
+    # (prefix nesting makes it value-identical to training inline).
+    if train_state is not None:
+        merges, cur = train_state
+        merges = merges[: max(budgets)]
+    else:
+        merges, cur = _wp_train_state(df, text_col, max(budgets))
     outs = [_wp_merge_out(a, b) for _, a, b, _, _ in merges]
     alphabet = sorted(
         r["p"]
