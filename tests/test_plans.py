@@ -1374,13 +1374,17 @@ def test_source_logodds_broadcast_totals_no_python(spark):
 
 
 def test_matryoshka_recall_staged_truth_no_python(spark):
-    """Every truncated tier must read the STAGED ground-truth parquet
-    (no brute recompute per dim), keep the slice+cosine beside the
-    scan (TakeOrdered, no global sort), and stay JVM-side."""
+    """The r12 batched form: the whole |probes|×|dims| grid is ONE
+    plan — one corpus scan feeds a (probe, dim)-exploded cosine pass
+    ranked per cell by row_number, whose rank filter compiles to
+    WindowGroupLimit (map-side partial top-k per cell BEFORE the
+    exchange); the STAGED ground truth joins as a broadcast (no brute
+    recompute per dim); JVM-side throughout."""
     p = plan_of(spark, "ann_recall_matryoshka")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "ann_ground_truth" in p
-    assert "TakeOrderedAndProject" in p
+    assert "WindowGroupLimit" in p
+    assert p.count("embeddings.parquet") == 1  # one corpus scan, not 16
     assert "CartesianProduct" not in p
 
 
@@ -1443,6 +1447,24 @@ def test_classifier_threshold_curve_single_agg_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "Window" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ann_recall_rpq3_rerank_batched_shape(spark):
+    """The r12 batched recall form: ONE scan of the staged rpq3 code
+    table feeds a probe-exploded ADC pass whose rank<=shortlist filter
+    compiles to WindowGroupLimit; ONE broadcast rerank join back to the
+    embeddings (scanned once); ONE broadcast ground-truth join. The
+    probe-INDEPENDENT ADC cross tables ride a 1-row broadcast
+    LocalRelation (data, not literals — 4 inlined copies were the
+    construction wall). No Python, no cartesian product."""
+    p = plan_of(spark, "ann_recall_rpq3_rerank")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("rpq3_codes") == 1  # one code-table scan, not 4
+    assert p.count("embeddings.parquet") == 1  # one rerank join source
+    assert "ann_ground_truth" in p
+    assert "WindowGroupLimit" in p
+    assert "ExistingRDD" in p  # the cross tables as a 1-row data scan
 
 
 def test_ann_recall_int8_staged_truth_no_python(spark):

@@ -1527,6 +1527,244 @@ def brute_ground_truth_sql(
     return " UNION ALL ".join(parts)
 
 
+def _keyed_topk(
+    src: DataFrame,
+    keys: list[str],
+    metric_by_key: dict[tuple, Column],
+    asc: bool,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ONE scan of ``src`` → per-key top-k under the key's (metric, id)
+    total order: key-tagged struct array → explode → row_number over
+    the key partition → rank <= k. The rank filter compiles to
+    WindowGroupLimit — a map-side partial top-k per key BEFORE the
+    exchange, so the key-partitioned window is never a skewed full
+    sort at scale. Value-identical to per-key
+    ``orderBy(metric, id).limit(k)`` union branches (both select by the
+    same deterministic total order) — the ann_budget_curve shape
+    (590e741) shared by the recall tiers."""
+    from pyspark.sql import Window
+
+    entries = []
+    for kv, m in metric_by_key.items():
+        fields = [
+            F.lit(int(v)).cast("bigint").alias(name)
+            for name, v in zip(keys, kv)
+        ]
+        entries.append(F.struct(*fields, m.alias("_m")))
+    e = (
+        src.select(F.col(id_col), F.explode(F.array(*entries)).alias("_e"))
+        .select(
+            id_col,
+            *[F.col(f"_e.{n}").alias(n) for n in keys],
+            F.col("_e._m").alias("_m"),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    order = [F.asc("_m") if asc else F.desc("_m"), F.asc(id_col)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        e.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select(*keys, id_col)
+    )
+
+
+def _probe_case_vec(qvs: dict[int, list[float]], probes, dim: int | None = None) -> Column:
+    """Per-row probe vector: a |probes|-way literal CASE keyed on the
+    exploded query_id — same doubles as the per-branch literals, so a
+    cosine against it is bit-identical (the ann_budget_curve rerank
+    contract). One parsed SQL CASE so cosine_col's expr-string fast
+    path stays usable."""
+    return F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN query_id = {int(q)} THEN "
+            f"{_lit_sql([float(x) for x in (qvs[int(q)][:dim] if dim else qvs[int(q)])])}"
+            for q in probes
+        )
+        + " END"
+    )
+
+
+def _recall_agg(
+    topk: DataFrame,
+    exact_df: DataFrame,
+    k: int,
+    keys: list[str],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(keys..., recall) from per-key top-k rows vs the ground-truth
+    (query_id, id) table: broadcast-left-join the truth, count hits per
+    key. coalesce(sum, 0) keeps a key's row at recall 0.0 exactly like
+    the per-key ``exact JOIN approx → count(*)`` branches (count of an
+    empty join is 0, never a missing row — each key always has k topk
+    rows)."""
+    gt = F.broadcast(
+        exact_df.select("query_id", F.col(id_col), F.lit(1).alias("_hit"))
+    )
+    return (
+        topk.join(gt, ["query_id", id_col], "left")
+        .groupBy(*keys)
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).alias("_h"))
+        .select(
+            *keys,
+            F.round(F.col("_h") / F.lit(float(k)), 4).alias("recall"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def _rpq_cross_cols(src: DataFrame, stages) -> tuple[DataFrame, dict]:
+    """Attach the probe-INDEPENDENT ADC cross tables (2<b_s, b_t>) as
+    ONE-row broadcast-scalar columns, so every probe's fold references
+    a single analyzed copy instead of inlining its own literal tree —
+    at 4 probes the rpq3 cross tables alone were 4 × 6,144 inlined
+    doubles, and re-analyzing them per probe dominated the recall
+    queries' construction wall. Fold structure and per-j addition
+    order are untouched (literal → column ref only), so the rounded
+    metrics are bit-identical."""
+    m = len(stages[0])
+    dsub = len(stages[0][0][0])
+    _, crosses = _rpqn_tabs([0.0] * (dsub * m), stages)  # query-free
+    keys = sorted(crosses)
+    # DATA (LocalRelation), not literal expressions: foldable literal
+    # columns would be re-inlined into every consumer by the
+    # optimizer's FoldablePropagation, putting the 4 copies right back
+    # into the plan. Same doubles either way.
+    one = src.sparkSession.createDataFrame(
+        [tuple(crosses[k] for k in keys)],
+        ", ".join(f"_x{s}{t} array<array<array<double>>>" for s, t in keys),
+    )
+    refs = {(s, t): F.col(f"_x{s}{t}") for (s, t) in crosses}
+    return src.crossJoin(F.broadcast(one)), refs
+
+
+def _rpqn_adc_expr_shared(dtabs: list, cross_refs: dict) -> Column:
+    """``_rpqn_adc_expr`` with the cross tables as COLUMN references
+    (see _rpq_cross_cols) — same fold, same per-j term order: per j
+    the dtab lookups stage-ascending, then the cross lookups in (s, t)
+    lexicographic order, exactly the inlined expression's shape."""
+    m = len(dtabs[0])
+    dl = [_lit_array(d) for d in dtabs]
+    cl = [(s, t, cross_refs[(s, t)]) for (s, t) in sorted(cross_refs)]
+    codes = F.col("codes")
+
+    def step(acc, j):
+        e = acc
+        for s, lit in enumerate(dl):
+            e = e + F.get(F.get(lit, j), F.get(codes, j + F.lit(s * m)))
+        for s, t, c in cl:
+            e = e + F.get(
+                F.get(F.get(c, j), F.get(codes, j + F.lit(s * m))),
+                F.get(codes, j + F.lit(t * m)),
+            )
+        return e
+
+    return F.aggregate(F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), step)
+
+
+# tiers whose approximate ranking is ONE metric expression over ONE
+# code-table scan — these batch all probes into a single plan; the
+# bucket-pruned tiers (lsh/multiprobe/ivf/ivf_pq) keep the per-probe
+# loop because their scans are probe-dependent partition prunes.
+_BATCHED_RECALL_TIERS = {
+    "pq", "rerank", "rpq", "rpq_rerank", "rpq3_rerank", "binary_rerank",
+}
+
+
+def _batched_tier_recall(
+    df: DataFrame,
+    tier: str,
+    probes: tuple[int, ...],
+    k: int,
+    qvs: dict[int, list[float]],
+    enc: DataFrame | None,
+    exact_df: DataFrame | None,
+    id_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k for a metric-over-code-table tier, ALL probes in one
+    plan: one probe-exploded metric pass over the code table ranked per
+    probe (WindowGroupLimit), one broadcast rerank join where the tier
+    reranks, one broadcast ground-truth join. Value-identical to the
+    per-probe union branches — same rounded metrics, same deterministic
+    (metric, id) and (cosine desc, id) orders, same hits/k at 4dp (the
+    equivalence ann_budget_curve already proved for these exact
+    orderings)."""
+    from pyspark.sql import Window
+
+    pbig = [int(q) for q in probes]
+    shortlist: int | None = None
+    asc = True
+    if tier in ("pq", "rerank"):
+        books = _pq_seeded_codebooks()
+        metrics = {
+            q: F.round(_adc_expr(_pq_dtab(qvs[q], books)), 6) for q in pbig
+        }
+        src = enc if enc is not None else pq_encode(df, books, vec_col, id_col)
+        if tier == "rerank":
+            shortlist = 50
+    elif tier in ("rpq", "rpq_rerank"):
+        st = _rpq_seeded_stages()
+        src = enc if enc is not None else rpq_encode(df, st, vec_col, id_col)
+        src, xrefs = _rpq_cross_cols(src, st)
+        metrics = {
+            q: F.round(_rpqn_adc_expr_shared(_rpqn_tabs(qvs[q], st)[0], xrefs), 6)
+            for q in pbig
+        }
+        if tier == "rpq_rerank":
+            shortlist = 50
+    elif tier == "rpq3_rerank":
+        st = _rpq3_seeded_stages()
+        src = enc if enc is not None else rpq_encode(df, st, vec_col, id_col)
+        src, xrefs = _rpq_cross_cols(src, st)
+        metrics = {
+            q: F.round(_rpqn_adc_expr_shared(_rpqn_tabs(qvs[q], st)[0], xrefs), 6)
+            for q in pbig
+        }
+        shortlist = 50
+    elif tier == "binary_rerank":
+        src = enc if enc is not None else binary_encode(df, vec_col, id_col)
+
+        def _ham(q: int) -> Column:
+            qlo, qhi = _py_sign_bits([float(x) for x in qvs[q]])
+            return F.bit_count(
+                F.col("blo").bitwiseXOR(F.lit(qlo).cast("long"))
+            ) + F.bit_count(F.col("bhi").bitwiseXOR(F.lit(qhi).cast("long")))
+
+        metrics = {q: _ham(q) for q in pbig}
+        shortlist = BINARY_SHORTLIST
+    else:  # pragma: no cover — guarded by _BATCHED_RECALL_TIERS
+        raise ValueError(tier)
+    topk = _keyed_topk(
+        src,
+        ["query_id"],
+        {(q,): m for q, m in metrics.items()},
+        asc,
+        shortlist if shortlist is not None else k,
+        id_col,
+    )
+    if shortlist is not None:
+        cos = F.round(cosine_col(_vec(vec_col), _probe_case_vec(qvs, pbig)), 6)
+        rer = df.join(F.broadcast(topk), id_col).select(
+            "query_id", F.col(id_col), cos.alias("_cos")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc(id_col))
+        topk = (
+            rer.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .select("query_id", id_col)
+        )
+    exact = (
+        exact_df
+        if exact_df is not None
+        else brute_ground_truth(df, probes, k, id_col)
+    )
+    return _recall_agg(topk, exact, k, ["query_id"], id_col)
+
+
 def ann_recall(
     df: DataFrame,
     tier: str,
@@ -1553,6 +1791,13 @@ def ann_recall(
         .select(id_col, "embedding")
         .collect()
     }
+    # metric-over-code-table tiers batch every probe into ONE plan
+    # (one code-table scan, one rerank join, one truth join) — see
+    # _batched_tier_recall; values identical to the per-probe branches
+    if tier in _BATCHED_RECALL_TIERS:
+        return _batched_tier_recall(
+            df, tier, probes, k, qvs, enc_df, exact_df, id_col
+        )
     # the corpus encoding is probe-independent — build its subtree once
     # (or, production-shaped, read the staged code table the caller
     # already materialized)
@@ -1771,18 +2016,16 @@ def _rpq_tabs(
     return d1, d2, cross
 
 
-def _rpq_adc_topk(
-    enc: DataFrame,
-    tabs: tuple,
-    k: int,
-    id_col: str,
-) -> DataFrame:
+def _rpq_adc_col(tabs: tuple) -> Column:
+    """2-stage residual ADC distance expression over a ``codes`` column
+    (unrounded fold) — factored from the top-k so the batched recall
+    path ranks by the IDENTICAL expression."""
     d1, d2, cross = tabs
     m = len(d1)
     d1l, d2l = _lit_array(d1), _lit_array(d2)
     ctl = _lit_array(cross)
     codes = F.col("codes")
-    adc = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
         lambda acc, j: acc
@@ -1790,8 +2033,16 @@ def _rpq_adc_topk(
         + F.get(F.get(d2l, j), F.get(codes, j + F.lit(m)))
         + F.get(F.get(F.get(ctl, j), F.get(codes, j)), F.get(codes, j + F.lit(m))),
     )
+
+
+def _rpq_adc_topk(
+    enc: DataFrame,
+    tabs: tuple,
+    k: int,
+    id_col: str,
+) -> DataFrame:
     return (
-        enc.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        enc.select(F.col(id_col), F.round(_rpq_adc_col(tabs), 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
@@ -2375,10 +2626,13 @@ def ann_budget_curve(
 
     rpq3_stages = _rpq3_seeded_stages()
     pq_books = _pq_seeded_codebooks()
+    enc_x, xrefs = _rpq_cross_cols(enc, rpq3_stages)
     shorts = tag(
         shortlist_ranked(
-            enc,
-            {q: F.round(_rpqn_adc_expr(_rpqn_tabs(qvs[q], rpq3_stages)), 6)
+            enc_x,
+            {q: F.round(
+                _rpqn_adc_expr_shared(_rpqn_tabs(qvs[q], rpq3_stages)[0], xrefs), 6
+             )
              for q in pbig},
             asc=True,
         ), "rpq3", 24,
@@ -3055,54 +3309,37 @@ def matryoshka_recall(
     ON THIS corpus (untrained embeddings truncate worse than MRL ones —
     that honest gap is the point of measuring before deploying).
 
-    Shape: the full-dim exact top-k computes ONCE per probe (lazy
-    checkpoint) and every truncated tier joins against it; each tier
-    is the brute shape — 1-row query broadcast, slice+cosine beside
-    the scan, TakeOrdered(k) — so the whole |probes|x|dims| grid is
-    embarrassingly parallel scans with <=k-row joins. The full-dim row
-    (d = max) must read 1.0 by construction — a built-in sanity check
-    the oracle also verifies."""
-    parts = []
+    Shape (r12 batched): the whole |probes|×|dims| grid is ONE plan —
+    one corpus scan explodes a (probe, dim)-tagged struct array of
+    truncated cosines (the probe vectors inline as collected literals,
+    the same doubles the r11 form read from its 1-row broadcast
+    subplans), rank <= k per (probe, dim) compiles to WindowGroupLimit
+    (map-side partial top-k before the exchange), and ONE broadcast
+    ground-truth join counts hits — 16 corpus scans + 16 <=k-row joins
+    collapse to one of each. Values identical: same rounded cosines,
+    same deterministic (cos desc, id) order, same hits/k at 4dp. The
+    full-dim row (d = max) must read 1.0 by construction — a built-in
+    sanity check the oracle also verifies."""
+    qvs = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in df.filter(F.col(id_col).isin(*[int(p) for p in probes]))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    metrics: dict[tuple, Column] = {}
     for q in probes:
-        if exact_df is not None:
-            exact = exact_df.filter(F.col("query_id") == int(q)).select(id_col)
-        else:
-            exact = brute_topk(df, q, k, vec_col, id_col).select(id_col)
-            exact = exact.localCheckpoint(eager=False)
         for d in dims:
-            qdf = (
-                df.filter(F.col(id_col) == int(q))
-                .select(_vec(F.slice(F.col(vec_col), 1, int(d))).alias("qv"))
+            qd = _lit_array([float(x) for x in qvs[int(q)][: int(d)]])
+            metrics[(int(q), int(d))] = F.round(
+                cosine_col(_vec(F.slice(F.col(vec_col), 1, int(d))), qd), 6
             )
-            scored = (
-                df.filter(F.col(id_col) != int(q))
-                .crossJoin(F.broadcast(qdf))
-                .select(
-                    F.col(id_col),
-                    F.round(
-                        cosine_col(
-                            _vec(F.slice(F.col(vec_col), 1, int(d))), F.col("qv")
-                        ),
-                        6,
-                    ).alias("cos"),
-                )
-            )
-            approx = (
-                scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k).select(id_col)
-            )
-            parts.append(
-                exact.join(approx, id_col)
-                .agg(F.count("*").alias("_h"))
-                .select(
-                    F.lit(int(q)).cast("bigint").alias("query_id"),
-                    F.lit(int(d)).cast("bigint").alias("dim"),
-                    F.round(F.col("_h") / F.lit(float(k)), 4).alias("recall"),
-                )
-            )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("query_id", "dim")
+    topk = _keyed_topk(df, ["query_id", "dim"], metrics, False, k, id_col)
+    exact = (
+        exact_df
+        if exact_df is not None
+        else brute_ground_truth(df, probes, k, id_col)
+    )
+    return _recall_agg(topk, exact, k, ["query_id", "dim"], id_col)
 
 
 def matryoshka_recall_sql(

@@ -5325,9 +5325,10 @@ def ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-truncated cosine search at dims 8/16/32/64 vs the staged
     full-dim ground truth, per probe — the index-cost/recall knob an
     embedding deployment tunes (store the first d components, cut the
-    index 8x). The full-dim row must read 1.0 by construction; each
-    truncated tier is the brute shape (1-row query broadcast,
-    slice+cosine beside the scan, TakeOrdered), joined <=k rows."""
+    index 8x). The full-dim row must read 1.0 by construction. r12
+    batched shape: the whole probes×dims grid is ONE plan — one corpus
+    scan, (probe, dim)-exploded cosines ranked per cell
+    (WindowGroupLimit), one broadcast truth join."""
     return similarity.matryoshka_recall(
         load(spark, sf_dir, "embeddings"),
         exact_df=_materialized_ann_exact(spark, sf_dir),
