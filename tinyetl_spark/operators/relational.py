@@ -244,14 +244,18 @@ def profile_table(df: DataFrame) -> DataFrame:
     columns, where double-to-string formatting is engine-specific.
 
     Scale shape: TWO passes, both cheap. Pass A is one plain
-    aggregation row (counts, min/max — no distinct aggregates, so no
-    Expand). Pass B computes every column's exact distinct count from
-    ONE stack() unpivot of (column, value-as-string): a single
-    map-side-combined groupBy(column, value) then a tiny per-column
-    count — the N-way count-distinct Expand this replaces planned a
-    grouping-set aggregation over rows x N and ran ~10x slower. A
-    value's string form is 1:1 with its native value for every type
-    here, so string-keyed distinct counts equal native ones."""
+    aggregation row (counts, min/max — no distinct aggregates mixed
+    in). Pass B is one DISTINCT-ONLY aggregation row: N
+    count_distinct's over native values, planned as one Expand →
+    partial hash-aggregate on (gid, value) → one exchange of the
+    per-partition distinct pairs. Keeping the two passes separate is
+    the load-bearing part: ONE agg mixing min/max with the distincts
+    replans everything through the Expand and measured ~4x slower
+    than both passes together (15.8 s vs 1.25+1.8 s at sf0.1, r12);
+    the r9 stack()-unpivot string-keyed distinct pass this replaces
+    measured 3.9 s — native values shuffle narrower and skip N string
+    casts per row (r12 re-measure; same exact counts, count_distinct
+    ignores nulls exactly as the unpivot's isNotNull filter did)."""
     from pyspark.sql.types import (
         ByteType,
         DateType,
@@ -266,7 +270,7 @@ def profile_table(df: DataFrame) -> DataFrame:
     stringable = (
         ByteType, ShortType, IntegerType, LongType, StringType,
     )
-    aggs, stack_parts, val_parts = [], [], []
+    aggs, stack_parts = [], []
     for f in df.schema.fields:
         c = f.name
         aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
@@ -281,26 +285,27 @@ def profile_table(df: DataFrame) -> DataFrame:
             mx = F.lit(None).cast("string")
         aggs.append(mn.alias(f"_mn_{c}"))
         aggs.append(mx.alias(f"_mx_{c}"))
-        stack_parts.append(f"'{c}', '{f.dataType.simpleString()}', _nn_{c}, _mn_{c}, _mx_{c}")
-        val_parts.append(f"'{c}', CAST({c} AS STRING)")
-    wide = df.agg(F.count(F.lit(1)).alias("_rows"), *aggs)
-    stacked = wide.selectExpr(
-        "_rows",
-        f"stack({len(stack_parts)}, {', '.join(stack_parts)}) "
-        "AS (column, dtype, n_notnull, min_val, max_val)",
-    )
-    nd = (
-        df.selectExpr(
-            f"stack({len(val_parts)}, {', '.join(val_parts)}) AS (column, _v)"
+        stack_parts.append(
+            f"'{c}', '{f.dataType.simpleString()}', _nn_{c}, _mn_{c}, _mx_{c}, "
+            f"CAST(_nd_{c} AS BIGINT)"
         )
-        .filter(F.col("_v").isNotNull())
-        .groupBy("column", "_v")
-        .agg(F.lit(1).alias("_one"))
-        .groupBy("column")
-        .agg(F.count("*").cast("bigint").alias("n_distinct"))
+    wide = df.agg(F.count(F.lit(1)).alias("_rows"), *aggs)
+    nd_wide = df.agg(
+        *[
+            F.count_distinct(F.col(f.name)).alias(f"_nd_{f.name}")
+            for f in df.schema.fields
+        ]
     )
+    # the two 1-row aggs fuse via a broadcast-scalar cross join and ONE
+    # stack — a column-keyed join of two stacked sides measured ~1.8 s
+    # of pure join machinery on a 16-row result (r12)
+    both = wide.crossJoin(F.broadcast(nd_wide))
     return (
-        stacked.join(nd, "column", "left")
+        both.selectExpr(
+            "_rows",
+            f"stack({len(stack_parts)}, {', '.join(stack_parts)}) "
+            "AS (column, dtype, n_notnull, min_val, max_val, n_distinct)",
+        )
         .select(
             F.col("column"),
             F.col("dtype"),
