@@ -405,7 +405,17 @@ def main() -> None:
     # must stay under that budget or it gets decapitated and the round
     # record shows "parsed": null (this happened in round 2 — the full
     # 79-query dict was ~2900 chars).
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # Canonical sidecar name ONLY for the default bench scale — a quick
+    # sf0.001 contract-validation run must not clobber the committed
+    # sf0.1 record in the working tree (it did, twice, in round 12:
+    # caught by git diff, restored by checkout). Off-scale runs write
+    # BENCH_DETAIL_sf<sf>.json; the stdout contract is unchanged.
+    detail_name = (
+        "BENCH_DETAIL.json"
+        if SF_DIR.rstrip("/").endswith("sf0.1")
+        else f"BENCH_DETAIL_sf{_sf_from_dir(SF_DIR)}.json"
+    )
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     try:
         with open(detail_path, "w") as f:
             # per-rep wall times let a drift audit separate JIT/GC
@@ -416,7 +426,7 @@ def main() -> None:
             )
     except OSError:
         detail_path = None
-    line = dict(out, detail_file="BENCH_DETAIL.json" if detail_path else None)
+    line = dict(out, detail_file=detail_name if detail_path else None)
     # Inline as many per-query times as fit (slowest first — the ones a
     # perf audit needs); the sidecar always has all of them.
     budget = 1900

@@ -2390,6 +2390,50 @@ def test_wordpiece_train_prefix_nesting(spark):
     assert _wp_vocab(cur12_replayed) == wordpiece_vocab(df, "text", 12)
 
 
+def test_unigram_shared_state_identity(spark):
+    """The unigram shared-train contract: the EM chain is
+    deterministic per corpus, so every consumer given a precomputed
+    _uni_train_state / _uni_prune_state (the per-process memo) returns
+    EXACTLY what its standalone train-inline form returns. This is
+    what lets unigram_encode_docs / unigram_ambiguity / the staged
+    encoded tables consume ONE per-process train while the trainer
+    queries keep training."""
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators.tokenizer import (
+        _uni_prune_state,
+        _uni_train_state,
+        unigram_ambiguity,
+        unigram_prune_encode,
+        unigram_train_encode,
+    )
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    state = _uni_train_state(df, "text", 2)
+    # the chain itself is deterministic: a second run reproduces costs
+    state2 = _uni_train_state(df, "text", 2)
+    assert state[0] == state2[0] and state[1] == state2[1]
+
+    def rows(out):
+        return sorted(
+            tuple(r)
+            for r in out.select(
+                "doc_id", "n_tokens", F.concat_ws(" ", "tokens")
+            ).collect()
+        )
+
+    assert rows(unigram_train_encode(df, state=state)) == rows(
+        unigram_train_encode(df)
+    )
+    amb = lambda **kw: sorted(  # noqa: E731
+        tuple(r) for r in unigram_ambiguity(df, **kw).collect()
+    )
+    assert amb(state=state) == amb()
+    pstate = _uni_prune_state(df, "text")
+    assert rows(unigram_prune_encode(df, state=pstate)) == rows(
+        unigram_prune_encode(df)
+    )
+
+
 def test_wordpiece_encode_matches_python_reference(spark):
     """The train-then-encode path reproduces BERT's greedy
     longest-match-first rule (NOT merge replay) over the learned

@@ -654,6 +654,7 @@ def unigram_train_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_iters: int = UNI_EM_ITERS,
+    state: tuple[dict[str, int], dict[str, int], DataFrame] | None = None,
 ) -> DataFrame:
     """Train, then Viterbi-encode the corpus under the final costs —
     the unigram twin of bpe_train_encode, with the same dictionary-join
@@ -661,8 +662,17 @@ def unigram_train_encode(
     corpus only pays an equi-join. Words longer than UNI_MAXLEN are
     dropped from the token stream (the SQL twin's DP-unroll contract;
     the Spark fold itself has no such limit). Output: (doc_id,
-    n_tokens, tokens[]) with all-empty docs kept at n_tokens = 0."""
-    costs, _, wf = _uni_train_state(df, text_col, n_iters)
+    n_tokens, tokens[]) with all-empty docs kept at n_tokens = 0.
+
+    Pass ``state`` (an already-computed :func:`_uni_train_state`
+    result — e.g. the per-process shared-train memo) to skip the EM
+    loop: the EM chain is deterministic per corpus, so the encode is
+    value-identical while the training jobs are paid once per process
+    instead of once per consumer — the same train-once/ship-to-every-
+    encode contract as ``bpe_train_encode(merges=...)`` (r12)."""
+    costs, _, wf = state if state is not None else _uni_train_state(
+        df, text_col, n_iters
+    )
     vocab_seg = wf.select(
         "word", _viterbi_toks(F.col("word"), _cost_map_lit(costs)).alias("s")
     )
@@ -822,12 +832,17 @@ def unigram_prune_encode(
     seed_multi: int = UNI_SEED_VOCAB,
     target: int = UNI_VOCAB,
     steps: int = UNI_PRUNE_STEPS,
+    state: tuple[dict[str, int], dict[str, int], DataFrame] | None = None,
 ) -> DataFrame:
     """Prune-train, then Viterbi-encode the corpus under the final
     pruned costs — the dictionary-join encode shape shared with
     :func:`unigram_train_encode` (distinct words segment once, corpus
-    pays one equi-join)."""
-    costs, _, wf = _uni_prune_state(df, text_col, n_iters, seed_multi, target, steps)
+    pays one equi-join). ``state`` = a precomputed
+    :func:`_uni_prune_state` result (same shared-train contract as
+    ``unigram_train_encode``)."""
+    costs, _, wf = state if state is not None else _uni_prune_state(
+        df, text_col, n_iters, seed_multi, target, steps
+    )
     vocab_seg = wf.select(
         "word", _viterbi_toks(F.col("word"), _cost_map_lit(costs)).alias("s")
     )
@@ -1235,16 +1250,23 @@ def _viterbi_two_costs(word, cost_map, maxpiece: int = UNI_MAXPIECE):
 
 
 def unigram_ambiguity(
-    df: DataFrame, text_col: str = "text", n_iters: int = UNI_EM_ITERS
+    df: DataFrame,
+    text_col: str = "text",
+    n_iters: int = UNI_EM_ITERS,
+    state: tuple[dict[str, int], dict[str, int], DataFrame] | None = None,
 ) -> DataFrame:
     """Corpus segmentation-ambiguity profile under the trained unigram
     LM: per word length, the occurrence-weighted mean best-vs-2nd-best
     cost gap (micro units) and the share of word occurrences whose two
     best segmentations TIE exactly. One corpus shuffle (the word-freq
-    table); the 2-best DP is an in-row fold over the dictionary."""
+    table); the 2-best DP is an in-row fold over the dictionary.
+    ``state`` = a precomputed :func:`_uni_train_state` result (same
+    shared-train contract as ``unigram_train_encode``)."""
     from tinyetl_spark.operators.text import floor_round
 
-    costs, _, wf = _uni_train_state(df, text_col, n_iters)
+    costs, _, wf = state if state is not None else _uni_train_state(
+        df, text_col, n_iters
+    )
     c1, c2 = _viterbi_two_costs(F.col("word"), _cost_map_lit(costs))
     seg = wf.filter(F.length("word") >= 2).select(
         F.length("word").cast("bigint").alias("wlen"),

