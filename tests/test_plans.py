@@ -1469,6 +1469,21 @@ def test_ann_recall_rpq3_rerank_batched_shape(spark):
     assert "ExistingRDD" in p  # the cross tables as a 1-row data scan
 
 
+def test_ann_recall_lsh_batched_one_scan(spark):
+    """The r12 batched sign-LSH recall form: the probe bucket sets are
+    decided driver-side, so ALL probes ride one corpus scan with
+    per-probe bucket-set guards — one embeddings read (before: one per
+    probe), rank<=k as WindowGroupLimit, staged ground truth, no
+    Python. Same pin for multiprobe (Hamming-1 bucket sets)."""
+    for name in ("ann_recall_lsh", "ann_recall_multiprobe"):
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert p.count("embeddings.parquet") == 1, name
+        assert "WindowGroupLimit" in p, name
+        assert "ann_ground_truth" in p, name
+        assert "CartesianProduct" not in p, name
+
+
 def test_ann_recall_int8_staged_truth_no_python(spark):
     """int8 recall must read the staged ground truth, rank via
     TakeOrdered off the shared code table, and stay JVM-side."""

@@ -1534,6 +1534,7 @@ def _keyed_topk(
     asc: bool,
     k: int,
     id_col: str = "vec_id",
+    guard_by_key: dict[tuple, Column] | None = None,
 ) -> DataFrame:
     """ONE scan of ``src`` → per-key top-k under the key's (metric, id)
     total order: key-tagged struct array → explode → row_number over
@@ -1543,7 +1544,12 @@ def _keyed_topk(
     sort at scale. Value-identical to per-key
     ``orderBy(metric, id).limit(k)`` union branches (both select by the
     same deterministic total order) — the ann_budget_curve shape
-    (590e741) shared by the recall tiers."""
+    (590e741) shared by the recall tiers.
+
+    ``guard_by_key``: for bucket-pruned tiers, the per-key candidate
+    predicate (bucket/cell membership) — a row only yields that key's
+    struct when its guard holds (the entry is NULL otherwise and
+    array_compact drops it), exactly the per-key branches' WHERE."""
     from pyspark.sql import Window
 
     entries = []
@@ -1552,9 +1558,15 @@ def _keyed_topk(
             F.lit(int(v)).cast("bigint").alias(name)
             for name, v in zip(keys, kv)
         ]
-        entries.append(F.struct(*fields, m.alias("_m")))
+        s = F.struct(*fields, m.alias("_m"))
+        if guard_by_key is not None:
+            s = F.when(guard_by_key[kv], s)
+        entries.append(s)
+    arr = F.array(*entries)
+    if guard_by_key is not None:
+        arr = F.array_compact(arr)
     e = (
-        src.select(F.col(id_col), F.explode(F.array(*entries)).alias("_e"))
+        src.select(F.col(id_col), F.explode(arr).alias("_e"))
         .select(
             id_col,
             *[F.col(f"_e.{n}").alias(n) for n in keys],
@@ -1666,12 +1678,28 @@ def _rpqn_adc_expr_shared(dtabs: list, cross_refs: dict) -> Column:
 
 
 # tiers whose approximate ranking is ONE metric expression over ONE
-# code-table scan — these batch all probes into a single plan; the
-# bucket-pruned tiers (lsh/multiprobe/ivf/ivf_pq) keep the per-probe
-# loop because their scans are probe-dependent partition prunes.
+# code-table scan — these batch all probes into a single plan. The
+# sign-LSH tiers (lsh/multiprobe) batch too: their bucket sets are
+# decidable driver-side from the collected probe vectors, so |probes|
+# FULL corpus scans collapse to ONE scan with per-probe bucket-set
+# guards (measured 4 scans -> 1, multiprobe 1.56 -> 1.23 s solo).
+# ivf/ivf_pq deliberately KEEP the per-probe loop: their scans are
+# already nprobe-cell partition prunes of the staged index, and the
+# batched window form re-measured SLOWER (ivf_pq exec 0.37 -> 0.9 s
+# solo at sf0.1 — the union scan + probe-guarded explode costs more
+# than re-reading shared cells saves; guide §1.6 revert rule).
+_BUCKET_RECALL_TIERS = {"lsh", "multiprobe"}
 _BATCHED_RECALL_TIERS = {
     "pq", "rerank", "rpq", "rpq_rerank", "rpq3_rerank", "binary_rerank",
-}
+} | _BUCKET_RECALL_TIERS
+
+
+def _py_sign_bucket(vec: list[float], bits: int = SIGN_BITS) -> int:
+    """Driver-side twin of :func:`sign_bucket_col`: integer from the
+    sign bits of the first ``bits`` components. Collected floats widen
+    to double exactly, and >= 0 is sign-exact under widening, so this
+    equals the in-plan bucket of the same stored vector."""
+    return sum(1 << i for i in range(bits) if vec[i] >= 0)
 
 
 def _batched_tier_recall(
@@ -1736,6 +1764,36 @@ def _batched_tier_recall(
 
         metrics = {q: _ham(q) for q in pbig}
         shortlist = BINARY_SHORTLIST
+    elif tier in ("lsh", "multiprobe"):
+        # bucket membership is decidable DRIVER-side from the collected
+        # probe vectors (sign of the stored floats — _py_sign_bucket ==
+        # sign_bucket_col on the same values), so all probes ride one
+        # corpus scan with per-probe literal bucket-set guards instead
+        # of |probes| broadcast-join scans
+        src = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            sign_bucket_col(F.col(vec_col), SIGN_BITS).alias("_bkt"),
+        )
+        qb = {q: _py_sign_bucket(qvs[q], SIGN_BITS) for q in pbig}
+        if tier == "lsh":
+            bsets = {q: [qb[q]] for q in pbig}
+        else:
+            masks = [0] + [1 << i for i in range(SIGN_BITS)]
+            bsets = {q: sorted({qb[q] ^ mk for mk in masks}) for q in pbig}
+        guards = {
+            (q,): F.col("_bkt").isin(*bsets[q]) for q in pbig
+        }
+        metrics = {
+            q: F.round(
+                cosine_col(
+                    _vec(vec_col), _lit_array([float(x) for x in qvs[q]])
+                ),
+                6,
+            )
+            for q in pbig
+        }
+        asc = False
     else:  # pragma: no cover — guarded by _BATCHED_RECALL_TIERS
         raise ValueError(tier)
     topk = _keyed_topk(
@@ -1745,6 +1803,7 @@ def _batched_tier_recall(
         asc,
         shortlist if shortlist is not None else k,
         id_col,
+        guard_by_key=guards if tier in _BUCKET_RECALL_TIERS else None,
     )
     if shortlist is not None:
         cos = F.round(cosine_col(_vec(vec_col), _probe_case_vec(qvs, pbig)), 6)
@@ -1762,7 +1821,24 @@ def _batched_tier_recall(
         if exact_df is not None
         else brute_ground_truth(df, probes, k, id_col)
     )
-    return _recall_agg(topk, exact, k, ["query_id"], id_col)
+    out = _recall_agg(topk, exact, k, ["query_id"], id_col)
+    if tier in _BUCKET_RECALL_TIERS:
+        # a pruned probe can have ZERO candidates (empty bucket/cell) —
+        # the per-probe branches still emit its row at recall 0.0 (agg
+        # of an empty join), so left-join a literal probe frame to keep
+        # that contract (the full-corpus tiers always have >= k rows)
+        pframe = df.sparkSession.createDataFrame(
+            [(q,) for q in pbig], "query_id bigint"
+        )
+        out = (
+            pframe.join(out, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce(F.col("recall"), F.lit(0.0)).alias("recall"),
+            )
+            .orderBy("query_id")
+        )
+    return out
 
 
 def ann_recall(
