@@ -4097,6 +4097,54 @@ def test_curation_gate_before_dedup_ordering(spark):
     assert survivors == {2, 4, 7}
 
 
+def test_expr_built_viterbi_matches_hof_build(spark):
+    """r12 construction fix: the unigram Viterbi DP fold (and its cost
+    map) build as ONE parsed SQL expression when given the costs dict.
+    Pin (a) bit-exact token-array equality against the HOF-lambda
+    build over the real dictionary, (b) the parse path actually parses
+    (no silent fallback), (c) string-literal escaping for pieces
+    containing quotes/backslashes."""
+    from tests.conftest import SF_DIR
+    from tinyetl_spark.operators.similarity import _parsed_expr
+    from tinyetl_spark.operators.tokenizer import (
+        _cost_map_lit,
+        _cost_map_sql,
+        _uni_train_state,
+        _viterbi_toks,
+        _viterbi_toks_sql,
+    )
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    costs, _, wf = _uni_train_state(df, "text", 2)
+    # (b) the rendered expression parses — no silent HOF fallback
+    _parsed_expr(_viterbi_toks_sql("`word`", _cost_map_sql(costs), 4))
+
+    def toks(cm):
+        return sorted(
+            (r["word"], tuple(r["t"]))
+            for r in wf.select(
+                "word", _viterbi_toks(F.col("word"), cm).alias("t")
+            ).collect()
+        )
+
+    assert toks(costs) == toks(_cost_map_lit(costs))
+
+    nasty = {"a": 10, "'": 5, "\\": 7, "a'b": 4, "ab": 25, "b": 11}
+    w = spark.createDataFrame(
+        [("a'b",), ("a\\b",), ("ab",), ("'\\",)], "word string"
+    )
+
+    def ntoks(cm):
+        return [
+            tuple(r["t"])
+            for r in w.select(
+                _viterbi_toks(F.col("word"), cm).alias("t")
+            ).collect()
+        ]
+
+    assert ntoks(nasty) == ntoks(_cost_map_lit(nasty))
+
+
 def test_expr_built_vector_folds_match_hof_build(spark):
     # r12 construction fix: dot/norm/cosine build as ONE parsed SQL
     # expression instead of per-operator HOF lambdas. Pin (a) bit-exact

@@ -532,12 +532,80 @@ def _uni_seed_rows(wf: DataFrame, n_multi: int = UNI_VOCAB) -> list[tuple[str, i
     ]
 
 
+def _sql_str_lit(s: str) -> str:
+    """Spark SQL single-quoted string literal (default parser mode:
+    backslash escapes active)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _cost_map_sql(costs: dict[str, int]) -> str:
+    """The integer cost table rendered as ONE SQL map literal — the
+    parsed twin of :func:`_cost_map_lit` (same sorted key order, same
+    string keys / BIGINT values), at one parse instead of 2x|vocab|
+    py4j literal calls."""
+    parts = []
+    for p in sorted(costs):
+        parts.append(_sql_str_lit(p))
+        parts.append(f"CAST({int(costs[p])} AS BIGINT)")
+    return "map(" + ", ".join(parts) + ")"
+
+
+def _viterbi_toks_sql(word_sql: str, cm_sql: str, maxpiece: int) -> str:
+    """:func:`_viterbi_toks` as ONE SQL expression string — the exact
+    HOF tree (same candidate struct fields, same fold shape, same
+    coalesce/cast types), rendered for a single parse. Same
+    construction-side-only treatment as the r12 vector/minhash folds:
+    the analyzed expression is identical modulo lambda-variable names
+    (pinned by test_expr_built_viterbi_matches_hof_build), so plans,
+    values and runtime are unchanged — only the py4j round-trips go."""
+    sub = f"substring({word_sql}, i - l + 1, l)"
+    prev = "element_at(acc, i - l + 1)"
+    cand = (
+        f"named_struct("
+        f"'cost', {prev}.cost + coalesce(element_at({cm_sql}, {sub}), "
+        f"CAST(CAST({UNI_UNK} AS BIGINT) * l AS BIGINT)), "
+        f"'negl', CAST(-l AS INT), "
+        f"'toks', concat({prev}.toks, array({sub})))"
+    )
+    step = (
+        f"concat(acc, array(named_struct("
+        f"'cost', array_min(transform(sequence(1, least({maxpiece}, i)), "
+        f"l -> {cand})).cost, "
+        f"'toks', array_min(transform(sequence(1, least({maxpiece}, i)), "
+        f"l -> {cand})).toks)))"
+    )
+    init = (
+        "array(named_struct('cost', CAST(0 AS BIGINT), "
+        "'toks', CAST(array() AS array<string>)))"
+    )
+    return (
+        f"element_at(aggregate(sequence(1, length({word_sql})), "
+        f"{init}, (acc, i) -> {step}), -1).toks"
+    )
+
+
 def _viterbi_toks(word, cost_map, maxpiece: int = UNI_MAXPIECE):
     """Min-cost segmentation of ``word`` under integer piece costs —
     an in-row DP fold: dp[i] = best (cost, toks) for the i-char
     prefix; candidates at i are the last-piece lengths 1..maxpiece,
     ranked by (cost asc, piece length desc). Missing pieces cost
-    UNI_UNK per char. Returns the token array."""
+    UNI_UNK per char. Returns the token array.
+
+    ``cost_map`` may be the costs DICT (preferred — the whole fold
+    builds as one parsed SQL expression) or an already-built map
+    Column (the original HOF-lambda build, kept as the fallback for
+    non-round-trippable inputs)."""
+    if isinstance(cost_map, dict):
+        from tinyetl_spark.operators.similarity import _expr_sql, _parsed_expr
+
+        try:
+            return _parsed_expr(
+                _viterbi_toks_sql(
+                    _expr_sql(word), _cost_map_sql(cost_map), maxpiece
+                )
+            )
+        except Exception:  # noqa: BLE001 — non-round-trippable rendering
+            cost_map = _cost_map_lit(cost_map)
     n = F.length(word)
     init = F.array(
         F.struct(
@@ -595,7 +663,7 @@ def _uni_em_iter(
     import math
 
     seg = wf.select(
-        "wcount", _viterbi_toks(F.col("word"), _cost_map_lit(costs)).alias("toks")
+        "wcount", _viterbi_toks(F.col("word"), costs).alias("toks")
     )
     rows = (
         seg.select(F.col("wcount"), F.explode("toks").alias("piece"))
@@ -674,7 +742,7 @@ def unigram_train_encode(
         df, text_col, n_iters
     )
     vocab_seg = wf.select(
-        "word", _viterbi_toks(F.col("word"), _cost_map_lit(costs)).alias("s")
+        "word", _viterbi_toks(F.col("word"), costs).alias("s")
     )
     words = df.select(
         F.col(id_col), F.posexplode(words_col(text_col)).alias("_p", "word")
@@ -844,7 +912,7 @@ def unigram_prune_encode(
         df, text_col, n_iters, seed_multi, target, steps
     )
     vocab_seg = wf.select(
-        "word", _viterbi_toks(F.col("word"), _cost_map_lit(costs)).alias("s")
+        "word", _viterbi_toks(F.col("word"), costs).alias("s")
     )
     words = df.select(
         F.col(id_col), F.posexplode(words_col(text_col)).alias("_p", "word")
@@ -1431,7 +1499,7 @@ def unigram_budget_curve(
         cost_maps[s] = {p: _micro(1e6 * math.log10(tot / f)) for p, f in seed}
     for _ in range(n_iters):
         seg_cols = [
-            _viterbi_toks(F.col("word"), _cost_map_lit(cost_maps[s])).alias(
+            _viterbi_toks(F.col("word"), cost_maps[s]).alias(
                 f"_tk{s}"
             )
             for s in szs
@@ -1469,7 +1537,7 @@ def unigram_budget_curve(
         F.length("word").cast("bigint").alias("wlen"),
         *[
             F.size(
-                _viterbi_toks(F.col("word"), _cost_map_lit(cost_maps[int(s)]))
+                _viterbi_toks(F.col("word"), cost_maps[int(s)])
             )
             .cast("bigint")
             .alias(f"_nt{int(s)}")
