@@ -1830,8 +1830,11 @@ def _batched_tier_recall(
         pframe = df.sparkSession.createDataFrame(
             [(q,) for q in pbig], "query_id bigint"
         )
+        # the |probes|-row recall agg sits behind a window/agg barrier
+        # with no stats — hint it broadcast or the 4x4 fill join plans
+        # as a sort-merge (caught by PLAN_AUDIT after the first cut)
         out = (
-            pframe.join(out, "query_id", "left")
+            pframe.join(F.broadcast(out), "query_id", "left")
             .select(
                 "query_id",
                 F.coalesce(F.col("recall"), F.lit(0.0)).alias("recall"),
