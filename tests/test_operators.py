@@ -4129,6 +4129,25 @@ def test_expr_built_viterbi_matches_hof_build(spark):
 
     assert toks(costs) == toks(_cost_map_lit(costs))
 
+    # the 2-best DP (unigram_ambiguity) gets the same treatment
+    from tinyetl_spark.operators.tokenizer import (
+        _viterbi_two_costs,
+        _viterbi_two_costs_sql,
+    )
+
+    _parsed_expr(_viterbi_two_costs_sql("`word`", _cost_map_sql(costs), 4))
+
+    def twocosts(cm):
+        a, b = _viterbi_two_costs(F.col("word"), cm)
+        return sorted(
+            tuple(r)
+            for r in wf.select(
+                "word", a.alias("a"), b.alias("b")
+            ).collect()
+        )
+
+    assert twocosts(costs) == twocosts(_cost_map_lit(costs))
+
     nasty = {"a": 10, "'": 5, "\\": 7, "a'b": 4, "ab": 25, "b": 11}
     w = spark.createDataFrame(
         [("a'b",), ("a\\b",), ("ab",), ("'\\",)], "word string"

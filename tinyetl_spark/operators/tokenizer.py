@@ -1273,12 +1273,58 @@ UNI_AMB_INF = 10**15  # "no second path yet" sentinel; > any finite
 #                       BIGINT overflow even after +cost accumulation
 
 
+def _viterbi_two_costs_sql(word_sql: str, cm_sql: str, maxpiece: int) -> str:
+    """:func:`_viterbi_two_costs`'s DP as ONE SQL expression string
+    ending in the 2-cost struct array — the exact HOF tree (same
+    candidate flattening, same array_sort top-2 retention, same
+    coalesce/cast types), one parse instead of per-operator py4j
+    round-trips. The caller extracts .c1/.c2 off element_at(..., -1)."""
+    edge = (
+        f"coalesce(element_at({cm_sql}, substring({word_sql}, i - l + 1, l)), "
+        f"CAST(CAST({UNI_UNK} AS BIGINT) * l AS BIGINT))"
+    )
+    prev = "element_at(acc, i - l + 1)"
+    cands = (
+        f"flatten(transform(sequence(1, least({maxpiece}, i)), "
+        f"l -> array({prev}.c1 + {edge}, {prev}.c2 + {edge})))"
+    )
+    step = (
+        f"concat(acc, array(named_struct("
+        f"'c1', element_at(array_sort({cands}), 1), "
+        f"'c2', element_at(array_sort({cands}), 2))))"
+    )
+    init = (
+        f"array(named_struct('c1', CAST(0 AS BIGINT), "
+        f"'c2', CAST({UNI_AMB_INF} AS BIGINT)))"
+    )
+    return (
+        f"element_at(aggregate(sequence(1, length({word_sql})), "
+        f"{init}, (acc, i) -> {step}), -1)"
+    )
+
+
 def _viterbi_two_costs(word, cost_map, maxpiece: int = UNI_MAXPIECE):
     """(best, second-best) segmentation costs of ``word`` as an in-row
     fold: per node keep the two smallest path costs; candidates at
     node i are both retained costs of each predecessor plus the edge.
     Returns (c1, c2) columns; c2 carries the UNI_AMB_INF sentinel only
-    for length-1 words (single path)."""
+    for length-1 words (single path).
+
+    ``cost_map`` may be the costs DICT (the whole DP builds as one
+    parsed SQL expression — same contract as :func:`_viterbi_toks`) or
+    a map Column (the HOF-lambda build, kept as the fallback)."""
+    if isinstance(cost_map, dict):
+        from tinyetl_spark.operators.similarity import _expr_sql, _parsed_expr
+
+        try:
+            last = _parsed_expr(
+                _viterbi_two_costs_sql(
+                    _expr_sql(word), _cost_map_sql(cost_map), maxpiece
+                )
+            )
+            return last["c1"], last["c2"]
+        except Exception:  # noqa: BLE001 — non-round-trippable rendering
+            cost_map = _cost_map_lit(cost_map)
     n = F.length(word)
     inf = F.lit(UNI_AMB_INF).cast("long")
     init = F.array(
@@ -1335,7 +1381,7 @@ def unigram_ambiguity(
     costs, _, wf = state if state is not None else _uni_train_state(
         df, text_col, n_iters
     )
-    c1, c2 = _viterbi_two_costs(F.col("word"), _cost_map_lit(costs))
+    c1, c2 = _viterbi_two_costs(F.col("word"), costs)
     seg = wf.filter(F.length("word") >= 2).select(
         F.length("word").cast("bigint").alias("wlen"),
         F.col("wcount").cast("bigint").alias("wcount"),
