@@ -3152,15 +3152,21 @@ def margin_mine(
     top = scored.select(
         "src_id", "tgt_id", "cosine", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= k)
-    denom = top.groupBy("src_id").agg(
-        (
-            F.sum(F.col("cosine").cast("decimal(38,6)")).cast("double")
-            / F.count("*").cast("double")
-        ).alias("_mean_k")
+    # The top-k mean rides a SECOND window over the SAME src_id
+    # partitioning (guide §2.4 — window keyed like the preceding one
+    # needs no second shuffle) instead of a groupBy + broadcast join
+    # back: the r12 plan consumed `top` twice, duplicating the whole
+    # scan→bucket-join→window subtree (4 file scans, 2 windows of work);
+    # this form plans it once. Same exact arithmetic: decimal sum over
+    # the identical rn<=k rows, double/double divide, floor_round.
+    wq = Window.partitionBy("src_id")
+    mean_k = (
+        F.sum(F.col("cosine").cast("decimal(38,6)")).over(wq).cast("double")
+        / F.count("*").over(wq).cast("double")
     )
     return (
-        top.filter(F.col("rn") == 1)
-        .join(F.broadcast(denom), "src_id")  # |sampled queries| rows
+        top.withColumn("_mean_k", mean_k)
+        .filter(F.col("rn") == 1)
         .select(
             "src_id",
             "tgt_id",

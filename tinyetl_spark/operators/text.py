@@ -1341,6 +1341,12 @@ def unigram_logprob(
         # words_base: (id_col, _ws) pre-tokenized arrays — same values
         # as words_col(lower(text)), shared across the LM ladder tiers
         words = words_base.select(F.col(id_col), F.explode("_ws").alias("w"))
+    # NOTE (r13, measured): checkpointing freq here to share it between
+    # the scalar total and the vocab cap was tried and REVERTED — the
+    # persist overhead cost +0.3-0.7 s per consumer at sf0.1
+    # (quality_ensemble_docs 2.69 -> 3.45 s) against saving one
+    # vocab-sized recompute; the main query's freq subtree is planned
+    # once anyway, so only the separate collect job recomputes it.
     freq = words.groupBy("w").agg(F.count("*").alias("cnt"))
     total = int(freq.agg(F.sum("cnt").alias("t")).collect()[0]["t"] or 1)
     vocab = freq.orderBy(F.desc("cnt"), F.asc("w")).limit(top_vocab)
@@ -1883,10 +1889,20 @@ def bigram_logprob(
             " ", F.element_at("_ws", F.col("i")), F.element_at("_ws", F.col("i") + 1)
         ).alias("bg"),
     )
-    uni = bgd.groupBy("w1").agg(F.count("*").alias("c1"))
-    freq = bgd.groupBy("bg").agg(F.count("*").alias("c2"))
-    total = int(freq.agg(F.sum("c2").alias("t")).collect()[0]["t"] or 1)
-    vocab = freq.orderBy(F.desc("c2"), F.asc("bg")).limit(top_vocab)
+    # ONE corpus-sized shuffle (guide §2.2): distinct (w1, bg) counts —
+    # bg embeds w1, so this equals the bigram frequency table with the
+    # predecessor retained — lazily checkpointed; the predecessor
+    # totals (sum per w1), the scalar total and the vocab cap all
+    # derive from this types-sized table instead of re-exploding the
+    # corpus per agg.
+    g = (
+        bgd.groupBy("w1", "bg")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    uni = g.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    total = int(g.agg(F.sum("c2").alias("t")).collect()[0]["t"] or 1)
+    vocab = g.select("bg", "c2").orderBy(F.desc("c2"), F.asc("bg")).limit(top_vocab)
     lp = F.when(
         F.col("c2").isNotNull(),
         F.round(F.log(F.col("c2") / F.col("c1")), 9),
@@ -4792,25 +4808,36 @@ def kn_bigram_logprob(
             " ", F.element_at("_ws", F.col("i")), F.element_at("_ws", F.col("i") + 1)
         ).alias("bg"),
     )
-    freq = bgd.groupBy("bg").agg(F.count("*").alias("c12"))
+    # ONE corpus-sized shuffle (guide §2.2/§2.3): distinct (w1,w2)
+    # counts, lazily checkpointed; the context/continuation tables and
+    # the scalar totals derive from this types-sized table instead of
+    # re-exploding the corpus per agg. Exact-integer equivalences: per
+    # w1 the g rows are the distinct w2 (count(*) == count_distinct(w2),
+    # sum(c12) == the position count), per w2 the distinct w1.
+    g = (
+        bgd.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .select("w1", "w2", "c12", F.concat_ws(" ", "w1", "w2").alias("bg"))
+        .localCheckpoint(eager=False)
+    )
     ctx = (
-        bgd.groupBy("w1")
-        .agg(F.count("*").alias("c1"), F.count_distinct("w2").alias("n1"))
+        g.groupBy("w1")
+        .agg(F.sum("c12").alias("c1"), F.count("*").alias("n1"))
         .orderBy(F.desc("c1"), F.asc("w1"))
         .limit(top_vocab)
     )
     cont = (
-        bgd.groupBy("w2")
-        .agg(F.count_distinct("w1").alias("cw"))
+        g.groupBy("w2")
+        .agg(F.count("*").alias("cw"))
         .orderBy(F.desc("cw"), F.asc("w2"))
         .limit(top_vocab)
     )
-    tot_row = freq.agg(
+    tot_row = g.agg(
         F.sum("c12").alias("t"), F.count("*").alias("types")
     ).collect()[0]
     total = int(tot_row["t"] or 1)
     types = int(tot_row["types"] or 1)
-    vocab = freq.orderBy(F.desc("c12"), F.asc("bg")).limit(top_vocab)
+    vocab = g.select("bg", "c12").orderBy(F.desc("c12"), F.asc("bg")).limit(top_vocab)
     d = F.lit(KN_DISCOUNT)
     p = (
         F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - d, F.lit(0.0))
@@ -5315,33 +5342,57 @@ def kn_trigram_logprob(
         F.concat_ws(" ", "w1", "w2").alias("b12"),
         F.concat_ws(" ", "w2", "w3").alias("b23"),
     )
+    # ONE corpus-sized shuffle (guide §2.2/§2.3 — aggregate before you
+    # shuffle, then aggregate the aggregate): collapse the position
+    # table to distinct (w1,w2,w3) counts ONCE, lazily checkpointed so
+    # the five model tables and the scalar totals all derive from this
+    # types-sized table instead of each re-scanning, re-exploding and
+    # re-shuffling the corpus (the r12 plan carried 6 file scans and 10
+    # exchanges; the scoring pass below is the only other corpus read).
+    # Every derived count is the same exact integer: per (w1,w2) the g
+    # rows are the distinct w3 (so count(*) == count_distinct(w3)), per
+    # (w2,w3) the distinct w1, per w2 the distinct (w1,w3) pairs.
+    g = (
+        tgd.groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c123"))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "c123",
+            F.concat_ws(" ", "w1", "w2", "w3").alias("tg"),
+            F.concat_ws(" ", "w1", "w2").alias("b12"),
+            F.concat_ws(" ", "w2", "w3").alias("b23"),
+        )
+        .localCheckpoint(eager=False)
+    )
     v3 = (
-        tgd.groupBy("tg").agg(F.count("*").alias("c123"))
+        g.select("tg", "c123")
         .orderBy(F.desc("c123"), F.asc("tg")).limit(top_vocab)
     )
     x3 = (
-        tgd.groupBy("b12")
-        .agg(F.count("*").alias("c12t"), F.count_distinct("w3").alias("n12"))
+        g.groupBy("b12")
+        .agg(F.sum("c123").alias("c12t"), F.count("*").alias("n12"))
         .orderBy(F.desc("c12t"), F.asc("b12")).limit(top_vocab)
     )
     m23 = (
-        tgd.groupBy("b23").agg(F.count_distinct("w1").alias("m"))
+        g.groupBy("b23").agg(F.count("*").alias("m"))
         .orderBy(F.desc("m"), F.asc("b23")).limit(top_vocab)
     )
     mx2 = (
-        tgd.groupBy("w2")
+        g.groupBy("w2")
         .agg(
-            F.count_distinct(F.concat_ws(" ", "w1", "w3")).alias("mt"),
+            F.count("*").alias("mt"),
             F.count_distinct("w3").alias("n2s"),
         )
         .orderBy(F.desc("mt"), F.asc("w2")).limit(top_vocab)
     )
     cont = (
-        tgd.groupBy("w3").agg(F.count_distinct("w2").alias("cw"))
+        g.groupBy("w3").agg(F.count_distinct("w2").alias("cw"))
         .orderBy(F.desc("cw"), F.asc("w3")).limit(top_vocab)
     )
-    tot_row = tgd.agg(
-        F.count("*").alias("t"),
+    tot_row = g.agg(
+        F.sum("c123").alias("t"),
         F.count_distinct("b23").alias("types2"),
     ).collect()[0]
     total3 = int(tot_row["t"] or 1)
