@@ -1680,8 +1680,13 @@ def pagerank(
     ).unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("t")))
     # cut lineage: edges feed deg, every iteration's join, and nodes
     edges = edges.localCheckpoint(eager=False)
-    nodes = edges.select(F.col("s").alias("id")).distinct()
-    deg = edges.groupBy("s").agg(F.count("*").alias("d"))
+    # nodes and deg are STATIC across the power iterations but were
+    # re-planned (distinct + groupBy exchanges) inside every iteration's
+    # pr rebuild — checkpoint each once (guide §2.4: a loop must not
+    # re-shuffle loop-invariant tables). nodes materializes here anyway
+    # via the count().
+    nodes = edges.select(F.col("s").alias("id")).distinct().localCheckpoint(eager=False)
+    deg = edges.groupBy("s").agg(F.count("*").alias("d")).localCheckpoint(eager=False)
     n = nodes.count() or 1  # empty graph: every stage below yields 0 rows
     pr = nodes.select("id", F.lit(1.0 / n).alias("pr"))
     for _ in range(iters):
@@ -1823,11 +1828,16 @@ def triangle_counts(pairs: DataFrame, topk: int = 20) -> DataFrame:
     squaring it. Joins shuffle on node ids; the degree table is tiny
     and broadcasts."""
     e = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    # ONE pass builds the degree table (explode both endpoints instead
+    # of a two-scan unionAll), checkpointed because three consumers
+    # (dx, dy, the wedge-rank join) would otherwise each re-plan it —
+    # the r12 plan re-scanned the staged pair parquet 19 times through
+    # this fan-out (guide §2.1/§6: scans multiply at 100 TB).
     deg = (
-        e.select(F.col("x").alias("n"))
-        .unionAll(e.select(F.col("y").alias("n")))
+        e.select(F.explode(F.array("x", "y")).alias("n"))
         .groupBy("n")
         .agg(F.count("*").cast("bigint").alias("d"))
+        .localCheckpoint(eager=False)
     )
     dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
@@ -1837,7 +1847,10 @@ def triangle_counts(pairs: DataFrame, topk: int = 20) -> DataFrame:
         | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
         F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
     ).otherwise(F.struct(F.col("y").alias("u"), F.col("x").alias("v")))
-    o = ed.select(fwd.alias("_e")).select("_e.u", "_e.v")
+    # the oriented edge list is consumed three times (both wedge legs
+    # and the closing-edge probe) — checkpoint it so the scan + degree
+    # joins happen once
+    o = ed.select(fwd.alias("_e")).select("_e.u", "_e.v").localCheckpoint(eager=False)
     # rank of v within u's out-neighbors: (deg, id) tuple order again,
     # so each unordered wedge is generated exactly once
     ov = o.join(F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v")

@@ -3551,7 +3551,11 @@ def label_centroid_report(
         F.col("c6").alias("nearest_cos"),
     )
     return (
-        tight.join(nearest, "lbl")
+        # broadcast hint: both sides are |labels|-sized (~10 rows) but
+        # derive from aggregates whose size estimates the planner can't
+        # see, so it fell back to a SortMergeJoin (r12 PLAN_AUDIT);
+        # |labels| is bounded at any scale (guide §3.1)
+        tight.join(F.broadcast(nearest), "lbl")
         .select(
             F.col("lbl").alias(label_col),
             F.col("n_vecs"),

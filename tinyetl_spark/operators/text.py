@@ -1172,7 +1172,11 @@ def _offset_map(offsets: list[tuple[int, int]]) -> Column:
 
 
 def epoch_shuffle(
-    df: DataFrame, id_col: str = "doc_id", seed: int = 0, buckets: int = 256
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    buckets: int = 256,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic global shuffle for a training epoch: rank every doc
     by ``md5(seed || id)`` — a pseudo-random permutation that is (a)
@@ -1188,7 +1192,9 @@ def epoch_shuffle(
     parallel, and a ``buckets``-row cumulative-offset table — driver
     arithmetic, then broadcast — lifts local ranks to global ones.
     One shuffle on the bucket; no single-reducer stage anywhere.
-    Emits (id, shuffle_rank)."""
+    Emits (id, *carry, shuffle_rank) — ``carry`` columns ride the rank
+    shuffle in-row so a consumer that needs them (curation_pipeline)
+    does not pay a corpus-sized join to re-attach them (guide §2.4)."""
     from pyspark.sql import Window
 
     hex_chars = max(1, ((buckets - 1).bit_length() + 3) // 4)  # ceil: >= buckets
@@ -1198,6 +1204,7 @@ def epoch_shuffle(
     # would otherwise BOTH recompute the md5 keying scan
     keyed = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         key.alias("_key"),
         F.conv(F.substring(key, 1, hex_chars), 16, 10).cast("int").alias("_b"),
     ).localCheckpoint(eager=False)
@@ -1213,6 +1220,7 @@ def epoch_shuffle(
     off_map = _offset_map(offsets)
     return local.select(
         id_col,
+        *carry,
         (F.element_at(off_map, F.col("_b")) + F.col("_r"))
         .cast("bigint")
         .alias("shuffle_rank"),

@@ -4476,12 +4476,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = text.fingerprint(kept)
     canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     uniq = kept.join(canon, "doc_id")
-    # cut lineage at the selection: both the shuffle-rank stage and the
-    # final join consume `sel` — without the cut the whole
-    # filter→dedup→budget subtree codegens and runs twice
-    sel = text.quality_budget_select(uniq).localCheckpoint(eager=False)
-    shuf = text.epoch_shuffle(sel, seed=1)
-    return shuf.join(sel, "doc_id").select(
+    # n_words/quality ride the rank shuffle in-row (epoch_shuffle's
+    # carry param) instead of joining back — the r12 plan re-attached
+    # them with a corpus-sized SortMergeJoin of shuf against sel, and
+    # sel needed its own lineage cut to avoid running twice; now
+    # epoch_shuffle's internal checkpoint is the single cut and the
+    # selection subtree is consumed once (guide §2.4, §3.1)
+    sel = text.quality_budget_select(uniq)
+    return text.epoch_shuffle(sel, seed=1, carry=("n_words", "quality")).select(
         "doc_id", "shuffle_rank", "n_words", "quality"
     )
 
@@ -6208,7 +6210,11 @@ def perceptual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_true = truth.agg(F.count("*").cast("long").alias("true_pairs"))
 
     def _tier(name: str, cand: DataFrame) -> DataFrame:
-        hits = cand.join(truth, ["id_a", "id_b"]).agg(
+        # broadcast the truth side: it is bounded by the audit cap at
+        # ANY corpus scale (id < _PRA_CAP brute force), but it derives
+        # from an Arrow decode the planner can't size, so r12 planned a
+        # SortMergeJoin here (guide §3.1)
+        hits = cand.join(F.broadcast(truth), ["id_a", "id_b"]).agg(
             F.count("*").cast("long").alias("hit_pairs")
         )
         return (
@@ -6342,8 +6348,11 @@ def perceptual_radius_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tier", F.lit("phash"))
     )
     cands = dc.unionByName(pc).localCheckpoint(eager=False)
+    # broadcast the truth side (bounded by the audit cap at any corpus
+    # scale; the planner can't size the Arrow-decoded subtree and r12
+    # fell back to a SortMergeJoin — guide §3.1)
     marked = cands.join(
-        truth.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left"
+        F.broadcast(truth.withColumn("_t", F.lit(1))), ["id_a", "id_b"], "left"
     ).select("tier", "hamming", F.coalesce("_t", F.lit(0)).alias("is_true"))
     radii = spark.createDataFrame(
         [(r,) for r in _PRC_RADII], "radius long"
@@ -6363,7 +6372,8 @@ def perceptual_radius_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(radii))
     n_true = truth.agg(F.count("*").cast("long").alias("true_pairs"))
     return (
-        dim.join(st, ["tier", "radius"], "left")
+        # st is at most |tiers| x |radii| = 12 rows — broadcast it
+        dim.join(F.broadcast(st), ["tier", "radius"], "left")
         .crossJoin(F.broadcast(n_true))
         .select(
             "tier",
